@@ -1,13 +1,758 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Graft
+import graft.functions.{Cleaning, Norm, StableHash, Text, Vectors}
+import graft.metrics.StaffingMetrics
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.quality.DataQuality
+
+/** Driver contract: the operator corpus (SURVEY.md §2 + north-star
+  * extensions), each entry paired with ANSI SQL the DuckDB oracle replays
+  * over the same parquet tables.
+  *
+  * Cross-engine determinism rules used throughout (so result hashes match):
+  *  - sums of doubles go through exact DECIMAL accumulation, cast to DOUBLE
+  *    at the end (double summation order differs between engines);
+  *  - averages are sum-decimal / count (one double division of identical
+  *    operands is bit-deterministic);
+  *  - every query ORDER BYs a unique key set;
+  *  - hashing is md5-derived (engine-native hashes differ);
+  *  - column aliases are identical on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- shared helpers -----------------------------------------------------
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Graft.table(s, dir, name)
+
+  /** Exact decimal sum of a 2-dp double column, surfaced as DOUBLE. */
+  private def dsum2(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Exact revenue term: price * (1 - discount) in decimal. */
+  private def revenue(price: Column, disc: Column): Column =
+    sum(price.cast(DecimalType(18, 2)) * (lit(1) - disc.cast(DecimalType(18, 2))))
+      .cast("double")
+
+  private val revSql =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  // ---- flagship -----------------------------------------------------------
+
+  /** Flagship on sf0.001 (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // ---- the corpus ---------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1 group-by multi-agg (reference calculate_metrics.py:123-131 shape).
+    "q1_agg" -> ((s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum2(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("sum_base_price"),
+        revenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        (sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")),
+
+    // S4 full table scan.
+    "s4_scan" -> ((s, d) => t(s, d, "region").orderBy("r_regionkey")),
+
+    // S6 parametrized filtered scan (streamlit_app.py:40-44 shape).
+    "s6_filtered_scan" -> ((s, d) => t(s, d, "nation")
+      .where(col("n_regionkey") === 2)
+      .select("n_nationkey", "n_name")
+      .orderBy("n_nationkey")),
+
+    // P2 projection w/ rename + cast + coalesce (build.py:88-96 shape).
+    "p2_project_cast" -> ((s, d) => t(s, d, "orders")
+      .where(col("o_orderkey") <= 3000)
+      .select(
+        col("o_orderkey").as("order_id"),
+        // ISO string, not DATE: oracle comparisons canonicalize temporal
+        // types as strings (SURVEY §7.4.7)
+        col("o_orderdate").cast("date").cast("string").as("order_date"),
+        coalesce(col("o_totalprice"), lit(0.0)).as("total_price"),
+        col("o_orderpriority").as("priority"))
+      .orderBy("order_id")),
+
+    // P3 null-skipping horizontal sum (calculate_metrics.py:119-121).
+    "p3_horizontal_sum" -> ((s, d) => t(s, d, "lineitem")
+      .where(col("l_orderkey") <= 2000)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        Cleaning.horizontalSum(Seq(col("l_quantity"), col("l_discount"), col("l_tax")))
+          .as("h_sum"))
+      .orderBy("l_orderkey", "l_linenumber")),
+
+    // F2 null-based row filter (calculate_metrics.py:101-108).
+    "f2_null_drop" -> ((s, d) => t(s, d, "lineitem")
+      .where(col("l_orderkey") <= 3000)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_discount"), lit(0.0)).as("disc_nz"),
+        nullif(col("l_tax"), lit(0.0)).as("tax_nz"))
+      .na.drop(Seq("disc_nz", "tax_nz"))
+      .orderBy("l_orderkey", "l_linenumber")),
+
+    // F3 row-wise zero-sentinel nulling over the critical set
+    // (calculate_metrics.py:92-98: ANY zero -> ALL nulled).
+    "f3_zero_sentinel" -> ((s, d) => {
+      val base = t(s, d, "lineitem")
+        .where(col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+      Cleaning.zeroSentinelNull(base, Seq("l_quantity", "l_discount", "l_tax"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // F4 equality + IN-list filter (metrics_dashboard.py:25).
+    "f4_in_filter" -> ((s, d) => t(s, d, "customer")
+      .where(col("c_mktsegment") === "BUILDING" &&
+        col("c_nationkey").isin(1, 3, 5))
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")),
+
+    // F6 distinct non-null values (metrics_dashboard.py:20).
+    "f6_distinct" -> ((s, d) => t(s, d, "customer")
+      .select("c_mktsegment").na.drop().distinct()
+      .orderBy("c_mktsegment")),
+
+    // J1 multi-way inner equi-join + agg; dims broadcast (SURVEY §2.3).
+    "j1_multiway_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_items"),
+          revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // J1 iterative fold-join with deterministic collision renaming
+    // (calculate_metrics.py:56-62; SURVEY §7.4.1 `_fN` scheme).
+    "j1_fold_join" -> ((s, d) => {
+      val a = t(s, d, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("val"))
+      val b = t(s, d, "lineitem").groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("n_items"), dsum2(col("l_quantity")).as("val"))
+      val (merged, _) = StaffingMetrics.foldJoin(Seq(a, b), Seq("k"))
+      merged.select("k", "status", "val", "n_items", "val_f1").orderBy("k")
+    }),
+
+    // Left-semi join (EXISTS) — engine surface beyond the reference.
+    "j2_semi_join" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").where(col("o_totalprice") > 300000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // Left-anti join (NOT EXISTS).
+    "j3_anti_join" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").where(col("o_totalprice") > 400000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // A2 post-agg derived ratios w/ zero->NULL denominators
+    // (calculate_metrics.py:132-143).
+    "a2_ratio" -> ((s, d) => t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total_price"),
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"))
+      .withColumn("avg_price", col("total_price") / col("n_orders"))
+      .withColumn("price_per_finished",
+        col("total_price") / Cleaning.zeroToNull(col("n_finished")))
+      .orderBy("o_orderpriority")),
+
+    // A3 SQL group-agg w/ CASE-without-ELSE conditional count
+    // (build.py:99-107, v_penalties_by_state shape).
+    "a3_conditional_agg" -> ((s, d) => t(s, d, "customer")
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        dsum2(col("c_acctbal")).as("total_bal"),
+        sum(when(col("c_acctbal") > 0, 1)).as("n_positive"), // X9: no ELSE
+        (dsum2(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+      .orderBy("c_nationkey")),
+
+    // A4 duplicate-key audit agg (build.py:39-53).
+    "a4_dup_audit" -> ((s, d) => t(s, d, "events")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > 1)
+      .orderBy("user_id", "event_type")),
+
+    // A5 per-column completeness profile (load_nursing_home_data.py:20-36).
+    "a5_completeness" -> ((s, d) => {
+      val ev = t(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        nullif(col("event_type"), lit("click")).as("event_type_nc"),
+        col("value"))
+      DataQuality.completeness(ev, "events").orderBy("column_name")
+    }),
+
+    // A6 numeric-column means (streamlit_app.py:34-37), decimal-exact.
+    "a6_numeric_means" -> ((s, d) => t(s, d, "lineitem")
+      .agg(
+        (sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
+          count(col("l_quantity"))).as("avg_quantity"),
+        (sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double") /
+          count(col("l_extendedprice"))).as("avg_extendedprice"),
+        (sum(col("l_discount").cast(DecimalType(18, 2))).cast("double") /
+          count(col("l_discount"))).as("avg_discount"),
+        (sum(col("l_tax").cast(DecimalType(18, 2))).cast("double") /
+          count(col("l_tax"))).as("avg_tax"))),
+
+    // A7 grouped mean (metrics_dashboard.py:28-31).
+    "a7_grouped_mean" -> ((s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg((sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
+        count(col("l_quantity"))).as("avg_qty"))
+      .orderBy("l_returnflag")),
+
+    // A8 pivot aggregation (metrics_dashboard.py:34-39), explicit values
+    // for a deterministic single-pass plan (SURVEY §7.4.9).
+    "a8_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val ev = t(s, d, "events")
+        .select(date_trunc("day", Graft.nanosToTimestamp("ts")).cast("date")
+          .cast("string").as("day"),
+          col("event_type"), col("value").cast(DecimalType(28, 10)).as("dval"))
+      val piv = ev.groupBy("day").pivot("event_type", types).sum("dval")
+      piv.select(col("day") +: types.map(ty => col(ty).cast("double").as(ty)): _*)
+        .orderBy("day")
+    }),
+
+    // O1 sort on a non-key column (metrics_dashboard.py sort_index analogue).
+    "o1_sort" -> ((s, d) => t(s, d, "nation")
+      .select("n_nationkey", "n_name").orderBy("n_name")),
+
+    // O2 top-k (limit) — compiles to TakeOrderedAndProject.
+    "o2_topk" -> ((s, d) => t(s, d, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey", "o_totalprice")
+      .limit(10)),
+
+    // U1 union-by-name w/ missing-column NULL fill (build.py:78 analogue).
+    "u1_union" -> ((s, d) => {
+      val c = t(s, d, "customer").where(col("c_nationkey") === 1)
+        .select(lit("c").as("src"), col("c_custkey").as("id"),
+          col("c_name").as("name"), col("c_acctbal").as("bal"))
+      val sup = t(s, d, "supplier").where(col("s_nationkey") === 1)
+        .select(lit("s").as("src"), col("s_suppkey").as("id"),
+          col("s_name").as("name"))
+      c.unionByName(sup, allowMissingColumns = true).orderBy("src", "id")
+    }),
+
+    // X1 identifier normalization as data transform (build.py:7-8).
+    "x1_norm_identifier" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        Norm.normIdentifierCol(
+          concat(col("source"), lit(" ("), upper(col("lang")), lit(")")))
+          .as("norm_name"))
+      .orderBy("doc_id")),
+
+    // X3 quarter normalization (calculate_metrics.py:28-36): regex
+    // `(20\d{2}).*?(\d)`; no match -> NULL (1995-1999 dates exercise that).
+    "x3_quarter_norm" -> ((s, d) => {
+      val o = t(s, d, "orders").where(col("o_orderkey") <= 3000)
+      val y = year(col("o_orderdate")).cast("string")
+      val q = quarter(col("o_orderdate")).cast("string")
+      val raw = when(pmod(col("o_orderkey"), lit(3)) === 0, concat(y, lit("Q"), q))
+        .when(pmod(col("o_orderkey"), lit(3)) === 1,
+          concat(lit("Quarter "), q, lit(" of "), y))
+        .otherwise(concat(y, lit(" Q"), q))
+      o.select(col("o_orderkey"), raw.as("raw_quarter"),
+        Norm.normalizeQuarter(raw).as("norm_quarter"))
+        .orderBy("o_orderkey")
+    }),
+
+    // JSON field extraction over the events props column.
+    "x5_json_extract" -> ((s, d) => t(s, d, "events")
+      .where(col("event_id") <= 2000)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")),
+
+    // Window functions (engine surface beyond the reference; SURVEY §2.5).
+    "w1_window" -> ((s, d) => {
+      val o = t(s, d, "orders").where(col("o_custkey") <= 100)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      o.select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // ---- north-star extensions (BASELINE.json) ----------------------------
+
+    // Exact dedup by content digest.
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "text", "doc_id").orderBy("digest")),
+
+    // MinHash signatures (first 4 hash slots surfaced as columns).
+    "dedup_minhash" -> ((s, d) => {
+      val sig = Dedup.minhashSignature(col("text"), 4, 3)
+      t(s, d, "documents")
+        .select(col("doc_id"), sig.as("sig"))
+        .select(col("doc_id"),
+          col("sig")(0).as("h0"), col("sig")(1).as("h1"),
+          col("sig")(2).as("h2"), col("sig")(3).as("h3"))
+        .orderBy("doc_id")
+    }),
+
+    // SimHash 16-bit fingerprints.
+    "dedup_simhash" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash"))
+      .orderBy("doc_id")),
+
+    // Exact n-gram Jaccard pairs (relational formulation).
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        t(s, d, "documents").where(col("doc_id") < 100), "text", "doc_id",
+        shingleK = 2, minJaccard = 0.05)
+        .orderBy("id_a", "id_b")),
+
+    // Text-analysis profile (lang-id, quality, token counts, fingerprint).
+    "text_profile" -> ((s, d) =>
+      TextAnalysis.profile(t(s, d, "documents")).orderBy("doc_id")),
+
+    // Corpus rollup by predicted language (decimal-exact avg).
+    "text_lang_summary" -> ((s, d) =>
+      TextAnalysis.profile(t(s, d, "documents"))
+        .groupBy("lang_pred")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          (sum(col("quality_score").cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1))).as("avg_quality"))
+        .orderBy("lang_pred")),
+
+    // Brute-force cosine top-k (exact ANN baseline).
+    "sim_brute_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), k = 10)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Multimodal: synthetic media + metadata extraction (decode stays
+    // stubbed; plumbing is real — see graft.ops.Multimodal).
+    "mm_media_meta" -> ((s, d) => {
+      val m = Multimodal.withMeta(
+        Multimodal.syntheticMediaFromDocs(t(s, d, "documents")))
+      m.select(col("media_id"), col("kind"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.digest").as("digest"),
+        col("meta.format").as("format"))
+        .orderBy("media_id")
+    })
+  )
+
+  // ---- oracles ------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         | $revSql AS sum_disc_price,
+         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         | COUNT(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "s4_scan" -> "SELECT * FROM region ORDER BY r_regionkey",
+
+    "s6_filtered_scan" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_regionkey = 2 ORDER BY n_nationkey""".stripMargin,
+
+    "p2_project_cast" ->
+      """SELECT o_orderkey AS order_id, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+        | COALESCE(o_totalprice, 0.0) AS total_price, o_orderpriority AS priority
+        |FROM orders WHERE o_orderkey <= 3000 ORDER BY order_id""".stripMargin,
+
+    "p3_horizontal_sum" ->
+      """SELECT l_orderkey, l_linenumber,
+        | COALESCE(l_quantity, 0.0) + COALESCE(l_discount, 0.0) + COALESCE(l_tax, 0.0) AS h_sum
+        |FROM lineitem WHERE l_orderkey <= 2000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "f2_null_drop" ->
+      """SELECT l_orderkey, l_linenumber,
+        | NULLIF(l_discount, 0.0) AS disc_nz, NULLIF(l_tax, 0.0) AS tax_nz
+        |FROM lineitem
+        |WHERE l_orderkey <= 3000
+        | AND NULLIF(l_discount, 0.0) IS NOT NULL AND NULLIF(l_tax, 0.0) IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "f3_zero_sentinel" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CASE WHEN l_quantity = 0 OR l_discount = 0 OR l_tax = 0 THEN NULL ELSE l_quantity END AS l_quantity,
+        | CASE WHEN l_quantity = 0 OR l_discount = 0 OR l_tax = 0 THEN NULL ELSE l_discount END AS l_discount,
+        | CASE WHEN l_quantity = 0 OR l_discount = 0 OR l_tax = 0 THEN NULL ELSE l_tax END AS l_tax
+        |FROM lineitem WHERE l_orderkey <= 2000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "f4_in_filter" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_nationkey IN (1, 3, 5)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "f6_distinct" ->
+      """SELECT DISTINCT c_mktsegment FROM customer
+        |WHERE c_mktsegment IS NOT NULL ORDER BY c_mktsegment""".stripMargin,
+
+    "j1_multiway_join" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_items, $revSql AS revenue
+         |FROM lineitem
+         | JOIN orders   ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation   ON c_nationkey = n_nationkey
+         | JOIN region   ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "j1_fold_join" ->
+      """SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS val,
+        | b.n_items, b.val_f1
+        |FROM orders
+        |JOIN (SELECT l_orderkey AS k, COUNT(*) AS n_items,
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS val_f1
+        |      FROM lineitem GROUP BY l_orderkey) b
+        | ON o_orderkey = b.k
+        |ORDER BY k""".stripMargin,
+
+    "j2_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j3_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "a2_ratio" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   / NULLIF(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS price_per_finished
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "a3_conditional_agg" ->
+      """SELECT c_nationkey,
+        | COUNT(*) AS n_customers,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        | CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 END) AS BIGINT) AS n_positive,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "a4_dup_audit" ->
+      """SELECT user_id, event_type, COUNT(*) AS n FROM events
+        |GROUP BY user_id, event_type HAVING COUNT(*) > 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "a5_completeness" -> {
+      val cols = Seq("event_id", "user_id", "event_type_nc", "value")
+      cols.map { c =>
+        s"""SELECT 'events' AS table_name, '$c' AS column_name,
+           | COUNT(*) AS row_count, COUNT($c) AS non_null_count,
+           | CASE WHEN COUNT(*) = 0 THEN 0.0
+           |      ELSE ROUND(COUNT($c) * 100.0 / COUNT(*), 2) END AS pct_not_null
+           |FROM (SELECT event_id, user_id,
+           |        NULLIF(event_type, 'click') AS event_type_nc, value
+           |      FROM events)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+
+    "a6_numeric_means" ->
+      """SELECT
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_quantity,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_extendedprice,
+        | CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_discount,
+        | CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_tax) AS avg_tax
+        |FROM lineitem""".stripMargin,
+
+    "a7_grouped_mean" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a8_pivot" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cases = types.map(ty =>
+        s"CAST(SUM(CASE WHEN event_type = '$ty' THEN CAST(value AS DECIMAL(28,10)) END) AS DOUBLE) AS $ty")
+        .mkString(",\n ")
+      s"""SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+         | $cases
+         |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+    },
+
+    "o1_sort" -> "SELECT n_nationkey, n_name FROM nation ORDER BY n_name",
+
+    "o2_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "u1_union" ->
+      """SELECT * FROM (
+        | SELECT 'c' AS src, c_custkey AS id, c_name AS name, c_acctbal AS bal
+        | FROM customer WHERE c_nationkey = 1
+        | UNION ALL
+        | SELECT 's' AS src, s_suppkey AS id, s_name AS name, NULL AS bal
+        | FROM supplier WHERE s_nationkey = 1)
+        |ORDER BY src, id""".stripMargin,
+
+    "x1_norm_identifier" ->
+      """SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(
+        |   regexp_replace(lower(source || ' (' || upper(lang) || ')'),
+        |     '[^0-9a-z]+', '_', 'g'),
+        |   '_+', '_', 'g'), '^_', ''), '_$', '') AS norm_name
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x3_quarter_norm" ->
+      """WITH raws AS (
+        | SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0
+        |       THEN CAST(year(o_orderdate) AS VARCHAR) || 'Q' || CAST(quarter(o_orderdate) AS VARCHAR)
+        |       WHEN o_orderkey % 3 = 1
+        |       THEN 'Quarter ' || CAST(quarter(o_orderdate) AS VARCHAR) || ' of ' || CAST(year(o_orderdate) AS VARCHAR)
+        |       ELSE CAST(year(o_orderdate) AS VARCHAR) || ' Q' || CAST(quarter(o_orderdate) AS VARCHAR)
+        |  END AS raw_quarter
+        | FROM orders WHERE o_orderkey <= 3000)
+        |SELECT o_orderkey, raw_quarter,
+        | CASE WHEN regexp_extract(raw_quarter, '(20\d{2}).*?(\d)', 1) = ''
+        |        OR regexp_extract(raw_quarter, '(20\d{2}).*?(\d)', 2) = ''
+        |      THEN NULL
+        |      ELSE regexp_extract(raw_quarter, '(20\d{2}).*?(\d)', 1) || '-Q'
+        |           || regexp_extract(raw_quarter, '(20\d{2}).*?(\d)', 2)
+        | END AS norm_quarter
+        |FROM raws ORDER BY o_orderkey""".stripMargin,
+
+    "x5_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE event_id <= 2000 ORDER BY event_id""".stripMargin,
+
+    "w1_window" ->
+      """SELECT o_custkey, o_orderkey,
+        | ROW_NUMBER() OVER w AS rn,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY digest""".stripMargin,
+
+    "dedup_minhash" -> minhashOracle,
+
+    "dedup_simhash" -> simhashOracle(16),
+
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
+
+    "text_profile" -> textProfileOracle,
+
+    "text_lang_summary" -> textLangSummaryOracle,
+
+    "sim_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        | c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        | scored AS (
+        |  SELECT q.query_id, c.corpus_id,
+        |   list_dot_product(q.qv, c.cv) /
+        |    (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cosine
+        |  FROM c CROSS JOIN q WHERE c.corpus_id <> q.query_id),
+        | ranked AS (
+        |  SELECT query_id, corpus_id, cosine,
+        |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "mm_media_meta" ->
+      """SELECT doc_id AS media_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | md5(text) AS digest,
+        | upper(substr(to_base64(encode(text)), 1, 4)) AS format
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+
+  // ---- generated oracles (shared hash/shingle SQL building blocks) --------
+
+  /** DuckDB SQL for StableHash.hash60(expr, seed). */
+  private def hash60Sql(expr: String, seed: Int): String =
+    s"CAST(('0x' || substr(md5('$seed:' || $expr), 1, 15)) AS BIGINT)"
+
+  private def hash60Sql(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** Relational word + 3-shingle CTEs over `documents` (distinct shingles,
+    * mirroring Text.wordShingles word-3-grams for docs with >= 3 words).
+    */
+  private val shingleCtes: String =
+    """words AS (
+      | SELECT doc_id, w, i FROM (
+      |  SELECT doc_id,
+      |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+      |   generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS i
+      |  FROM documents)),
+      |shingles AS (
+      | SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+      | FROM words a
+      | JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      | JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2)""".stripMargin
+
+  private def minhashOracle: String = {
+    val mins = (0 until 4).map(seed =>
+      s"MIN(${hash60Sql("sh", seed)}) AS h$seed").mkString(",\n ")
+    s"""WITH $shingleCtes
+       |SELECT doc_id,
+       | $mins
+       |FROM shingles GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  private def simhashOracle(bits: Int): String = {
+    val votes = (0 until bits).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(",\n  ")
+    val bitsum = (0 until bits).map(b =>
+      s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       | SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       | FROM documents),
+       |hashed AS (SELECT doc_id, ${hash60Sql("w")} AS h FROM toks),
+       |votes AS (
+       | SELECT doc_id,
+       |  $votes
+       | FROM hashed GROUP BY doc_id)
+       |SELECT doc_id, CAST($bitsum AS BIGINT) AS simhash
+       |FROM votes ORDER BY doc_id""".stripMargin
+  }
+
+  private def ngramJaccardOracle: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+      |words AS (
+      | SELECT doc_id, w, i FROM (
+      |  SELECT doc_id,
+      |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+      |   generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS i
+      |  FROM docs)),
+      |shingles AS (
+      | SELECT DISTINCT a.doc_id AS id, a.w || ' ' || b.w AS sh
+      | FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+      |sizes AS (SELECT id, COUNT(*) AS n FROM shingles GROUP BY id),
+      |inter AS (
+      | SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS n_inter
+      | FROM shingles x JOIN shingles y ON x.sh = y.sh AND x.id < y.id
+      | GROUP BY x.id, y.id)
+      |SELECT id_a, id_b,
+      | CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+      |FROM inter
+      | JOIN sizes sa ON sa.id = id_a
+      | JOIN sizes sb ON sb.id = id_b
+      |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.05
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Per-language stopword hit sums + argmax with the array_max-on-struct
+    * tie-break (lexicographically LAST language wins ties).
+    */
+  private def textProfileOracle: String = {
+    val langs = Text.stopwords.keys.toSeq.sorted
+    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+    val hitCols = langs.map(l =>
+      s"SUM(CASE WHEN w IN ${inList(Text.stopwords(l))} THEN 1 ELSE 0 END) AS h_$l")
+      .mkString(",\n  ")
+    val allHits =
+      s"SUM(CASE WHEN w IN ${inList(Text.stopwords.values.flatten.toSeq)} THEN 1 ELSE 0 END) AS h_all"
+    // argmax, later-language wins ties (matches array_max on struct(hits,lang))
+    val argmax = langs.reverse.zipWithIndex.map { case (l, idx) =>
+      val others = langs.filterNot(_ == l)
+      val cond = others.map(o => s"h_$l >= h_$o").mkString(" AND ")
+      if (idx == langs.size - 1) s"ELSE '$l'"
+      else (if (idx == 0) s"CASE WHEN $cond THEN '$l'" else s"WHEN $cond THEN '$l'")
+    }.mkString(" ") + " END"
+    val fp =
+      s"SUM((${hash60Sql("w")} % 1000000) * i) AS fp_sum"
+    s"""WITH words AS (
+       | SELECT doc_id, w, i FROM (
+       |  SELECT doc_id,
+       |   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+       |   generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS i
+       |  FROM documents)),
+       |wordstats AS (
+       | SELECT doc_id,
+       |  COUNT(*) AS n_tokens,
+       |  $hitCols,
+       |  $allHits,
+       |  $fp
+       | FROM words GROUP BY doc_id),
+       |charstats AS (
+       | SELECT doc_id,
+       |  length(text) AS n_chars,
+       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+       |  len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS n_punct
+       | FROM documents),
+       |joined AS (
+       | SELECT w.doc_id, w.n_tokens, w.h_all, c.n_chars, c.n_bpe_tokens, c.n_punct,
+       |  w.fp_sum,
+       |  $argmax AS best_lang,
+       |  ${langs.map(l => s"w.h_$l").mkString(" + ")} AS dummy_sum,
+       |  GREATEST(${langs.map(l => s"w.h_$l").mkString(", ")}) AS best_hits
+       | FROM wordstats w JOIN charstats c ON c.doc_id = w.doc_id)
+       |SELECT doc_id,
+       | CASE WHEN best_hits > 0 THEN best_lang ELSE 'und' END AS lang_pred,
+       | CAST(n_chars AS BIGINT) AS n_chars,
+       | CAST(n_tokens AS BIGINT) AS n_tokens,
+       | CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+       | ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+       | ROUND(CAST(h_all AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       | ROUND((LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+       |      + GREATEST(1.0 - (CAST(n_punct AS DOUBLE) / n_chars) * 5.0, 0.0)
+       |      + LEAST((CAST(h_all AS DOUBLE) / n_tokens) * 4.0, 1.0)) / 3.0, 6) AS quality_score,
+       | CAST(fp_sum % 2147483647 AS BIGINT) AS fingerprint
+       |FROM joined ORDER BY doc_id""".stripMargin
+  }
+
+  private def textLangSummaryOracle: String = {
+    // reuse the profile as a subquery
+    s"""WITH profile AS (${textProfileOracle.replace("ORDER BY doc_id", "")})
+       |SELECT lang_pred, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       | CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_quality
+       |FROM profile GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+  }
 }

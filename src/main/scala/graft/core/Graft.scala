@@ -1,0 +1,50 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session tuning + table access shared by every query entry point.
+  *
+  * The engine targets a multi-executor cluster at ~100 TB; locally we get
+  * `local[N]`. Everything here is safe under both: AQE handles runtime
+  * re-planning (skew joins, partition coalescing), broadcast joins pick up
+  * small dimensions automatically, and ANSI mode is disabled to match the
+  * reference's coerce-to-null cast semantics
+  * (reference: build.py:29-37 `errors='coerce'`).
+  */
+object Graft {
+
+  /** Idempotent runtime tuning applied at the top of every query/pipeline.
+    * The driver harness builds its own SparkSession (without these), so the
+    * library must not rely on builder-time config.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    val c = spark.conf
+    // Reference semantics: failed casts yield NULL, never errors
+    // (build.py:31-32 pd.to_numeric(errors='coerce')).
+    c.set("spark.sql.ansi.enabled", "false")
+    c.set("spark.sql.session.timeZone", "UTC")
+    c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // 10 MB default is conservative; dims like region/nation/customer are
+    // broadcastable well past sf0.1. At cluster scale AQE re-checks at runtime.
+    c.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    // Parquet TIMESTAMP(NANOS) (e.g. the events table) is rejected by the
+    // vanilla reader; read as long and convert with [[nanosToTimestamp]].
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+
+  /** Convert a nanos-since-epoch long column (see nanosAsLong above) to a
+    * proper timestamp. Integer division — ns epochs exceed 2^53 and would
+    * lose precision through a double.
+    */
+  def nanosToTimestamp(colName: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(s"timestamp_micros($colName DIV 1000)")
+
+  /** Read one of the driver's parquet tables from a scale-factor dir. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    tune(spark)
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+}

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{StableHash, Text, Vectors}
+
+/** Deduplication operators for LLM-training-data pipelines (north-star
+  * extensions, BASELINE.json). All are single-pass, shuffle-on-key designs:
+  * the only shuffles are the groupBy on the (small) digest/bucket keys, so
+  * they scale linearly with input and never collect to the driver.
+  */
+object Dedup {
+
+  /** Exact dedup by content digest. One shuffle on the 128-bit digest;
+    * keeps the lowest id per group (deterministic winner).
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("digest"), col(idCol))
+      .groupBy("digest")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Survivors of exact dedup (the canonical rows). */
+  def exactSurvivors(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = exact(df, textCol, idCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash signature column: for each of `numHashes` seeded hash functions,
+    * the minimum over the doc's word-`shingleK` shingles. Pure map-side
+    * (per-row array math); no shuffle until the LSH band grouping.
+    */
+  def minhashSignature(text: Column, numHashes: Int, shingleK: Int): Column = {
+    val shingles = Text.wordShingles(text, shingleK)
+    val sigs = (0 until numHashes).map { seed =>
+      coalesce(
+        array_min(transform(shingles, s => StableHash.hash60(s, seed))),
+        lit(Long.MaxValue))
+    }
+    array(sigs: _*)
+  }
+
+  /** MinHash+LSH near-dup candidates: signatures are cut into `bands` bands
+    * of r rows; docs sharing any band-hash land in a bucket. Output: one row
+    * per (band, bucket) with its member ids — buckets with >1 member are the
+    * near-dup candidate sets. Shuffle key is (band, bucket-hash): uniform by
+    * construction, skew-free at scale.
+    */
+  def minhashBuckets(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, bands: Int = 4, shingleK: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = minhashSignature(col(textCol), numHashes, shingleK)
+    val banded = df
+      .select(col(idCol), sig.as("sig"))
+      .select(col(idCol), posexplode(
+        array((0 until bands).map(b =>
+          md5(concat_ws(",", slice(col("sig"), b * r + 1, r)))): _*))
+        .as(Seq("band", "bucket")))
+    banded.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col(idCol))).as("member_ids"),
+        count(lit(1)).as("n_members"))
+      .where(col("n_members") > 1)
+  }
+
+  /** Verified near-dup pairs: LSH candidates re-checked with true shingle
+    * Jaccard >= `threshold`. The verify join is bucket-local (candidates
+    * only), not all-pairs — the property that makes near-dup feasible at
+    * 100 TB.
+    */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, bands: Int = 4, shingleK: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    val buckets = minhashBuckets(df, textCol, idCol, numHashes, bands, shingleK)
+    val pairs = buckets
+      .select(explode(col("member_ids")).as("id_a"), col("member_ids"))
+      .select(col("id_a"), explode(col("member_ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+    val sh = df.select(col(idCol), Text.wordShingles(col(textCol), shingleK).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 32-bit SimHash over word tokens: bit b of the fingerprint is the sign of
+    * sum over tokens of (+1 if bit b of stableHash(token) else -1).
+    * Map-side only; near-dups share fingerprints (or low Hamming distance).
+    */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    val toks = Text.tokens(text)
+    val hashes = transform(toks, t => StableHash.hash60(t))
+    val bitCols = (0 until bits).map { b =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    when(size(toks) === 0, lit(0L)).otherwise(bitCols.reduce(_ + _))
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs within `blockCol` blocks
+    * (relational formulation: explode shingles, self-join on shingle,
+    * count intersections — no array columns cross the shuffle).
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int, minJaccard: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(Text.wordShingles(col(textCol), shingleK)).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"), Seq("sh"))
+      .where(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding near-dup: cosine >= threshold pairs, bucketed by
+    * random-hyperplane LSH so the pair join is bucket-local.
+    */
+  def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String, dim: Int,
+      bits: Int = 8, threshold: Double = 0.95): DataFrame = {
+    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", Vectors.lshBucket(col("v"), bits, dim))
+    withBucket.as("a").join(withBucket.as("b"), Seq("bucket"))
+      .where(col("a.id") < col("b.id"))
+      .withColumn("cosine", Vectors.cosine(col("a.v"), col("b.v")))
+      .where(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+}

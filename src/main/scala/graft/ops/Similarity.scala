@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]]: exact cosine top-k. The query side is broadcast
+  *    (it is always small); the corpus is streamed map-side and reduced with
+  *    a per-query top-k window — no corpus-sized shuffle. Baseline and
+  *    recall oracle.
+  *  - [[lshTopK]]: random-hyperplane-bucketed search. Corpus is bucketed
+  *    once (map-side projection); each query probes its own bucket plus
+  *    `probes-1` nearest Hamming-neighbor buckets. At 100 TB the bucketed
+  *    corpus would be written bucket-partitioned so a query touches only
+  *    its buckets' files (partition pruning), not the full corpus.
+  */
+object Similarity {
+
+  /** Exact cosine top-k for each query vector. `queries` must be small
+    * (driver-known ids or a sampled set) — it is broadcast.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
+  /** LSH-bucketed approximate top-k: candidates restricted to query buckets
+    * (multi-probe over Hamming-1 neighbors when probes > 1).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      bits: Int = 8, probes: Int = 3): DataFrame = {
+    val bucket = Vectors.lshBucket(col("embedding"), bits, dim)
+    val c = corpus.select(col("vec_id").as("corpus_id"),
+      col("embedding").as("cv"), bucket.as("bucket"))
+    // query probes: own bucket + lowest-index Hamming-1 flips
+    val flips = (0 until math.max(0, math.min(probes - 1, bits))).toSeq
+    val probeBuckets = array((lit(0L) +: flips.map(b => lit(1L << b))): _*)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), bucket.as("qbucket"))
+      .withColumn("bucket", explode(transform(probeBuckets,
+        f => col("qbucket").bitwiseXOR(f))))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+}
