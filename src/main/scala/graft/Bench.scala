@@ -33,8 +33,16 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     graft.core.Graft.tune(spark)
 
-    // warmup: exercise scan + codegen paths once
-    SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    // Warm each query once at the smallest scale: Catalyst planning + JIT +
+    // whole-stage-codegen compilation are per-plan one-time costs that a
+    // long-lived cluster amortizes; timing them against a 60 MB local run
+    // would measure compiler latency, not engine throughput.
+    val warmDir = "/root/testdata/sf0.001"
+    headline.foreach { name =>
+      try SparkEntry.queries(name)(spark, warmDir).write
+        .format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
 
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)

@@ -314,18 +314,16 @@ object SparkEntry {
       Dedup.exact(t(s, d, "documents"), "text", "doc_id").orderBy("digest")),
 
     // MinHash signatures (first 4 hash slots surfaced as columns).
-    "dedup_minhash" -> ((s, d) => {
-      val sig = Dedup.minhashSignature(col("text"), 4, 3)
-      t(s, d, "documents")
-        .select(col("doc_id"), sig.as("sig"))
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashSignatures(t(s, d, "documents"), "text", "doc_id",
+        numHashes = 4, shingleK = 3)
         .select(col("doc_id"),
           col("sig")(0).as("h0"), col("sig")(1).as("h1"),
           col("sig")(2).as("h2"), col("sig")(3).as("h3"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
-    // SimHash 16-bit fingerprints.
-    "dedup_simhash" -> ((s, d) => t(s, d, "documents")
+    // SimHash 16-bit fingerprints (spread: CPU-bound map over one file).
+    "dedup_simhash" -> ((s, d) => Graft.spread(t(s, d, "documents"))
       .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash"))
       .orderBy("doc_id")),
 
@@ -639,8 +637,11 @@ object SparkEntry {
       | JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2)""".stripMargin
 
   private def minhashOracle: String = {
-    val mins = (0 until 4).map(seed =>
-      s"MIN(${hash60Sql("sh", seed)}) AS h$seed").mkString(",\n ")
+    val p = Dedup.MinhashP
+    val mins = (0 until 4).map { j =>
+      val (a, b) = Dedup.minhashCoeffs(j)
+      s"MIN((($a * (${hash60Sql("sh")} % $p)) + $b) % $p) AS h$j"
+    }.mkString(",\n ")
     s"""WITH $shingleCtes
        |SELECT doc_id,
        | $mins

@@ -47,4 +47,16 @@ object Graft {
     tune(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
+
+  /** Spread a DataFrame across all cores before a CPU-heavy map stage.
+    * Small single-file tables scan as ONE partition, serializing per-row
+    * work (hashing, shingling, vector math) onto one core; the round-robin
+    * repartition costs one tiny shuffle and buys full parallelism. No-op
+    * when the input is already split enough (the 100 TB case — file splits
+    * provide natural parallelism).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }

@@ -93,8 +93,10 @@ object Cleaning {
   * 15 hex digits = 60 bits, always a non-negative Long.
   */
 object StableHash {
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Native codegen'd implementation (graft.plans.Hash60); value-identical
+    * to `conv(substr(md5(c),1,15),16,10)` which the oracle replays.
+    */
+  def hash60(c: Column): Column = graft.plans.Hash60(c.cast("string"))
 
   /** Seeded variant: prefix the value with the seed before hashing. */
   def hash60(c: Column, seed: Int): Column =

@@ -53,8 +53,12 @@ object Text {
     * zero-hit rows -> "und" (undetermined). Deterministic tie-break by
     * requiring a strict winner in language-name order.
     */
-  def languageId(text: Column): Column = {
-    val toks = tokens(text)
+  def languageId(text: Column): Column = languageIdFromTokens(tokens(text))
+
+  /** Token-parameterized variant: callers that materialize the token array
+    * once (e.g. TextAnalysis.profile) avoid re-splitting per sub-expression.
+    */
+  def languageIdFromTokens(toks: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted
     val scores = langs.map(l => struct(stopwordHits(toks, stopwords(l)).as("hits"),
       lit(l).as("lang")))
@@ -67,9 +71,12 @@ object Text {
   /** Heuristic quality signals: char length, token count, punctuation ratio,
     * stopword ratio, mean token length. Returns a struct column.
     */
-  def qualityStruct(text: Column): Column = {
+  def qualityStruct(text: Column): Column =
+    qualityStructFromTokens(text, tokens(coalesce(text, lit(""))))
+
+  /** Token-parameterized variant (see [[languageIdFromTokens]]). */
+  def qualityStructFromTokens(text: Column, toks: Column): Column = {
     val t = coalesce(text, lit(""))
-    val toks = tokens(t)
     val nChars = length(t).cast("double")
     val nToks = size(toks).cast("double")
     val nPunct = size(regexp_extract_all(t, lit("[.,;:!?'\"()\\[\\]{}]"), lit(0))).cast("double")
@@ -86,8 +93,11 @@ object Text {
   /** Composite quality score in [0,1]: rewards stopword presence and sane
     * token lengths, penalizes punctuation soup and very short docs.
     */
-  def qualityScore(text: Column): Column = {
-    val q = qualityStruct(text)
+  def qualityScore(text: Column): Column =
+    qualityScoreFromStruct(qualityStruct(text))
+
+  /** Score from an already-computed [[qualityStruct]] column. */
+  def qualityScoreFromStruct(q: Column): Column = {
     val lenScore = least(q.getField("n_tokens").cast("double") / 50.0, lit(1.0))
     val punctScore = greatest(lit(1.0) - q.getField("punct_ratio") * 5.0, lit(0.0))
     val stopScore = least(q.getField("stopword_ratio") * 4.0, lit(1.0))
@@ -98,20 +108,34 @@ object Text {
     * k words yield a single shingle of the whole text. Distinct-ified.
     */
   def wordShingles(text: Column, k: Int): Column = {
+    require(k >= 1, "shingle size must be >= 1")
     val toks = tokens(text)
     val n = size(toks)
-    val grams = transform(
-      sequence(lit(0), greatest(n - k, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
-    array_distinct(when(n > 0, grams).otherwise(array().cast("array<string>")))
+    // Zip k shifted copies of the token array rather than slicing inside a
+    // lambda: a lambda-body reference to the token array re-evaluates the
+    // regex split per element (no CSE in interpreted higher-order
+    // functions), turning shingling O(n^2); this form does O(k) splits/row.
+    val shifted = (0 until k).map(j => slice(toks, lit(j + 1), n))
+    val grams = shifted.reduceRight((a, b) =>
+      zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    // zip_with pads the short arrays' tails with nulls -> null shingles;
+    // keep only the first n-k+1 (the complete k-grams).
+    val full = slice(grams, lit(1), greatest(n - (k - 1), lit(0)))
+    val short = array(concat_ws(" ", toks)) // < k words: one whole-text shingle
+    array_distinct(
+      when(n === 0, array().cast("array<string>"))
+        .when(n < k, short)
+        .otherwise(full))
   }
 
   /** Positional rolling-hash document fingerprint: sum over tokens of
     * (stableHash(token) mod 1e6) * (position+1), mod 2^31. Order-sensitive
     * (unlike a bag-of-words hash) yet oracle-reproducible in pure SQL.
     */
-  def fingerprint(text: Column): Column = {
-    val toks = tokens(text)
+  def fingerprint(text: Column): Column = fingerprintFromTokens(tokens(text))
+
+  /** Token-parameterized variant (see [[languageIdFromTokens]]). */
+  def fingerprintFromTokens(toks: Column): Column = {
     val positioned = zip_with(
       toks,
       sequence(lit(1), greatest(size(toks), lit(1))),

@@ -25,18 +25,36 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** MinHash signature column: for each of `numHashes` seeded hash functions,
-    * the minimum over the doc's word-`shingleK` shingles. Pure map-side
-    * (per-row array math); no shuffle until the LSH band grouping.
+  /** Mersenne prime 2^31-1: the affine-reseed modulus. Keeps every product
+    * below 2^62 — no 64-bit overflow, so Spark and SQL engines agree exactly.
     */
-  def minhashSignature(text: Column, numHashes: Int, shingleK: Int): Column = {
-    val shingles = Text.wordShingles(text, shingleK)
-    val sigs = (0 until numHashes).map { seed =>
+  val MinhashP = 2147483647L
+
+  /** Deterministic affine coefficients (a_j, b_j) for hash family j. */
+  def minhashCoeffs(j: Int): (Long, Long) =
+    ((1103515245L * (j + 1) + 12345L) % MinhashP | 1L,
+      (1013904223L * (j + 1) + 7L) % MinhashP)
+
+  /** MinHash signatures: ONE md5 per shingle (the expensive part), then
+    * `numHashes` cheap affine reseedings h_j = (a_j*h + b_j) mod p, min'd
+    * per doc. The select boundary materializes the base-hash array once —
+    * without it Catalyst would re-derive the md5s per hash function.
+    * Pure map-side; no shuffle until the LSH band grouping.
+    */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, shingleK: Int): DataFrame = {
+    val baseHashes = transform(
+      Text.wordShingles(col(textCol), shingleK),
+      s => pmod(StableHash.hash60(s), lit(MinhashP)))
+    val hashed = graft.core.Graft.spread(df)
+      .select(col(idCol), baseHashes.as("__hs"))
+    val sigs = (0 until numHashes).map { j =>
+      val (a, b) = minhashCoeffs(j)
       coalesce(
-        array_min(transform(shingles, s => StableHash.hash60(s, seed))),
+        array_min(transform(col("__hs"), h => pmod(h * a + b, lit(MinhashP)))),
         lit(Long.MaxValue))
     }
-    array(sigs: _*)
+    hashed.select(col(idCol), array(sigs: _*).as("sig"))
   }
 
   /** MinHash+LSH near-dup candidates: signatures are cut into `bands` bands
@@ -49,9 +67,7 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4, shingleK: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = minhashSignature(col(textCol), numHashes, shingleK)
-    val banded = df
-      .select(col(idCol), sig.as("sig"))
+    val banded = minhashSignatures(df, textCol, idCol, numHashes, shingleK)
       .select(col(idCol), posexplode(
         array((0 until bands).map(b =>
           md5(concat_ws(",", slice(col("sig"), b * r + 1, r)))): _*))
@@ -108,7 +124,7 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int, minJaccard: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+    val sh = graft.core.Graft.spread(df).select(col(idCol).as("id"),
       explode(Text.wordShingles(col(textCol), shingleK)).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"), Seq("sh"))

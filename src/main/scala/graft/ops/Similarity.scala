@@ -24,7 +24,8 @@ object Similarity {
     * (driver-known ids or a sampled set) — it is broadcast.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+    val c = graft.core.Graft.spread(corpus)
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("corpus_id") =!= col("query_id"))
@@ -42,8 +43,9 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       bits: Int = 8, probes: Int = 3): DataFrame = {
     val bucket = Vectors.lshBucket(col("embedding"), bits, dim)
-    val c = corpus.select(col("vec_id").as("corpus_id"),
-      col("embedding").as("cv"), bucket.as("bucket"))
+    val c = graft.core.Graft.spread(corpus)
+      .select(col("vec_id").as("corpus_id"),
+        col("embedding").as("cv"), bucket.as("bucket"))
     // query probes: own bucket + lowest-index Hamming-1 flips
     val flips = (0 until math.max(0, math.min(probes - 1, bits))).toSeq
     val probeBuckets = array((lit(0L) +: flips.map(b => lit(1L << b))): _*)

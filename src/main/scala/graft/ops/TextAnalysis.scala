@@ -11,20 +11,29 @@ import graft.functions.Text
   */
 object TextAnalysis {
 
-  /** Per-document profile (map-side only; no shuffle). */
+  /** Per-document profile. Tokenization is materialized ONCE behind a
+    * select boundary (interpreted higher-order functions don't CSE the
+    * regex split across sub-expressions), then every signal derives from
+    * the token array. Spread across cores first: this is pure CPU-bound
+    * map work and small tables scan as one partition.
+    */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
-    val q = Text.qualityStruct(t)
-    docs.select(
+    val tokenized = graft.core.Graft.spread(docs)
+      .select(col("doc_id"), col(textCol).as("__text"),
+        Text.tokens(col(textCol)).as("__toks"))
+    val t = col("__text")
+    val toks = col("__toks")
+    val q = Text.qualityStructFromTokens(t, toks)
+    tokenized.select(
       col("doc_id"),
-      Text.languageId(t).as("lang_pred"),
+      Text.languageIdFromTokens(toks).as("lang_pred"),
       q.getField("n_chars").as("n_chars"),
       q.getField("n_tokens").as("n_tokens"),
       Text.bpeTokenCount(t).as("n_bpe_tokens"),
       round(q.getField("punct_ratio"), 6).as("punct_ratio"),
       round(q.getField("stopword_ratio"), 6).as("stopword_ratio"),
-      Text.qualityScore(t).as("quality_score"),
-      Text.fingerprint(t).as("fingerprint"))
+      Text.qualityScoreFromStruct(q).as("quality_score"),
+      Text.fingerprintFromTokens(toks).as("fingerprint"))
   }
 
   /** Corpus rollup by predicted language (one shuffle on the tiny lang key,

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into `private[sql]` helpers for building Columns from custom
+  * Catalyst Expressions (the supported path in Spark 4 classic mode).
+  * Lives in the org.apache.spark.sql package solely for access; contains
+  * no Spark-internal logic of its own.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
