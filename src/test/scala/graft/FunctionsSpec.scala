@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Cleaning, Norm, StableHash, Text}
+
+/** Scalar/cleaning function semantics, incl. the SURVEY §7.4 traps. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normIdentifier matches the reference normalization (build.py:7-8)") {
+    assert(Norm.normIdentifier("CMS Certification Number (CCN)") ==
+      "cms_certification_number_ccn")
+    assert(Norm.normIdentifier("  Provider Name ") == "provider_name")
+    assert(Norm.normIdentifier("A--B__C") == "a_b_c")
+    assert(Norm.normIdentifier("already_ok") == "already_ok")
+  }
+
+  test("normIdentifierCol agrees with plan-time normIdentifier") {
+    val cases = Seq("CMS Certification Number (CCN)", "Hello  World!", "a.b.c",
+      "__x__", "Ünïcode Stuff")
+    val got = cases.toDF("s")
+      .select(Norm.normIdentifierCol($"s")).as[String].collect()
+    assert(got.toSeq == cases.map(Norm.normIdentifier))
+  }
+
+  test("normalizeQuarter golden cases (calculate_metrics.py:28-36)") {
+    val cases = Seq(
+      "2024Q1" -> "2024-Q1",
+      "2024 Quarter 3" -> "2024-Q3",
+      "2024-Q2" -> "2024-Q2",
+      "Q1 2024" -> null, // year must come first
+      "garbage" -> null,
+      "1999Q1" -> null,  // regex requires 20xx
+      "2024" -> null     // no following digit
+    )
+    val got = cases.map(_._1).toDF("q")
+      .select(Norm.normalizeQuarter($"q")).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("normalizeQuarter: null in -> null out") {
+    val got = Seq[Option[String]](None).toDF("q")
+      .select(Norm.normalizeQuarter($"q")).as[Option[String]].collect()
+    assert(got.head.isEmpty)
+  }
+
+  test("zeroSentinelNull nulls the WHOLE critical set when ANY is zero") {
+    val df = Seq(
+      (1, 1.0, 2.0, 3.0),   // untouched
+      (2, 0.0, 2.0, 3.0),   // all three nulled
+      (3, 1.0, 0.0, 3.0),   // all three nulled
+      (4, 0.0, 0.0, 0.0)    // all three nulled
+    ).toDF("id", "a", "b", "c")
+    val out = Cleaning.zeroSentinelNull(df, Seq("a", "b", "c"))
+      .orderBy("id").collect()
+    assert(!out(0).isNullAt(1) && !out(0).isNullAt(2) && !out(0).isNullAt(3))
+    for (r <- Seq(out(1), out(2), out(3)); i <- 1 to 3) assert(r.isNullAt(i))
+  }
+
+  test("horizontalSum treats null as 0; all-null row sums to 0 (pandas axis=1)") {
+    val df = Seq(
+      (Some(1.0), Some(2.0)),
+      (None, Some(5.0)),
+      (None: Option[Double], None: Option[Double])
+    ).toDF("a", "b")
+    val got = df.select(Cleaning.horizontalSum(Seq($"a", $"b"))).as[Double].collect()
+    assert(got.toSeq == Seq(3.0, 5.0, 0.0))
+  }
+
+  test("coerceNumeric: bad strings -> null, not error (pd.to_numeric coerce)") {
+    val got = Seq("1.5", "abc", "", "2e3").toDF("s")
+      .select(Cleaning.coerceNumeric($"s")).as[Option[Double]].collect()
+    assert(got.toSeq == Seq(Some(1.5), None, None, Some(2000.0)))
+  }
+
+  test("native Hash60 equals the md5/conv reference form") {
+    val df = Seq("", "a", "hello world", "Ünïcode ☃", "2024Q1").toDF("s")
+    val got = df.select(
+      StableHash.hash60($"s").as("fast"),
+      conv(substring(md5($"s"), 1, 15), 16, 10).cast("long").as("ref"))
+    assert(got.where($"fast" =!= $"ref").count() == 0)
+    assert(got.where($"fast" < 0).count() == 0)
+  }
+
+  test("wordShingles: k-grams, distinct, short-doc fallback") {
+    val got = Seq("a b c d", "a b", "", "x x x x")
+      .toDF("t").select(Text.wordShingles($"t", 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("a b"))    // < k words: whole text
+    assert(got(2) == Seq.empty)
+    assert(got(3) == Seq("x x x"))  // duplicates collapsed
+  }
+
+  test("languageId picks stopword-majority language; und when no hits") {
+    val got = Seq(
+      "the cat sat on the mat and it is happy",
+      "der hund ist nicht mit der katze",
+      "qwerty zxcvb asdf"
+    ).toDF("t").select(Text.languageId($"t")).as[String].collect()
+    assert(got.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val fp = Seq("a b c", "c b a", "a b c", "")
+      .toDF("t").select(Text.fingerprint($"t")).as[Long].collect()
+    assert(fp(0) == fp(2))
+    assert(fp(0) != fp(1)) // positional: permutation changes the hash
+    assert(fp(3) == 0L)
+    assert(fp.forall(_ >= 0L))
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+import graft.config.DatasetConfig
+import graft.curate.Penalties
+import graft.ingest.CsvIngest
+import graft.quality.DataQuality
+
+/** End-to-end build pipeline on synthetic NH_Penalties fixtures
+  * (FIXTURES.md B1): ingest -> stage -> curate -> view, plus the DQ audits.
+  */
+class IngestPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val yaml =
+    """datasets:
+      |  penalties:
+      |    filename_pattern: "NH_Penalties_*.csv"
+      |    staging_table: staging_penalties
+      |    natural_key: [cms_certification_number_ccn, penalty_date, penalty_type]
+      |    columns:
+      |      cms_certification_number_ccn: {type: string}
+      |      penalty_date: {type: date}
+      |      penalty_type: {type: string}
+      |      fine_amount: {type: numeric, nullable: true}
+      |      payment_denial_length_in_days: {type: int, nullable: true}
+      |      state: {type: string}
+      |      provider_name: {type: string}
+      |""".stripMargin
+
+  private lazy val dir: Path = {
+    val d = Files.createTempDirectory("graft_csv")
+    // file 1: clean rows + a duplicate key + a null fine (COALESCE path)
+    Files.writeString(d.resolve("NH_Penalties_2024_A.csv"),
+      """CMS Certification Number (CCN),Penalty Date,Penalty Type,Fine Amount,Payment Denial Length in Days,State,Provider Name
+        |015009,01/15/2024,Fine,1500.50,,TX,Alpha Care
+        |015009,01/15/2024,Fine,1500.50,,TX,Alpha Care Dup
+        |015010,02/20/2024,Payment Denial,,30,TX, Beta Home
+        |""".stripMargin)
+    // file 2: unparseable date (coerce->null) + new state; missing the
+    // provider_name column entirely (declared-column NULL fill)
+    Files.writeString(d.resolve("NH_Penalties_2024_B.csv"),
+      """CMS Certification Number (CCN),Penalty Date,Penalty Type,Fine Amount,Payment Denial Length in Days,State
+        |015011,NOT_A_DATE,Fine,250,,CA
+        |015012,03/05/2024,Fine,1000,,CA
+        |""".stripMargin)
+    d
+  }
+
+  private def specOf = DatasetConfig.parse(yaml).head
+
+  test("YAML registry parses to a DatasetSpec") {
+    val s = specOf
+    assert(s.stagingTable == "staging_penalties")
+    assert(s.naturalKey ==
+      Seq("cms_certification_number_ccn", "penalty_date", "penalty_type"))
+    assert(s.columns.map(_.name).contains("fine_amount"))
+    assert(s.columns.find(_.name == "fine_amount").get.nullable)
+  }
+
+  test("glob ingest: normalized headers, typed casts, NULL fill, lineage") {
+    val df = CsvIngest.readDataset(spark, dir.toString, specOf)
+    assert(df.count() == 5) // both files unioned by the glob scan
+    assert(df.columns.contains("source_file") && df.columns.contains("ingestion_date"))
+    // header normalization
+    assert(df.columns.contains("cms_certification_number_ccn"))
+    // typed casts
+    assert(df.schema("penalty_date").dataType.typeName == "date")
+    assert(df.schema("fine_amount").dataType.typeName == "double")
+    assert(df.schema("payment_denial_length_in_days").dataType.typeName == "long")
+    // coerce-to-null date
+    val bad = df.where($"cms_certification_number_ccn" === "015011").collect().head
+    assert(bad.isNullAt(bad.fieldIndex("penalty_date")))
+    // string trim (build.py:36-37): " Beta Home" -> "Beta Home"
+    val beta = df.where($"cms_certification_number_ccn" === "015010").collect().head
+    assert(beta.getString(beta.fieldIndex("provider_name")) == "Beta Home")
+    // missing declared column in file 2 -> NULL, not error
+    val f2 = df.where($"cms_certification_number_ccn" === "015012").collect().head
+    assert(f2.isNullAt(f2.fieldIndex("provider_name")))
+  }
+
+  test("curate: fact_penalty + v_penalties_by_state (build.py:85-107)") {
+    CsvIngest.stage(spark, dir.toString, specOf)
+    Penalties.factPenalty(spark, "staging_penalties")
+    val view = Penalties.penaltiesByState(spark)
+      .orderBy("state").collect()
+    // TX: 3 penalties, fines 1500.50+1500.50+0 (null coalesced)
+    val tx = view.find(_.getString(0) == "TX").get
+    assert(tx.getLong(1) == 3)
+    assert(tx.getDouble(2) == 3001.0)
+    assert(tx.getLong(3) == 2)          // CASE WHEN fine>0 (null-skipping SUM)
+    assert(tx.getDouble(4) == 1000.33)  // ROUND(AVG, 2)
+    val ca = view.find(_.getString(0) == "CA").get
+    assert(ca.getLong(1) == 2 && ca.getDouble(2) == 1250.0)
+  }
+
+  test("duplicate audit flags the natural-key dup with a sample (build.py:39-53)") {
+    val staged = CsvIngest.readDataset(spark, dir.toString, specOf)
+    val (audit, dups) = DataQuality.duplicateAudit(
+      spark, staged, "staging_penalties", specOf.naturalKey)
+    val a = audit.collect().head
+    assert(a.getAs[String]("status") == "warn")
+    assert(a.getAs[Long]("duplicate_groups") == 1)
+    assert(a.getAs[String]("sample_json").contains("015009"))
+    assert(dups.count() == 1)
+  }
+
+  test("completeness: per-column profile incl. empty-table guard") {
+    val staged = CsvIngest.readDataset(spark, dir.toString, specOf)
+      .select("cms_certification_number_ccn", "fine_amount", "provider_name")
+    val prof = DataQuality.completeness(staged, "t")
+      .orderBy("column_name").collect()
+    val byCol = prof.map(r => r.getString(1) -> r).toMap
+    assert(byCol("cms_certification_number_ccn").getDouble(4) == 100.0)
+    assert(byCol("fine_amount").getLong(3) == 4)      // one null fine
+    assert(byCol("fine_amount").getDouble(4) == 80.0)
+    // empty table: pct 0, not NaN (load_nursing_home_data.py:26)
+    val empty = DataQuality.completeness(staged.where(lit(false)), "e").collect()
+    assert(empty.forall(r => r.getDouble(4) == 0.0 && r.getLong(2) == 0))
+  }
+
+  test("bulk per-file loader derives table names and registers views") {
+    val loaded = CsvIngest.loadDirectory(spark, dir.toString)
+    assert(loaded.keySet == Set("nh_penalties_2024_a", "nh_penalties_2024_b"))
+    assert(spark.table("nh_penalties_2024_a").count() == 3)
+  }
+}

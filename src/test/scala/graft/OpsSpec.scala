@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity}
+
+/** Dedup / similarity / multimodal operator semantics on planted cases. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val text1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+
+  private lazy val docs = Seq(
+    (1L, text1),
+    (2L, text1), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 1
+    (4L, "completely different content about spark engines and distributed joins"),
+    (5L, "unrelated words forming another document entirely separate topic cluster")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps lowest id") {
+    val out = Dedup.exact(docs, "text", "doc_id").collect()
+    assert(out.length == 4) // 1&2 share a digest
+    val dup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+    val survivors = Dedup.exactSurvivors(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(survivors.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash signatures: identical docs equal, near-dups mostly equal") {
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", 16, 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Long]]("sig").toSeq).toMap
+    assert(sigs(1L) == sigs(2L))
+    val agree13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    val agree14 = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(agree13 > agree14) // near-dup shares far more minhash slots
+  }
+
+  test("minhash LSH pairs find the planted near-dup, verified by jaccard") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+      numHashes = 16, bands = 8, shingleK = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical equal; near-dup closer in hamming than unrelated") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val sh = docs.select($"doc_id", Dedup.simhash($"text", 32).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
+  }
+
+  test("ngram jaccard pairs: exact dup scores 1.0") {
+    val out = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 2, 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out.contains((1L, 3L)))
+    assert(out((1L, 3L)) < 1.0)
+  }
+
+  private lazy val vecs = {
+    val base = Array.tabulate(8)(i => 1.0f + i)
+    Seq(
+      (0L, base),
+      (1L, base.map(_ * 2.0f)),            // same direction: cosine 1
+      (2L, base.map(x => -x)),             // opposite: cosine -1
+      (3L, Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)),
+      (4L, Array.tabulate(8)(i => if (i == 7) 5.0f else 0.1f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k: collinear vector ranks first, opposite last") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 0), 4)
+      .orderBy("rank").collect()
+    assert(out.head.getAs[Long]("corpus_id") == 1L)
+    assert(math.abs(out.head.getAs[Double]("cosine") - 1.0) < 1e-12)
+    assert(out.last.getAs[Long]("corpus_id") == 2L)
+    assert(math.abs(out.last.getAs[Double]("cosine") + 1.0) < 1e-12)
+  }
+
+  test("LSH top-k returns a subset of brute-force candidates with sane ranks") {
+    val out = Similarity.lshTopK(vecs, vecs.where($"vec_id" === 0), 4,
+      dim = 8, bits = 4, probes = 2).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("corpus_id") != 0L))
+    // collinear twin must share every hyperplane side -> always found
+    assert(out.exists(_.getAs[Long]("corpus_id") == 1L))
+  }
+
+  test("multimodal: metadata never decodes; fake decode is deterministic") {
+    val media = Multimodal.withMeta(Multimodal.syntheticMediaFromDocs(
+      docs.withColumnRenamed("text", "text")))
+    val m = media.where($"media_id" === 1).select("meta.n_bytes", "meta.digest")
+      .collect().head
+    assert(m.getLong(0) == text1.getBytes("UTF-8").length.toLong)
+    assert(m.getString(1).length == 32)
+    val dec1 = Multimodal.fakeDecodeImage(spark, media).orderBy("media_id").collect()
+    val dec2 = Multimodal.fakeDecodeImage(spark, media).orderBy("media_id").collect()
+    assert(dec1.map(_.toSeq).toSeq == dec2.map(_.toSeq).toSeq)
+    val frames = Multimodal.sampleFrames(
+      Multimodal.fakeDecodeImage(spark, media), stride = 5)
+    assert(frames.count() > 0)
+  }
+}

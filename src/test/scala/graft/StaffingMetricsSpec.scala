@@ -1,0 +1,68 @@
+package graft
+
+import graft.metrics.StaffingMetrics
+
+/** The metrics pipeline against hand-computed goldens on synthetic PBJ
+  * frames (FIXTURES.md B3 shapes).
+  */
+class StaffingMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def staffing = Seq(
+    // PROVNUM, STATE, CY_Qtr, census, rn, lpn, cna
+    ("P1", "TX", "2024Q1", "10", "8.0", "4.0", "12.0"),
+    ("P1", "TX", "2024Q1", "20", "6.0", "2.0", "4.0"),
+    ("P2", "TX", "2024Q1", "0", "1.0", "1.0", "1.0"),  // zero census -> row dropped
+    ("P3", "CA", "garbage", "5", "1.0", "1.0", "1.0")  // bad quarter -> dropped
+  ).toDF("PROVNUM", "STATE", "CY_Qtr", "MDScensus", "Hrs_RN", "Hrs_LPN", "Hrs_CNA")
+
+  private def contract = Seq(
+    ("P1", "2024Q1", "1.0", "1.0", "1.0", "5.0", "5.0", "5.0"),
+    ("P1", "2024Q1", "2.0", "2.0", "2.0", "3.0", "3.0", "3.0"),
+    ("P2", "2024Q1", "1.0", "1.0", "1.0", "1.0", "1.0", "1.0"),
+    ("P3", "garbage", "1.0", "1.0", "1.0", "1.0", "1.0", "1.0")
+  ).toDF("PROVNUM", "CY_Qtr", "Hrs_RN_ctr", "Hrs_LPN_ctr", "Hrs_CNA_ctr",
+    "Hrs_RN_emp", "Hrs_LPN_emp", "Hrs_CNA_emp")
+
+  test("foldJoin renames colliding non-key columns deterministically (_fN)") {
+    val a = Seq(("k1", 1), ("k2", 2)).toDF("PROVNUM", "x")
+      .withColumn("CY_Qtr", org.apache.spark.sql.functions.lit("2024Q1"))
+    val b = Seq(("k1", 10), ("k3", 30)).toDF("PROVNUM", "x")
+      .withColumn("CY_Qtr", org.apache.spark.sql.functions.lit("2024Q1"))
+    val (merged, audit) = StaffingMetrics.foldJoin(Seq(a, b))
+    assert(merged.columns.toSet == Set("PROVNUM", "CY_Qtr", "x", "x_f1"))
+    assert(merged.count() == 1)
+    assert(audit.steps == 1 && audit.emptyAfterStep.isEmpty)
+  }
+
+  test("foldJoin records empty intermediate joins (empty_merges audit)") {
+    val a = Seq(("k1", "2024Q1")).toDF("PROVNUM", "CY_Qtr")
+    val b = Seq(("zzz", "2024Q1")).toDF("PROVNUM", "CY_Qtr")
+    val (_, audit) = StaffingMetrics.foldJoin(Seq(a, b))
+    assert(audit.emptyAfterStep == Seq(1))
+  }
+
+  test("full pipeline: hand-computed metrics (clean -> agg -> ratios)") {
+    val (out, audit) = StaffingMetrics.run(Seq(staffing, contract))
+    assert(audit.emptyAfterStep.isEmpty)
+    val rows = out.collect()
+    // P2 dropped (zero-sentinel nulls census -> na.drop), P3 dropped (bad
+    // quarter -> null CY_Qtr -> na.drop). P1 survives with TWO merged rows
+    // (2 staffing x 2 contract rows on the same key = 4 joined rows).
+    assert(rows.map(_.getString(0)).toSeq == Seq("P1"))
+    val r = rows.head
+    assert(r.getString(1) == "TX" && r.getString(2) == "2024-Q1")
+    // joined rows (staffing x contract): hours repeat per contract row:
+    // total_nurse_hours = (24 + 12) * 2 = 72; census = (10+20)*2 = 60
+    assert(r.getDouble(3) == 72.0)
+    assert(r.getDouble(4) == 72.0 / 60.0)   // nurse_to_patient_ratio
+    // contract totals: (3 + 6) * 2 = 18; employed: (15 + 9) * 2 = 48
+    assert(r.getDouble(5) == 18.0 / 48.0)   // contract_vs_employed_ratio
+  }
+
+  test("requireCols raises on missing contract columns (calculate_metrics.py:64-67)") {
+    val bad = Seq(("P1", "2024Q1")).toDF("PROVNUM", "CY_Qtr")
+    val e = intercept[IllegalArgumentException](StaffingMetrics.requireCols(bad))
+    assert(e.getMessage.contains("STATE"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingIngest
+
+/** Structured Streaming paths driven synchronously with AvailableNow. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val eventsDir: String = {
+    val d = Files.createTempDirectory("graft_stream").toString
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:20:00"), "click", 2.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 11:10:00"), "view", 5.0),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 11:40:00"), "click", 3.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:06:00"), "click", 99.0) // dup id
+    ).toDF("event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("windowed streaming aggregation equals the batch equivalent") {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = StreamingIngest.parquetStream(spark, eventsDir, schema)
+    val agg = StreamingIngest.windowedEventCounts(stream, "1 hour", "2 hours")
+    val out = StreamingIngest.runAvailableNow(spark, agg, "win_test")
+      .orderBy("window_start", "event_type").collect()
+    assert(out.map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      .toSeq == Seq(
+      ("2024-01-01 10:00:00.0", "click", 3L),
+      ("2024-01-01 11:00:00.0", "click", 1L),
+      ("2024-01-01 11:00:00.0", "view", 1L)))
+    val clicks10 = out.head
+    assert(clicks10.getDouble(3) == 1.0 + 2.0 + 99.0)
+  }
+
+  test("streaming dedup on the natural key keeps one row per id") {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = StreamingIngest.parquetStream(spark, eventsDir, schema)
+    val dedup = StreamingIngest.dedupStream(stream, Seq("event_id"), "2 hours")
+    val out = StreamingIngest.runAvailableNow(spark, dedup, "dedup_test",
+      outputMode = "append")
+    assert(out.select("event_id").distinct().count() == 4)
+    assert(out.count() == 4)
+  }
+}
