@@ -357,6 +357,37 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // LSH-bucketed approximate top-k (multi-probe random hyperplanes).
+    "sim_lsh_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 5), k = 10,
+        dim = 64, bits = 8, probes = 3)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Structured Streaming: watermarked tumbling-window aggregation run to
+    // completion with Trigger.AvailableNow (north-star streaming path).
+    "stream_window_counts" -> ((s, d) => {
+      Graft.tune(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val ev = graft.streaming.StreamingIngest
+        .parquetStream(s, d, schema, globFilter = Some("events.parquet"))
+        .withColumn("ts_ts", Graft.nanosToTimestamp("ts"))
+      val agg = ev
+        .withWatermark("ts_ts", "2 hours")
+        .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(28, 10))).as("dv"))
+      val res = graft.streaming.StreamingIngest
+        .runAvailableNow(s, agg, "stream_window_counts_mem")
+      res.select(
+        col("window.start").cast("string").as("window_start"),
+        col("event_type"), col("n_events"),
+        col("dv").cast("double").as("total_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // Multimodal: synthetic media + metadata extraction (decode stays
     // stubbed; plumbing is real — see graft.ops.Multimodal).
     "mm_media_meta" -> ((s, d) => {
@@ -602,6 +633,14 @@ object SparkEntry {
         |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    "sim_lsh_topk" -> lshTopkOracle,
+
+    "stream_window_counts" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+        | event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
     "mm_media_meta" ->
       """SELECT doc_id AS media_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -747,6 +786,49 @@ object SparkEntry {
        |      + LEAST((CAST(h_all AS DOUBLE) / n_tokens) * 4.0, 1.0)) / 3.0, 6) AS quality_score,
        | CAST(fp_sum % 2147483647 AS BIGINT) AS fingerprint
        |FROM joined ORDER BY doc_id""".stripMargin
+  }
+
+  /** LSH bucket expression over a DOUBLE[] column, with the SAME hyperplane
+    * sign constants the engine uses (Vectors.hyperplaneSigns, seed 7) inlined
+    * as literals — the projection fold is left-associative in both engines,
+    * so buckets (and therefore candidates and ranks) match bit-for-bit.
+    */
+  private def lshBucketSql(vecExpr: String, bits: Int, dim: Int): String = {
+    val signs = Vectors.hyperplaneSigns(bits, dim, seed = 7)
+    (0 until bits).map { j =>
+      val terms = (0 until dim).map { i =>
+        val s = if (signs(j)(i) > 0) "" else "-"
+        s"$s$vecExpr[${i + 1}]"
+      }.mkString(" + ").replace("+ -", "- ")
+      s"(CASE WHEN ($terms) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  private def lshTopkOracle: String = {
+    val bucketC = lshBucketSql("cv", 8, 64)
+    val bucketQ = lshBucketSql("qv", 8, 64)
+    s"""WITH c AS (
+       |  SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       | cb AS (SELECT corpus_id, cv, $bucketC AS bucket FROM c),
+       | q AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id < 5),
+       | qb AS (SELECT query_id, qv, $bucketQ AS qbucket FROM q),
+       | qp AS (
+       |  SELECT query_id, qv, xor(qbucket, f.f) AS bucket
+       |  FROM qb, (SELECT unnest([0, 1, 2]) AS f) f),
+       | scored AS (
+       |  SELECT qp.query_id, cb.corpus_id,
+       |   list_dot_product(qp.qv, cb.cv) /
+       |    (sqrt(list_dot_product(qp.qv, qp.qv)) * sqrt(list_dot_product(cb.cv, cb.cv))) AS cosine
+       |  FROM cb JOIN qp ON cb.bucket = qp.bucket
+       |  WHERE cb.corpus_id <> qp.query_id)
+       |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
+       |FROM (
+       |  SELECT query_id, corpus_id, cosine,
+       |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
   private def textLangSummaryOracle: String = {

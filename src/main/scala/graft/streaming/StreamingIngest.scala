@@ -15,10 +15,15 @@ import org.apache.spark.sql.types.StructType
 object StreamingIngest {
 
   /** File-source stream over a directory of parquet (schema required —
-    * streaming sources don't infer).
+    * streaming sources don't infer). `globFilter` selects files within the
+    * directory (the file source requires a directory basePath).
     */
-  def parquetStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+  def parquetStream(spark: SparkSession, dir: String, schema: StructType,
+      globFilter: Option[String] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    globFilter.foreach(g => r.option("pathGlobFilter", g))
+    r.parquet(dir)
+  }
 
   /** Watermarked tumbling-window aggregation over an event stream:
     * per (window, event_type) counts and value sums. Late data beyond the
