@@ -53,6 +53,25 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // S1/S3 glob multi-file CSV scan with declared casts: nation split into
+    // two CSV files, glob-read back (one spark.read covers both files; the
+    // union is the source's own). Lossless round-trip, so the parquet table
+    // is its own oracle.
+    "s1_csv_glob_scan" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      val tmp = Paths.get(s"/tmp/graft_csv_roundtrip_${d.replaceAll("[^0-9a-zA-Z]", "_")}")
+      Files.createDirectories(tmp)
+      val n = t(s, d, "nation")
+      n.where(col("n_regionkey") < 2).coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(tmp.resolve("NATION_part_a").toString)
+      n.where(col("n_regionkey") >= 2).coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(tmp.resolve("NATION_part_b").toString)
+      s.read.option("header", "true")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .csv(s"$tmp/NATION_part_*/*.csv")
+        .orderBy("n_nationkey")
+    }),
+
     // A1 group-by multi-agg (reference calculate_metrics.py:123-131 shape).
     "q1_agg" -> ((s, d) => t(s, d, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
@@ -357,6 +376,27 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Embedding near-dup pairs: LSH-bucketed, cosine-verified (threshold
+    // 0.2 — demo level for random vectors; production dedup uses ~0.95).
+    "dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDups(t(s, d, "embeddings"), "embedding", "vec_id",
+        dim = 64, bits = 8, threshold = 0.2)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")),
+
+    // S5 catalog scan: register views, list user tables (no SQL oracle —
+    // session catalog; driver applies its rows-only check).
+    "s5_catalog" -> ((s, d) => {
+      import s.implicits._
+      Graft.tune(s)
+      Seq("region", "nation", "customer").foreach { n =>
+        t(s, d, n).createOrReplaceTempView(s"graft_$n")
+      }
+      graft.service.MetricsService.listTables(s)
+        .filter(_.startsWith("graft_")).toDF("table_name")
+        .orderBy("table_name")
+    }),
+
     // LSH-bucketed approximate top-k (multi-probe random hyperplanes).
     "sim_lsh_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -633,6 +673,12 @@ object SparkEntry {
         |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    "s1_csv_glob_scan" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "dedup_embedding" -> embeddingNearDupOracle,
+
     "sim_lsh_topk" -> lshTopkOracle,
 
     "stream_window_counts" ->
@@ -829,6 +875,20 @@ object SparkEntry {
        |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
        |  FROM scored)
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  private def embeddingNearDupOracle: String = {
+    val bucket = lshBucketSql("v", 8, 64)
+    s"""WITH e AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       | eb AS (SELECT id, v, $bucket AS bucket FROM e),
+       | pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |   list_dot_product(a.v, b.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+       |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.id < b.id)
+       |SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
+       |FROM pairs WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin
   }
 
   private def textLangSummaryOracle: String = {

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.service.MetricsService
+
+/** Dashboard query surface (M4) + table/CSV sinks (K1/K2/K5). */
+class ServiceAndSinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val metrics = Seq(
+    ("P1", "TX", "2024-Q1", 100.0, 1.2, 0.3),
+    ("P2", "TX", "2024-Q1", 200.0, 1.5, 0.4),
+    ("P1", "TX", "2024-Q2", 150.0, 1.3, 0.5),
+    ("P3", "CA", "2024-Q1", 300.0, 2.0, 0.6)
+  ).toDF("PROVNUM", "STATE", "CY_Qtr",
+    "total_nurse_hours", "nurse_to_patient_ratio", "contract_vs_employed_ratio")
+
+  test("options: sorted distinct non-null values (cascade source)") {
+    val states = MetricsService.options(metrics, "STATE").as[String].collect()
+    assert(states.toSeq == Seq("CA", "TX"))
+  }
+
+  test("filterFacilities: state equality + PROVNUM in-list") {
+    val out = MetricsService.filterFacilities(metrics, "TX", Seq("P1"))
+    assert(out.count() == 2)
+    assert(out.select("PROVNUM").distinct().as[String].collect().toSeq == Seq("P1"))
+  }
+
+  test("groupedMean: null-skipping avg per group, sorted") {
+    val out = MetricsService.groupedMean(
+      MetricsService.filterFacilities(metrics, "TX", Seq("P1", "P2")),
+      "PROVNUM", "nurse_to_patient_ratio").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("P1", "P2"))
+    assert(out(0).getDouble(1) == 1.25) // (1.2 + 1.3) / 2
+  }
+
+  test("pivotSum with explicit and discovered pivot values") {
+    val explicitCols = MetricsService.pivotSum(metrics, "CY_Qtr", "PROVNUM",
+      "total_nurse_hours", Seq("P1", "P2", "P3"))
+    val r = explicitCols.orderBy("CY_Qtr").collect()
+    assert(explicitCols.columns.toSeq == Seq("CY_Qtr", "P1", "P2", "P3"))
+    assert(r(0).getDouble(1) == 100.0 && r(0).getDouble(3) == 300.0)
+    assert(r(1).isNullAt(2)) // P2 has no Q2 rows -> null cell
+    val discovered = MetricsService.pivotSum(metrics, "CY_Qtr", "PROVNUM",
+      "total_nurse_hours")
+    assert(discovered.columns.sorted.toSeq == explicitCols.columns.sorted.toSeq)
+  }
+
+  test("numericMeans averages every numeric column (null-skipping)") {
+    val out = MetricsService.numericMeans(metrics).collect().head
+    assert(out.getDouble(out.fieldIndex("avg_total_nurse_hours")) == 187.5)
+  }
+
+  test("preview limits rows (O2)") {
+    assert(MetricsService.preview(metrics, 2).count() == 2)
+  }
+
+  test("listTables surfaces registered views (S5)") {
+    metrics.createOrReplaceTempView("svc_metrics_view")
+    assert(MetricsService.listTables(spark).contains("svc_metrics_view"))
+  }
+
+  test("table sinks: overwrite replaces, append accumulates (K1/K2)") {
+    val wh = Files.createTempDirectory("graft_sink").toString
+    val p = s"$wh/t1"
+    metrics.write.mode("overwrite").parquet(p)
+    metrics.write.mode("overwrite").parquet(p) // replace, not double
+    assert(spark.read.parquet(p).count() == 4)
+    metrics.limit(1).write.mode("append").parquet(p)
+    assert(spark.read.parquet(p).count() == 5)
+  }
+
+  test("CSV sink round-trips with header (K5, metrics publish)") {
+    val out = Files.createTempDirectory("graft_csvout").toString + "/metrics"
+    metrics.coalesce(1).write.option("header", "true").csv(out)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(out)
+    assert(back.count() == 4)
+    assert(back.columns.toSeq == metrics.columns.toSeq)
+  }
+}
