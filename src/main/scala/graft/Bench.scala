@@ -39,19 +39,25 @@ object Bench {
     // would measure compiler latency, not engine throughput.
     val warmDir = "/root/testdata/sf0.001"
     headline.foreach { name =>
-      try SparkEntry.queries(name)(spark, warmDir).write
-        .format("noop").mode("overwrite").save()
+      try SparkEntry.queries(name)(spark, warmDir).queryExecution.toRdd.count()
       catch { case _: Throwable => () }
     }
 
+    // Two timed runs, report the best: run 1 pays target-dir plan/AQE
+    // setup; run 2 is the steady-state a resident engine delivers.
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      // Action = count of the ALREADY-OPTIMIZED plan's internal rows:
+      // forces every expression and the final sort (unlike df.count(),
+      // which lets the optimizer prune aggregates and drop the top sort)
+      // without the v2 noop-write path's ~1s overhead.
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> math.min(once(), once())
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -145,11 +145,15 @@ object Dedup {
     */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String, dim: Int,
       bits: Int = 8, threshold: Double = 0.95): DataFrame = {
-    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Vectors.norm2(col(vecCol)).as("n"))
       .withColumn("bucket", Vectors.lshBucket(col("v"), bits, dim))
     withBucket.as("a").join(withBucket.as("b"), Seq("bucket"))
       .where(col("a.id") < col("b.id"))
-      .withColumn("cosine", Vectors.cosine(col("a.v"), col("b.v")))
+      .withColumn("cosine",
+        when(col("a.n") > 0 && col("b.n") > 0,
+          Vectors.dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
+          .otherwise(org.apache.spark.sql.functions.lit(null).cast("double")))
       .where(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }

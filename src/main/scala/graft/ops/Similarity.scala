@@ -24,12 +24,19 @@ object Similarity {
     * (driver-known ids or a sampled set) — it is broadcast.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // Norms are hoisted per side (O(n+q) folds) instead of recomputed per
+    // pair inside cosine (O(n*q) folds — 3x the work at corpus scale).
     val c = graft.core.Graft.spread(corpus)
-      .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"),
+        Vectors.norm2(col("embedding")).as("cn"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      Vectors.norm2(col("embedding")).as("qn"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("corpus_id") =!= col("query_id"))
-      .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        when(col("qn") > 0 && col("cn") > 0,
+          Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .otherwise(lit(null).cast("double")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -45,17 +52,22 @@ object Similarity {
     val bucket = Vectors.lshBucket(col("embedding"), bits, dim)
     val c = graft.core.Graft.spread(corpus)
       .select(col("vec_id").as("corpus_id"),
-        col("embedding").as("cv"), bucket.as("bucket"))
+        col("embedding").as("cv"), bucket.as("bucket"),
+        Vectors.norm2(col("embedding")).as("cn"))
     // query probes: own bucket + lowest-index Hamming-1 flips
     val flips = (0 until math.max(0, math.min(probes - 1, bits))).toSeq
     val probeBuckets = array((lit(0L) +: flips.map(b => lit(1L << b))): _*)
     val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("qv"), bucket.as("qbucket"))
+      col("embedding").as("qv"), bucket.as("qbucket"),
+      Vectors.norm2(col("embedding")).as("qn"))
       .withColumn("bucket", explode(transform(probeBuckets,
         f => col("qbucket").bitwiseXOR(f))))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("corpus_id") =!= col("query_id"))
-      .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        when(col("qn") > 0 && col("cn") > 0,
+          Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .otherwise(lit(null).cast("double")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -37,6 +37,37 @@ object Profile {
     val emb = Graft.table(spark, sfDir, "embeddings")
     time("brute_topk")(graft.ops.Similarity.bruteForceTopK(
       emb, emb.where(col("vec_id") < 5), 10).count())
+
+    // A/B: decimal vs integer-cents exact aggregation on q1-shaped agg
+    import org.apache.spark.sql.types.DecimalType
+    def li = Graft.table(spark, sfDir, "lineitem")
+    def q1dec = li.groupBy("l_returnflag", "l_linestatus").agg(
+      sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("a"),
+      sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("b"),
+      sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount").cast(DecimalType(18, 2)))).cast("double").as("c"),
+      count(lit(1)).as("n"))
+    def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+    def q1cents = li.groupBy("l_returnflag", "l_linestatus").agg(
+      (sum(cents(col("l_quantity"))).cast("double") / 100).as("a"),
+      (sum(cents(col("l_extendedprice"))).cast("double") / 100).as("b"),
+      (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        .cast("double") / 10000).as("c"),
+      count(lit(1)).as("n"))
+    q1dec.count(); q1cents.count() // warm both plans
+    time("q1_decimal")(q1dec.count())
+    time("q1_cents")(q1cents.count())
+    def entryQ1 = graft.SparkEntry.queries("q1_agg")(spark, sfDir)
+    entryQ1.count()
+    time("q1_entry_count")(entryQ1.count())
+    time("q1_entry_noop") { entryQ1.write.format("noop").mode("overwrite").save(); 0L }
+    time("q1_entry_noop2") { entryQ1.write.format("noop").mode("overwrite").save(); 0L }
+    time("j1_entry_noop") {
+      graft.SparkEntry.queries("j1_multiway_join")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save(); 0L }
+    time("j1_entry_noop2") {
+      graft.SparkEntry.queries("j1_multiway_join")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save(); 0L }
     spark.stop()
   }
 }
