@@ -341,6 +341,24 @@ object SparkEntry {
           col("sig")(2).as("h2"), col("sig")(3).as("h3"))
         .orderBy("doc_id")),
 
+    // Group-level MinHash via the custom typed Aggregator: per-source
+    // signature = element-wise min over member docs (partial+final agg;
+    // only signatures cross the shuffle).
+    "dedup_group_minhash" -> ((s, d) => {
+      val sigs = Dedup.minhashSignatures(
+        t(s, d, "documents"), "text", "doc_id", numHashes = 4, shingleK = 3)
+      val withSource = sigs.join(
+        broadcast(t(s, d, "documents").select("doc_id", "source")), Seq("doc_id"))
+      withSource.groupBy("source")
+        .agg(graft.ops.MinHashMerge.minhashMerge(4)(col("sig")).as("gsig"),
+          count(lit(1)).as("n_docs"))
+        .select(col("source"),
+          col("gsig")(0).as("h0"), col("gsig")(1).as("h1"),
+          col("gsig")(2).as("h2"), col("gsig")(3).as("h3"),
+          col("n_docs"))
+        .orderBy("source")
+    }),
+
     // SimHash 16-bit fingerprints (spread: CPU-bound map over one file).
     "dedup_simhash" -> ((s, d) => Graft.spread(t(s, d, "documents"))
       .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash"))
@@ -649,6 +667,8 @@ object SparkEntry {
 
     "dedup_minhash" -> minhashOracle,
 
+    "dedup_group_minhash" -> groupMinhashOracle,
+
     "dedup_simhash" -> simhashOracle(16),
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
@@ -731,6 +751,23 @@ object SparkEntry {
        |SELECT doc_id,
        | $mins
        |FROM shingles GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Group-level signature: min over a source's docs of each doc's min =
+    * min over ALL the source's shingle hashes; n_docs counted per doc.
+    */
+  private def groupMinhashOracle: String = {
+    val p = Dedup.MinhashP
+    val mins = (0 until 4).map { j =>
+      val (a, b) = Dedup.minhashCoeffs(j)
+      s"MIN((($a * (${hash60Sql("sh")} % $p)) + $b) % $p) AS h$j"
+    }.mkString(",\n ")
+    s"""WITH $shingleCtes
+       |SELECT d.source,
+       | $mins,
+       | COUNT(DISTINCT s.doc_id) AS n_docs
+       |FROM shingles s JOIN documents d ON d.doc_id = s.doc_id
+       |GROUP BY d.source ORDER BY source""".stripMargin
   }
 
   private def simhashOracle(bits: Int): String = {

@@ -92,6 +92,22 @@ class OpsSpec extends SparkSpec {
     assert(out.exists(_.getAs[Long]("corpus_id") == 1L))
   }
 
+  test("MinHashMerge aggregator: group signature = elementwise min of members") {
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", 8, 3)
+      .withColumn("grp", when($"doc_id" <= 3, "a").otherwise("b"))
+    val merged = sigs.groupBy("grp")
+      .agg(graft.ops.MinHashMerge.minhashMerge(8)($"sig").as("gsig"))
+      .collect().map(r => r.getString(0) ->
+        r.getAs[scala.collection.Seq[Long]]("gsig").toSeq).toMap
+    val perDoc = sigs.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[scala.collection.Seq[Long]]("sig").toSeq).toMap
+    val expectA = (0 until 8).map(i =>
+      Seq(perDoc(1L)(i), perDoc(2L)(i), perDoc(3L)(i)).min)
+    assert(merged("a") == expectA)
+    val expectB = (0 until 8).map(i => Seq(perDoc(4L)(i), perDoc(5L)(i)).min)
+    assert(merged("b") == expectB)
+  }
+
   test("multimodal: metadata never decodes; fake decode is deterministic") {
     val media = Multimodal.withMeta(Multimodal.syntheticMediaFromDocs(
       docs.withColumnRenamed("text", "text")))
