@@ -15,8 +15,11 @@ object Vectors {
   /** Cast any numeric array to array<double> for stable math. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), _ * _), lit(0.0), _ + _)
+  /** Left-to-right double accumulation — native codegen'd loop
+    * (graft.plans.DotProduct), bit-identical to
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)`.
+    */
+  def dot(a: Column, b: Column): Column = graft.plans.DotProduct(a, b)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
@@ -55,7 +58,7 @@ object Vectors {
     val dv = asDouble(v)
     val bitCols = (0 until bits).map { j =>
       val plane = array(signs(j).map(lit): _*)
-      val proj = aggregate(zip_with(dv, plane, _ * _), lit(0.0), _ + _)
+      val proj = dot(dv, plane)
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)

@@ -108,6 +108,19 @@ class OpsSpec extends SparkSpec {
     assert(merged("b") == expectB)
   }
 
+  test("salted join is row-identical to the plain join (skew spread only)") {
+    val skewed = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i))
+      .toDF("k", "v")
+    val dim = Seq(("hot", "H"), ("k950", "X"), ("miss", "M")).toDF("k", "name")
+    val plain = skewed.join(dim, Seq("k")).orderBy("k", "v")
+      .collect().map(_.toSeq).toSeq
+    val salted = graft.ops.SkewJoin.saltedInnerJoin(skewed, dim, Seq("k"), 8)
+      .select("k", "v", "name").orderBy("k", "v")
+      .collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+    assert(salted.count(_.head == "hot") == 900)
+  }
+
   test("multimodal: metadata never decodes; fake decode is deterministic") {
     val media = Multimodal.withMeta(Multimodal.syntheticMediaFromDocs(
       docs.withColumnRenamed("text", "text")))
