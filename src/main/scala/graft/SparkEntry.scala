@@ -326,6 +326,20 @@ object SparkEntry {
         .orderBy("o_custkey", "rn")
     }),
 
+    // Sessionization (window-function tier): 30-minute inactivity gap over
+    // the raw epoch-nanos column — exact integer math, oracle-reproducible.
+    "w2_sessionize" -> ((s, d) => {
+      val gapUs = 30L * 60 * 1000000L
+      // microseconds, not nanos: DuckDB truncates parquet ns-timestamps to
+      // micro precision on read, so the oracle can only see µs
+      val ev = t(s, d, "events").where(col("user_id") <= 200)
+        .withColumn("ts_us", expr("ts DIV 1000"))
+      graft.ops.Sessionize.batchSessionStats(ev, "user_id", "ts_us", "event_id", gapUs)
+        .withColumnRenamed("start_ns", "start_us")
+        .withColumnRenamed("end_ns", "end_us")
+        .orderBy("user_id", "session_seq")
+    }),
+
     // ---- north-star extensions (BASELINE.json) ----------------------------
 
     // Exact dedup by content digest.
@@ -660,6 +674,25 @@ object SparkEntry {
         |FROM orders WHERE o_custkey <= 100
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "w2_sessionize" ->
+      """WITH flagged AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS new_session
+        | FROM events WHERE user_id <= 200
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sessions AS (
+        | SELECT user_id, event_id, ts_us,
+        |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        | FROM flagged)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        | COUNT(*) AS n_events,
+        | CAST(MIN(ts_us) AS BIGINT) AS start_us, CAST(MAX(ts_us) AS BIGINT) AS end_us
+        |FROM sessions GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

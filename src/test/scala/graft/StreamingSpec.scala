@@ -36,6 +36,26 @@ class StreamingSpec extends SparkSpec {
     assert(clicks10.getDouble(3) == 1.0 + 2.0 + 99.0)
   }
 
+  test("stateful sessionization closes sessions at the gap, keeps bounded state") {
+    import graft.ops.Sessionize
+    import graft.ops.Sessionize.{SessionEvent, SessionOut}
+    val gap = 60L * 1000000000L // 1 minute in nanos
+    val d = Files.createTempDirectory("graft_sess").toString
+    Seq(
+      SessionEvent(1L, 0L), SessionEvent(1L, 10L * 1000000000L),   // session 1
+      SessionEvent(1L, 200L * 1000000000L),                        // session 2
+      SessionEvent(2L, 5L * 1000000000L)                           // user 2
+    ).toDF().write.mode("overwrite").parquet(d)
+    val schema = spark.read.parquet(d).schema
+    val stream = StreamingIngest.parquetStream(spark, d, schema).as[SessionEvent]
+    val out = StreamingIngest.runAvailableNow(spark,
+      Sessionize.streamingSessions(spark, stream, gap).toDF(),
+      "sess_test", outputMode = "append")
+    // only CLOSED sessions emit (open ones wait in state): user 1 session 1
+    val rows = out.as[SessionOut].collect()
+    assert(rows.toSeq == Seq(SessionOut(1L, 0L, 10L * 1000000000L, 2L)))
+  }
+
   test("streaming dedup on the natural key keeps one row per id") {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = StreamingIngest.parquetStream(spark, eventsDir, schema)
