@@ -248,6 +248,23 @@ object SparkEntry {
         count(col("l_quantity"))).as("avg_qty"))
       .orderBy("l_returnflag")),
 
+    // Distinct aggregation (engine surface beyond the reference).
+    "a9_count_distinct" -> ((s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")),
+
+    // Rollup w/ grouping id (subtotal hierarchy — engine surface).
+    "a10_rollup" -> ((s, d) => t(s, d, "customer")
+      .rollup("c_mktsegment", "c_nationkey")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        dsum2(col("c_acctbal")).as("total_bal"))
+      .select("gid", "c_mktsegment", "c_nationkey", "n", "total_bal")
+      .orderBy(col("gid"), col("c_mktsegment"), col("c_nationkey"))),
+
     // A8 pivot aggregation (metrics_dashboard.py:34-39), explicit values
     // for a deterministic single-pass plan (SURVEY §7.4.9).
     "a8_pivot" -> ((s, d) => {
@@ -608,6 +625,20 @@ object SparkEntry {
       """SELECT l_returnflag,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a9_count_distinct" ->
+      """SELECT l_returnflag,
+        | COUNT(DISTINCT l_suppkey) AS n_supp,
+        | COUNT(DISTINCT l_partkey) AS n_part,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a10_rollup" ->
+      """SELECT GROUPING(c_mktsegment) * 2 + GROUPING(c_nationkey) AS gid,
+        | c_mktsegment, c_nationkey, COUNT(*) AS n,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)
+        |ORDER BY gid, c_mktsegment, c_nationkey""".stripMargin,
 
     "a8_pivot" -> {
       val types = Seq("click", "error", "purchase", "signup", "view")

@@ -71,6 +71,16 @@ class ServiceAndSinksSpec extends SparkSpec {
     assert(spark.read.parquet(p).count() == 5)
   }
 
+  test("partitioned write prunes partitions on filtered read (scale path)") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/t"
+    metrics.write.partitionBy("STATE").mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir).where(col("STATE") === "CA")
+    assert(pruned.count() == 1)
+    // the physical scan carries a partition filter (directory pruning)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("STATE"))
+  }
+
   test("CSV sink round-trips with header (K5, metrics publish)") {
     val out = Files.createTempDirectory("graft_csvout").toString + "/metrics"
     metrics.coalesce(1).write.option("header", "true").csv(out)
