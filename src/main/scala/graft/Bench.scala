@@ -46,14 +46,16 @@ object Bench {
     // Two timed runs, report the best: run 1 pays target-dir plan/AQE
     // setup; run 2 is the steady-state a resident engine delivers.
     val results = headline.map { name =>
-      val fn = SparkEntry.queries(name)
       // Action = count of the ALREADY-OPTIMIZED plan's internal rows:
       // forces every expression and the final sort (unlike df.count(),
       // which lets the optimizer prune aggregates and drop the top sort)
-      // without the v2 noop-write path's ~1s overhead.
+      // without the v2 noop-write path's ~1s overhead. Each run builds a
+      // fresh plan — reusing one RDD would let later runs read the first
+      // run's shuffle files and skip the scan/agg entirely (not a real
+      // measurement).
       def once(): Double = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).queryExecution.toRdd.count()
+        try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }

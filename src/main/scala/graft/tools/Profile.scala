@@ -68,6 +68,18 @@ object Profile {
     time("j1_entry_noop2") {
       graft.SparkEntry.queries("j1_multiway_join")(spark, sfDir)
         .write.format("noop").mode("overwrite").save(); 0L }
+
+    // A/B: single-row-group scan vs spread-then-aggregate
+    def q1spread = Graft.spread(li).groupBy("l_returnflag", "l_linestatus").agg(
+      sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("a"),
+      sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("b"),
+      sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount").cast(DecimalType(18, 2)))).cast("double").as("c"),
+      count(lit(1)).as("n"))
+    q1spread.count()
+    time("q1_spread")(q1spread.count())
+    time("q1_nospread")(q1dec.count())
+    time("q1_spread2")(q1spread.count())
     spark.stop()
   }
 }
