@@ -455,6 +455,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-style approximate top-k (centroid cells + nProbe probing).
+    "sim_ivf_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), k = 10,
+        nCells = 16, nProbe = 2)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // Structured Streaming: watermarked tumbling-window aggregation run to
     // completion with Trigger.AvailableNow (north-star streaming path).
     "stream_window_counts" -> ((s, d) => {
@@ -764,6 +773,40 @@ object SparkEntry {
     "dedup_embedding" -> embeddingNearDupOracle,
 
     "sim_lsh_topk" -> lshTopkOracle,
+
+    "sim_ivf_topk" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS centv
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        | corpus AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        | cassign AS (
+        |  SELECT corpus_id, cv, cent_id AS cell FROM (
+        |   SELECT c.corpus_id, c.cv, ct.cent_id,
+        |    ROW_NUMBER() OVER (PARTITION BY c.corpus_id
+        |      ORDER BY list_distance(c.cv, ct.centv) ASC, ct.cent_id ASC) AS rn
+        |   FROM corpus c CROSS JOIN cents ct)
+        |  WHERE rn = 1),
+        | q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |       FROM embeddings WHERE vec_id < 5),
+        | qprobe AS (
+        |  SELECT query_id, qv, cent_id AS cell FROM (
+        |   SELECT q.query_id, q.qv, ct.cent_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_distance(q.qv, ct.centv) ASC, ct.cent_id ASC) AS rn
+        |   FROM q CROSS JOIN cents ct)
+        |  WHERE rn <= 2),
+        | scored AS (
+        |  SELECT qp.query_id, ca.corpus_id,
+        |   list_dot_product(qp.qv, ca.cv) /
+        |    (sqrt(list_dot_product(qp.qv, qp.qv)) * sqrt(list_dot_product(ca.cv, ca.cv))) AS cosine
+        |  FROM cassign ca JOIN qprobe qp ON ca.cell = qp.cell
+        |  WHERE ca.corpus_id <> qp.query_id)
+        |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
+        |FROM (
+        | SELECT query_id, corpus_id, cosine,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+        | FROM scored)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "stream_window_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,

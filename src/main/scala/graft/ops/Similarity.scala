@@ -44,6 +44,54 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** IVF-style approximate top-k: corpus vectors are assigned to their
+    * nearest centroid cell (inverted file); queries probe the `nProbe`
+    * nearest cells only.
+    *
+    * Centroids here are a deterministic prefix sample (lowest ids) rather
+    * than k-means-trained — the partitioning/probing machinery (the part
+    * that matters at scale) is identical, and determinism keeps it
+    * oracle-checkable. At 100 TB the cell id becomes a partition column so
+    * a probe touches only its cells' files.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val cents = broadcast(corpus.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centv")))
+    def nearestCells(df: DataFrame, idC: String, vC: String, n: Int): DataFrame = {
+      val wCell = Window.partitionBy(idC)
+        .orderBy(col("dist").asc, col("cent_id").asc)
+      df.crossJoin(cents)
+        // sqrt(in-order fold) matches DuckDB's list_distance loop exactly
+        .withColumn("dist", sqrt(Vectors.l2sq(col(vC), col("centv"))))
+        .withColumn("cell_rank", row_number().over(wCell))
+        .where(col("cell_rank") <= n)
+        .select(col(idC), col(vC), col("cent_id").as("cell"))
+    }
+    val c = nearestCells(
+      graft.core.Graft.spread(corpus)
+        .select(col("vec_id").as("corpus_id"), col("embedding").as("cv")),
+      "corpus_id", "cv", 1)
+      .join(corpus.select(col("vec_id").as("corpus_id"),
+        Vectors.norm2(col("embedding")).as("cn")), Seq("corpus_id"))
+    val q = nearestCells(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      "query_id", "qv", nProbe)
+      .join(queries.select(col("vec_id").as("query_id"),
+        Vectors.norm2(col("embedding")).as("qn")), Seq("query_id"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine",
+        when(col("qn") > 0 && col("cn") > 0,
+          Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .otherwise(lit(null).cast("double")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
   /** LSH-bucketed approximate top-k: candidates restricted to query buckets
     * (multi-probe over Hamming-1 neighbors when probes > 1).
     */

@@ -81,6 +81,36 @@ class ServiceAndSinksSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("STATE"))
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange (scale path)") {
+    import spark.implicits._
+    val left = (1 to 5000).map(i => (i.toLong, s"L$i")).toDF("k", "lv")
+    val right = (1 to 5000).map(i => (i.toLong, i * 2.0)).toDF("k", "rv")
+    left.write.mode("overwrite").bucketBy(8, "k").saveAsTable("bkt_left")
+    right.write.mode("overwrite").bucketBy(8, "k").saveAsTable("bkt_right")
+    // force a non-broadcast join so the bucket/shuffle behavior is visible
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+      assert(joined.count() == 5000)
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucket-aligned scans feed the join directly — no Exchange either side
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected bucket join without shuffle, got:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (64L << 20).toString)
+  }
+
+  test("approx_count_distinct sketch lands within 5% of exact (scale path)") {
+    import spark.implicits._
+    val df = (1 to 50000).map(i => i % 7919).toDF("v")
+    val r = df.agg(
+      countDistinct($"v").as("exact"),
+      approx_count_distinct($"v", 0.02).as("approx")).collect().head
+    val exact = r.getLong(0).toDouble
+    assert(math.abs(r.getLong(1) - exact) / exact < 0.05)
+  }
+
   test("CSV sink round-trips with header (K5, metrics publish)") {
     val out = Files.createTempDirectory("graft_csvout").toString + "/metrics"
     metrics.coalesce(1).write.option("header", "true").csv(out)
