@@ -148,7 +148,11 @@ object SparkEntry {
 
     // J1 multi-way inner equi-join + agg; dims broadcast (SURVEY §2.3).
     "j1_multiway_join" -> ((s, d) => {
-      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      // spread: the single-row-group fact file scans as ONE partition;
+      // without it the whole broadcast-probe chain runs on one core
+      val li = Graft.spread(t(s, d, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount"))
+      val o = t(s, d, "orders")
       val c = t(s, d, "customer"); val n = t(s, d, "nation")
       val r = t(s, d, "region")
       li.join(o, col("l_orderkey") === col("o_orderkey"))

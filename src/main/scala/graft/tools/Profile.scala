@@ -69,6 +69,21 @@ object Profile {
       graft.SparkEntry.queries("j1_multiway_join")(spark, sfDir)
         .write.format("noop").mode("overwrite").save(); 0L }
 
+    // A/B: j1 with spread probe side
+    def j1spread = {
+      val o = Graft.table(spark, sfDir, "orders"); val c = Graft.table(spark, sfDir, "customer")
+      val n = Graft.table(spark, sfDir, "nation"); val r = Graft.table(spark, sfDir, "region")
+      Graft.spread(li).join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_items"))
+    }
+    j1spread.count()
+    time("j1_spread")(j1spread.count())
+    time("j1_spread2")(j1spread.count())
+
     // A/B: single-row-group scan vs spread-then-aggregate
     def q1spread = Graft.spread(li).groupBy("l_returnflag", "l_linestatus").agg(
       sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("a"),
