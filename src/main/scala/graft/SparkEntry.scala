@@ -193,6 +193,19 @@ object SparkEntry {
         .select("c_custkey", "c_name").orderBy("c_custkey")
     }),
 
+    // As-of (point-in-time) join: each view matched to the user's latest
+    // purchase at-or-before it (composed from built-ins; Spark lacks the
+    // operator natively — see graft.ops.AsOfJoin).
+    "j4_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events").withColumn("ts_us", expr("ts DIV 1000"))
+      val views = ev.where(col("event_type") === "view" && col("user_id") <= 300)
+        .select("user_id", "ts_us", "event_id")
+      val purchases = ev.where(col("event_type") === "purchase" && col("user_id") <= 300)
+        .groupBy("user_id", "ts_us").agg(max("value").as("pval"))
+      graft.ops.AsOfJoin.asOf(views, purchases, Seq("user_id"), "ts_us", Seq("pval"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     // A2 post-agg derived ratios w/ zero->NULL denominators
     // (calculate_metrics.py:132-143).
     "a2_ratio" -> ((s, d) => t(s, d, "orders")
@@ -589,6 +602,18 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "j4_asof_join" ->
+      """WITH v AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+        | WHERE event_type = 'view' AND user_id <= 300),
+        |p AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS pval FROM events
+        | WHERE event_type = 'purchase' AND user_id <= 300 GROUP BY 1, 2)
+        |SELECT v.user_id, v.ts_us, v.event_id, p.pval AS asof_pval
+        |FROM v ASOF LEFT JOIN p
+        |  ON v.user_id = p.user_id AND v.ts_us >= p.ts_us
+        |ORDER BY v.user_id, v.ts_us, v.event_id""".stripMargin,
 
     "a2_ratio" ->
       """SELECT o_orderpriority,

@@ -108,6 +108,23 @@ class OpsSpec extends SparkSpec {
     assert(merged("b") == expectB)
   }
 
+  test("as-of join picks the latest right row at-or-before each left ts") {
+    val views = Seq((1L, 100L, "v1"), (1L, 200L, "v2"), (1L, 50L, "v0"),
+      (2L, 100L, "w1")).toDF("user_id", "ts", "view_id")
+    val purchases = Seq((1L, 100L, 10.0), (1L, 150L, 15.0), (3L, 1L, 99.0))
+      .toDF("user_id", "ts", "amount")
+    val out = graft.ops.AsOfJoin.asOf(views, purchases,
+      Seq("user_id"), "ts", Seq("amount"))
+      .orderBy("user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      (1L, 50L, "v0", None),          // no purchase yet
+      (1L, 100L, "v1", Some(10.0)),   // exact-time match counts (<=)
+      (1L, 200L, "v2", Some(15.0)),   // latest prior wins
+      (2L, 100L, "w1", None)))        // user has no purchases
+  }
+
   test("salted join is row-identical to the plain join (skew spread only)") {
     val skewed = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i))
       .toDF("k", "v")
