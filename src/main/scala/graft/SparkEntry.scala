@@ -206,6 +206,24 @@ object SparkEntry {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // Bucketed range join: views falling inside the 1-hour window after
+    // each purchase by the same user (bucketize-explode, never per-key
+    // cross product — see graft.ops.RangeJoin).
+    "j5_range_join" -> ((s, d) => {
+      val hourUs = 3600L * 1000000L
+      val ev = t(s, d, "events").withColumn("ts_us", expr("ts DIV 1000"))
+      val views = ev.where(col("event_type") === "view" && col("user_id") <= 300)
+        .select(col("user_id"), col("ts_us"), col("event_id").as("view_id"))
+      val windows = ev.where(col("event_type") === "purchase" && col("user_id") <= 300)
+        .select(col("user_id"), col("ts_us").as("start_us"),
+          (col("ts_us") + hourUs).as("end_us"),
+          col("event_id").as("purchase_id"))
+      graft.ops.RangeJoin.bucketedRangeJoin(views, windows,
+        Seq("user_id"), "ts_us", "start_us", "end_us", bucket = hourUs)
+        .select("user_id", "view_id", "purchase_id", "ts_us", "start_us")
+        .orderBy("user_id", "view_id", "purchase_id")
+    }),
+
     // A2 post-agg derived ratios w/ zero->NULL denominators
     // (calculate_metrics.py:132-143).
     "a2_ratio" -> ((s, d) => t(s, d, "orders")
@@ -614,6 +632,19 @@ object SparkEntry {
         |FROM v ASOF LEFT JOIN p
         |  ON v.user_id = p.user_id AND v.ts_us >= p.ts_us
         |ORDER BY v.user_id, v.ts_us, v.event_id""".stripMargin,
+
+    "j5_range_join" ->
+      """WITH v AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us, event_id AS view_id FROM events
+        | WHERE event_type = 'view' AND user_id <= 300),
+        |w AS (
+        | SELECT user_id, epoch_us(ts) AS start_us,
+        |  epoch_us(ts) + 3600000000 AS end_us, event_id AS purchase_id
+        | FROM events WHERE event_type = 'purchase' AND user_id <= 300)
+        |SELECT v.user_id, v.view_id, w.purchase_id, v.ts_us, w.start_us
+        |FROM v JOIN w ON v.user_id = w.user_id
+        | AND v.ts_us >= w.start_us AND v.ts_us <= w.end_us
+        |ORDER BY v.user_id, v.view_id, w.purchase_id""".stripMargin,
 
     "a2_ratio" ->
       """SELECT o_orderpriority,

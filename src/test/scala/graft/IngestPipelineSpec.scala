@@ -120,6 +120,34 @@ class IngestPipelineSpec extends SparkSpec {
     assert(empty.forall(r => r.getDouble(4) == 0.0 && r.getLong(2) == 0))
   }
 
+  test("malformed CSV rows coerce to nulls, never crash (PERMISSIVE)") {
+    val d = Files.createTempDirectory("graft_badcsv")
+    Files.writeString(d.resolve("NH_Penalties_bad.csv"),
+      """CMS Certification Number (CCN),Penalty Date,Penalty Type,Fine Amount,Payment Denial Length in Days,State,Provider Name
+        |015020,01/15/2024,Fine,not_a_number,also_bad,TX,Ok Row
+        |015021,01/16/2024,Fine,100,,TX
+        |"unclosed quote,01/17/2024,Fine,5,,TX,Broken
+        |""".stripMargin)
+    val df = CsvIngest.readDataset(spark, d.toString, specOf)
+    val rows = df.collect()
+    assert(rows.length >= 2) // no exception; short/broken rows null-padded
+    val r = rows.find(r => r.getString(0) == "015020").get
+    assert(r.isNullAt(r.fieldIndex("fine_amount")))         // coerce-to-null
+    assert(r.isNullAt(r.fieldIndex("payment_denial_length_in_days")))
+  }
+
+  test("parquet staging evolves schema across batches (mergeSchema)") {
+    val d = Files.createTempDirectory("graft_evolve").toString + "/t"
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v1").write.mode("append").parquet(d)
+    Seq((2L, 3.5)).toDF("id", "v2").write.mode("append").parquet(d)
+    val merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert(merged.columns.toSet == Set("id", "v1", "v2"))
+    assert(merged.count() == 2)
+    val r2 = merged.where($"id" === 1).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("v2"))) // old batch null-fills new col
+  }
+
   test("bulk per-file loader derives table names and registers views") {
     val loaded = CsvIngest.loadDirectory(spark, dir.toString)
     assert(loaded.keySet == Set("nh_penalties_2024_a", "nh_penalties_2024_b"))

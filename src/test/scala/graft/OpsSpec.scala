@@ -125,6 +125,24 @@ class OpsSpec extends SparkSpec {
       (2L, 100L, "w1", None)))        // user has no purchases
   }
 
+  test("bucketed range join equals the naive inequality join") {
+    val points = (1 to 500).map(i => (i % 5L, i * 10L, i.toLong))
+      .toDF("k", "t", "pid")
+    val ivals = Seq((0L, 100L, 300L, 1L), (0L, 250L, 260L, 2L),
+      (1L, 0L, 5000L, 3L), (9L, 0L, 10L, 4L))
+      .toDF("k", "s", "e", "iid")
+    val naive = points.join(ivals, Seq("k"))
+      .where($"t" >= $"s" && $"t" <= $"e")
+      .select("k", "pid", "iid").orderBy("k", "pid", "iid")
+      .collect().map(_.toSeq).toSeq
+    val bucketed = graft.ops.RangeJoin.bucketedRangeJoin(
+      points, ivals, Seq("k"), "t", "s", "e", bucket = 128)
+      .select("k", "pid", "iid").orderBy("k", "pid", "iid")
+      .collect().map(_.toSeq).toSeq
+    assert(bucketed == naive)
+    assert(bucketed.nonEmpty)
+  }
+
   test("salted join is row-identical to the plain join (skew spread only)") {
     val skewed = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i))
       .toDF("k", "v")
