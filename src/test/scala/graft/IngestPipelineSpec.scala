@@ -148,6 +148,33 @@ class IngestPipelineSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("v2"))) // old batch null-fills new col
   }
 
+  test("ObjectSync: checksummed copy, skip-existing, verify, manifest (K7)") {
+    import graft.ingest.ObjectSync
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = Files.createTempDirectory("graft_sync_src")
+    val dst = Files.createTempDirectory("graft_sync_dst").toString
+    Files.writeString(src.resolve("a.csv"), "x,y\n1,2\n")
+    Files.createDirectories(src.resolve("sub"))
+    Files.writeString(src.resolve("sub/b.csv"), "z\n9\n")
+    Files.writeString(src.resolve(".hidden"), "skip me")
+    val r1 = ObjectSync.sync(conf, src.toString, dst)
+    assert(r1.copied.toSet == Set("a.csv", "sub/b.csv"))
+    assert(r1.skipped.isEmpty && r1.verifiedOk)
+    assert(r1.manifest.keySet == Set("a.csv", "sub/b.csv"))
+    // second run: everything skips via length+md5
+    val r2 = ObjectSync.sync(conf, src.toString, dst)
+    assert(r2.copied.isEmpty && r2.skipped.toSet == Set("a.csv", "sub/b.csv"))
+    // changed source -> re-copied
+    Files.writeString(src.resolve("a.csv"), "x,y\n1,3\n")
+    val r3 = ObjectSync.sync(conf, src.toString, dst)
+    assert(r3.copied == Seq("a.csv") || r3.copied.contains("a.csv"))
+    // dry run never writes
+    Files.writeString(src.resolve("c.csv"), "new\n")
+    val r4 = ObjectSync.sync(conf, src.toString, dst, dryRun = true)
+    assert(r4.copied.contains("c.csv"))
+    assert(!Files.exists(java.nio.file.Paths.get(dst, "c.csv")))
+  }
+
   test("bulk per-file loader derives table names and registers views") {
     val loaded = CsvIngest.loadDirectory(spark, dir.toString)
     assert(loaded.keySet == Set("nh_penalties_2024_a", "nh_penalties_2024_b"))
