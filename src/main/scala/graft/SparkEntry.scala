@@ -334,6 +334,56 @@ object SparkEntry {
       c.unionByName(sup, allowMissingColumns = true).orderBy("src", "id")
     }),
 
+    // U2 set ops (engine surface; none in reference): customers in
+    // BUILDING that also/never placed urgent orders.
+    "u2_intersect_except" -> ((s, d) => {
+      val building = t(s, d, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val urgent = t(s, d, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      building.intersect(urgent).withColumn("src", lit("both"))
+        .unionByName(building.except(urgent).withColumn("src", lit("building_only")))
+        .orderBy("src", "c_custkey")
+    }),
+
+    // Multimodal frame sampling: the mapPartitions decode stub feeding a
+    // generator — every 7th frame index per media item.
+    "mm_frame_sample" -> ((s, d) => {
+      val media = Multimodal.syntheticMediaFromDocs(t(s, d, "documents"))
+      val decoded = Multimodal.fakeDecodeImage(s, media)
+      Multimodal.sampleFrames(decoded, stride = 7)
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    // Scalar string-function battery (X6/X13 family breadth).
+    "x6_string_funcs" -> ((s, d) => t(s, d, "part")
+      .where(col("p_partkey") <= 2000)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("u"),
+        lower(col("p_type")).as("l"),
+        length(col("p_name")).as("len"),
+        substring(col("p_name"), 1, 8).as("pre"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        lpad(col("p_brand"), 12, ".").as("padded"),
+        col("p_type").like("%BRASS%").as("is_brass"))
+      .orderBy("p_partkey")),
+
+    // Scalar date-function battery (X5/X8 family breadth).
+    "x8_date_funcs" -> ((s, d) => t(s, d, "orders")
+      .where(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_add(col("o_orderdate").cast("date"), 30).cast("string").as("plus30"),
+        datediff(lit("2002-01-01").cast("date"),
+          col("o_orderdate").cast("date")).as("days_to_2002"))
+      .orderBy("o_orderkey")),
+
     // X1 identifier normalization as data transform (build.py:7-8).
     "x1_norm_identifier" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"),
@@ -733,6 +783,43 @@ object SparkEntry {
         | SELECT 's' AS src, s_suppkey AS id, s_name AS name, NULL AS bal
         | FROM supplier WHERE s_nationkey = 1)
         |ORDER BY src, id""".stripMargin,
+
+    "u2_intersect_except" ->
+      """WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        | u AS (SELECT o_custkey AS c_custkey FROM orders
+        |       WHERE o_orderpriority = '1-URGENT')
+        |SELECT * FROM (
+        | SELECT c_custkey, 'both' AS src FROM (SELECT * FROM b INTERSECT SELECT * FROM u)
+        | UNION ALL
+        | SELECT c_custkey, 'building_only' AS src FROM (SELECT * FROM b EXCEPT SELECT * FROM u))
+        |ORDER BY src, c_custkey""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH decoded AS (
+        | SELECT doc_id AS media_id,
+        |  1 + CAST(octet_length(encode(text)) % 30 AS INT) AS n_frames
+        | FROM documents)
+        |SELECT media_id, CAST(f.f AS INT) AS frame_idx
+        |FROM decoded, (SELECT unnest(range(0, 30, 7)) AS f) f
+        |WHERE f.f < n_frames
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "x6_string_funcs" ->
+      """SELECT p_partkey,
+        | upper(p_brand) AS u, lower(p_type) AS l,
+        | length(p_name) AS len, substr(p_name, 1, 8) AS pre,
+        | regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        | lpad(p_brand, 12, '.') AS padded,
+        | (p_type LIKE '%BRASS%') AS is_brass
+        |FROM part WHERE p_partkey <= 2000 ORDER BY p_partkey""".stripMargin,
+
+    "x8_date_funcs" ->
+      """SELECT o_orderkey,
+        | year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+        | month(o_orderdate) AS m, day(o_orderdate) AS dom,
+        | CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30,
+        | date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
 
     "x1_norm_identifier" ->
       """SELECT doc_id,
