@@ -72,6 +72,24 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // JSON-lines source round-trip (schema-on-read; lossless for these
+    // types, so the parquet table is its own oracle).
+    "s2_json_roundtrip" -> ((s, d) => {
+      val tmp = s"/tmp/graft_json_rt_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val src = t(s, d, "supplier")
+      src.coalesce(1).write.mode("overwrite").json(tmp)
+      s.read.schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .json(tmp)
+        .orderBy("s_suppkey")
+    }),
+
+    // ORC source round-trip (columnar alternative to parquet).
+    "s3_orc_roundtrip" -> ((s, d) => {
+      val tmp = s"/tmp/graft_orc_rt_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      t(s, d, "part").write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp).orderBy("p_partkey")
+    }),
+
     // A1 group-by multi-agg (reference calculate_metrics.py:123-131 shape).
     "q1_agg" -> ((s, d) => t(s, d, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
@@ -597,6 +615,13 @@ object SparkEntry {
          | COUNT(*) AS count_order
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "s2_json_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "s3_orc_roundtrip" ->
+      "SELECT * FROM part ORDER BY p_partkey",
 
     "s4_scan" -> "SELECT * FROM region ORDER BY r_regionkey",
 
