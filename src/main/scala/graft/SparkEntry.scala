@@ -520,6 +520,26 @@ object SparkEntry {
             count(lit(1))).as("avg_quality"))
         .orderBy("lang_pred")),
 
+    // Training-data text cleaning (URL/email strip, whitespace collapse).
+    "text_clean" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        Text.cleanForTraining(
+          concat(col("text"), lit(" visit https://example.com/x?q=1 or "),
+            col("source"), lit("@mail.test  NOW")))
+          .as("cleaned"))
+      .orderBy("doc_id")),
+
+    // Corpus vocabulary: top-100 non-stopword terms by frequency.
+    "text_vocab" -> ((s, d) => {
+      val words = Graft.spread(t(s, d, "documents"))
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .where(!col("word").isInCollection(Text.stopwords.values.flatten.toSeq)
+          && col("word") =!= "")
+      words.groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc)
+        .limit(100)
+    }),
+
     // Brute-force cosine top-k (exact ANN baseline).
     "sim_brute_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -917,6 +937,26 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle(16),
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+
+    "text_clean" ->
+      """SELECT doc_id,
+        | lower(trim(regexp_replace(regexp_replace(regexp_replace(
+        |   text || ' visit https://example.com/x?q=1 or ' || source || '@mail.test  NOW',
+        |   'https?://\S+', ' ', 'g'),
+        |  '\S+@\S+', ' ', 'g'),
+        | '\s+', ' ', 'g'))) AS cleaned
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_vocab" -> {
+      val stop = Text.stopwords.values.flatten.toSeq
+        .map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""WITH words AS (
+         | SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+         | FROM documents)
+         |SELECT word, COUNT(*) AS n FROM words
+         |WHERE word NOT IN $stop AND word <> ''
+         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 100""".stripMargin
+    },
 
     "text_profile" -> textProfileOracle,
 

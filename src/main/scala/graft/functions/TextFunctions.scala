@@ -128,6 +128,16 @@ object Text {
         .otherwise(full))
   }
 
+  /** Training-data text cleaning (C4-style, public recipe family): drop
+    * URLs and emails, collapse whitespace runs, trim, lowercase. Pure
+    * regexp built-ins — codegen'd, oracle-reproducible.
+    */
+  def cleanForTraining(text: Column): Column = {
+    val noUrl = regexp_replace(coalesce(text, lit("")), "https?://\\S+", " ")
+    val noEmail = regexp_replace(noUrl, "\\S+@\\S+", " ")
+    lower(trim(regexp_replace(noEmail, "\\s+", " ")))
+  }
+
   /** Positional rolling-hash document fingerprint: sum over tokens of
     * (stableHash(token) mod 1e6) * (position+1), mod 2^31. Order-sensitive
     * (unlike a bag-of-words hash) yet oracle-reproducible in pure SQL.

@@ -69,6 +69,19 @@ object Profile {
       graft.SparkEntry.queries("j1_multiway_join")(spark, sfDir)
         .write.format("noop").mode("overwrite").save(); 0L }
 
+    // decompose: plan construction vs execution for bench queries
+    Seq("q1_agg", "j1_multiway_join", "text_profile").foreach { qn =>
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val df = graft.SparkEntry.queries(qn)(spark, sfDir)
+        val rdd = df.queryExecution.toRdd // forces analysis+optimization+physical
+        val t1 = System.nanoTime()
+        rdd.count()
+        val t2 = System.nanoTime()
+        println(f"[profile] $qn%-20s run$i plan=${(t1 - t0) / 1e9}%5.2fs exec=${(t2 - t1) / 1e9}%5.2fs")
+      }
+    }
+
     // A/B: j1 with spread probe side
     def j1spread = {
       val o = Graft.table(spark, sfDir, "orders"); val c = Graft.table(spark, sfDir, "customer")
