@@ -57,7 +57,7 @@ object Vectors {
     val signs = hyperplaneSigns(bits, dim, seed)
     val dv = asDouble(v)
     val bitCols = (0 until bits).map { j =>
-      val plane = array(signs(j).map(lit): _*)
+      val plane = array(signs(j).toIndexedSeq.map(lit): _*)
       val proj = dot(dv, plane)
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }

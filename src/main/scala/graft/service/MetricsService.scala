@@ -24,7 +24,7 @@ object MetricsService {
     * column in one aggregate (null-skipping, matching pandas mean).
     */
   def numericMeans(df: DataFrame): DataFrame = {
-    val numCols = df.schema.fields
+    val numCols = df.schema.fields.toIndexedSeq
       .filter(_.dataType.isInstanceOf[NumericType]).map(_.name)
     require(numCols.nonEmpty, "no numeric columns")
     val aggs = numCols.map(c => avg(col(c)).as(s"avg_$c"))
