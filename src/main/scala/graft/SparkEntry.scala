@@ -520,6 +520,27 @@ object SparkEntry {
             count(lit(1))).as("avg_quality"))
         .orderBy("lang_pred")),
 
+    // Deterministic train/val/test split by stable content-independent
+    // hash of the id — reproducible across engines and runs (the property
+    // that keeps splits leak-free at corpus scale).
+    "split_train_val" -> ((s, d) => {
+      val bucket = pmod(StableHash.hash60(col("doc_id").cast("string")), lit(100L))
+      val split = when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test")
+      t(s, d, "documents")
+        .select(col("doc_id"), split.as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+        .orderBy("split")
+    }),
+
+    // Doc-length histogram (fixed-width integer buckets).
+    "text_histogram" -> ((s, d) => t(s, d, "documents")
+      .select(expr("n_chars DIV 50").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+      .orderBy("bucket")),
+
     // Training-data text cleaning (URL/email strip, whitespace collapse).
     "text_clean" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"),
@@ -937,6 +958,23 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle(16),
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+
+    "split_train_val" -> {
+      val h = hash60Sql("CAST(doc_id AS VARCHAR)")
+      s"""WITH assigned AS (
+         | SELECT doc_id,
+         |  CASE WHEN $h % 100 < 80 THEN 'train'
+         |       WHEN $h % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         | FROM documents)
+         |SELECT split, COUNT(*) AS n_docs,
+         | MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         |FROM assigned GROUP BY split ORDER BY split""".stripMargin
+    },
+
+    "text_histogram" ->
+      """SELECT n_chars // 50 AS bucket, COUNT(*) AS n_docs
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "text_clean" ->
       """SELECT doc_id,
