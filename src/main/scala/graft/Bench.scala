@@ -43,8 +43,8 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // Two timed runs, report the best: run 1 pays target-dir plan/AQE
-    // setup; run 2 is the steady-state a resident engine delivers.
+    // Three timed runs, report the best: run 1 pays target-dir plan/AQE
+    // setup; the min is the steady state a resident engine delivers.
     val results = headline.map { name =>
       // Action = count of the ALREADY-OPTIMIZED plan's internal rows:
       // forces every expression and the final sort (unlike df.count(),
@@ -59,7 +59,7 @@ object Bench {
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      name -> Seq(once(), once(), once()).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
