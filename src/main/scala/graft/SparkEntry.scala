@@ -460,6 +460,22 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // Built-in session_window aggregation (batch mode) — cross-checked by
+    // the oracle's relational lag/cumsum formulation. Note session_window
+    // merges on strict `<gap` (an exactly-gap-later event starts a NEW
+    // session), unlike w2_sessionize's `<=`.
+    "w3_session_window" -> ((s, d) => {
+      val ev = t(s, d, "events").where(col("user_id") <= 200)
+        .withColumn("ts_ts", Graft.nanosToTimestamp("ts"))
+      ev.groupBy(col("user_id"), session_window(col("ts_ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")
+    }),
+
     // ---- north-star extensions (BASELINE.json) ----------------------------
 
     // Exact dedup by content digest.
@@ -946,6 +962,26 @@ object SparkEntry {
         | CAST(MIN(ts_us) AS BIGINT) AS start_us, CAST(MAX(ts_us) AS BIGINT) AS end_us
         |FROM sessions GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "w3_session_window" ->
+      """WITH flagged AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |       THEN 1 ELSE 0 END AS new_session
+        | FROM events WHERE user_id <= 200
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sessions AS (
+        | SELECT user_id, event_id, ts_us,
+        |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        | FROM flagged)
+        |SELECT user_id,
+        | CAST(MIN(ts_us) AS BIGINT) AS start_us,
+        | CAST(MAX(ts_us) + 1800000000 AS BIGINT) AS end_us,
+        | COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_seq
+        |ORDER BY user_id, start_us""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

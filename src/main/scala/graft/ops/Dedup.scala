@@ -140,6 +140,43 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over near-dup pairs: each doc labeled with the
+    * minimum id reachable through the pair graph (the canonical
+    * representative). Iterative min-label propagation — each round is one
+    * join + aggregate, labels only (two longs per row) cross the shuffle;
+    * rounds needed = graph diameter (near-dup clusters are tiny, so
+    * `maxIters` ~10 covers real corpora; loop exits early when stable).
+    * This is the standard final step of fuzzy dedup at scale: pick one
+    * survivor per duplicate cluster.
+    */
+  def clusterNearDups(ids: DataFrame, pairs: DataFrame,
+      idCol: String = "id", maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("component"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "id_b")
+          .withColumnRenamed("component", "nbr_component"), Seq("id_b"))
+        .groupBy(col("id_a").as("id"))
+        .agg(min("nbr_component").as("nbr_component"))
+      val updated = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_component"), col("component")))
+            .as("component"))
+      updated.cache()
+      val changed = updated.as("u").join(labels.as("l"), Seq("id"))
+        .where(col("u.component") =!= col("l.component")).isEmpty
+      converged = changed // isEmpty == no rows changed
+      labels.unpersist()
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
   /** Embedding near-dup: cosine >= threshold pairs, bucketed by
     * random-hyperplane LSH so the pair join is bucket-local.
     */

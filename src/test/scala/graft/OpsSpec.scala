@@ -125,6 +125,30 @@ class OpsSpec extends SparkSpec {
       (2L, 100L, "w1", None)))        // user has no purchases
   }
 
+  test("clusterNearDups labels each doc with its component's minimum id") {
+    val ids = (1L to 8L).toDF("id")
+    // components: {1,2,3} (chain), {4,5}, {6}, {7,8}
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterNearDups(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("operators tolerate empty inputs (no crash, empty/zero outputs)") {
+    val noDocs = docs.where(lit(false))
+    assert(Dedup.exact(noDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.minhashSignatures(noDocs, "text", "doc_id", 4, 3).count() == 0)
+    assert(Dedup.ngramJaccardPairs(noDocs, "text", "doc_id", 2, 0.1).count() == 0)
+    assert(graft.ops.TextAnalysis.profile(noDocs).count() == 0)
+    val noVecs = vecs.where(lit(false))
+    assert(Similarity.bruteForceTopK(vecs, noVecs, 5).count() == 0) // no queries
+    assert(Similarity.bruteForceTopK(noVecs, vecs, 5).count() == 0) // no corpus
+    // k larger than the corpus: returns everything, ranked
+    val all = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 0), 100)
+    assert(all.count() == 4)
+  }
+
   test("bucketed range join equals the naive inequality join") {
     val points = (1 to 500).map(i => (i % 5L, i * 10L, i.toLong))
       .toDF("k", "t", "pid")
