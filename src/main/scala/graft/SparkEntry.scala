@@ -318,6 +318,15 @@ object SparkEntry {
       .select("gid", "c_mktsegment", "c_nationkey", "n", "total_bal")
       .orderBy(col("gid"), col("c_mktsegment"), col("c_nationkey"))),
 
+    // Exact percentiles (linear interpolation; same estimator both engines).
+    "a11_percentiles" -> ((s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+        expr("percentile(l_discount, 0.25)").as("p25_disc"))
+      .orderBy("l_returnflag")),
+
     // A8 pivot aggregation (metrics_dashboard.py:34-39), explicit values
     // for a deterministic single-pass plan (SURVEY §7.4.9).
     "a8_pivot" -> ((s, d) => {
@@ -840,6 +849,13 @@ object SparkEntry {
         | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)
         |ORDER BY gid, c_mktsegment, c_nationkey""".stripMargin,
+
+    "a11_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS median_qty,
+        | quantile_cont(l_extendedprice, 0.9) AS p90_price,
+        | quantile_cont(l_discount, 0.25) AS p25_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "a8_pivot" -> {
       val types = Seq("click", "error", "purchase", "signup", "view")
