@@ -60,6 +60,19 @@ class StaffingMetricsSpec extends SparkSpec {
     assert(r.getDouble(5) == 18.0 / 48.0)   // contract_vs_employed_ratio
   }
 
+  test("post-aggregation zero denominator drops the row (F3 on A1 output)") {
+    // P4's employed hours are all zero -> total_employed = 0 after the
+    // group sum -> zeroToNull -> ratio null -> na.drop
+    // (calculate_metrics.py:132-148)
+    val s = Seq(("P4", "TX", "2024Q1", "10", "1.0", "1.0", "1.0"))
+      .toDF("PROVNUM", "STATE", "CY_Qtr", "MDScensus", "Hrs_RN", "Hrs_LPN", "Hrs_CNA")
+    val c = Seq(("P4", "2024Q1", "1.0", "1.0", "1.0", "0.0", "0.0", "0.0"))
+      .toDF("PROVNUM", "CY_Qtr", "Hrs_RN_ctr", "Hrs_LPN_ctr", "Hrs_CNA_ctr",
+        "Hrs_RN_emp", "Hrs_LPN_emp", "Hrs_CNA_emp")
+    val (out, _) = StaffingMetrics.run(Seq(s, c))
+    assert(out.isEmpty)
+  }
+
   test("requireCols raises on missing contract columns (calculate_metrics.py:64-67)") {
     val bad = Seq(("P1", "2024Q1")).toDF("PROVNUM", "CY_Qtr")
     val e = intercept[IllegalArgumentException](StaffingMetrics.requireCols(bad))
