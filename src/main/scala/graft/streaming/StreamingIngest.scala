@@ -50,6 +50,21 @@ object StreamingIngest {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: left events matched to right events with
+    * the same key whose timestamp falls in [leftTs, leftTs + window]. Both
+    * sides watermarked, and the time-bound condition lets Spark evict
+    * state: each side holds only `watermark + window` of history — the
+    * property that makes stream-stream joins viable indefinitely.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      window: String, watermark: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark).as("l")
+    val r = right.withWatermark("ts", watermark).as("r")
+    l.join(r,
+      expr(s"""l.$key = r.$key AND
+              |r.ts >= l.ts AND r.ts <= l.ts + interval $window""".stripMargin))
+  }
+
   /** Run a streaming DataFrame to completion over the currently-available
     * input (Trigger.AvailableNow) into an in-memory table; returns the
     * result as a batch DataFrame. Used by tests and the Verify harness.

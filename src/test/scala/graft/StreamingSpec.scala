@@ -56,6 +56,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(SessionOut(1L, 0L, 10L * 1000000000L, 2L)))
   }
 
+  test("stream-stream interval join matches within the window, bounded state") {
+    val d = Files.createTempDirectory("graft_ssj").toString
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "view"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), "purchase"), // in window
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 12:30:00"), "purchase"), // outside
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), "purchase")  // other user
+    ).toDF("user_id", "ts", "kind").write.mode("overwrite").parquet(d)
+    val schema = spark.read.parquet(d).schema
+    def stream(kind: String) = StreamingIngest
+      .parquetStream(spark, d, schema).where(col("kind") === kind)
+      .select(col("user_id"), col("ts"))
+    val joined = StreamingIngest.intervalJoin(
+      stream("view"), stream("purchase"), "user_id", "1 hour", "2 hours")
+    val out = StreamingIngest.runAvailableNow(spark,
+      joined.select(col("l.user_id").as("u"), col("r.ts").as("purchase_ts")),
+      "ssj_test", outputMode = "append").collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L)
+    assert(out.head.getTimestamp(1).toString == "2024-01-01 10:30:00.0")
+  }
+
   test("streaming dedup on the natural key keeps one row per id") {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = StreamingIngest.parquetStream(spark, eventsDir, schema)
