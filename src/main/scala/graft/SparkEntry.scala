@@ -390,7 +390,7 @@ object SparkEntry {
         col("p_partkey"),
         upper(col("p_brand")).as("u"),
         lower(col("p_type")).as("l"),
-        length(col("p_name")).as("len"),
+        length(col("p_name")).cast("long").as("len"),
         substring(col("p_name"), 1, 8).as("pre"),
         regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
         lpad(col("p_brand"), 12, ".").as("padded"),
@@ -402,13 +402,13 @@ object SparkEntry {
       .where(col("o_orderkey") <= 2000)
       .select(
         col("o_orderkey"),
-        year(col("o_orderdate")).as("y"),
-        quarter(col("o_orderdate")).as("q"),
-        month(col("o_orderdate")).as("m"),
-        dayofmonth(col("o_orderdate")).as("dom"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
         date_add(col("o_orderdate").cast("date"), 30).cast("string").as("plus30"),
         datediff(lit("2002-01-01").cast("date"),
-          col("o_orderdate").cast("date")).as("days_to_2002"))
+          col("o_orderdate").cast("date")).cast("long").as("days_to_2002"))
       .orderBy("o_orderkey")),
 
     // X1 identifier normalization as data transform (build.py:7-8).
@@ -448,7 +448,7 @@ object SparkEntry {
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
       o.select(
         col("o_custkey"), col("o_orderkey"),
-        row_number().over(w).as("rn"),
+        row_number().over(w).cast("long").as("rn"),
         sum(col("o_totalprice").cast(DecimalType(18, 2)))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("double").as("running_total"))

@@ -41,7 +41,8 @@ object Similarity {
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select("query_id", "corpus_id", "cosine", "rank")
+      .select(col("query_id"), col("corpus_id"), col("cosine"),
+        col("rank").cast("long").as("rank")) // long: match BIGINT row_number oracles
   }
 
   /** IVF-style approximate top-k: corpus vectors are assigned to their
@@ -89,7 +90,8 @@ object Similarity {
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select("query_id", "corpus_id", "cosine", "rank")
+      .select(col("query_id"), col("corpus_id"), col("cosine"),
+        col("rank").cast("long").as("rank")) // long: match BIGINT row_number oracles
   }
 
   /** LSH-bucketed approximate top-k: candidates restricted to query buckets
@@ -120,6 +122,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select("query_id", "corpus_id", "cosine", "rank")
+      .select(col("query_id"), col("corpus_id"), col("cosine"),
+        col("rank").cast("long").as("rank")) // long: match BIGINT row_number oracles
   }
 }

@@ -51,6 +51,20 @@ def main():
             exp = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:200]}"); n_fail += 1; continue
+        # informational: arrow-level type alignment (a strict driver compare
+        # could reject e.g. int32 vs int64 even when values match)
+        try:
+            spark_t = {f.name: str(pq.read_schema(
+                next(p for p in __import__("glob").glob(f"{out_dir}/{name}/*.parquet"))
+            ).field(f.name).type) for f in pq.read_schema(
+                next(p for p in __import__("glob").glob(f"{out_dir}/{name}/*.parquet")))}
+            duck_t = {f.name: str(f.type) for f in con.execute(sql).arrow().schema}
+            mism = {c: (spark_t.get(c), duck_t.get(c)) for c in duck_t
+                    if c in spark_t and spark_t[c] != duck_t[c]}
+            if mism:
+                print(f"NOTE {name}: arrow type mismatch {mism}")
+        except Exception:
+            pass
         gc, gr = frame_key(got)
         ec, er = frame_key(exp)
         if gc != ec:
