@@ -65,6 +65,23 @@ object StreamingIngest {
               |r.ts >= l.ts AND r.ts <= l.ts + interval $window""".stripMargin))
   }
 
+  /** foreachBatch upsert sink: each micro-batch is deduplicated against
+    * the target parquet table on `keyCols` (append only the genuinely-new
+    * keys). The standard incremental-materialization pattern when the
+    * target store has no native MERGE — batch-id-deterministic and
+    * idempotent under retries for this append-only shape.
+    */
+  def upsertStream(stream: DataFrame, keyCols: Seq[String],
+      targetPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val newRows = if (new java.io.File(targetPath).exists()) {
+        val existing = spark.read.parquet(targetPath).select(keyCols.map(col): _*)
+        batch.dropDuplicates(keyCols).join(existing, keyCols, "left_anti")
+      } else batch.dropDuplicates(keyCols)
+      newRows.write.mode("append").parquet(targetPath)
+    }
+
   /** Run a streaming DataFrame to completion over the currently-available
     * input (Trigger.AvailableNow) into an in-memory table; returns the
     * result as a batch DataFrame. Used by tests and the Verify harness.

@@ -78,6 +78,26 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getTimestamp(1).toString == "2024-01-01 10:30:00.0")
   }
 
+  test("foreachBatch upsert appends only new keys across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val target = Files.createTempDirectory("graft_upsert").toString + "/t"
+    val schema = spark.read.parquet(eventsDir).schema
+    def runOnce(): Unit = {
+      val stream = StreamingIngest.parquetStream(spark, eventsDir, schema)
+      val q = StreamingIngest.upsertStream(stream, Seq("event_id"), target)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_upsert_ck").toString)
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(target).count() == 4) // 5 rows, 1 dup id
+    // re-run over the same source (fresh checkpoint): nothing new appends
+    runOnce()
+    assert(spark.read.parquet(target).count() == 4)
+  }
+
   test("streaming dedup on the natural key keeps one row per id") {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = StreamingIngest.parquetStream(spark, eventsDir, schema)
