@@ -43,6 +43,28 @@ object SparkEntry {
   private val revSql =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
 
+  /** One SQL text, two engines: queries tagged sqlShared run VERBATIM in
+    * both Spark SQL and DuckDB — the strongest dialect-parity statement.
+    */
+  private val correlatedSubquerySql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer c
+      |WHERE c_acctbal > (
+      |  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Shared-dialect top-N-per-group (CTE + window), also verbatim. */
+  private val topnPerGroupSql: String =
+    """WITH ranked AS (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+      | FROM orders)
+      |SELECT o_custkey, o_orderkey, o_totalprice, rn
+      |FROM ranked WHERE rn <= 2 AND o_custkey <= 500
+      |ORDER BY o_custkey, rn""".stripMargin
+
   // ---- flagship -----------------------------------------------------------
 
   /** Flagship on sf0.001 (driver smoke-checks rows > 0). */
@@ -265,6 +287,19 @@ object SparkEntry {
         sum(when(col("c_acctbal") > 0, 1)).as("n_positive"), // X9: no ELSE
         (dsum2(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
       .orderBy("c_nationkey")),
+
+    // Correlated scalar subquery, run as the VERBATIM oracle SQL text
+    // through Spark SQL (dialect parity; Catalyst decorrelates to a join).
+    "q_correlated_subquery" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      s.sql(correlatedSubquerySql)
+    }),
+
+    // Top-N per group through the verbatim shared SQL (CTE + window).
+    "q_topn_per_group" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(topnPerGroupSql)
+    }),
 
     // A4 duplicate-key audit agg (build.py:39-53).
     "a4_dup_audit" -> ((s, d) => t(s, d, "events")
@@ -804,6 +839,10 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 END) AS BIGINT) AS n_positive,
         | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_correlated_subquery" -> correlatedSubquerySql,
+
+    "q_topn_per_group" -> topnPerGroupSql,
 
     "a4_dup_audit" ->
       """SELECT user_id, event_type, COUNT(*) AS n FROM events
