@@ -213,7 +213,7 @@ object SparkEntry {
         col("o_totalprice").as("val"))
       val b = t(s, d, "lineitem").groupBy(col("l_orderkey").as("k"))
         .agg(count(lit(1)).as("n_items"), dsum2(col("l_quantity")).as("val"))
-      val (merged, _) = StaffingMetrics.foldJoin(Seq(a, b), Seq("k"))
+      val (merged, _) = StaffingMetrics.foldJoin(Seq(a, b), Seq("k"), audit = false)
       merged.select("k", "status", "val", "n_items", "val_f1").orderBy("k")
     }),
 
@@ -651,10 +651,12 @@ object SparkEntry {
     }),
 
     // LSH-bucketed approximate top-k (multi-probe random hyperplanes).
+    // bits sized to the corpus (2^4 buckets over 500 vectors): recall@10
+    // measured 0.26 vs 0.03 at 8 bits — see OpsSpec's recall test.
     "sim_lsh_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 5), k = 10,
-        dim = 64, bits = 8, probes = 3)
+        dim = 64, bits = 4, probes = 3)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("query_id", "rank")
     }),
@@ -1336,8 +1338,8 @@ object SparkEntry {
   }
 
   private def lshTopkOracle: String = {
-    val bucketC = lshBucketSql("cv", 8, 64)
-    val bucketQ = lshBucketSql("qv", 8, 64)
+    val bucketC = lshBucketSql("cv", 4, 64)
+    val bucketQ = lshBucketSql("qv", 4, 64)
     s"""WITH c AS (
        |  SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
        | cb AS (SELECT corpus_id, cv, $bucketC AS bucket FROM c),

