@@ -154,6 +154,49 @@ class OpsSpec extends SparkSpec {
     assert(lsh.subsetOf(brute) || lsh.nonEmpty) // sanity: non-degenerate
   }
 
+  test("language-ID accuracy against the labeled documents table") {
+    val docsReal = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scored = docsReal.select($"lang",
+      graft.functions.Text.languageId($"text").as("pred"))
+    val n = scored.count().toDouble
+    val correct = scored.where($"lang" === $"pred").count().toDouble
+    val predDist = scored.groupBy("pred").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    info(f"lang-id vs label=${correct / n}%.2f predictions=$predDist")
+    // The synthetic corpus is English word salad under EVERY label (the
+    // lang column is arbitrary metadata — verified by inspection), so the
+    // honest assertions are: en-labeled docs detect as en, and the
+    // classifier never hallucinates other languages from English text.
+    val enAcc = scored.where($"lang" === "en")
+      .agg(avg(when($"pred" === "en", 1.0).otherwise(0.0))).collect().head.getDouble(0)
+    assert(enAcc > 0.8)
+    assert(predDist.keySet.subsetOf(Set("en", "und")))
+  }
+
+  test("language-ID recovers planted non-English text") {
+    val planted = Seq(
+      ("der hund und die katze sind nicht mit dem ball", "de"),
+      ("le chat et le chien sont dans la maison pour un moment", "fr"),
+      ("el perro y el gato son los animales para la casa", "es"),
+      ("the dog and the cat are in the house for a while", "en"))
+    val got = planted.map(_._1).toDF("text")
+      .select(graft.functions.Text.languageId($"text")).as[String].collect()
+    assert(got.toSeq == planted.map(_._2))
+  }
+
+  test("minhash signature agreement estimates true jaccard") {
+    // near-dups doc1/doc3 share most shingles; estimate = fraction of
+    // agreeing minhash slots, which converges on the true jaccard
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", 128, 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Long]]("sig").toSeq).toMap
+    val est = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b } / 128.0
+    val truth = Dedup.ngramJaccardPairs(docs.where($"doc_id".isin(1L, 3L)),
+      "text", "doc_id", 3, 0.0).collect().head.getDouble(2)
+    info(f"minhash jaccard estimate=$est%.3f true=$truth%.3f")
+    assert(math.abs(est - truth) < 0.2) // 128 hashes: stderr ~ 0.044
+  }
+
   test("clusterNearDups labels each doc with its component's minimum id") {
     val ids = (1L to 8L).toDF("id")
     // components: {1,2,3} (chain), {4,5}, {6}, {7,8}
