@@ -87,13 +87,15 @@ object StreamingIngest {
     * result as a batch DataFrame. Used by tests and the Verify harness.
     */
   def runAvailableNow(spark: SparkSession, stream: DataFrame, name: String,
-      outputMode: String = "complete"): DataFrame = {
-    val q: StreamingQuery = stream.writeStream
+      outputMode: String = "complete",
+      checkpoint: Option[String] = None): DataFrame = {
+    val w = stream.writeStream
       .format("memory")
       .queryName(name)
       .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
-      .start()
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    val q: StreamingQuery = w.start()
     q.awaitTermination()
     spark.table(name)
   }

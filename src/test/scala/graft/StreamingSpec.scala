@@ -56,6 +56,44 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(SessionOut(1L, 0L, 10L * 1000000000L, 2L)))
   }
 
+  test("watermark evicts dedup state across micro-batches (bounded memory)") {
+    val src = Files.createTempDirectory("graft_late_src").toString
+    val ck = Files.createTempDirectory("graft_late_ck").toString
+    def write(rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("event_id", "tss", "value")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+        .coalesce(1).write.mode("append").parquet(src)
+    write(Seq(
+      (1L, "2024-01-01 10:05:00", 1.0),
+      (2L, "2024-01-01 13:00:00", 2.0))) // watermark after batch: 11:00 (2h)
+    val out = Files.createTempDirectory("graft_late_out").toString + "/t"
+    val schema = spark.read.parquet(src).schema
+    // memory sink cannot recover a checkpoint; the parquet sink can
+    def runOnce(): Unit = {
+      val q = StreamingIngest.dedupStream(
+        StreamingIngest.parquetStream(spark, src, schema), Seq("event_id"), "2 hours")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 2)
+    // batch 2: a LATE duplicate of id 1 (behind the 11:00 watermark — the
+    // operator DROPS late records outright rather than re-emitting, so
+    // bounded state never produces duplicates) and a TIMELY duplicate of
+    // id 2 (state alive -> deduplicated).
+    write(Seq(
+      (1L, "2024-01-01 10:10:00", 99.0),
+      (2L, "2024-01-01 13:01:00", 4.0)))
+    runOnce()
+    val byId = spark.read.parquet(out).groupBy("event_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId == Map(1L -> 1L, 2L -> 1L)) // late row dropped; timely deduped
+  }
+
   test("stream-stream interval join matches within the window, bounded state") {
     val d = Files.createTempDirectory("graft_ssj").toString
     Seq(
