@@ -1,0 +1,50 @@
+package graft
+
+/** Plan-shape regression guards: the physical properties that make the
+  * corpus scale (broadcasts, pushdown, pruning) asserted against the real
+  * optimized plans — a plan regression fails CI before it costs a shuffle
+  * at 100 TB.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("j1_multiway_join broadcasts every dimension (no sort-merge join)") {
+    val p = plan("j1_multiway_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(600))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("filter queries push predicates into the parquet scan") {
+    val p = plan("f2_null_drop")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_orderkey,3000)"))
+  }
+
+  test("q1_agg scan is pruned to the referenced columns") {
+    val p = plan("q1_agg")
+    // 11-column table; only the 4 referenced columns may be read
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_shipdate") && !p.contains("l_partkey"))
+  }
+
+  test("o2_topk compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan("o2_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
+  test("j5_range_join broadcasts the exploded interval side") {
+    val p = plan("j5_range_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("Generate"))
+  }
+
+  test("w2_sessionize shares one exchange across both window functions") {
+    val p = plan("w2_sessionize")
+    // two Window operators, but user_id is exchanged once
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p.take(800))
+  }
+}
