@@ -264,6 +264,31 @@ object SparkEntry {
         .orderBy("user_id", "view_id", "purchase_id")
     }),
 
+    // Null-safe equality join (<=>): NULL keys match each other, unlike
+    // plain equi-join semantics.
+    "j6_null_safe_join" -> ((s, d) => {
+      val n = t(s, d, "nation")
+        .select(col("n_nationkey"), nullif(col("n_regionkey"), lit(2)).as("rk"))
+      n.as("a").join(n.as("b"), col("a.rk") <=> col("b.rk"))
+        .select(col("a.n_nationkey").as("k_a"), col("b.n_nationkey").as("k_b"),
+          col("a.rk").as("rk"))
+        .orderBy("k_a", "k_b")
+    }),
+
+    // Array-function battery, serialized to strings (sort/distinct/slice/
+    // join) so no list types cross the oracle boundary.
+    "x7_array_funcs" -> ((s, d) => t(s, d, "lineitem")
+      .where(col("l_orderkey") <= 500)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+      .select(
+        col("l_orderkey"),
+        size(col("lines")).cast("long").as("n_lines"),
+        array_join(transform(col("lines"), _.cast("string")), ",").as("line_csv"),
+        col("lines")(0).as("first_line"),
+        element_at(col("lines"), -1).as("last_line"))
+      .orderBy("l_orderkey")),
+
     // A2 post-agg derived ratios w/ zero->NULL denominators
     // (calculate_metrics.py:132-143).
     "a2_ratio" -> ((s, d) => t(s, d, "orders")
@@ -823,6 +848,24 @@ object SparkEntry {
         |FROM v JOIN w ON v.user_id = w.user_id
         | AND v.ts_us >= w.start_us AND v.ts_us <= w.end_us
         |ORDER BY v.user_id, v.view_id, w.purchase_id""".stripMargin,
+
+    "j6_null_safe_join" ->
+      """WITH n AS (
+        | SELECT n_nationkey, NULLIF(n_regionkey, 2) AS rk FROM nation)
+        |SELECT a.n_nationkey AS k_a, b.n_nationkey AS k_b, a.rk
+        |FROM n a JOIN n b ON a.rk IS NOT DISTINCT FROM b.rk
+        |ORDER BY k_a, k_b""".stripMargin,
+
+    "x7_array_funcs" ->
+      """SELECT l_orderkey,
+        | CAST(len(ls) AS BIGINT) AS n_lines,
+        | array_to_string(list_transform(ls, x -> CAST(x AS VARCHAR)), ',') AS line_csv,
+        | ls[1] AS first_line,
+        | ls[-1] AS last_line
+        |FROM (
+        | SELECT l_orderkey, list_sort(list(l_linenumber)) AS ls
+        | FROM lineitem WHERE l_orderkey <= 500 GROUP BY l_orderkey)
+        |ORDER BY l_orderkey""".stripMargin,
 
     "a2_ratio" ->
       """SELECT o_orderpriority,
