@@ -545,6 +545,22 @@ object SparkEntry {
         .orderBy("user_id", "start_us")
     }),
 
+    // Ranking-function battery over a deterministic total order.
+    "w4_rank_funcs" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, d, "customer").where(col("c_nationkey") <= 5)
+        .select(
+          col("c_nationkey"), col("c_custkey"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          lag(col("c_custkey"), 1).over(w).as("prev_cust"),
+          lead(col("c_custkey"), 1, -1L).over(w).as("next_cust"),
+          percent_rank().over(w).as("pct_rank"))
+        .orderBy("c_nationkey", "rnk", "c_custkey")
+    }),
+
     // ---- north-star extensions (BASELINE.json) ----------------------------
 
     // Exact dedup by content digest.
@@ -1082,6 +1098,18 @@ object SparkEntry {
         | COUNT(*) AS n_events
         |FROM sessions GROUP BY user_id, session_seq
         |ORDER BY user_id, start_us""".stripMargin,
+
+    "w4_rank_funcs" ->
+      """SELECT c_nationkey, c_custkey,
+        | CAST(RANK() OVER w AS BIGINT) AS rnk,
+        | CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        | CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        | LAG(c_custkey, 1) OVER w AS prev_cust,
+        | LEAD(c_custkey, 1, -1) OVER w AS next_cust,
+        | PERCENT_RANK() OVER w AS pct_rank
+        |FROM customer WHERE c_nationkey <= 5
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_nationkey, rnk, c_custkey""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
