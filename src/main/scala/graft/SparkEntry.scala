@@ -387,6 +387,18 @@ object SparkEntry {
         expr("percentile(l_discount, 0.25)").as("p25_disc"))
       .orderBy("l_returnflag")),
 
+    // Argmax / conditional-aggregate battery. max_by keyed on a composite
+    // (bal scaled + custkey) so ties cannot make the pick nondeterministic.
+    "a13_argmax" -> ((s, d) => t(s, d, "customer")
+      .groupBy("c_nationkey")
+      .agg(
+        expr("count_if(c_acctbal > 0)").cast("long").as("n_positive"),
+        expr("bool_and(c_acctbal > -1000)").as("all_above_floor"),
+        expr("bool_or(c_acctbal > 9000)").as("any_rich"),
+        expr("max_by(c_name, c_acctbal * 1000000 + c_custkey)").as("richest"),
+        expr("min_by(c_name, c_acctbal * 1000000 + c_custkey)").as("poorest"))
+      .orderBy("c_nationkey")),
+
     // A8 pivot aggregation (metrics_dashboard.py:34-39), explicit values
     // for a deterministic single-pass plan (SURVEY §7.4.9).
     "a8_pivot" -> ((s, d) => {
@@ -956,6 +968,15 @@ object SparkEntry {
         | quantile_cont(l_extendedprice, 0.9) AS p90_price,
         | quantile_cont(l_discount, 0.25) AS p25_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a13_argmax" ->
+      """SELECT c_nationkey,
+        | CAST(count_if(c_acctbal > 0) AS BIGINT) AS n_positive,
+        | bool_and(c_acctbal > -1000) AS all_above_floor,
+        | bool_or(c_acctbal > 9000) AS any_rich,
+        | max_by(c_name, c_acctbal * 1000000 + c_custkey) AS richest,
+        | min_by(c_name, c_acctbal * 1000000 + c_custkey) AS poorest
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "a8_pivot" -> {
       val types = Seq("click", "error", "purchase", "signup", "view")
