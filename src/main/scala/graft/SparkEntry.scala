@@ -399,6 +399,34 @@ object SparkEntry {
         expr("min_by(c_name, c_acctbal * 1000000 + c_custkey)").as("poorest"))
       .orderBy("c_nationkey")),
 
+    // Variance / correlation from exact decimal moment sums: the built-in
+    // accumulators are order-dependent in float, but moments over 2-dp
+    // values are exact decimals, making the derived statistics
+    // bit-deterministic cross-engine (both sides compute this formula).
+    "a14_stats" -> ((s, d) => {
+      val q = col("l_quantity").cast(DecimalType(18, 2))
+      val p = col("l_extendedprice").cast(DecimalType(18, 2))
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(q).cast("double").as("sq"),
+          sum(p).cast("double").as("sp"),
+          sum(q * q).cast("double").as("sqq"),
+          sum(p * p).cast("double").as("spp"),
+          sum(q * p).cast("double").as("sqp"))
+        .select(
+          col("l_returnflag"),
+          col("n"),
+          ((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1))
+            .as("var_qty"),
+          ((col("n") * col("sqp") - col("sq") * col("sp")) /
+            sqrt((col("n") * col("sqq") - col("sq") * col("sq")) *
+              (col("n") * col("spp") - col("sp") * col("sp"))))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // A8 pivot aggregation (metrics_dashboard.py:34-39), explicit values
     // for a deterministic single-pass plan (SURVEY §7.4.9).
     "a8_pivot" -> ((s, d) => {
@@ -977,6 +1005,21 @@ object SparkEntry {
         | max_by(c_name, c_acctbal * 1000000 + c_custkey) AS richest,
         | min_by(c_name, c_acctbal * 1000000 + c_custkey) AS poorest
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "a14_stats" ->
+      """WITH m AS (
+        | SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | (sqq - sq * sq / n) / (n - 1) AS var_qty,
+        | (n * sqp - sq * sp) /
+        |  sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "a8_pivot" -> {
       val types = Seq("click", "error", "purchase", "signup", "view")
