@@ -69,6 +69,18 @@ object Profile {
       graft.SparkEntry.queries("j1_multiway_join")(spark, sfDir)
         .write.format("noop").mode("overwrite").save(); 0L }
 
+    // fresh-plan cost: decimal vs cents aggregation (same exec, different
+    // analysis complexity)
+    (1 to 3).foreach { i =>
+      def fresh(mk: => org.apache.spark.sql.DataFrame, tag: String): Unit = {
+        val t0 = System.nanoTime()
+        mk.queryExecution.toRdd.count()
+        println(f"[profile] freshplan-$tag run$i ${(System.nanoTime() - t0) / 1e9}%5.2fs")
+      }
+      fresh(q1dec, "decimal")
+      fresh(q1cents, "cents")
+    }
+
     // decompose: plan construction vs execution for bench queries
     Seq("q1_agg", "j1_multiway_join", "text_profile").foreach { qn =>
       (1 to 2).foreach { i =>
