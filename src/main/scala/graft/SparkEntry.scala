@@ -203,13 +203,19 @@ object SparkEntry {
       // without it the whole broadcast-probe chain runs on one core
       val li = Graft.spread(t(s, d, "lineitem")
         .select("l_orderkey", "l_extendedprice", "l_discount"))
-      val o = t(s, d, "orders")
-      val c = t(s, d, "customer"); val n = t(s, d, "nation")
-      val r = t(s, d, "region")
+      val o = t(s, d, "orders").select("o_orderkey", "o_custkey")
+      // star-schema collapse: pre-join the customer->nation->region chain
+      // into ONE broadcast dim, so the fact probes 2 hash tables, not 4
+      val cdim = t(s, d, "customer")
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+      // no broadcast() hints: at this scale the 64 MB threshold broadcasts
+      // both sides anyway, and at 100 TB orders/customer outgrow broadcast
+      // — a hard hint would force an executor OOM where AQE would have
+      // picked a shuffle join
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(cdim, col("o_custkey") === col("c_custkey"))
         .groupBy("r_name", "n_name")
         .agg(count(lit(1)).as("n_items"),
           revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))

@@ -14,10 +14,20 @@ class PlanShapeSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
-  test("j1_multiway_join broadcasts every dimension (no sort-merge join)") {
-    val p = plan("j1_multiway_join")
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(600))
-    assert(!p.contains("SortMergeJoin"))
+  /** Post-execution adaptive plan — the joins AQE actually ran with.
+    * (toString appends the pre-adaptive "Initial Plan" section; cut it.)
+    */
+  private def finalPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.queryExecution.toRdd.count() // materialize AQE stages
+    val s = df.queryExecution.executedPlan.toString
+    s.split("== Initial Plan ==").head
+  }
+
+  test("j1_multiway_join runs fully broadcast at this scale (AQE final plan)") {
+    val p = finalPlan("j1_multiway_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
   test("filter queries push predicates into the parquet scan") {
