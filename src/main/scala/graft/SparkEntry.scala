@@ -210,10 +210,12 @@ object SparkEntry {
         .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
         .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
         .select("c_custkey", "n_name", "r_name")
-      // no broadcast() hints: at this scale the 64 MB threshold broadcasts
-      // both sides anyway, and at 100 TB orders/customer outgrow broadcast
-      // — a hard hint would force an executor OOM where AQE would have
-      // picked a shuffle join
+      // No broadcast() hints: the 64 MB threshold broadcasts at this scale;
+      // at 100 TB AQE picks shuffle joins instead of a forced OOM.
+      // (Measured alternative: pre-aggregating lineitem by order key before
+      // the join is WORSE here — it adds a fact-sized shuffle while the
+      // broadcast probes are shuffle-free. Aggregate-below-join only pays
+      // when the join itself must shuffle the fact side.)
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(cdim, col("o_custkey") === col("c_custkey"))
         .groupBy("r_name", "n_name")
