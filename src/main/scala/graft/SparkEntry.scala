@@ -737,8 +737,9 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")),
 
-    // S5 catalog scan: register views, list user tables (no SQL oracle —
-    // session catalog; driver applies its rows-only check).
+    // S5 catalog scan: register views, list user tables filtered by the
+    // engine-prefix pattern (F8). The expected listing is a fixed constant,
+    // so even the catalog query gets an exact oracle.
     "s5_catalog" -> ((s, d) => {
       import s.implicits._
       Graft.tune(s)
@@ -827,6 +828,11 @@ object SparkEntry {
       "SELECT * FROM part ORDER BY p_partkey",
 
     "s4_scan" -> "SELECT * FROM region ORDER BY r_regionkey",
+
+    "s5_catalog" ->
+      """SELECT * FROM (VALUES ('graft_customer'), ('graft_nation'),
+        | ('graft_region')) t(table_name)
+        |ORDER BY table_name""".stripMargin,
 
     "s6_filtered_scan" ->
       """SELECT n_nationkey, n_name FROM nation

@@ -11,8 +11,8 @@ class ContractSpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
-    // rows-only (no SQL oracle) queries — keep this list intentional
-    assert((q -- o) == Set("s5_catalog"), s"unexpected rows-only: ${q -- o}")
+    // every query has an exact oracle — keep it that way
+    assert((q -- o).isEmpty, s"unexpected rows-only queries: ${q -- o}")
   }
 
   test("oracle SQL contains no engine-specific Spark syntax markers") {
