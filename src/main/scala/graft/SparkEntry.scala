@@ -437,11 +437,14 @@ object SparkEntry {
         .select(
           col("l_returnflag"),
           col("n"),
-          ((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1))
+          // rounded: DECIMAL(38,4)->double conversion can differ by 1 ULP
+          // between engines once sums pass 2^53; rounding 10 orders above
+          // ULP noise keeps the hash stable without losing the statistic
+          round((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1), 6)
             .as("var_qty"),
-          ((col("n") * col("sqp") - col("sq") * col("sp")) /
+          round((col("n") * col("sqp") - col("sq") * col("sp")) /
             sqrt((col("n") * col("sqq") - col("sq") * col("sq")) *
-              (col("n") * col("spp") - col("sp") * col("sp"))))
+              (col("n") * col("spp") - col("sp") * col("sp"))), 9)
             .as("corr_qty_price"))
         .orderBy("l_returnflag")
     }),
@@ -1041,9 +1044,9 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp
         | FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        | (sqq - sq * sq / n) / (n - 1) AS var_qty,
-        | (n * sqp - sq * sp) /
-        |  sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)) AS corr_qty_price
+        | ROUND((sqq - sq * sq / n) / (n - 1), 6) AS var_qty,
+        | ROUND((n * sqp - sq * sp) /
+        |  sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 9) AS corr_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "a8_pivot" -> {
