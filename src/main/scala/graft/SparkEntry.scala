@@ -1338,8 +1338,11 @@ object SparkEntry {
   private def hash60Sql(expr: String): String =
     s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
 
-  /** Relational word + 3-shingle CTEs over `documents` (distinct shingles,
-    * mirroring Text.wordShingles word-3-grams for docs with >= 3 words).
+  /** Relational word + 3-shingle CTEs over `documents`, TOTAL over edge
+    * cases to mirror Text.wordShingles exactly: >= 3 words -> distinct
+    * 3-grams; 1-2 words -> one whole-text shingle (whitespace-normalized);
+    * empty docs contribute no shingles (the minhash oracles LEFT JOIN from
+    * documents and coalesce to Long.MaxValue, matching the engine).
     */
   private val shingleCtes: String =
     """words AS (
@@ -1347,23 +1350,31 @@ object SparkEntry {
       |  SELECT doc_id,
       |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
       |   generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS i
-      |  FROM documents)),
+      |  FROM documents WHERE trim(text) <> '')),
       |shingles AS (
       | SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
       | FROM words a
       | JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
-      | JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2)""".stripMargin
+      | JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+      | UNION
+      | SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS sh
+      | FROM documents
+      | WHERE trim(text) <> ''
+      |  AND len(string_split_regex(trim(lower(text)), '\s+')) < 3)""".stripMargin
 
   private def minhashOracle: String = {
     val p = Dedup.MinhashP
     val mins = (0 until 4).map { j =>
       val (a, b) = Dedup.minhashCoeffs(j)
-      s"MIN((($a * (${hash60Sql("sh")} % $p)) + $b) % $p) AS h$j"
+      // LEFT JOIN from documents + coalesce: empty docs keep Long.MaxValue
+      // signatures, exactly like the engine's coalesce
+      s"COALESCE(MIN((($a * (${hash60Sql("s.sh")} % $p)) + $b) % $p), ${Long.MaxValue}) AS h$j"
     }.mkString(",\n ")
     s"""WITH $shingleCtes
-       |SELECT doc_id,
+       |SELECT d.doc_id,
        | $mins
-       |FROM shingles GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |FROM documents d LEFT JOIN shingles s ON s.doc_id = d.doc_id
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
   /** Group-level signature: min over a source's docs of each doc's min =
@@ -1373,13 +1384,13 @@ object SparkEntry {
     val p = Dedup.MinhashP
     val mins = (0 until 4).map { j =>
       val (a, b) = Dedup.minhashCoeffs(j)
-      s"MIN((($a * (${hash60Sql("sh")} % $p)) + $b) % $p) AS h$j"
+      s"COALESCE(MIN((($a * (${hash60Sql("s.sh")} % $p)) + $b) % $p), ${Long.MaxValue}) AS h$j"
     }.mkString(",\n ")
     s"""WITH $shingleCtes
        |SELECT d.source,
        | $mins,
-       | COUNT(DISTINCT s.doc_id) AS n_docs
-       |FROM shingles s JOIN documents d ON d.doc_id = s.doc_id
+       | COUNT(DISTINCT d.doc_id) AS n_docs
+       |FROM documents d LEFT JOIN shingles s ON s.doc_id = d.doc_id
        |GROUP BY d.source ORDER BY source""".stripMargin
   }
 
