@@ -708,8 +708,9 @@ object SparkEntry {
     "text_clean" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"),
         Text.cleanForTraining(
-          concat(col("text"), lit(" visit https://example.com/x?q=1 or "),
-            col("source"), lit("@mail.test  NOW")))
+          concat(coalesce(col("text"), lit("")),
+            lit(" visit https://example.com/x?q=1 or "),
+            coalesce(col("source"), lit("")), lit("@mail.test  NOW")))
           .as("cleaned"))
       .orderBy("doc_id")),
 
@@ -1087,7 +1088,7 @@ object SparkEntry {
     "mm_frame_sample" ->
       """WITH decoded AS (
         | SELECT doc_id AS media_id,
-        |  1 + CAST(octet_length(encode(text)) % 30 AS INT) AS n_frames
+        |  1 + CAST(COALESCE(octet_length(encode(text)), 0) % 30 AS INT) AS n_frames
         | FROM documents)
         |SELECT media_id, CAST(f.f AS INT) AS frame_idx
         |FROM decoded, (SELECT unnest(range(0, 30, 7)) AS f) f
@@ -1235,7 +1236,8 @@ object SparkEntry {
     "text_clean" ->
       """SELECT doc_id,
         | lower(trim(regexp_replace(regexp_replace(regexp_replace(
-        |   text || ' visit https://example.com/x?q=1 or ' || source || '@mail.test  NOW',
+        |   COALESCE(text, '') || ' visit https://example.com/x?q=1 or '
+        |     || COALESCE(source, '') || '@mail.test  NOW',
         |   'https?://\S+', ' ', 'g'),
         |  '\S+@\S+', ' ', 'g'),
         | '\s+', ' ', 'g'))) AS cleaned
@@ -1397,18 +1399,22 @@ object SparkEntry {
   private def simhashOracle(bits: Int): String = {
     val votes = (0 until bits).map(b =>
       s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(",\n  ")
+    // LEFT JOIN from documents: empty/whitespace-only docs have no token
+    // rows; NULL votes fall through every CASE to 0 -> simhash 0, exactly
+    // the engine's empty-token guard
     val bitsum = (0 until bits).map(b =>
-      s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      s"CASE WHEN v.v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
     s"""WITH toks AS (
        | SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-       | FROM documents),
+       | FROM documents WHERE trim(text) <> ''),
        |hashed AS (SELECT doc_id, ${hash60Sql("w")} AS h FROM toks),
        |votes AS (
        | SELECT doc_id,
        |  $votes
        | FROM hashed GROUP BY doc_id)
-       |SELECT doc_id, CAST($bitsum AS BIGINT) AS simhash
-       |FROM votes ORDER BY doc_id""".stripMargin
+       |SELECT d.doc_id, CAST($bitsum AS BIGINT) AS simhash
+       |FROM documents d LEFT JOIN votes v ON v.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   private def ngramJaccardOracle: String =
@@ -1455,12 +1461,15 @@ object SparkEntry {
     }.mkString(" ") + " END"
     val fp =
       s"SUM((${hash60Sql("w")} % 1000000) * i) AS fp_sum"
+    // LEFT JOIN from charstats (all docs, incl. empty/whitespace-only/null
+    // text) with zero-coalesced word stats, mirroring the engine's
+    // when-guards: empty docs -> und / zero ratios / fingerprint 0.
     s"""WITH words AS (
        | SELECT doc_id, w, i FROM (
        |  SELECT doc_id,
        |   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
        |   generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS i
-       |  FROM documents)),
+       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '')),
        |wordstats AS (
        | SELECT doc_id,
        |  COUNT(*) AS n_tokens,
@@ -1470,27 +1479,33 @@ object SparkEntry {
        | FROM words GROUP BY doc_id),
        |charstats AS (
        | SELECT doc_id,
-       |  length(text) AS n_chars,
-       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
-       |  len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS n_punct
+       |  length(COALESCE(text, '')) AS n_chars,
+       |  len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+       |  len(regexp_extract_all(COALESCE(text, ''), '[.,;:!?''"()\\[\\]{}]')) AS n_punct
        | FROM documents),
        |joined AS (
-       | SELECT w.doc_id, w.n_tokens, w.h_all, c.n_chars, c.n_bpe_tokens, c.n_punct,
-       |  w.fp_sum,
+       | SELECT c.doc_id,
+       |  COALESCE(w.n_tokens, 0) AS n_tokens,
+       |  COALESCE(w.h_all, 0) AS h_all,
+       |  c.n_chars, c.n_bpe_tokens, c.n_punct,
+       |  COALESCE(w.fp_sum, 0) AS fp_sum,
        |  $argmax AS best_lang,
-       |  ${langs.map(l => s"w.h_$l").mkString(" + ")} AS dummy_sum,
-       |  GREATEST(${langs.map(l => s"w.h_$l").mkString(", ")}) AS best_hits
-       | FROM wordstats w JOIN charstats c ON c.doc_id = w.doc_id)
+       |  COALESCE(GREATEST(${langs.map(l => s"w.h_$l").mkString(", ")}), 0) AS best_hits
+       | FROM charstats c LEFT JOIN wordstats w ON w.doc_id = c.doc_id)
        |SELECT doc_id,
        | CASE WHEN best_hits > 0 THEN best_lang ELSE 'und' END AS lang_pred,
        | CAST(n_chars AS BIGINT) AS n_chars,
        | CAST(n_tokens AS BIGINT) AS n_tokens,
        | CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
-       | ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
-       | ROUND(CAST(h_all AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       | CASE WHEN n_chars > 0
+       |      THEN ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) ELSE 0.0 END AS punct_ratio,
+       | CASE WHEN n_tokens > 0
+       |      THEN ROUND(CAST(h_all AS DOUBLE) / n_tokens, 6) ELSE 0.0 END AS stopword_ratio,
        | ROUND((LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
-       |      + GREATEST(1.0 - (CAST(n_punct AS DOUBLE) / n_chars) * 5.0, 0.0)
-       |      + LEAST((CAST(h_all AS DOUBLE) / n_tokens) * 4.0, 1.0)) / 3.0, 6) AS quality_score,
+       |      + GREATEST(1.0 - (CASE WHEN n_chars > 0
+       |          THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 5.0, 0.0)
+       |      + LEAST((CASE WHEN n_tokens > 0
+       |          THEN CAST(h_all AS DOUBLE) / n_tokens ELSE 0.0 END) * 4.0, 1.0)) / 3.0, 6) AS quality_score,
        | CAST(fp_sum % 2147483647 AS BIGINT) AS fingerprint
        |FROM joined ORDER BY doc_id""".stripMargin
   }
