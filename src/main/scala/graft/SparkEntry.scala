@@ -985,7 +985,8 @@ object SparkEntry {
         s"""SELECT 'events' AS table_name, '$c' AS column_name,
            | COUNT(*) AS row_count, COUNT($c) AS non_null_count,
            | CASE WHEN COUNT(*) = 0 THEN 0.0
-           |      ELSE ROUND(COUNT($c) * 100.0 / COUNT(*), 2) END AS pct_not_null
+           |      ELSE CAST((COUNT($c) * 10000 + COUNT(*) // 2) // COUNT(*) AS DOUBLE) / 100
+           | END AS pct_not_null
            |FROM (SELECT event_id, user_id,
            |        NULLIF(event_type, 'click') AS event_type_nc, value
            |      FROM events)""".stripMargin

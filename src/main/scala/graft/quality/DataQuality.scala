@@ -35,7 +35,10 @@ object DataQuality {
         $"s.row_count",
         $"s.non_null_count",
         when($"s.row_count" === 0, lit(0.0)) // :26 empty-table guard
-          .otherwise(round($"s.non_null_count" * 100.0 / $"s.row_count", 2))
+          // integer half-up rounding to 2dp: ROUND(double, 2) can disagree
+          // across engines on exactly-representable .xx5 fractions
+          .otherwise(expr(
+            "CAST((s.non_null_count * 10000 + s.row_count DIV 2) DIV s.row_count AS DOUBLE) / 100"))
           .as("pct_not_null"))
   }
 
