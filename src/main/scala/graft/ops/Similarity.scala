@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors
 
@@ -10,13 +9,21 @@ import graft.functions.Vectors
   * Two tiers:
   *  - [[bruteForceTopK]]: exact cosine top-k. The query side is broadcast
   *    (it is always small); the corpus is streamed map-side and reduced with
-  *    a per-query top-k window — no corpus-sized shuffle. Baseline and
-  *    recall oracle.
+  *    a bounded partial top-k aggregate — no corpus-sized shuffle, no global
+  *    sort. Baseline and recall oracle.
   *  - [[lshTopK]]: random-hyperplane-bucketed search. Corpus is bucketed
   *    once (map-side projection); each query probes its own bucket plus
   *    `probes-1` nearest Hamming-neighbor buckets. At 100 TB the bucketed
   *    corpus would be written bucket-partitioned so a query touches only
   *    its buckets' files (partition pruning), not the full corpus.
+  *
+  * All three paths finish with [[TopK.perGroupTopK]]: each map partition
+  * folds its scored rows into a k-slot buffer, so only `partitions × Q × k`
+  * buffer rows cross the shuffle. The previous window-function finisher
+  * (`row_number() OVER (PARTITION BY query_id ...)`) shuffled EVERY scored
+  * row — corpus × Q for brute force — into Q reducer partitions and sorted
+  * there: the classic few-hot-keys scale-killer at 100 TB, and the measured
+  * local hotspot too.
   */
 object Similarity {
 
@@ -37,12 +44,7 @@ object Similarity {
         when(col("qn") > 0 && col("cn") > 0,
           Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
           .otherwise(lit(null).cast("double")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cosine"),
-        col("rank").cast("long").as("rank")) // long: match BIGINT row_number oracles
+    TopK.perGroupTopK(scored, Seq("query_id"), "corpus_id", "cosine", k)
   }
 
   /** IVF-style approximate top-k: corpus vectors are assigned to their
@@ -59,14 +61,16 @@ object Similarity {
       nCells: Int = 16, nProbe: Int = 2): DataFrame = {
     val cents = broadcast(corpus.orderBy("vec_id").limit(nCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("centv")))
+    // Nearest-n cells per vector, again via the bounded aggregate (the old
+    // row_number window here shuffled corpus × nCells rows on the vector
+    // id). Score = -distance: the aggregate ranks desc, distance ranks asc;
+    // cent_id asc breaks ties either way.
     def nearestCells(df: DataFrame, idC: String, vC: String, n: Int): DataFrame = {
-      val wCell = Window.partitionBy(idC)
-        .orderBy(col("dist").asc, col("cent_id").asc)
-      df.crossJoin(cents)
+      val scored = df.crossJoin(cents)
         // sqrt(in-order fold) matches DuckDB's list_distance loop exactly
-        .withColumn("dist", sqrt(Vectors.l2sq(col(vC), col("centv"))))
-        .withColumn("cell_rank", row_number().over(wCell))
-        .where(col("cell_rank") <= n)
+        .withColumn("negdist", -sqrt(Vectors.l2sq(col(vC), col("centv"))))
+      // vC rides along as a (functionally dependent) group key — no re-join
+      TopK.perGroupTopK(scored, Seq(idC, vC), "cent_id", "negdist", n)
         .select(col(idC), col(vC), col("cent_id").as("cell"))
     }
     val c = nearestCells(
@@ -86,12 +90,7 @@ object Similarity {
         when(col("qn") > 0 && col("cn") > 0,
           Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
           .otherwise(lit(null).cast("double")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cosine"),
-        col("rank").cast("long").as("rank")) // long: match BIGINT row_number oracles
+    TopK.perGroupTopK(scored, Seq("query_id"), "corpus_id", "cosine", k)
   }
 
   /** LSH-bucketed approximate top-k: candidates restricted to query buckets
@@ -118,11 +117,6 @@ object Similarity {
         when(col("qn") > 0 && col("cn") > 0,
           Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
           .otherwise(lit(null).cast("double")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cosine"),
-        col("rank").cast("long").as("rank")) // long: match BIGINT row_number oracles
+    TopK.perGroupTopK(scored, Seq("query_id"), "corpus_id", "cosine", k)
   }
 }

@@ -92,6 +92,34 @@ class OpsSpec extends SparkSpec {
     assert(out.exists(_.getAs[Long]("corpus_id") == 1L))
   }
 
+  test("TopKAgg matches the row_number window form exactly (ties, nulls, k)") {
+    import org.apache.spark.sql.expressions.Window
+    // 200 scored rows over 3 groups, engineered ties (score = id % 7) and
+    // planted null scores; spread over 8 partitions to force partial+final
+    // merges across buffers.
+    val scored = spark.range(200)
+      .select(
+        (col("id") % 3).as("g"),
+        col("id").as("cand"),
+        when(col("id") % 11 === 0, lit(null).cast("double"))
+          .otherwise((col("id") % 7).cast("double")).as("score"))
+      .repartition(8)
+    val viaAgg = graft.ops.TopK.perGroupTopK(scored, Seq("g"), "cand", "score", 5)
+      .orderBy("g", "rank").collect().map(_.toSeq)
+    val w = Window.partitionBy("g").orderBy(col("score").desc_nulls_last, col("cand").asc)
+    val viaWindow = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select("g", "cand", "score", "rank")
+      .orderBy("g", "rank").collect().map(_.toSeq)
+    assert(viaAgg.toSeq == viaWindow.toSeq)
+    // k larger than the group: returns all, ranked, without padding
+    val tiny = Seq((1L, 10L, 0.5), (1L, 11L, 0.9)).toDF("g", "cand", "score")
+    val all = graft.ops.TopK.perGroupTopK(tiny, Seq("g"), "cand", "score", 100)
+      .orderBy("rank").collect()
+    assert(all.map(r => (r.getAs[Long]("cand"), r.getAs[Long]("rank"))).toSeq ==
+      Seq((11L, 1L), (10L, 2L)))
+  }
+
   test("MinHashMerge aggregator: group signature = elementwise min of members") {
     val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", 8, 3)
       .withColumn("grp", when($"doc_id" <= 3, "a").otherwise("b"))

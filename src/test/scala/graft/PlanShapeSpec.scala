@@ -52,6 +52,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("Generate"))
   }
 
+  test("similarity top-k is a bounded partial aggregate, not a window sort") {
+    // The scale contract: no corpus-sized shuffle+sort into Q hot reducer
+    // partitions. The finisher must be a partial+final ObjectHashAggregate
+    // (TopKAgg) — only partitions x Q x k buffer rows cross the shuffle.
+    for (q <- Seq("sim_brute_topk", "sim_lsh_topk", "sim_ivf_topk")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q still uses a window finisher: ${p.take(600)}")
+      assert(p.contains("ObjectHashAggregate") && p.contains("topkagg"),
+        s"$q lacks the bounded TopKAgg aggregate: ${p.take(600)}")
+    }
+  }
+
   test("w2_sessionize shares one exchange across both window functions") {
     val p = plan("w2_sessionize")
     // two Window operators, but user_id is exchanged once
