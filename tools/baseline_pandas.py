@@ -4,33 +4,50 @@ running the same headline workloads on the same parquet, for a concrete
 throughput comparison point. Dev/measurement tooling only — the engine
 itself is pure Scala Spark.
 
+Two protocols, matching graft.Bench exactly (see BASELINE.md Methodology):
+
+ - single: one cold run per workload, read included (round-1 protocol).
+ - amortized: read the input ONCE, run the compute N times (same N as
+   Bench's fused-instance counts), report wall/N. This is the same
+   "run each query N times" amortization Bench applies to Spark — the
+   comparison is symmetric: both stacks scan once and compute N times.
+
+text_profile here computes the FULL profile the Spark query computes
+(5-language stopword scores, BPE-ish token count, punctuation/stopword
+ratios, quality score, positional fingerprint) — the round-1 baseline
+computed a single stopword count, which understated the reference-stack
+cost of the actual workload ~30x (noted in round-1 BASELINE.md).
+
 Usage: python3 tools/baseline_pandas.py [sfDir]
 """
-import hashlib, sys, time
+import hashlib, re, sys, time
 import pandas as pd
 import numpy as np
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
-def timed(name, f):
-    t0 = time.time()
-    r = f()
-    dt = time.time() - t0
-    print(f"{name:24s} {dt:7.3f}s  (n={r})")
-    return name, dt
+REPS = {  # keep in sync with graft.Bench.headline
+    "q1_agg": 10, "j1_multiway_join": 4, "w1_window": 32, "a8_pivot": 16,
+    "dedup_exact": 32, "dedup_minhash": 8, "text_profile": 8,
+    "sim_brute_topk": 64,
+}
+
 
 def q1_agg():
     li = pd.read_parquet(f"{sf}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"])
-    g = li.assign(disc_price=li.l_extendedprice * (1 - li.l_discount)) \
-        .groupby(["l_returnflag", "l_linestatus"]) \
-        .agg(sum_qty=("l_quantity", "sum"),
-             sum_base=("l_extendedprice", "sum"),
-             sum_disc=("disc_price", "sum"),
-             avg_qty=("l_quantity", "mean"),
-             n=("l_quantity", "size"))
-    return len(g)
+    def compute(li=li):
+        g = li.assign(disc_price=li.l_extendedprice * (1 - li.l_discount)) \
+            .groupby(["l_returnflag", "l_linestatus"]) \
+            .agg(sum_qty=("l_quantity", "sum"),
+                 sum_base=("l_extendedprice", "sum"),
+                 sum_disc=("disc_price", "sum"),
+                 avg_qty=("l_quantity", "mean"),
+                 n=("l_quantity", "size"))
+        return len(g)
+    return compute
+
 
 def j1_join():
     li = pd.read_parquet(f"{sf}/lineitem.parquet",
@@ -39,20 +56,50 @@ def j1_join():
     c = pd.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     n = pd.read_parquet(f"{sf}/nation.parquet")
     r = pd.read_parquet(f"{sf}/region.parquet")
-    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey") \
-          .merge(c, left_on="o_custkey", right_on="c_custkey") \
-          .merge(n, left_on="c_nationkey", right_on="n_nationkey") \
-          .merge(r, left_on="n_regionkey", right_on="r_regionkey")
-    g = m.assign(rev=m.l_extendedprice * (1 - m.l_discount)) \
-         .groupby(["r_name", "n_name"]).agg(n=("rev", "size"), rev=("rev", "sum"))
-    return len(g)
+    def compute():
+        m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey") \
+              .merge(c, left_on="o_custkey", right_on="c_custkey") \
+              .merge(n, left_on="c_nationkey", right_on="n_nationkey") \
+              .merge(r, left_on="n_regionkey", right_on="r_regionkey")
+        g = m.assign(rev=m.l_extendedprice * (1 - m.l_discount)) \
+             .groupby(["r_name", "n_name"]).agg(n=("rev", "size"), rev=("rev", "sum"))
+        return len(g)
+    return compute
+
+
+def w1_window():
+    o = pd.read_parquet(f"{sf}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    o = o[o.o_custkey <= 100]
+    def compute():
+        s = o.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        g = s.groupby("o_custkey")
+        out = s.assign(rn=g.cumcount() + 1,
+                       running_total=g.o_totalprice.cumsum())
+        return len(out)
+    return compute
+
+
+def a8_pivot():
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+        columns=["ts", "event_type", "value"])
+    def compute():
+        day = pd.to_datetime(ev.ts, unit="ns").dt.date
+        p = ev.assign(day=day).pivot_table(index="day", columns="event_type",
+            values="value", aggfunc="sum")
+        return len(p)
+    return compute
+
 
 def dedup_exact():
     d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
-    dig = d.text.map(lambda t: hashlib.md5(t.encode()).hexdigest())
-    g = d.assign(digest=dig).groupby("digest").agg(
-        keep=("doc_id", "min"), n=("doc_id", "size"))
-    return len(g)
+    def compute():
+        dig = d.text.map(lambda t: hashlib.md5(t.encode()).hexdigest())
+        g = d.assign(digest=dig).groupby("digest").agg(
+            keep=("doc_id", "min"), n=("doc_id", "size"))
+        return len(g)
+    return compute
+
 
 def dedup_minhash():
     d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
@@ -63,27 +110,81 @@ def dedup_minhash():
         hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P for s in sh]
         return [min(((1103515245 * (j + 1) + 12345) % P | 1) * h % P for h in hs)
                 for j in range(4)]
-    return len(d.text.map(sig))
+    def compute():
+        return len(d.text.map(sig))
+    return compute
+
+
+STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"},
+    "fr": {"le", "la", "et", "les", "des", "un", "une", "est", "pour", "dans"},
+    "es": {"el", "la", "los", "las", "es", "un", "una", "para", "por", "con"},
+    "zh": {"的", "是", "在", "了", "和", "有", "我", "不", "这", "他"},
+}
+ALL_STOP = set().union(*STOPWORDS.values())
+BPE_RE = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")
+PUNCT_RE = re.compile(r"[.,;:!?'\"()\[\]{}]")
+
 
 def text_profile():
+    """Full profile — the same signals the Spark text_profile query emits."""
     d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
-    stop = {"the", "a", "of", "and", "to", "in", "is", "it", "that", "for"}
     def prof(t):
         toks = t.lower().split()
-        hits = sum(1 for w in toks if w in stop)
-        return (len(t), len(toks), hits)
-    return len(d.text.map(prof))
+        n_chars, n_toks = len(t), len(toks)
+        # language id: argmax stopword hits over 5 languages
+        best_hits, best_lang = 0, "und"
+        for lang in sorted(STOPWORDS):
+            hits = sum(1 for w in toks if w in STOPWORDS[lang])
+            if hits >= best_hits and hits > 0:
+                best_hits, best_lang = hits, lang
+        n_bpe = len(BPE_RE.findall(t))
+        n_punct = len(PUNCT_RE.findall(t))
+        punct_ratio = n_punct / n_chars if n_chars else 0.0
+        all_hits = sum(1 for w in toks if w in ALL_STOP)
+        stop_ratio = all_hits / n_toks if n_toks else 0.0
+        quality = (min(n_toks / 50.0, 1.0) + max(1.0 - punct_ratio * 5, 0.0)
+                   + min(stop_ratio * 4, 1.0)) / 3.0
+        fp = sum((int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % 1000000)
+                 * (i + 1) for i, w in enumerate(toks)) % 2147483647
+        return (best_lang, n_chars, n_toks, n_bpe, punct_ratio, stop_ratio,
+                quality, fp)
+    def compute():
+        return len(d.text.map(prof))
+    return compute
+
 
 def sim_brute():
     e = pd.read_parquet(f"{sf}/embeddings.parquet")
     m = np.stack(e.embedding.to_numpy()).astype(np.float64)
-    q = m[:5]
-    sims = (q @ m.T) / (np.linalg.norm(q, axis=1)[:, None] * np.linalg.norm(m, axis=1)[None, :])
-    top = np.argsort(-sims, axis=1)[:, :10]
-    return top.size
+    def compute():
+        q = m[:5]
+        sims = (q @ m.T) / (np.linalg.norm(q, axis=1)[:, None]
+                            * np.linalg.norm(m, axis=1)[None, :])
+        top = np.argsort(-sims, axis=1)[:, :10]
+        return top.size
+    return compute
 
-results = [timed(*x) for x in [
+
+WORKLOADS = [
     ("q1_agg", q1_agg), ("j1_multiway_join", j1_join),
+    ("w1_window", w1_window), ("a8_pivot", a8_pivot),
     ("dedup_exact", dedup_exact), ("dedup_minhash", dedup_minhash),
-    ("text_profile", text_profile), ("sim_brute_topk", sim_brute)]]
-print(f"{'TOTAL':24s} {sum(t for _, t in results):7.3f}s  sf={sf}")
+    ("text_profile", text_profile), ("sim_brute_topk", sim_brute)]
+
+print(f"{'workload':24s} {'single':>8s} {'amortized':>10s}  (N)")
+tot_s = tot_a = 0.0
+for name, factory in WORKLOADS:
+    t0 = time.time()
+    compute = factory()          # read (timed in single)
+    n0 = compute()               # one compute pass
+    single = time.time() - t0
+    reps = REPS[name]
+    t1 = time.time()
+    for _ in range(reps):
+        compute()
+    amort = (time.time() - t1) / reps
+    tot_s += single; tot_a += amort
+    print(f"{name:24s} {single:7.3f}s {amort:9.4f}s  (N={reps}, n={n0})")
+print(f"{'TOTAL':24s} {tot_s:7.3f}s {tot_a:9.4f}s  sf={sf}")
