@@ -167,12 +167,26 @@ object Dedup {
     * `maxIters` ~10 covers real corpora; loop exits early when stable).
     * This is the standard final step of fuzzy dedup at scale: pick one
     * survivor per duplicate cluster.
+    *
+    * Iteration hygiene (the part that matters at 100 TB):
+    *  - the lineage is truncated with `localCheckpoint()` every
+    *    [[CheckpointEvery]] rounds — without it each round nests another
+    *    join into the logical plan and analysis/planning cost compounds
+    *    with the iteration count;
+    *  - convergence costs no extra join-action: labels are monotonically
+    *    non-increasing (`least` of self and neighbors), so the exact
+    *    decimal sum of labels — read off the same action that materializes
+    *    the round — is unchanged iff no label moved.
     */
+  private val CheckpointEvery = 3
+
   def clusterNearDups(ids: DataFrame, pairs: DataFrame,
       idCol: String = "id", maxIters: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("component"))
+    var prevSum: Option[java.math.BigDecimal] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -181,14 +195,22 @@ object Dedup {
           .withColumnRenamed("component", "nbr_component"), Seq("id_b"))
         .groupBy(col("id_a").as("id"))
         .agg(min("nbr_component").as("nbr_component"))
-      val updated = labels.join(viaNeighbor, Seq("id"), "left")
+      val joined = labels.join(viaNeighbor, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_component"), col("component")))
             .as("component"))
-      updated.cache()
-      val changed = updated.as("u").join(labels.as("l"), Seq("id"))
-        .where(col("u.component") =!= col("l.component")).isEmpty
-      converged = changed // isEmpty == no rows changed
+      // Truncate lineage periodically; cache the in-between rounds. Both
+      // materialize on the sum action below — one action per round total.
+      val updated =
+        if ((i + 1) % CheckpointEvery == 0) joined.localCheckpoint(eager = false)
+        else joined.cache()
+      // Exact (decimal — never overflows, never rounds) label sum:
+      // monotone labels make equal-sum a proof of convergence.
+      val s = updated.agg(sum(col("component").cast(DecimalType(38, 0))))
+        .head.getDecimal(0)
+      converged = prevSum.exists(p => (p == null && s == null) ||
+        (p != null && p.compareTo(s) == 0))
+      prevSum = Some(s)
       labels.unpersist()
       labels = updated
       i += 1

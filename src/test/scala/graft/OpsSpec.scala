@@ -235,6 +235,19 @@ class OpsSpec extends SparkSpec {
       6L -> 6L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("clusterNearDups: 14-round chain converges with a bounded plan") {
+    // A 15-node chain has diameter 14: min-label propagation needs many
+    // rounds, which used to nest one join deeper into the logical plan per
+    // round. localCheckpoint every few rounds bounds the plan.
+    val ids = (0L to 14L).toDF("id")
+    val pairs = (0L until 14L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.clusterNearDups(ids, pairs, maxIters = 20)
+    assert(out.collect().forall(_.getLong(1) == 0L)) // one component, min id 0
+    // Lineage was truncated: the final plan must not nest ~14 joins.
+    val planDepth = out.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(planDepth < 30, s"plan has $planDepth nodes - lineage not truncated")
+  }
+
   test("operators tolerate empty inputs (no crash, empty/zero outputs)") {
     val noDocs = docs.where(lit(false))
     assert(Dedup.exact(noDocs, "text", "doc_id").count() == 0)
