@@ -500,7 +500,7 @@ object SparkEntry {
     // generator — every 7th frame index per media item.
     "mm_frame_sample" -> ((s, d) => {
       val media = Multimodal.syntheticMediaFromDocs(t(s, d, "documents"))
-      val decoded = Multimodal.fakeDecodeImage(s, media)
+      val decoded = Multimodal.decodeImage(s, media)
       Multimodal.sampleFrames(decoded, stride = 7)
         .orderBy("media_id", "frame_idx")
     }),
@@ -543,6 +543,37 @@ object SparkEntry {
 
     // X3 quarter normalization (calculate_metrics.py:28-36): regex
     // `(20\d{2}).*?(\d)`; no match -> NULL (1995-1999 dates exercise that).
+    // X4/X5/X6 coercion battery: crafted good/bad strings (selected
+    // deterministically per row from literal case tables) through
+    // coerce-to-null numeric cast, flexible date parse, and trim-cast
+    // (reference build.py:29-37 errors='coerce' semantics). Single-digit
+    // date forms (e.g. 7/4/2021) are deliberately absent: Spark's strict
+    // MM requires two digits while strptime's %m does not — a documented
+    // parser divergence, not a coercion behavior.
+    "x4_coerce" -> ((s, d) => {
+      val numCases = Seq(" 42 ", "3.14", "-7.5", "1e3", "abc", "", "  ",
+        "12abc", "0042", "+5")
+      val dateCases = Seq("04/05/2021", "2021-03-04", "not-a-date",
+        "13/01/2021", "12/31/1999", "02/29/2020", "02/30/2021", "")
+      val strCases = Seq(" spaced ", "nospaces", "  double  ", "", " mixed Case ")
+      def pick(cases: Seq[String]) = element_at(
+        array(cases.map(lit): _*),
+        (pmod(col("p_partkey"), lit(cases.size)) + 1).cast("int"))
+      t(s, d, "part").where(col("p_partkey") <= 2000)
+        .select(col("p_partkey").as("id"), pick(numCases).as("raw_num"),
+          pick(dateCases).as("raw_date"), pick(strCases).as("raw_str"),
+          col("p_size"))
+        .select(
+          col("id"),
+          col("raw_num"), Cleaning.coerceNumeric(col("raw_num")).as("num"),
+          col("raw_date"),
+          // ISO string, not DATE (temporal canonicalization, SURVEY §7.4.7)
+          Cleaning.coerceDate(col("raw_date")).cast("string").as("dt"),
+          col("raw_str"), Cleaning.toTrimmedString(col("raw_str")).as("trimmed"),
+          Cleaning.toTrimmedString(col("p_size")).as("size_str"))
+        .orderBy("id")
+    }),
+
     "x3_quarter_norm" -> ((s, d) => {
       val o = t(s, d, "orders").where(col("o_orderkey") <= 3000)
       val y = year(col("o_orderdate")).cast("string")
@@ -661,10 +692,17 @@ object SparkEntry {
       .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash"))
       .orderBy("doc_id")),
 
-    // Exact n-gram Jaccard pairs (relational formulation).
+    // Exact n-gram Jaccard pairs (relational formulation). The fixed-id
+    // slice (doc_id < 300) bounds the VERIFY cost — exact all-pairs jaccard
+    // within shared-shingle blocks grows quadratically with docs sharing a
+    // frequent bigram, in DuckDB and Spark alike — at a constant 300 docs
+    // regardless of sf (ids are dense, so sf scales row count, not the id
+    // range). The operator itself is unbounded: its corpus-scale role is
+    // exact verification of LSH-bucketed candidates (dedup_minhash /
+    // fuzzyDedup), never corpus-wide all-pairs.
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
-        t(s, d, "documents").where(col("doc_id") < 100), "text", "doc_id",
+        t(s, d, "documents").where(col("doc_id") < 300), "text", "doc_id",
         shingleK = 2, minJaccard = 0.05)
         .orderBy("id_a", "id_b")),
 
@@ -1121,6 +1159,27 @@ object SparkEntry {
         |   '_+', '_', 'g'), '^_', ''), '_$', '') AS norm_name
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "x4_coerce" ->
+      """WITH base AS (
+        | SELECT p_partkey AS id,
+        |  list_extract([' 42 ','3.14','-7.5','1e3','abc','','  ','12abc','0042','+5'],
+        |   CAST(p_partkey % 10 AS INT) + 1) AS raw_num,
+        |  list_extract(['04/05/2021','2021-03-04','not-a-date','13/01/2021',
+        |   '12/31/1999','02/29/2020','02/30/2021',''],
+        |   CAST(p_partkey % 8 AS INT) + 1) AS raw_date,
+        |  list_extract([' spaced ','nospaces','  double  ','',' mixed Case '],
+        |   CAST(p_partkey % 5 AS INT) + 1) AS raw_str,
+        |  p_size
+        | FROM part WHERE p_partkey <= 2000)
+        |SELECT id,
+        | raw_num, TRY_CAST(raw_num AS DOUBLE) AS num,
+        | raw_date,
+        | CAST(COALESCE(CAST(try_strptime(raw_date, '%m/%d/%Y') AS DATE),
+        |               TRY_CAST(raw_date AS DATE)) AS VARCHAR) AS dt,
+        | raw_str, trim(raw_str) AS trimmed,
+        | trim(CAST(p_size AS VARCHAR)) AS size_str
+        |FROM base ORDER BY id""".stripMargin,
+
     "x3_quarter_norm" ->
       """WITH raws AS (
         | SELECT o_orderkey,
@@ -1419,16 +1478,21 @@ object SparkEntry {
   }
 
   private def ngramJaccardOracle: String =
-    """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+    """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
       |words AS (
       | SELECT doc_id, w, i FROM (
       |  SELECT doc_id,
       |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
       |   generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS i
-      |  FROM docs)),
+      |  FROM docs WHERE trim(text) <> '')),
       |shingles AS (
       | SELECT DISTINCT a.doc_id AS id, a.w || ' ' || b.w AS sh
-      | FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+      | FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      | UNION
+      | SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS sh
+      | FROM docs
+      | WHERE trim(text) <> ''
+      |  AND len(string_split_regex(trim(lower(text)), '\s+')) < 2),
       |sizes AS (SELECT id, COUNT(*) AS n FROM shingles GROUP BY id),
       |inter AS (
       | SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS n_inter

@@ -7,9 +7,11 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: image/audio/video as opaque `binary` columns
   * with typed metadata, per the north-star extension spec.
   *
-  * Real codec libraries are absent in this environment, so the DECODE step is
-  * a clearly-marked deterministic stub ([[fakeDecodeImage]]) — but the
-  * Spark-side plumbing is real and is what matters at 100 TB:
+  * Image decode ([[decodeImage]]) is REAL for PNG/JPEG/GIF/BMP via the
+  * JDK's `javax.imageio` (zero external dependencies); bytes no reader
+  * claims fall back to a deterministic length-derived shape so synthetic
+  * or corrupt payloads flow through the same plumbing instead of erroring.
+  * The Spark-side plumbing is what matters at 100 TB:
   *  - media rides as `binary` + a metadata struct (schema below), so parquet
   *    stores it row-group-columnar and metadata-only queries never read bytes
   *    (column pruning).
@@ -52,13 +54,20 @@ object Multimodal {
       md5(col("bytes")).as("digest"),
       upper(substring(base64(col("bytes")), 1, 4)).as("format")))
 
-  /** STUB decode: a real deployment would decode image bytes with a codec
-    * library inside this mapPartitions (constant-memory iterator, one codec
-    * context per task). Here it derives deterministic fake dimensions from
-    * the digest so tests are reproducible. The batch shape, schema, and
-    * partition behavior are the real thing; ONLY the pixel math is fake.
+  /** Image decode: real PNG/JPEG/GIF/BMP header+pixel decode via the JDK's
+    * `javax.imageio` (no external codec dependency) inside a mapPartitions
+    * (constant-memory iterator, codec state per task, no driver
+    * collection). Bytes no ImageIO reader can decode fall back to
+    * DETERMINISTIC length-derived dimensions — the round-1 stub behavior —
+    * so synthetic/corrupt payloads still flow through the same plumbing
+    * reproducibly instead of erroring (the engine's coerce-don't-error
+    * rule, reference build.py:29-37).
+    *
+    * `ImageIO.read` is invoked only when a registered reader claims the
+    * byte stream; `n_frames` is the reader's image count when cheaply
+    * known (multi-frame GIFs), else 1.
     */
-  def fakeDecodeImage(spark: SparkSession, media: DataFrame): DataFrame = {
+  def decodeImage(spark: SparkSession, media: DataFrame): DataFrame = {
     val out = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("width", IntegerType, nullable = false),
@@ -66,15 +75,45 @@ object Multimodal {
       StructField("n_frames", IntegerType, nullable = false)))
     val in = media.select("media_id", "bytes")
     val rdd = in.rdd.mapPartitions { it =>
-      // >>> STUB: replace with a real codec (e.g. ImageIO) when available <<<
+      javax.imageio.ImageIO.setUseCache(false) // in-memory, no /tmp spill
       it.map { r =>
         val id = r.getLong(0)
         val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-        val n = bytes.length
-        Row(id, 64 + (n % 512), 64 + ((n / 7) % 512), 1 + (n % 30))
+        decodeOne(bytes) match {
+          case Some((w, h, f)) => Row(id, w, h, f)
+          case None =>
+            // deterministic fallback for non-decodable payloads
+            val n = bytes.length
+            Row(id, 64 + (n % 512), 64 + ((n / 7) % 512), 1 + (n % 30))
+        }
       }
     }
     spark.createDataFrame(rdd, out)
+  }
+
+  /** (width, height, frames) for decodable image bytes; None otherwise. */
+  private def decodeOne(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes.isEmpty) return None
+    var stream: javax.imageio.stream.ImageInputStream = null
+    try {
+      stream = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(stream)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(stream, /*seekForwardOnly=*/ false)
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        // allowSearch=false: O(1) metadata peek; -1 (unknown) maps to 1
+        val frames = math.max(reader.getNumImages(false), 1)
+        // decode the first frame's pixels — header-only peeks would accept
+        // files whose pixel data is truncated/corrupt
+        reader.read(0)
+        Some((w, h, frames))
+      } finally reader.dispose()
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally if (stream != null) stream.close()
   }
 
   /** Frame sampling plumbing: every `stride`-th frame index per video row,

@@ -293,6 +293,30 @@ class OpsSpec extends SparkSpec {
     assert(salted.count(_.head == "hot") == 900)
   }
 
+  test("decodeImage reads real PNG/JPEG dimensions; non-images fall back deterministically") {
+    import java.awt.image.BufferedImage
+    def encoded(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(1, 1, 0xFF8800) // non-trivial pixel content
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val junk = "definitely not an image payload".getBytes("UTF-8")
+    val media = Seq(
+      (1L, encoded("png", 17, 23)),
+      (2L, junk),
+      (3L, encoded("jpg", 40, 9)))
+      .toDF("media_id", "bytes")
+    val out = Multimodal.decodeImage(spark, media).orderBy("media_id").collect()
+    assert((out(0).getInt(1), out(0).getInt(2), out(0).getInt(3)) == (17, 23, 1))
+    assert((out(2).getInt(1), out(2).getInt(2)) == (40, 9))
+    // fallback: deterministic length-derived dimensions (round-1 contract)
+    val n = junk.length
+    assert((out(1).getInt(1), out(1).getInt(2), out(1).getInt(3)) ==
+      (64 + (n % 512), 64 + ((n / 7) % 512), 1 + (n % 30)))
+  }
+
   test("multimodal: metadata never decodes; fake decode is deterministic") {
     val media = Multimodal.withMeta(Multimodal.syntheticMediaFromDocs(
       docs.withColumnRenamed("text", "text")))
@@ -300,11 +324,11 @@ class OpsSpec extends SparkSpec {
       .collect().head
     assert(m.getLong(0) == text1.getBytes("UTF-8").length.toLong)
     assert(m.getString(1).length == 32)
-    val dec1 = Multimodal.fakeDecodeImage(spark, media).orderBy("media_id").collect()
-    val dec2 = Multimodal.fakeDecodeImage(spark, media).orderBy("media_id").collect()
+    val dec1 = Multimodal.decodeImage(spark, media).orderBy("media_id").collect()
+    val dec2 = Multimodal.decodeImage(spark, media).orderBy("media_id").collect()
     assert(dec1.map(_.toSeq).toSeq == dec2.map(_.toSeq).toSeq)
     val frames = Multimodal.sampleFrames(
-      Multimodal.fakeDecodeImage(spark, media), stride = 5)
+      Multimodal.decodeImage(spark, media), stride = 5)
     assert(frames.count() > 0)
   }
 }

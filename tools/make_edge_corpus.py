@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Build the HANDOFF pre-round edge corpus: a scale-factor dir whose
+documents.parquet is replaced with degenerate rows (empty / whitespace /
+NULL text, 1-2 word docs, exact dups, punctuation soup), every other table
+symlinked from a real sf dir. Running the full Verify + compare harness
+over it exercises the totality branches (shingle short-doc, empty-token
+guards, null media payloads) that uniform synthetic text never hits.
+
+Usage: python3 tools/make_edge_corpus.py [realSfDir] [outDir]
+  then: sbt "runMain graft.Verify <outDir> /tmp/verify_edge"
+        python3 tools/compare.py <outDir> /tmp/verify_edge
+"""
+import os, sys
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+real = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/edge_corpus"
+
+os.makedirs(out, exist_ok=True)
+for f in os.listdir(real):
+    if not f.endswith(".parquet") or f == "documents.parquet":
+        continue
+    dst = os.path.join(out, f)
+    if os.path.lexists(dst):
+        os.remove(dst)
+    os.symlink(os.path.join(real, f), dst)
+
+rows = [
+    (0, "", "en", "src0"),                       # empty
+    (1, "   ", "en", "src0"),                    # whitespace-only
+    (2, None, "en", "src1"),                     # NULL text
+    (3, "word", "en", "src1"),                   # single word (short-doc shingle)
+    (4, "two words", "en", "src1"),              # exactly 2 words
+    (5, "three little words", "en", "src2"),     # exactly 3 words
+    (6, "word", "en", "src2"),                   # exact dup of 3 (and 1-word pair)
+    (7, "two words", "en", "src2"),              # exact dup of 4
+    (8, "  leading and trailing   spaces  ", "en", "src3"),
+    (9, "!!! ??? ... ,,, ;;;", "und", "src3"),   # punctuation soup
+    (10, "the the the the the the", "en", "src3"),  # stopword-only repeat
+    (11, "der und die das ist nicht", "de", "src4"),
+    (12, "\tmixed\twhitespace\n runs  here", "en", "src4"),
+    (13, "a b a b a b", "en", "src4"),           # tiny vocab, repeated bigrams
+    (14, "unique closing document with several plain words", "en", "src5"),
+]
+tbl = pa.table({
+    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+    "text": pa.array([r[1] for r in rows], pa.string()),
+    "lang": pa.array([r[2] for r in rows], pa.string()),
+    "source": pa.array([r[3] for r in rows], pa.string()),
+    "n_chars": pa.array([len(r[1]) if r[1] is not None else 0 for r in rows],
+                        pa.int64()),
+})
+pq.write_table(tbl, os.path.join(out, "documents.parquet"))
+print(f"edge corpus at {out} ({len(rows)} degenerate docs, rest symlinked from {real})")
