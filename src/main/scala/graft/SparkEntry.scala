@@ -771,11 +771,12 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // Embedding near-dup pairs: LSH-bucketed, cosine-verified (threshold
-    // 0.2 — demo level for random vectors; production dedup uses ~0.95).
+    // Embedding near-dup pairs: banded-LSH-bucketed (2 hash tables of 8
+    // hyperplanes), candidates cosine-verified once (threshold 0.2 — demo
+    // level for random vectors; production dedup uses ~0.95).
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDups(t(s, d, "embeddings"), "embedding", "vec_id",
-        dim = 64, bits = 8, threshold = 0.2)
+        dim = 64, bits = 8, bands = 2, threshold = 0.2)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")),
 
@@ -1580,8 +1581,9 @@ object SparkEntry {
     * as literals — the projection fold is left-associative in both engines,
     * so buckets (and therefore candidates and ranks) match bit-for-bit.
     */
-  private def lshBucketSql(vecExpr: String, bits: Int, dim: Int): String = {
-    val signs = Vectors.hyperplaneSigns(bits, dim, seed = 7)
+  private def lshBucketSql(vecExpr: String, bits: Int, dim: Int,
+      seed: Int = 7): String = {
+    val signs = Vectors.hyperplaneSigns(bits, dim, seed)
     (0 until bits).map { j =>
       val terms = (0 until dim).map { i =>
         val s = if (signs(j)(i) > 0) "" else "-"
@@ -1619,15 +1621,26 @@ object SparkEntry {
   }
 
   private def embeddingNearDupOracle: String = {
-    val bucket = lshBucketSql("v", 8, 64)
+    // two bands = two seeded bucket tables; candidate = collision in ANY
+    // band, verified once (DISTINCT before the cosine join), mirroring
+    // Dedup.embeddingNearDups(bits = 8, bands = 2)
+    val bucket0 = lshBucketSql("v", 8, 64, seed = 7)
+    val bucket1 = lshBucketSql("v", 8, 64, seed = 8)
     s"""WITH e AS (
        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-       | eb AS (SELECT id, v, $bucket AS bucket FROM e),
+       | eb AS (
+       |  SELECT id, 0 AS band, $bucket0 AS bucket FROM e
+       |  UNION ALL
+       |  SELECT id, 1 AS band, $bucket1 AS bucket FROM e),
+       | cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM eb a JOIN eb b ON a.band = b.band AND a.bucket = b.bucket
+       |   AND a.id < b.id),
        | pairs AS (
-       |  SELECT a.id AS id_a, b.id AS id_b,
-       |   list_dot_product(a.v, b.v) /
-       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
-       |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.id < b.id)
+       |  SELECT id_a, id_b,
+       |   list_dot_product(x.v, y.v) /
+       |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cosine
+       |  FROM cand JOIN e x ON x.id = cand.id_a JOIN e y ON y.id = cand.id_b)
        |SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
        |FROM pairs WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin
   }

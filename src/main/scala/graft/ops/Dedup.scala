@@ -218,21 +218,45 @@ object Dedup {
     labels
   }
 
-  /** Embedding near-dup: cosine >= threshold pairs, bucketed by
-    * random-hyperplane LSH so the pair join is bucket-local.
+  /** Embedding near-dup: cosine >= threshold pairs, bucketed by BANDED
+    * random-hyperplane LSH so the pair join is bucket-local (the minhash
+    * band structure applied to hyperplane hashing).
+    *
+    * `bands` independent hash tables, each over `bits` hyperplanes with a
+    * distinct seed: a pair is a candidate if it collides in ANY band.
+    * Sizing at corpus scale: `bits ~ log2(n / targetBucketSize)` bounds the
+    * per-bucket verify cost (expected occupancy n/2^bits), then `bands`
+    * buys recall back — each extra band is one more chance for a true
+    * near-dup to collide, at one more map-side projection. A single wide
+    * table (the round-1 shape: fixed 8 bits regardless of corpus) has the
+    * opposite behavior: buckets grow linearly with n and verify goes
+    * quadratic inside them.
+    *
+    * Candidate ids are distinct-ed BEFORE verification (ids only — two
+    * longs — cross that shuffle), so a pair colliding in several bands is
+    * cosine-verified exactly once; vectors are joined back just for the
+    * verify, as [[minhashPairs]] joins shingles back.
     */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String, dim: Int,
-      bits: Int = 8, threshold: Double = 0.95): DataFrame = {
-    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      bits: Int = 8, bands: Int = 1, threshold: Double = 0.95): DataFrame = {
+    require(bands >= 1, "bands must be >= 1")
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       Vectors.norm2(col(vecCol)).as("n"))
-      .withColumn("bucket", Vectors.lshBucket(col("v"), bits, dim))
-    withBucket.as("a").join(withBucket.as("b"), Seq("bucket"))
+    val buckets = base.select(col("id"), posexplode(array(
+      (0 until bands).map(b => Vectors.lshBucket(col("v"), bits, dim, seed = 7 + b)): _*))
+      .as(Seq("band", "bucket")))
+    val pairs = buckets.as("a").join(buckets.as("b"), Seq("band", "bucket"))
       .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
       .withColumn("cosine",
-        when(col("a.n") > 0 && col("b.n") > 0,
-          Vectors.dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
+        when(col("na") > 0 && col("nb") > 0,
+          Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")))
           .otherwise(org.apache.spark.sql.functions.lit(null).cast("double")))
       .where(col("cosine") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+      .select("id_a", "id_b", "cosine")
   }
 }

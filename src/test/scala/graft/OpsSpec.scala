@@ -182,6 +182,30 @@ class OpsSpec extends SparkSpec {
     assert(lsh.subsetOf(brute) || lsh.nonEmpty) // sanity: non-degenerate
   }
 
+  test("banded embedding LSH: more bands buy recall at fixed bucket size") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // exact truth: all cosine >= 0.2 pairs (brute all-pairs is fine at test scale)
+    val e = emb.select($"vec_id".as("id"), $"embedding".as("v"),
+      graft.functions.Vectors.norm2($"embedding").as("n"))
+    val truth = e.as("a").crossJoin(e.as("b"))
+      .where($"a.id" < $"b.id")
+      .where(graft.functions.Vectors.dot($"a.v", $"b.v") / ($"a.n" * $"b.n") >= 0.2)
+      .select($"a.id", $"b.id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def found(bands: Int) = Dedup.embeddingNearDups(
+      emb, "embedding", "vec_id", dim = 64, bits = 8, bands = bands,
+      threshold = 0.2)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = found(1); val r4 = found(4)
+    assert(r1.subsetOf(truth) && r4.subsetOf(truth)) // verified: no false positives
+    val recall1 = (r1 & truth).size.toDouble / math.max(truth.size, 1)
+    val recall4 = (r4 & truth).size.toDouble / math.max(truth.size, 1)
+    info(f"near-dup pair recall at bits=8: bands=1 $recall1%.2f, bands=4 $recall4%.2f")
+    assert(recall4 >= recall1)   // each band only adds candidates
+    assert(recall4 > recall1 || recall1 == 1.0) // and at 8 bits it really does
+  }
+
   test("language-ID accuracy against the labeled documents table") {
     val docsReal = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val scored = docsReal.select($"lang",
