@@ -9,11 +9,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   * Re-expressed on the Hadoop FileSystem API so the same code drives
   * file://, hdfs://, or s3a:// targets: recursive collect with
-  * include/exclude filters and hidden-file skip, streaming md5, skip when
-  * the target already has the same length + digest, post-copy verify, and
-  * a digest manifest. Single-process by design (it is I/O-bound setup
-  * tooling); the engine-relevant bulk path at 100 TB is
-  * `df.write.parquet("s3a://...")` with committer configs.
+  * include/exclude filters and hidden-file skip, streaming digest
+  * (sha256 by default, exactly the reference's manifest algorithm —
+  * upload_to_s3.py:30-36 — so manifests are interchangeable; md5
+  * selectable), skip when the target already has the same length +
+  * digest, post-copy verify, and a digest manifest. Single-process by
+  * design (it is I/O-bound setup tooling); the engine-relevant bulk path
+  * at 100 TB is `df.write.parquet("s3a://...")` with committer configs.
   */
 object ObjectSync {
 
@@ -21,8 +23,8 @@ object ObjectSync {
       copied: Seq[String], skipped: Seq[String], verifiedOk: Boolean,
       manifest: Map[String, String])
 
-  private def md5Of(fs: FileSystem, p: Path): String = {
-    val md = MessageDigest.getInstance("MD5")
+  private def digestOf(fs: FileSystem, p: Path, algorithm: String): String = {
+    val md = MessageDigest.getInstance(algorithm)
     val in = fs.open(p)
     try {
       val buf = new Array[Byte](8 << 20) // 8 MB chunks (upload_to_s3.py:27)
@@ -46,11 +48,14 @@ object ObjectSync {
   }
 
   /** Sync `srcDir` into `dstDir`; returns what was copied vs skipped plus
-    * the md5 manifest. `dryRun` reports without copying.
+    * the digest manifest (`algorithm` defaults to SHA-256, matching the
+    * reference's `compute_sha256` manifests; pass "MD5" for the cheaper
+    * legacy digest). `dryRun` reports without copying.
     */
   def sync(conf: Configuration, srcDir: String, dstDir: String,
       include: String => Boolean = _ => true,
-      dryRun: Boolean = false): SyncReport = {
+      dryRun: Boolean = false,
+      algorithm: String = "SHA-256"): SyncReport = {
     val src = new Path(srcDir); val dst = new Path(dstDir)
     val sfs = src.getFileSystem(conf); val dfs = dst.getFileSystem(conf)
     dfs.mkdirs(dst)
@@ -66,17 +71,17 @@ object ObjectSync {
       val rel = srcUri.relativize(sfs.makeQualified(f).toUri).getPath
       require(!rel.startsWith("/"), s"failed to relativize $f against $src")
       val target = new Path(dst, rel)
-      val srcSum = md5Of(sfs, f)
+      val srcSum = digestOf(sfs, f, algorithm)
       manifest += rel -> srcSum
       val canSkip = dfs.exists(target) &&
         dfs.getFileStatus(target).getLen == sfs.getFileStatus(f).getLen &&
-        md5Of(dfs, target) == srcSum // skip-existing (upload_to_s3.py:184-191)
+        digestOf(dfs, target, algorithm) == srcSum // skip-existing (upload_to_s3.py:184-191)
       if (canSkip) skipped += rel
       else if (!dryRun) {
         org.apache.hadoop.fs.FileUtil.copy(sfs, f, dfs, target,
           false, true, conf)
         // post-copy verify (upload_to_s3.py:197-200)
-        if (md5Of(dfs, target) != srcSum) allOk = false
+        if (digestOf(dfs, target, algorithm) != srcSum) allOk = false
         copied += rel
       } else copied += rel
     }

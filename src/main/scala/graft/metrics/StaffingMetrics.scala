@@ -25,6 +25,17 @@ object StaffingMetrics {
 
   final case class JoinAudit(steps: Int, emptyAfterStep: Seq[Int])
 
+  /** Row-drop accounting, mirroring the reference's per-stage warnings
+    * (calculate_metrics.py:93-97 zero-sentinel count, :100-113 critical
+    * dropna count, :134-140 zero-denominator count, :145-153 ratio dropna
+    * count). Populated by [[cleanWithAudit]] / [[metricsWithAudit]].
+    */
+  final case class DropAudit(
+      zeroNulledRows: Long,       // rows whose critical set was zero-nulled
+      droppedCriticalRows: Long,  // rows dropped for missing critical values
+      zeroDenomRows: Long,        // aggregated rows with a zeroed denominator
+      droppedRatioRows: Long)     // aggregated rows dropped for NULL ratios
+
   /** Iterative N-way inner equi-join on (PROVNUM, CY_Qtr)
     * (reference calculate_metrics.py:56-62). Overlapping non-key columns are
     * deterministically renamed `<col>_fN` by source position — the Spark
@@ -62,21 +73,83 @@ object StaffingMetrics {
   /** Cleaning (reference calculate_metrics.py:71-114): quarter
     * normalization, numeric coercion, row-wise zero-sentinel nulling of the
     * critical set, then drop rows with any critical NULL.
+    *
+    * The drop set is the reference's dropna subset (critical cols + STATE +
+    * CY_Qtr, calculate_metrics.py:101-108) PLUS PROVNUM: the reference
+    * never lists PROVNUM there, but pandas `groupby` silently drops
+    * NaN-keyed rows at the aggregation (calculate_metrics.py:124) while
+    * Spark groupBy KEEPS null keys — dropping null PROVNUM here reproduces
+    * the reference's net row set.
     */
+  private val dropSubset = criticalCols ++ Seq("STATE", "CY_Qtr", "PROVNUM")
+
   def clean(df: DataFrame): DataFrame = {
     val numericCols = requiredCols.filterNot(Seq("PROVNUM", "STATE", "CY_Qtr").contains)
     val coerced = numericCols.foldLeft(
       df.withColumn("CY_Qtr", Norm.normalizeQuarter(col("CY_Qtr")))  // :74
     )((d, c) => d.withColumn(c, Cleaning.coerceNumeric(col(c))))     // :88-90
     val zeroed = Cleaning.zeroSentinelNull(coerced, criticalCols)    // :92-98
-    zeroed.na.drop(criticalCols ++ Seq("CY_Qtr", "PROVNUM"))         // :101-108
+    zeroed.na.drop(dropSubset)                                       // :101-108
+  }
+
+  /** [[clean]] plus the reference's eager row-drop accounting
+    * (calculate_metrics.py:93-97, :100-113). Costs two count actions over
+    * the pre-drop frame — the reference is eager too; pass through
+    * [[clean]] directly when counts aren't needed at scale.
+    */
+  def cleanWithAudit(df: DataFrame): (DataFrame, Long, Long) = {
+    val numericCols = requiredCols.filterNot(Seq("PROVNUM", "STATE", "CY_Qtr").contains)
+    val coerced = numericCols.foldLeft(
+      df.withColumn("CY_Qtr", Norm.normalizeQuarter(col("CY_Qtr")))
+    )((d, c) => d.withColumn(c, Cleaning.coerceNumeric(col(c))))
+    // one pass computes all three counts (no per-stage re-execution)
+    val anyZero = criticalCols.map(col(_) === 0).reduce(_ || _)
+    val zeroed = Cleaning.zeroSentinelNull(coerced, criticalCols)
+    val anyNull = dropSubset.map(col(_).isNull).reduce(_ || _)
+    val counts = coerced.select(
+      count(lit(1)).as("n"),
+      count(when(anyZero, 1)).as("n_zeroed"))
+      .crossJoin(zeroed.select(count(when(anyNull, 1)).as("n_dropped")))
+      .head()
+    (zeroed.na.drop(dropSubset),
+      counts.getAs[Long]("n_zeroed"), counts.getAs[Long]("n_dropped"))
   }
 
   /** Aggregation + ratios (reference calculate_metrics.py:117-162):
     * horizontal hour sums, group totals, denominator zero->NULL, ratio
     * columns, drop NULL-ratio rows, final projection.
     */
-  def metrics(df: DataFrame): DataFrame = {
+  def metrics(df: DataFrame): DataFrame =
+    ratioed(df)
+      .na.drop(Seq("nurse_to_patient_ratio", "contract_vs_employed_ratio")) // :145-148
+      .select("PROVNUM", "STATE", "CY_Qtr",                           // :155-162
+        "nurse_to_patient_ratio", "contract_vs_employed_ratio", "total_nurse_hours")
+
+  /** [[metrics]] plus the reference's eager row-drop accounting
+    * (calculate_metrics.py:132-140 zero denominators, :145-153 ratio
+    * drops). One count action over the aggregated (small) frame.
+    */
+  def metricsWithAudit(df: DataFrame): (DataFrame, Long, Long) = {
+    val r = ratioed(df).cache()
+    val c = r.select(
+      count(when(col("total_census").isNull || col("total_employed").isNull, 1))
+        .as("n_zero_denom"),
+      count(when(col("nurse_to_patient_ratio").isNull ||
+        col("contract_vs_employed_ratio").isNull, 1)).as("n_dropped"))
+      .head()
+    val out = r
+      .na.drop(Seq("nurse_to_patient_ratio", "contract_vs_employed_ratio"))
+      .select("PROVNUM", "STATE", "CY_Qtr",
+        "nurse_to_patient_ratio", "contract_vs_employed_ratio", "total_nurse_hours")
+    (out, c.getAs[Long]("n_zero_denom"), c.getAs[Long]("n_dropped"))
+  }
+
+  // Note: n_zero_denom counts rows whose census OR employed denominator is
+  // NULL post-zeroing; the reference counts rows where either WAS zero
+  // (calculate_metrics.py:132-135) — identical unless a denominator was
+  // already NULL, impossible here (sum over the cleaned, null-dropped set).
+
+  private def ratioed(df: DataFrame): DataFrame = {
     val withSums = df
       .withColumn("total_hours", Cleaning.horizontalSum(
         Seq(col("Hrs_RN"), col("Hrs_LPN"), col("Hrs_CNA"))))          // :119
@@ -96,9 +169,6 @@ object StaffingMetrics {
         col("total_nurse_hours") / col("total_census"))               // :142
       .withColumn("contract_vs_employed_ratio",
         col("total_contract") / col("total_employed"))                // :143
-      .na.drop(Seq("nurse_to_patient_ratio", "contract_vs_employed_ratio")) // :145-148
-      .select("PROVNUM", "STATE", "CY_Qtr",                           // :155-162
-        "total_nurse_hours", "nurse_to_patient_ratio", "contract_vs_employed_ratio")
   }
 
   /** Full pipeline over pre-loaded frames (discovery/schema-predicate F1 is
@@ -109,5 +179,16 @@ object StaffingMetrics {
     val qualifying = frames.filter(f => joinKeys.forall(f.columns.contains))
     val (merged, audit) = foldJoin(qualifying)
     (metrics(clean(requireCols(merged))), audit)
+  }
+
+  /** [[run]] with full accounting: join audit + the reference's four
+    * row-drop counters (clean + metrics stages).
+    */
+  def runWithAudit(frames: Seq[DataFrame]): (DataFrame, JoinAudit, DropAudit) = {
+    val qualifying = frames.filter(f => joinKeys.forall(f.columns.contains))
+    val (merged, joinAudit) = foldJoin(qualifying)
+    val (cleaned, nZeroed, nDroppedCritical) = cleanWithAudit(requireCols(merged))
+    val (out, nZeroDenom, nDroppedRatio) = metricsWithAudit(cleaned)
+    (out, joinAudit, DropAudit(nZeroed, nDroppedCritical, nZeroDenom, nDroppedRatio))
   }
 }

@@ -27,9 +27,18 @@ object MetricsPipeline {
     require(files.nonEmpty, s"no CSV files under $csvDir") // :51-54
     val frames = files.toSeq.map(f => spark.read
       .option("header", "true").csv(f.getAbsolutePath))
-    val (metrics, audit) = StaffingMetrics.run(frames)
+    val (metrics, audit, drops) = StaffingMetrics.runWithAudit(frames)
     audit.emptyAfterStep.foreach(i =>
       System.err.println(s"[metrics] warning: empty merge at step $i")) // :167-169
+    // the reference's per-stage drop warnings (calculate_metrics.py:93-153)
+    if (drops.zeroNulledRows > 0) System.err.println(
+      s"[metrics] warning: zero-nulled critical columns on ${drops.zeroNulledRows} rows")
+    if (drops.droppedCriticalRows > 0) System.err.println(
+      s"[metrics] warning: dropped ${drops.droppedCriticalRows} rows for missing critical values")
+    if (drops.zeroDenomRows > 0) System.err.println(
+      s"[metrics] warning: zeroed denominators on ${drops.zeroDenomRows} aggregated rows")
+    if (drops.droppedRatioRows > 0) System.err.println(
+      s"[metrics] warning: dropped ${drops.droppedRatioRows} aggregated rows for null ratios")
     metrics.as[MetricsRow]
   }
 

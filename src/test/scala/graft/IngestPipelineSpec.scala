@@ -161,7 +161,16 @@ class IngestPipelineSpec extends SparkSpec {
     assert(r1.copied.toSet == Set("a.csv", "sub/b.csv"))
     assert(r1.skipped.isEmpty && r1.verifiedOk)
     assert(r1.manifest.keySet == Set("a.csv", "sub/b.csv"))
-    // second run: everything skips via length+md5
+    // default manifest digests are the reference's streaming sha256
+    // (upload_to_s3.py:30-36): same hex a manifest consumer would compute
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Files.readAllBytes(src.resolve("a.csv")))
+      .map("%02x".format(_)).mkString
+    assert(r1.manifest("a.csv") == sha && sha.length == 64)
+    // md5 stays selectable for legacy manifests
+    val rMd5 = ObjectSync.sync(conf, src.toString, dst, algorithm = "MD5")
+    assert(rMd5.manifest("a.csv").length == 32)
+    // second run: everything skips via length+digest
     val r2 = ObjectSync.sync(conf, src.toString, dst)
     assert(r2.copied.isEmpty && r2.skipped.toSet == Set("a.csv", "sub/b.csv"))
     // changed source -> re-copied

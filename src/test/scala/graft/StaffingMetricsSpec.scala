@@ -50,14 +50,51 @@ class StaffingMetricsSpec extends SparkSpec {
     // quarter -> null CY_Qtr -> na.drop). P1 survives with TWO merged rows
     // (2 staffing x 2 contract rows on the same key = 4 joined rows).
     assert(rows.map(_.getString(0)).toSeq == Seq("P1"))
+    // column order matches the reference's final projection
+    // (calculate_metrics.py:155-162)
+    assert(out.columns.toSeq == Seq("PROVNUM", "STATE", "CY_Qtr",
+      "nurse_to_patient_ratio", "contract_vs_employed_ratio", "total_nurse_hours"))
     val r = rows.head
     assert(r.getString(1) == "TX" && r.getString(2) == "2024-Q1")
     // joined rows (staffing x contract): hours repeat per contract row:
     // total_nurse_hours = (24 + 12) * 2 = 72; census = (10+20)*2 = 60
-    assert(r.getDouble(3) == 72.0)
-    assert(r.getDouble(4) == 72.0 / 60.0)   // nurse_to_patient_ratio
+    assert(r.getDouble(5) == 72.0)
+    assert(r.getDouble(3) == 72.0 / 60.0)   // nurse_to_patient_ratio
     // contract totals: (3 + 6) * 2 = 18; employed: (15 + 9) * 2 = 48
-    assert(r.getDouble(5) == 18.0 / 48.0)   // contract_vs_employed_ratio
+    assert(r.getDouble(4) == 18.0 / 48.0)   // contract_vs_employed_ratio
+  }
+
+  test("runWithAudit counts every drop stage exactly (calculate_metrics.py:93-153)") {
+    // staffing + a null-STATE provider: reference dropna includes STATE
+    // (calculate_metrics.py:101-108) even though no other stage touches it
+    val s = staffing.unionByName(Seq(
+      (Option("P5"), Option.empty[String], Option("2024Q1"),
+        Option("5"), Option("1.0"), Option("1.0"), Option("1.0")))
+      .toDF("PROVNUM", "STATE", "CY_Qtr", "MDScensus", "Hrs_RN", "Hrs_LPN", "Hrs_CNA"))
+    val c = contract.unionByName(Seq(
+      ("P5", "2024Q1", "1.0", "1.0", "1.0", "1.0", "1.0", "1.0"))
+      .toDF("PROVNUM", "CY_Qtr", "Hrs_RN_ctr", "Hrs_LPN_ctr", "Hrs_CNA_ctr",
+        "Hrs_RN_emp", "Hrs_LPN_emp", "Hrs_CNA_emp"))
+    val (out, joinAudit, drops) = StaffingMetrics.runWithAudit(Seq(s, c))
+    assert(joinAudit.emptyAfterStep.isEmpty)
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("P1"))
+    assert(drops.zeroNulledRows == 1)       // P2: zero census
+    // P2 (zero-nulled criticals), P3 (garbage quarter), P5 (null STATE)
+    assert(drops.droppedCriticalRows == 3)
+    assert(drops.zeroDenomRows == 0 && drops.droppedRatioRows == 0)
+  }
+
+  test("runWithAudit counts zero denominators and ratio drops") {
+    val s = Seq(("P4", "TX", "2024Q1", "10", "1.0", "1.0", "1.0"))
+      .toDF("PROVNUM", "STATE", "CY_Qtr", "MDScensus", "Hrs_RN", "Hrs_LPN", "Hrs_CNA")
+    val c = Seq(("P4", "2024Q1", "1.0", "1.0", "1.0", "0.0", "0.0", "0.0"))
+      .toDF("PROVNUM", "CY_Qtr", "Hrs_RN_ctr", "Hrs_LPN_ctr", "Hrs_CNA_ctr",
+        "Hrs_RN_emp", "Hrs_LPN_emp", "Hrs_CNA_emp")
+    val (out, _, drops) = StaffingMetrics.runWithAudit(Seq(s, c))
+    assert(out.isEmpty)
+    assert(drops.zeroNulledRows == 0 && drops.droppedCriticalRows == 0)
+    assert(drops.zeroDenomRows == 1)    // total_employed sums to 0
+    assert(drops.droppedRatioRows == 1) // its ratio is NULL -> dropped
   }
 
   test("post-aggregation zero denominator drops the row (F3 on A1 output)") {
