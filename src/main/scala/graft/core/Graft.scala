@@ -54,9 +54,25 @@ object Graft {
     * repartition costs one tiny shuffle and buys full parallelism. No-op
     * when the input is already split enough (the 100 TB case — file splits
     * provide natural parallelism).
+    *
+    * The decision reads only analysis-time metadata — an existing
+    * repartition in the plan, or the leaf file count — never
+    * `df.rdd.getNumPartitions`, which would force eager physical planning
+    * of the query once per call (and plan it AGAIN at execution),
+    * defeating AQE.
     */
   def spread(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression}
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val analyzed = df.queryExecution.analyzed
+    val alreadySpread = analyzed.collectFirst {
+      case r: Repartition => r
+      case r: RepartitionByExpression => r
+    }.isDefined
+    // Leaf file count ~ scan parallelism floor. (A multi-row-group file
+    // can split further; the heuristic only risks one redundant tiny
+    // shuffle, never a lost-parallelism plan.)
+    if (alreadySpread || df.inputFiles.length >= target) df
+    else df.repartition(target)
   }
 }

@@ -34,9 +34,9 @@ object Penalties {
     val df = spark.sql(
       """SELECT
         |  state,
-        |  COUNT(*)                                        AS penalty_count,
+        |  COUNT(*)                                        AS penalty_events,
         |  SUM(fine_amount)                                AS total_fines,
-        |  SUM(CASE WHEN fine_amount > 0 THEN 1 END)       AS fines_with_amount,
+        |  SUM(CASE WHEN fine_amount > 0 THEN 1 END)       AS fine_count,
         |  ROUND(AVG(fine_amount), 2)                      AS avg_fine
         |FROM fact_penalty
         |GROUP BY state""".stripMargin)

@@ -13,6 +13,15 @@ object DataQuality {
     * row_count, non_null_count, pct_not_null rounded to 2 (0 for an empty
     * table — the reference's explicit guard at :26).
     *
+    * DOCUMENTED DIVERGENCE on rounding: pct_not_null uses integer HALF-UP
+    * rounding, while the reference's Python `round()`
+    * (load_nursing_home_data.py:26) is banker's HALF-EVEN on
+    * exactly-representable .xx5 fractions (e.g. 1/32 -> 3.12 there,
+    * 3.13 here). Deliberate: the integer form is engine-independent (the
+    * DuckDB oracle reproduces it bit-for-bit, where ROUND(double) ULP
+    * noise would not be), and the affected inputs are exact .xx5 ratios
+    * only.
+    *
     * Single pass: one aggregate computes count(*) plus count(col) for every
     * column (map-side partials; no per-column jobs), then unpivots to long
     * form on the driver-sized 1-row result.
