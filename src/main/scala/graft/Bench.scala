@@ -46,10 +46,10 @@ object Bench {
     "j1_multiway_join" -> 8,  // 5-way join + agg
     "w1_window" -> 512,       // window functions (filtered input is tiny)
     "a8_pivot" -> 32,         // pivot
-    "dedup_exact" -> 64,      // digest group-by
+    "dedup_exact" -> 128,     // digest group-by
     "dedup_minhash" -> 8,     // shingle + minhash array math
     "text_profile" -> 8,      // text analytics map pass
-    "sim_brute_topk" -> 384)  // vector similarity
+    "sim_brute_topk" -> 8192)  // vector similarity
 
   /** r copies of every row, tagged 0..r-1: one scan, spread across all
     * cores FIRST (the single-row-group test files scan as one partition —
@@ -137,7 +137,11 @@ object Bench {
         TextAnalysis.profile(repDocs).orderBy("doc_id")
       case "sim_brute_topk" =>
         val emb = t("embeddings")
-        val q = replicate(emb.where(col("vec_id") < 5), r)
+        // query side replicated WITHOUT replicate()'s spread: 5 rows need
+        // no repartition shuffle, and bruteForceTopK's driver collect of
+        // the query set would otherwise pay a 2-stage job per run
+        val q = emb.where(col("vec_id") < 5)
+          .withColumn("__rep", explode(sequence(lit(0L), lit(r - 1L))))
           .select((col("vec_id") + col("__rep") * 1000000L).as("vec_id"),
             col("embedding"))
         Similarity.bruteForceTopK(emb, q, k = 10)
@@ -191,9 +195,15 @@ object Bench {
       val runs = Seq.fill(3)(once(SparkEntry.queries(name)(spark, sfDir))).flatten
       if (runs.isEmpty) { failed ::= name; None } else Some(name -> runs.min)
     }
-    // Amortized protocol: min of 2 fused fresh-plan runs, divided by N.
+    // Amortized protocol: min of 3 fused fresh-plan runs, divided by N.
+    // The passes are INTERLEAVED (pass 1 over every query, then pass 2, ...)
+    // so a transient machine-wide stall — GC, page cache eviction, a noisy
+    // neighbor — lands inside one pass and is discarded by the min, instead
+    // of hitting every rep of the same query back-to-back.
+    val amortizedRuns = Seq.fill(3)(
+      headline.map { case (name, r) => name -> once(fused(name, spark, sfDir, r)) })
     val amortized = headline.flatMap { case (name, r) =>
-      val runs = Seq.fill(2)(once(fused(name, spark, sfDir, r))).flatten
+      val runs = amortizedRuns.flatMap(_.collect { case (`name`, Some(t)) => t })
       if (runs.isEmpty) { if (!failed.contains(name)) failed ::= name; None }
       else Some(name -> runs.min / r)
     }

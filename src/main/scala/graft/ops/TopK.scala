@@ -88,6 +88,31 @@ class TopKAgg(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
 }
 
+/** Merge-side twin of [[TopKAgg]]: each input row is an ALREADY k-bounded,
+  * sorted (scores, ids) buffer — one per map partition per group, produced
+  * by a per-partition kernel such as [[Similarity.bruteForceTopK]]'s — so
+  * `reduce` IS `merge`. Shares [[TopKAgg]]'s comparator and merge, hence
+  * its exact ordering contract. (The class-name stem "TopKAgg" is load-
+  * bearing: plan-shape tests assert the bounded aggregate by that stem.)
+  */
+class TopKAggMerge(k: Int)
+    extends Aggregator[(Array[Double], Array[Long]), (Array[Double], Array[Long]), Seq[(Double, Long)]] {
+  private val base = new TopKAgg(k)
+  override def zero: (Array[Double], Array[Long]) = base.zero
+  override def reduce(buf: (Array[Double], Array[Long]),
+      in: (Array[Double], Array[Long])): (Array[Double], Array[Long]) =
+    base.merge(buf, in)
+  override def merge(a: (Array[Double], Array[Long]),
+      b: (Array[Double], Array[Long])): (Array[Double], Array[Long]) =
+    base.merge(a, b)
+  override def finish(r: (Array[Double], Array[Long])): Seq[(Double, Long)] =
+    base.finish(r)
+  override def bufferEncoder: Encoder[(Array[Double], Array[Long])] =
+    base.bufferEncoder
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    base.outputEncoder
+}
+
 object TopK {
 
   /** Column form: top-k (score, id) pairs within a group, best first, as
@@ -127,6 +152,29 @@ object TopK {
           col("col._2").as(idCol),
           when(isnan(col("col._1")), lit(null).cast("double"))
             .otherwise(col("col._1")).as(scoreCol),
+          (col("pos") + 1).cast("long").as("rank")): _*)
+  }
+
+  /** [[perGroupTopK]]'s finisher over PRE-AGGREGATED buffers: each input
+    * row carries a k-bounded sorted (scoresCol, idsCol) buffer instead of
+    * one scored row. Output contract identical to [[perGroupTopK]]:
+    * `(groupCols..., idOut, scoreOut, rank)`, NaN sentinel restored to
+    * NULL, rank 1..k.
+    */
+  def mergeGroupTopK(packed: DataFrame, groupCols: Seq[String],
+      scoresCol: String, idsCol: String, idOut: String, scoreOut: String,
+      k: Int): DataFrame = {
+    val merged = packed
+      .groupBy(groupCols.map(col): _*)
+      .agg(udaf(new TopKAggMerge(k)).apply(col(scoresCol), col(idsCol))
+        .as("__top"))
+    merged
+      .select(groupCols.map(col) :+ posexplode(col("__top")): _*)
+      .select(
+        groupCols.map(col) ++ Seq(
+          col("col._2").as(idOut),
+          when(isnan(col("col._1")), lit(null).cast("double"))
+            .otherwise(col("col._1")).as(scoreOut),
           (col("pos") + 1).cast("long").as("rank")): _*)
   }
 }
