@@ -1320,20 +1320,19 @@ object SparkEntry {
     "text_lang_summary" -> textLangSummaryOracle,
 
     "sim_brute_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-        |           FROM embeddings WHERE vec_id < 5),
-        | c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
-        | scored AS (
-        |  SELECT q.query_id, c.corpus_id,
-        |   list_dot_product(q.qv, c.cv) /
-        |    (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cosine
-        |  FROM c CROSS JOIN q WHERE c.corpus_id <> q.query_id),
-        | ranked AS (
-        |  SELECT query_id, corpus_id, cosine,
-        |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
-        |  FROM scored)
-        |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
-        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         | c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         | scored AS (
+         |  SELECT q.query_id, c.corpus_id,
+         |   ${cosineSql("q.qv", "c.cv")} AS cosine
+         |  FROM c CROSS JOIN q WHERE c.corpus_id <> q.query_id),
+         | ranked AS (
+         |  SELECT query_id, corpus_id, cosine,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "s1_csv_glob_scan" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
@@ -1344,38 +1343,37 @@ object SparkEntry {
     "sim_lsh_topk" -> lshTopkOracle,
 
     "sim_ivf_topk" ->
-      """WITH cents AS (
-        |  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS centv
-        |  FROM embeddings ORDER BY vec_id LIMIT 16),
-        | corpus AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
-        | cassign AS (
-        |  SELECT corpus_id, cv, cent_id AS cell FROM (
-        |   SELECT c.corpus_id, c.cv, ct.cent_id,
-        |    ROW_NUMBER() OVER (PARTITION BY c.corpus_id
-        |      ORDER BY list_distance(c.cv, ct.centv) ASC, ct.cent_id ASC) AS rn
-        |   FROM corpus c CROSS JOIN cents ct)
-        |  WHERE rn = 1),
-        | q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-        |       FROM embeddings WHERE vec_id < 5),
-        | qprobe AS (
-        |  SELECT query_id, qv, cent_id AS cell FROM (
-        |   SELECT q.query_id, q.qv, ct.cent_id,
-        |    ROW_NUMBER() OVER (PARTITION BY q.query_id
-        |      ORDER BY list_distance(q.qv, ct.centv) ASC, ct.cent_id ASC) AS rn
-        |   FROM q CROSS JOIN cents ct)
-        |  WHERE rn <= 2),
-        | scored AS (
-        |  SELECT qp.query_id, ca.corpus_id,
-        |   list_dot_product(qp.qv, ca.cv) /
-        |    (sqrt(list_dot_product(qp.qv, qp.qv)) * sqrt(list_dot_product(ca.cv, ca.cv))) AS cosine
-        |  FROM cassign ca JOIN qprobe qp ON ca.cell = qp.cell
-        |  WHERE ca.corpus_id <> qp.query_id)
-        |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
-        |FROM (
-        | SELECT query_id, corpus_id, cosine,
-        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
-        | FROM scored)
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS centv
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         | corpus AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         | cassign AS (
+         |  SELECT corpus_id, cv, cent_id AS cell FROM (
+         |   SELECT c.corpus_id, c.cv, ct.cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY c.corpus_id
+         |      ORDER BY ${distSql("c.cv", "ct.centv")} ASC, ct.cent_id ASC) AS rn
+         |   FROM corpus c CROSS JOIN cents ct)
+         |  WHERE rn = 1),
+         | q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |       FROM embeddings WHERE vec_id < 5),
+         | qprobe AS (
+         |  SELECT query_id, qv, cent_id AS cell FROM (
+         |   SELECT q.query_id, q.qv, ct.cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${distSql("q.qv", "ct.centv")} ASC, ct.cent_id ASC) AS rn
+         |   FROM q CROSS JOIN cents ct)
+         |  WHERE rn <= 2),
+         | scored AS (
+         |  SELECT qp.query_id, ca.corpus_id,
+         |   ${cosineSql("qp.qv", "ca.cv")} AS cosine
+         |  FROM cassign ca JOIN qprobe qp ON ca.cell = qp.cell
+         |  WHERE ca.corpus_id <> qp.query_id)
+         |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
+         |FROM (
+         | SELECT query_id, corpus_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+         | FROM scored)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "stream_window_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
@@ -1393,6 +1391,39 @@ object SparkEntry {
   )
 
   // ---- generated oracles (shared hash/shingle SQL building blocks) --------
+
+  /** TOTAL DuckDB dot product: NULL — never an error — on null list, null
+    * element, or length mismatch, matching the engine's
+    * [[graft.plans.DotProduct]] null semantics. `list_dot_product` RAISES
+    * on ragged/null-element inputs, and DuckDB's CASE does NOT short-
+    * circuit inside joins (measured: the THEN branch is evaluated on
+    * masked rows too) — so the THEN branch must itself be total:
+    * zip/transform/sum never error, sum accumulates in list order
+    * (verified bit-equal to list_dot_product), and the guard only enforces
+    * the NULL result for degenerate rows (masking a possibly-wrong but
+    * never-erroring THEN value).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"(CASE WHEN len($a) = len($b) AND len($a) = list_aggregate($a, 'count')" +
+      s" AND len($b) = list_aggregate($b, 'count')" +
+      s" THEN list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) END)"
+
+  /** TOTAL DuckDB l2 distance, same guard discipline as [[dotSql]]; NULL
+    * on any degenerate input, matching the engine's zip_with/aggregate
+    * form (null-padded ragged element -> null sum). Bit-equal to
+    * `list_distance` on clean inputs (same in-order accumulation).
+    */
+  private def distSql(a: String, b: String): String =
+    s"(CASE WHEN len($a) = len($b) AND len($a) = list_aggregate($a, 'count')" +
+      s" AND len($b) = list_aggregate($b, 'count')" +
+      s" THEN sqrt(list_sum(list_transform(list_zip($a, $b)," +
+      s" x -> (x[1] - x[2]) * (x[1] - x[2])))) END)"
+
+  /** Total cosine from [[dotSql]] pieces: DuckDB's x/0 -> NULL reproduces
+    * the engine's zero-norm -> NULL guard without an explicit CASE.
+    */
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
   /** DuckDB SQL for StableHash.hash60(expr, seed). */
   private def hash60Sql(expr: String, seed: Int): String =
@@ -1608,8 +1639,7 @@ object SparkEntry {
        |  FROM qb, (SELECT unnest([0, 1, 2]) AS f) f),
        | scored AS (
        |  SELECT qp.query_id, cb.corpus_id,
-       |   list_dot_product(qp.qv, cb.cv) /
-       |    (sqrt(list_dot_product(qp.qv, qp.qv)) * sqrt(list_dot_product(cb.cv, cb.cv))) AS cosine
+       |   ${cosineSql("qp.qv", "cb.cv")} AS cosine
        |  FROM cb JOIN qp ON cb.bucket = qp.bucket
        |  WHERE cb.corpus_id <> qp.query_id)
        |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
@@ -1638,8 +1668,7 @@ object SparkEntry {
        |   AND a.id < b.id),
        | pairs AS (
        |  SELECT id_a, id_b,
-       |   list_dot_product(x.v, y.v) /
-       |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cosine
+       |   ${cosineSql("x.v", "y.v")} AS cosine
        |  FROM cand JOIN e x ON x.id = cand.id_a JOIN e y ON y.id = cand.id_b)
        |SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
        |FROM pairs WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin

@@ -83,6 +83,52 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(out.last.getAs[Double]("cosine") + 1.0) < 1e-12)
   }
 
+  test("brute-force kernel matches the declarative cross-join form on degenerate vectors") {
+    // The kernel path (primitive-matrix mapPartitions) must be row-identical
+    // to the expression form it replaced — including every degenerate shape:
+    // null vector, null element, zero norm, ragged length, opposite sign.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    val data = Seq(
+      Row(0L, Seq(1.0f, 2.0f, 2.0f)),
+      Row(1L, Seq(2.0f, 4.0f, 4.0f)),   // collinear with 0
+      Row(2L, Seq(0.0f, 0.0f, 0.0f)),   // zero norm -> null cosine
+      Row(3L, null),                    // null vector
+      Row(4L, Seq(1.0f, null, 3.0f)),   // null element
+      Row(5L, Seq(1.0f, 2.0f)),         // ragged (length 2)
+      Row(6L, Seq(-1.0f, -2.0f, -2.0f)), // opposite direction
+      Row(7L, Seq(3.0f, 0.0f, 1.0f)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(data, 3), schema)
+    val k = 5
+    val kernel = Similarity.bruteForceTopK(df, df, k)
+
+    import graft.functions.Vectors
+    import graft.ops.TopK
+    val c = df.select($"vec_id".as("corpus_id"), $"embedding".as("cv"),
+      Vectors.norm2($"embedding").as("cn"))
+    val q = df.select($"vec_id".as("query_id"), $"embedding".as("qv"),
+      Vectors.norm2($"embedding").as("qn"))
+    val scored = c.crossJoin(broadcast(q))
+      .where($"corpus_id" =!= $"query_id")
+      .withColumn("cosine",
+        when($"qn" > 0 && $"cn" > 0,
+          Vectors.dot($"qv", $"cv") / ($"qn" * $"cn"))
+          .otherwise(lit(null).cast("double")))
+    val reference = TopK.perGroupTopK(scored, Seq("query_id"), "corpus_id", "cosine", k)
+
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "corpus_id", "cosine", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    val kv = key(kernel); val rv = key(reference)
+    assert(kv.length == 8 * k)
+    assert(kv.toSeq == rv.toSeq) // bit-exact cosines, identical ranks
+  }
+
   test("LSH top-k returns a subset of brute-force candidates with sane ranks") {
     val out = Similarity.lshTopK(vecs, vecs.where($"vec_id" === 0), 4,
       dim = 8, bits = 4, probes = 2).collect()

@@ -19,7 +19,8 @@ out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/edge_corpus"
 
 os.makedirs(out, exist_ok=True)
 for f in os.listdir(real):
-    if not f.endswith(".parquet") or f == "documents.parquet":
+    if not f.endswith(".parquet") or f in ("documents.parquet",
+                                           "embeddings.parquet"):
         continue
     dst = os.path.join(out, f)
     if os.path.lexists(dst):
@@ -52,4 +53,41 @@ tbl = pa.table({
                         pa.int64()),
 })
 pq.write_table(tbl, os.path.join(out, "documents.parquet"))
-print(f"edge corpus at {out} ({len(rows)} degenerate docs, rest symlinked from {real})")
+
+# Degenerate embeddings: exercises the similarity kernel's and the
+# guarded oracles' (dotSql/distSql) null/zero/ragged branches. vec_id < 5
+# is the query set of sim_brute/sim_lsh/sim_ivf; ids 0-15 are the IVF
+# centroid prefix — degenerates land in both roles.
+import numpy as np
+rng = np.random.default_rng(42)
+DIM = 64
+def vec(seed_row):
+    return rng.standard_normal(DIM).astype(np.float32).tolist()
+emb_rows = []
+for i in range(30):
+    if i == 2 or i == 21:
+        v = [0.0] * DIM                      # zero norm -> NULL cosine
+    elif i == 3 or i == 20:
+        v = None                             # NULL vector
+    elif i == 22:
+        v = rng.standard_normal(DIM // 2).astype(np.float32).tolist()  # ragged
+    elif i == 23:
+        v = rng.standard_normal(DIM).astype(np.float32).tolist()
+        v[7] = None                          # NULL element
+    elif i == 5:
+        base = np.array(emb_rows[0][1], dtype=np.float32)
+        v = (base * 2.0).astype(np.float32).tolist()  # collinear with id 0
+    elif i == 6:
+        base = np.array(emb_rows[0][1], dtype=np.float32)
+        v = (-base).astype(np.float32).tolist()       # opposite of id 0
+    else:
+        v = vec(i)
+    emb_rows.append((i, v, i % 4))
+emb = pa.table({
+    "vec_id": pa.array([r[0] for r in emb_rows], pa.int64()),
+    "embedding": pa.array([r[1] for r in emb_rows], pa.list_(pa.float32())),
+    "label": pa.array([r[2] for r in emb_rows], pa.int32()),
+})
+pq.write_table(emb, os.path.join(out, "embeddings.parquet"))
+print(f"edge corpus at {out} ({len(rows)} degenerate docs, "
+      f"{len(emb_rows)} degenerate embeddings, rest symlinked from {real})")
