@@ -763,6 +763,38 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // Gopher-style repetition quality signals (dup-line fractions, top
+    // bigram share). Multi-line structure is PLANTED (the synthetic docs
+    // are single-line): each doc's text plus two copies of its first 20
+    // chars, so every row exercises the duplicate-line branches.
+    // Fractions are raw double divisions of exact integer counts — no
+    // rounding step, bit-reproducible in DuckDB.
+    "text_repetition" -> ((s, d) => {
+      val base = coalesce(col("text"), lit(""))
+      val planted = concat_ws("\n", base, substring(base, 1, 20),
+        substring(base, 1, 20))
+      Graft.spread(t(s, d, "documents"))
+        .select(col("doc_id"), Text.linesOf(planted).as("ls"),
+          Text.tokens(planted).as("toks"))
+        .select(col("doc_id"),
+          Text.repetitionFromParts(col("ls"), col("toks")).as("r"))
+        .select(col("doc_id"), col("r.n_lines").as("n_lines"),
+          col("r.dup_line_frac").as("dup_line_frac"),
+          col("r.dup_line_char_frac").as("dup_line_char_frac"),
+          col("r.top_bigram_frac").as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction (emails / IPv4 / phone-shaped digit runs ->
+    // placeholders). PII is planted per row — the synthetic corpus
+    // contains none naturally.
+    "text_pii_redact" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        Text.redactPii(concat(coalesce(col("text"), lit("")),
+          lit(" contact john.doe+x@mail-test.example.org or 10.0.42.7 or +1 (415) 555-0100 now")))
+          .as("redacted"))
+      .orderBy("doc_id")),
+
     // Brute-force cosine top-k (exact ANN baseline).
     "sim_brute_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -1316,6 +1348,56 @@ object SparkEntry {
     },
 
     "text_profile" -> textProfileOracle,
+
+    "text_repetition" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  COALESCE(text,'') || chr(10) || substr(COALESCE(text,''),1,20)
+        |   || chr(10) || substr(COALESCE(text,''),1,20) AS t
+        | FROM documents),
+        |lines AS (
+        | SELECT doc_id, trim(l) AS line
+        | FROM base, unnest(string_split(t, chr(10))) AS u(l)
+        | WHERE trim(l) <> ''),
+        |lc AS (SELECT doc_id, line, COUNT(*) AS c, len(line) AS ln
+        |       FROM lines GROUP BY doc_id, line),
+        |la AS (SELECT doc_id,
+        |        CAST(SUM(c) AS DOUBLE) AS n_lines,
+        |        CAST(COUNT(*) AS DOUBLE) AS n_distinct,
+        |        CAST(SUM(c*ln) AS DOUBLE) AS total_chars,
+        |        CAST(SUM(CASE WHEN c >= 2 THEN c*ln ELSE 0 END) AS DOUBLE) AS dup_chars
+        |       FROM lc GROUP BY doc_id),
+        |words AS (
+        | SELECT doc_id, w, i FROM (
+        |  SELECT doc_id,
+        |   unnest(string_split_regex(trim(lower(t)), '\s+')) AS w,
+        |   generate_subscripts(string_split_regex(trim(lower(t)), '\s+'), 1) AS i
+        |  FROM base WHERE trim(t) <> '')),
+        |bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS bi
+        |       FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        |bgc AS (SELECT doc_id, bi, COUNT(*) AS c FROM bg GROUP BY doc_id, bi),
+        |bga AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS nb,
+        |        CAST(MAX(c) AS DOUBLE) AS maxc FROM bgc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | CAST(COALESCE(la.n_lines, 0) AS BIGINT) AS n_lines,
+        | COALESCE((la.n_lines - la.n_distinct) / la.n_lines, 0.0) AS dup_line_frac,
+        | COALESCE(la.dup_chars / la.total_chars, 0.0) AS dup_line_char_frac,
+        | COALESCE(bga.maxc / bga.nb, 0.0) AS top_bigram_frac
+        |FROM documents d
+        | LEFT JOIN la ON la.doc_id = d.doc_id
+        | LEFT JOIN bga ON bga.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "text_pii_redact" ->
+      """SELECT doc_id,
+        | regexp_replace(
+        |  regexp_replace(
+        |   regexp_replace(
+        |    COALESCE(text,'') || ' contact john.doe+x@mail-test.example.org or 10.0.42.7 or +1 (415) 555-0100 now',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |  '\+?\d[\d() -]{6,}\d', '<PHONE>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_lang_summary" -> textLangSummaryOracle,
 

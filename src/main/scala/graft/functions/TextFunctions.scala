@@ -138,6 +138,73 @@ object Text {
     lower(trim(regexp_replace(noEmail, "\\s+", " ")))
   }
 
+  /** Non-empty trimmed lines of a document; null text -> empty array. */
+  def linesOf(text: Column): Column =
+    filter(transform(split(coalesce(text, lit("")), "\n"), l => trim(l)),
+      l => l =!= "")
+
+  /** Gopher-style repetition quality signals (public recipe family:
+    * Rae et al. 2021 §A1.1): documents dominated by repeated lines or one
+    * repeated bigram are boilerplate/spam, not prose.
+    *
+    * Returns struct(n_lines, dup_line_frac, dup_line_char_frac,
+    * top_bigram_frac). Fractions are RAW double divisions of exact integer
+    * counts — bit-reproducible cross-engine with no rounding step.
+    *
+    * Per-doc and map-side by design: at 100 TB this must not shuffle on
+    * doc_id — the O(L^2)/O(B^2) in-array counting (lines and bigrams per
+    * doc are tens-to-hundreds) is far cheaper than a corpus-wide explode +
+    * groupBy. Callers on the hot path should materialize `ls`/`toks` once
+    * behind a select boundary (interpreted HOFs don't CSE — same trap as
+    * [[wordShingles]]).
+    */
+  def repetitionStruct(text: Column): Column =
+    repetitionFromParts(linesOf(text), tokens(text))
+
+  /** Pre-materialized-parts variant (see [[repetitionStruct]]). */
+  def repetitionFromParts(ls: Column, toks: Column): Column = {
+    val nL = size(ls).cast("double")
+    val dupLineFrac =
+      when(nL > 0, (nL - size(array_distinct(ls)).cast("double")) / nL)
+        .otherwise(lit(0.0))
+    val totalChars = aggregate(ls, lit(0L),
+      (a, l) => a + length(l).cast("long")).cast("double")
+    val dupChars = aggregate(
+      filter(ls, l => size(filter(ls, m => m === l)) >= 2),
+      lit(0L), (a, l) => a + length(l).cast("long")).cast("double")
+    val dupCharFrac =
+      when(totalChars > 0, dupChars / totalChars).otherwise(lit(0.0))
+    val n = size(toks)
+    val bi = slice(
+      zip_with(toks, slice(toks, lit(2), n), (x, y) => concat(x, lit(" "), y)),
+      lit(1), greatest(n - 1, lit(0)))
+    val nB = size(bi).cast("double")
+    val counts = transform(array_distinct(bi), b => size(filter(bi, x => x === b)))
+    val maxC = when(size(counts) > 0, array_max(counts)).otherwise(lit(0))
+      .cast("double")
+    val topBigramFrac = when(nB > 0, maxC / nB).otherwise(lit(0.0))
+    struct(
+      size(ls).cast("long").as("n_lines"),
+      dupLineFrac.as("dup_line_frac"),
+      dupCharFrac.as("dup_line_char_frac"),
+      topBigramFrac.as("top_bigram_frac"))
+  }
+
+  /** PII redaction for training corpora: emails, IPv4 addresses and
+    * phone-shaped digit runs replaced with stable placeholder tokens.
+    * Order matters: emails first (their local parts contain digits),
+    * then IPs (their dotted quads would otherwise feed the phone rule),
+    * then phones. Pure regexp built-ins, RE2-compatible syntax (no
+    * backtracking constructs) so the DuckDB oracle replays identically.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(coalesce(text, lit("")),
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?\\d[\\d() -]{6,}\\d", "<PHONE>")
+  }
+
   /** Positional rolling-hash document fingerprint: sum over tokens of
     * (stableHash(token) mod 1e6) * (position+1), mod 2^31. Order-sensitive
     * (unlike a bag-of-words hash) yet oracle-reproducible in pure SQL.

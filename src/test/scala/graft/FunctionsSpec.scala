@@ -108,4 +108,41 @@ class FunctionsSpec extends SparkSpec {
     assert(fp(3) == 0L)
     assert(fp.forall(_ >= 0L))
   }
+
+  test("repetitionStruct: dup-line and top-bigram fractions on planted cases") {
+    val rows = Seq(
+      // 4 lines, "dup dup" twice (7 chars each), "x" (1) and
+      // "yy wide line" (12) unique: dup_line_frac = 1/4,
+      // dup_line_char_frac = 14/27
+      "dup dup\nx\ndup dup\nyy wide line",
+      "a b a b a b",     // bigrams: [a b, b a, a b, b a, a b] -> top 3/5
+      "one two three",   // no repetition: fracs 0, bigram top 1/2
+      "",                // empty: all zero
+      null               // null: all zero
+    ).toDF("t")
+    val got = rows.select(Text.repetitionStruct($"t").as("r"))
+      .select($"r.n_lines", $"r.dup_line_frac", $"r.dup_line_char_frac",
+        $"r.top_bigram_frac")
+      .collect()
+    assert(got(0).getLong(0) == 4L)
+    assert(got(0).getDouble(1) == 0.25)
+    assert(got(0).getDouble(2) == 14.0 / 27.0)
+    assert(got(1).getDouble(3) == 3.0 / 5.0)
+    assert(got(2).getLong(0) == 1L)
+    assert(got(2).getDouble(1) == 0.0)
+    assert(got(2).getDouble(3) == 0.5)
+    assert(got(3).getLong(0) == 0L && got(3).getDouble(3) == 0.0)
+    assert(got(4).getLong(0) == 0L && got(4).getDouble(2) == 0.0)
+  }
+
+  test("redactPii replaces emails, IPv4s and phone runs with placeholders") {
+    val got = Seq(
+      "mail a.b+tag@ex-1.example.co, ip 10.0.42.7, call +1 (415) 555-0100 ok",
+      "no pii here at all",
+      null: String
+    ).toDF("t").select(Text.redactPii($"t")).as[String].collect()
+    assert(got(0) == "mail <EMAIL>, ip <IP>, call <PHONE> ok")
+    assert(got(1) == "no pii here at all")
+    assert(got(2) == "")
+  }
 }
