@@ -136,6 +136,43 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == 4)
   }
 
+  test("transformWithState per-source cap admits at most N docs per key across batches") {
+    import graft.streaming.CapPerKey
+    val dir = Files.createTempDirectory("graft_cap").toString
+    // two files -> two micro-batches (maxFilesPerTrigger=1): the counter
+    // state must survive the batch boundary for srcA/srcB to stay capped
+    Seq(("srcA", 1L), ("srcA", 2L), ("srcB", 10L))
+      .toDF("source", "doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(dir + "/batch=0")
+    Seq(("srcA", 3L), ("srcB", 11L), ("srcB", 12L), ("srcC", 20L))
+      .toDF("source", "doc_id").coalesce(1)
+      .write.mode("append").parquet(dir + "/batch=1")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(dir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .select("source", "doc_id").as[(String, Long)]
+      val capped = CapPerKey.capPerKey[String, (String, Long)](
+        stream, _._1, maxPerKey = 2)
+      val out = StreamingIngest.runAvailableNow(spark, capped.toDF(),
+        "cap_test", outputMode = "append")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val byKey = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(byKey("srcA") == Set(1L, 2L)) // doc 3 (second batch) rejected
+      assert(byKey("srcB").size == 2 && byKey("srcB").contains(10L))
+      assert(byKey("srcC") == Set(20L))
+      assert(out.length == 5)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup on the natural key keeps one row per id") {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = StreamingIngest.parquetStream(spark, eventsDir, schema)
