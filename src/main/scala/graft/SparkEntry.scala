@@ -785,6 +785,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Token-window chunking (8-token windows, 2-token overlap): the
+    // doc -> training-example explode. Map-side; chunk_id is the window's
+    // ordinal within its document.
+    "text_chunks" -> ((s, d) => Graft.spread(t(s, d, "documents"))
+      .select(col("doc_id"),
+        posexplode(Text.chunkWindows(col("text"), width = 8, overlap = 2)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_id"),
+        col("col").as("chunk"))
+      .orderBy("doc_id", "chunk_id")),
+
     // PII redaction (emails / IPv4 / phone-shaped digit runs ->
     // placeholders). PII is planted per row — the synthetic corpus
     // contains none naturally.
@@ -1387,6 +1397,25 @@ object SparkEntry {
         | LEFT JOIN la ON la.doc_id = d.doc_id
         | LEFT JOIN bga ON bga.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "text_chunks" ->
+      """WITH words AS (
+        | SELECT doc_id, w, i FROM (
+        |  SELECT doc_id,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+        |   generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS i
+        |  FROM documents WHERE trim(text) <> '')),
+        |n AS (SELECT doc_id, MAX(i) AS n FROM words GROUP BY doc_id),
+        |starts AS (SELECT doc_id, unnest(range(1, n + 1, 6)) AS s FROM n),
+        |chunks AS (
+        | SELECT st.doc_id, st.s, string_agg(w.w, ' ' ORDER BY w.i) AS chunk
+        | FROM starts st
+        |  JOIN words w ON w.doc_id = st.doc_id AND w.i >= st.s AND w.i < st.s + 8
+        | GROUP BY st.doc_id, st.s)
+        |SELECT doc_id,
+        | ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS chunk_id,
+        | chunk
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
 
     "text_pii_redact" ->
       """SELECT doc_id,

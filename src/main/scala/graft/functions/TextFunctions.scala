@@ -190,6 +190,25 @@ object Text {
       topBigramFrac.as("top_bigram_frac"))
   }
 
+  /** Token-window chunking for training examples: overlapping windows of
+    * `width` tokens advancing by `width - overlap`, each rejoined with
+    * single spaces. The map-side step between cleaning and tokenization in
+    * a training-data pipeline — one row in, its windows out (explode at
+    * the call site), no shuffle. Empty/null text -> empty array; the last
+    * window may be short (standard tail behavior).
+    */
+  def chunkWindows(text: Column, width: Int, overlap: Int): Column = {
+    require(width > 0, "width must be > 0")
+    require(overlap >= 0 && overlap < width, "overlap must be in [0, width)")
+    val step = width - overlap
+    val toks = tokens(text)
+    val n = size(toks)
+    val starts = sequence(lit(1), greatest(n, lit(1)), lit(step))
+    val chunks = transform(starts,
+      s => concat_ws(" ", slice(toks, s, lit(width))))
+    when(n === 0, array().cast("array<string>")).otherwise(chunks)
+  }
+
   /** PII redaction for training corpora: emails, IPv4 addresses and
     * phone-shaped digit runs replaced with stable placeholder tokens.
     * Order matters: emails first (their local parts contain digits),

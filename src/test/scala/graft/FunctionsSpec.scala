@@ -135,6 +135,17 @@ class FunctionsSpec extends SparkSpec {
     assert(got(4).getLong(0) == 0L && got(4).getDouble(2) == 0.0)
   }
 
+  test("chunkWindows: overlapping token windows with short tail") {
+    // 10 tokens, width 4, overlap 1 -> starts 1,4,7,10
+    val t = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    val got = Seq(t, "one two", "", null: String).toDF("t")
+      .select(Text.chunkWindows($"t", width = 4, overlap = 1).as("c"))
+      .collect().map(_.getAs[scala.collection.Seq[String]]("c").toSeq)
+    assert(got(0) == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    assert(got(1) == Seq("one two"))
+    assert(got(2).isEmpty && got(3).isEmpty)
+  }
+
   test("redactPii replaces emails, IPv4s and phone runs with placeholders") {
     val got = Seq(
       "mail a.b+tag@ex-1.example.co, ip 10.0.42.7, call +1 (415) 555-0100 ok",
