@@ -785,6 +785,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Accent stripping (native StripAccents expression). Unicode is
+    // PLANTED — the synthetic corpus is ASCII; DuckDB's strip_accents
+    // replays the same NFD + mark-removal recipe.
+    "text_strip_accents" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        Text.stripAccents(concat(coalesce(col("text"), lit("")),
+          lit(" café Ünïcode ñandú crème brûlée Żółć naïve façade")))
+          .as("stripped"))
+      .orderBy("doc_id")),
+
     // Token-window chunking (8-token windows, 2-token overlap): the
     // doc -> training-example explode. Map-side; chunk_id is the window's
     // ordinal within its document.
@@ -1397,6 +1407,11 @@ object SparkEntry {
         | LEFT JOIN la ON la.doc_id = d.doc_id
         | LEFT JOIN bga ON bga.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "text_strip_accents" ->
+      """SELECT doc_id,
+        | strip_accents(COALESCE(text,'') || ' café Ünïcode ñandú crème brûlée Żółć naïve façade') AS stripped
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_chunks" ->
       """WITH words AS (

@@ -190,6 +190,13 @@ object Text {
       topBigramFrac.as("top_bigram_frac"))
   }
 
+  /** Accent stripping (Unicode NFD + combining-mark removal): the classic
+    * corpus-normalization step, as a native codegen'd expression —
+    * [[graft.plans.StripAccents]] — because Spark's built-ins can't
+    * express it and a UDF would break whole-stage codegen.
+    */
+  def stripAccents(c: Column): Column = graft.plans.StripAccents(c)
+
   /** Token-window chunking for training examples: overlapping windows of
     * `width` tokens advancing by `width - overlap`, each rejoined with
     * single spaces. The map-side step between cleaning and tokenization in

@@ -23,6 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Hash60(args.head)
       }))
     e.injectFunction((
+      FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "strip_accents(expr) takes one argument")
+        StripAccents(args.head)
+      }))
+    e.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (args: Seq[Expression]) => {

@@ -135,6 +135,23 @@ class FunctionsSpec extends SparkSpec {
     assert(got(4).getLong(0) == 0L && got(4).getDouble(2) == 0.0)
   }
 
+  test("stripAccents: NFD + combining-mark removal golden cases") {
+    val cases = Seq(
+      "café" -> "cafe",
+      "Żółć" -> "Zołc",              // ł has no decomposition: kept
+      "tschüß" -> "tschuß",          // ß untouched
+      "crème brûlée" -> "creme brulee",
+      "Ψωμί" -> "Ψωμι",              // non-Latin keeps script, loses tonos
+      "日本語" -> "日本語",
+      "plain ascii" -> "plain ascii")
+    val got = cases.map(_._1).toDF("t")
+      .select(Text.stripAccents($"t")).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+    val n = Seq((null: String)).toDF("t")
+      .select(Text.stripAccents($"t")).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("chunkWindows: overlapping token windows with short tail") {
     // 10 tokens, width 4, overlap 1 -> starts 1,4,7,10
     val t = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
