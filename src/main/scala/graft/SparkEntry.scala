@@ -832,6 +832,18 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")),
 
+    // IVF with Lloyd-TRAINED centroids (2 iterations from the prefix-
+    // sample init): assignment + decimal-exact per-dimension means are
+    // bit-reproducible, so even the TRAINING is oracle-replayed (the
+    // DuckDB twin unrolls both iterations in SQL).
+    "sim_ivf_trained_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopKTrained(emb, emb.where(col("vec_id") < 5), k = 10,
+        nCells = 16, nProbe = 2, iters = 2)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // S5 catalog scan: register views, list user tables filtered by the
     // engine-prefix pattern (F8). The expected listing is a fixed constant,
     // so even the catalog query gets an exact oracle.
@@ -1468,6 +1480,8 @@ object SparkEntry {
 
     "sim_lsh_topk" -> lshTopkOracle,
 
+    "sim_ivf_trained_topk" -> ivfTrainedOracle(),
+
     "sim_ivf_topk" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS centv
@@ -1748,6 +1762,69 @@ object SparkEntry {
       }.mkString(" + ").replace("+ -", "- ")
       s"(CASE WHEN ($terms) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+  }
+
+  /** Unrolled Lloyd training + IVF probe: c0 = prefix-sample init (cell =
+    * rank of seed vec_id), then per iteration an argmin assignment CTE and
+    * a decimal-exact per-dimension mean CTE. Mirrors
+    * `Similarity.trainedCentroids` step for step — order-free decimal sums
+    * are what make cross-engine bit-equality of TRAINED centroids (and
+    * hence identical final assignments) possible.
+    */
+  private def ivfTrainedOracle(nCells: Int = 16, nProbe: Int = 2,
+      iters: Int = 2, dim: Int = 64): String = {
+    val iterCtes = (1 to iters).map { it =>
+      val prev = s"c${it - 1}"
+      s"""a$it AS (
+         | SELECT vec_id, v, cell FROM (
+         |  SELECT e.vec_id, e.v, c.cell,
+         |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |     ORDER BY ${distSql("e.v", "c.cv")} ASC, c.cell ASC) AS rn
+         |  FROM e CROSS JOIN $prev c) WHERE rn = 1),
+         |s$it AS (
+         | SELECT a.cell, r.i,
+         |  CAST(SUM(CAST(a.v[r.i] AS DECIMAL(38,12))) AS DOUBLE)
+         |    / COUNT(a.v[r.i]) AS m
+         | FROM a$it a CROSS JOIN range(1, ${dim + 1}) r(i)
+         | GROUP BY a.cell, r.i
+         | HAVING COUNT(a.v[r.i]) > 0),
+         |c$it AS (
+         | SELECT cell, list(m ORDER BY i) AS cv FROM s$it GROUP BY cell
+         | UNION ALL
+         | SELECT p.cell, p.cv FROM $prev p
+         | WHERE p.cell NOT IN (SELECT DISTINCT cell FROM s$it))""".stripMargin
+    }.mkString(",\n")
+    val fin = s"c$iters"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (
+       | SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+       | FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $nCells)),
+       |$iterCtes,
+       |corpus AS (SELECT vec_id AS corpus_id, v AS cv FROM e),
+       |cassign AS (
+       | SELECT corpus_id, cv, cell FROM (
+       |  SELECT c.corpus_id, c.cv, ct.cell,
+       |   ROW_NUMBER() OVER (PARTITION BY c.corpus_id
+       |     ORDER BY ${distSql("c.cv", "ct.cv")} ASC, ct.cell ASC) AS rn
+       |  FROM corpus c CROSS JOIN $fin ct) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |qprobe AS (
+       | SELECT query_id, qv, cell FROM (
+       |  SELECT q.query_id, q.qv, ct.cell,
+       |   ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |     ORDER BY ${distSql("q.qv", "ct.cv")} ASC, ct.cell ASC) AS rn
+       |  FROM q CROSS JOIN $fin ct) WHERE rn <= $nProbe),
+       |scored AS (
+       | SELECT qp.query_id, ca.corpus_id,
+       |  ${cosineSql("qp.qv", "ca.cv")} AS cosine
+       | FROM cassign ca JOIN qprobe qp ON ca.cell = qp.cell
+       | WHERE ca.corpus_id <> qp.query_id)
+       |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
+       |FROM (
+       | SELECT query_id, corpus_id, cosine,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+       | FROM scored)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
   private def lshTopkOracle: String = {

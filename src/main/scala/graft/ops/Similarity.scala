@@ -168,29 +168,109 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 2): DataFrame = {
-    val cents = broadcast(corpus.orderBy("vec_id").limit(nCells)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("centv")))
-    // Nearest-n cells per vector, again via the bounded aggregate (the old
-    // row_number window here shuffled corpus × nCells rows on the vector
-    // id). Score = -distance: the aggregate ranks desc, distance ranks asc;
-    // cent_id asc breaks ties either way.
-    def nearestCells(df: DataFrame, idC: String, vC: String, n: Int): DataFrame = {
-      val scored = df.crossJoin(cents)
-        // sqrt(in-order fold) matches DuckDB's list_distance loop exactly
-        .withColumn("negdist", -sqrt(Vectors.l2sq(col(vC), col("centv"))))
-      // vC rides along as a (functionally dependent) group key — no re-join
-      TopK.perGroupTopK(scored, Seq(idC, vC), "cent_id", "negdist", n)
-        .select(col(idC), col(vC), col("cent_id").as("cell"))
+    val cents = corpus.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+    ivfProbe(corpus, queries, cents, k, nProbe)
+  }
+
+  /** IVF with Lloyd-TRAINED centroids: `iters` rounds of assign +
+    * per-dimension mean, from the same deterministic prefix-sample init
+    * [[ivfTopK]] uses raw. Every step is exactly reproducible across
+    * engines and partitionings:
+    *  - fixed iteration count, prefix init, cell = rank of the seed id;
+    *  - per-dimension means as DECIMAL-exact sums cast to double then
+    *    divided (order-free — a raw SUM(double) would be
+    *    partitioning-dependent);
+    *  - assignment ties broken by cell index, degenerate vectors (null
+    *    distance to every centroid) deterministically land in cell 0;
+    *  - cells that lose all members keep their previous centroid.
+    * The centroid recompute is a partial+final hash aggregate over
+    * (cell, dim) — 2 passes over the corpus per iteration, the standard
+    * distributed-k-means cost; centroids themselves (nCells × dim) live
+    * on the driver and broadcast back, never shuffled with the data.
+    */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 2, iters: Int = 2): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val cents = trainedCentroids(corpus, nCells, iters)
+      .map { case (cell, v) => (cell, Option(v).map(_.toSeq).orNull) }
+      .toDF("cent_id", "centv")
+    ivfProbe(corpus, queries, cents, k, nProbe)
+  }
+
+  /** Lloyd iterations; returns (cell, centroid) with cell = rank of the
+    * seed's vec_id in the prefix sample. See [[ivfTopKTrained]] for the
+    * determinism contract.
+    */
+  def trainedCentroids(corpus: DataFrame, nCells: Int,
+      iters: Int): Seq[(Int, Array[Double])] = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    // A degenerate seed (null vector / null element) yields a NULL
+    // centroid: it attracts no members (NULL distance to everything) and
+    // is carried forward unchanged — same as the oracle's NULL-list cv.
+    var cents: Seq[(Int, Array[Double])] = corpus.orderBy("vec_id")
+      .limit(nCells).select(col("embedding")).collect()
+      .toSeq.zipWithIndex.map { case (r, i) => (i, rowVec(r, 0)) }
+    for (_ <- 0 until iters) {
+      val centsDf = cents.map { case (c, v) => (c, Option(v).map(_.toSeq).orNull) }
+        .toDF("cent_id", "centv")
+      val assigned = nearestCells(
+        graft.core.Graft.spread(corpus)
+          .select(col("vec_id").as("corpus_id"), col("embedding").as("cv")),
+        "corpus_id", "cv", 1, centsDf)
+      val dims = assigned
+        .select(col("cell"), posexplode(col("cv")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast("double") / count(col("col"))).as("m"))
+        .where(col("m").isNotNull) // all-null dim (count 0): contributes nothing
+        .collect()
+        .groupBy(_.getLong(0)) // cell rode through TopKAgg's Long id channel
+      cents = cents.map { case (cell, old) =>
+        dims.get(cell.toLong) match {
+          case Some(rows) =>
+            // compact, position-sorted — mirrors the oracle's
+            // list(m ORDER BY i); dims with no values are skipped, not
+            // zero-filled (only possible for an all-degenerate cell)
+            (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+          case None => (cell, old) // empty cell: keep previous centroid
+        }
+      }
     }
+    cents
+  }
+
+  /** Nearest-n cells per vector via the bounded aggregate (the old
+    * row_number window here shuffled corpus × nCells rows on the vector
+    * id). Score = -distance: the aggregate ranks desc, distance ranks
+    * asc; cent_id asc breaks ties either way. `vC` rides along as a
+    * (functionally dependent) group key — no re-join.
+    */
+  private def nearestCells(df: DataFrame, idC: String, vC: String, n: Int,
+      cents: DataFrame): DataFrame = {
+    val scored = df.crossJoin(broadcast(cents))
+      // sqrt(in-order fold) matches DuckDB's list_distance loop exactly
+      .withColumn("negdist", -sqrt(Vectors.l2sq(col(vC), col("centv"))))
+    TopK.perGroupTopK(scored, Seq(idC, vC), "cent_id", "negdist", n)
+      .select(col(idC), col(vC), col("cent_id").as("cell"))
+  }
+
+  /** Shared IVF probe: corpus assigned to 1 cell, queries to `nProbe`
+    * cells; candidates are cell-local; bounded top-k finisher.
+    */
+  private def ivfProbe(corpus: DataFrame, queries: DataFrame,
+      cents: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val c = nearestCells(
       graft.core.Graft.spread(corpus)
         .select(col("vec_id").as("corpus_id"), col("embedding").as("cv")),
-      "corpus_id", "cv", 1)
+      "corpus_id", "cv", 1, cents)
       .join(corpus.select(col("vec_id").as("corpus_id"),
         Vectors.norm2(col("embedding")).as("cn")), Seq("corpus_id"))
     val q = nearestCells(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
-      "query_id", "qv", nProbe)
+      "query_id", "qv", nProbe, cents)
       .join(queries.select(col("vec_id").as("query_id"),
         Vectors.norm2(col("embedding")).as("qn")), Seq("query_id"))
     val scored = c.join(broadcast(q), Seq("cell"))

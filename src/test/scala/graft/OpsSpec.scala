@@ -220,12 +220,38 @@ class OpsSpec extends SparkSpec {
       bits = 4, probes = 3))
     val ivf = resultSet(Similarity.ivfTopK(emb, queries, 10,
       nCells = 16, nProbe = 4))
+    val ivfTrained = resultSet(Similarity.ivfTopKTrained(emb, queries, 10,
+      nCells = 16, nProbe = 4, iters = 2))
     val lshRecall = (lsh & brute).size.toDouble / brute.size
     val ivfRecall = (ivf & brute).size.toDouble / brute.size
-    info(f"recall@10 on 500 vectors: lsh=$lshRecall%.2f ivf=$ivfRecall%.2f")
+    val trainedRecall = (ivfTrained & brute).size.toDouble / brute.size
+    info(f"recall@10 on 500 vectors: lsh=$lshRecall%.2f ivf=$ivfRecall%.2f " +
+      f"ivfTrained=$trainedRecall%.2f")
     // approximate methods must beat random chance (10/500 = 2%) by a lot
-    assert(lshRecall > 0.05 && ivfRecall > 0.05)
+    assert(lshRecall > 0.05 && ivfRecall > 0.05 && trainedRecall > 0.05)
     assert(lsh.subsetOf(brute) || lsh.nonEmpty) // sanity: non-degenerate
+  }
+
+  test("trainedCentroids: deterministic across runs, Lloyd step reduces distortion") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.trainedCentroids(emb, nCells = 8, iters = 2)
+    val b = Similarity.trainedCentroids(emb, nCells = 8, iters = 2)
+    assert(a.map(_._1) == b.map(_._1))
+    assert(a.zip(b).forall { case ((_, x), (_, y)) => x.toSeq == y.toSeq })
+    // distortion (mean distance to nearest centroid) must not increase
+    // from the raw prefix sample to the trained set
+    import org.apache.spark.sql.Row
+    val vecs = emb.select("embedding").collect()
+      .map(r => r.getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toArray)
+    def distortion(cents: Seq[(Int, Array[Double])]): Double = {
+      val cs = cents.map(_._2).filter(_ != null)
+      vecs.map { v =>
+        cs.map(c => math.sqrt(v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)).min
+      }.sum / vecs.length
+    }
+    val init = Similarity.trainedCentroids(emb, nCells = 8, iters = 0)
+    info(f"distortion: init=${distortion(init)}%.4f trained=${distortion(a)}%.4f")
+    assert(distortion(a) <= distortion(init) + 1e-12)
   }
 
   test("banded embedding LSH: more bands buy recall at fixed bucket size") {

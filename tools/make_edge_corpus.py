@@ -27,6 +27,18 @@ for f in os.listdir(real):
         os.remove(dst)
     os.symlink(os.path.join(real, f), dst)
 
+
+def write_table(tbl, name):
+    """NEVER write through a pre-existing path: a stale symlink from an
+    older run would redirect the write onto the REAL testdata (this
+    exact accident corrupted sf0.01/embeddings.parquet once — unlink
+    first, always).
+    """
+    dst = os.path.join(out, name)
+    if os.path.lexists(dst):
+        os.remove(dst)
+    pq.write_table(tbl, dst)
+
 rows = [
     (0, "", "en", "src0"),                       # empty
     (1, "   ", "en", "src0"),                    # whitespace-only
@@ -52,7 +64,7 @@ tbl = pa.table({
     "n_chars": pa.array([len(r[1]) if r[1] is not None else 0 for r in rows],
                         pa.int64()),
 })
-pq.write_table(tbl, os.path.join(out, "documents.parquet"))
+write_table(tbl, "documents.parquet")
 
 # Degenerate embeddings: exercises the similarity kernel's and the
 # guarded oracles' (dotSql/distSql) null/zero/ragged branches. vec_id < 5
@@ -88,6 +100,6 @@ emb = pa.table({
     "embedding": pa.array([r[1] for r in emb_rows], pa.list_(pa.float32())),
     "label": pa.array([r[2] for r in emb_rows], pa.int32()),
 })
-pq.write_table(emb, os.path.join(out, "embeddings.parquet"))
+write_table(emb, "embeddings.parquet")
 print(f"edge corpus at {out} ({len(rows)} degenerate docs, "
       f"{len(emb_rows)} degenerate embeddings, rest symlinked from {real})")
