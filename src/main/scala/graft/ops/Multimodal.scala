@@ -124,4 +124,85 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select("media_id", "frame_idx")
+
+  /** Real bilinear resize to `outW`x`outH`, re-encoded as PNG (JDK
+    * `Graphics2D` + `ImageIO`, zero external deps), inside mapPartitions.
+    * Non-decodable payloads pass through with NULL resized bytes — the
+    * coerce-don't-error rule; callers filter or route them.
+    */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+      outW: Int, outH: Int): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("resized", BinaryType, nullable = true),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val png = readImage(bytes).map { img =>
+          val scaled = new java.awt.image.BufferedImage(outW, outH,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = scaled.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, outW, outH, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(scaled, "png", bos)
+          bos.toByteArray
+        }
+        Row(id, png.orNull, outW, outH)
+      }
+    }
+    spark.createDataFrame(rdd, out)
+  }
+
+  /** Pixel feature extraction: per-channel means and luma from the decoded
+    * first frame. Non-decodable payloads get NULL features. The per-pixel
+    * loop runs task-local over the raster — map-side, constant memory.
+    */
+  def imageFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("mean_r", DoubleType, nullable = true),
+      StructField("mean_g", DoubleType, nullable = true),
+      StructField("mean_b", DoubleType, nullable = true),
+      StructField("luma", DoubleType, nullable = true)))
+    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        readImage(bytes) match {
+          case Some(img) =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = img.getWidth.toDouble * img.getHeight
+            val (mr, mg, mb) = (sr / n, sg / n, sb / n)
+            Row(id, mr, mg, mb, 0.2126 * mr + 0.7152 * mg + 0.0722 * mb)
+          case None => Row(id, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, out)
+  }
+
+  /** Full decode to a BufferedImage; None for bytes no reader accepts. */
+  private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (bytes.isEmpty) return None
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
 }

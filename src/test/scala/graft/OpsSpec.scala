@@ -413,6 +413,33 @@ class OpsSpec extends SparkSpec {
       (64 + (n % 512), 64 + ((n / 7) % 512), 1 + (n % 30)))
   }
 
+  test("resizeImages and imageFeatures: real pixel math; nulls for non-images") {
+    import java.awt.image.BufferedImage
+    def solid(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, solid(8, 6, 0xFF8000)),                       // orange
+      (2L, "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "bytes")
+    val feats = Multimodal.imageFeatures(spark, media).orderBy("media_id").collect()
+    assert(feats(0).getDouble(1) == 255.0 && feats(0).getDouble(2) == 128.0 &&
+      feats(0).getDouble(3) == 0.0)
+    assert(feats(1).isNullAt(1) && feats(1).isNullAt(4))
+    val resized = Multimodal.resizeImages(spark, media, 4, 3)
+      .orderBy("media_id").collect()
+    assert(resized(1).isNullAt(1)) // junk passes through as NULL
+    val png = resized(0).getAs[Array[Byte]](1)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(back.getWidth == 4 && back.getHeight == 3)
+    // solid color survives bilinear resampling exactly
+    assert((back.getRGB(2, 1) & 0xFFFFFF) == 0xFF8000)
+  }
+
   test("multimodal: metadata never decodes; fake decode is deterministic") {
     val media = Multimodal.withMeta(Multimodal.syntheticMediaFromDocs(
       docs.withColumnRenamed("text", "text")))
