@@ -135,6 +135,20 @@ object SparkEntry {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")),
 
+    // Salted two-stage aggregation (skew-safe agg). The oracle computes
+    // the PLAIN group-by: the salting must be result-invisible — exact
+    // integer-cents sums make the merge order irrelevant.
+    "a15_salted_agg" -> ((s, d) => {
+      val li = Graft.spread(t(s, d, "lineitem"))
+        .select(col("l_returnflag"), cents(col("l_quantity")).as("qty_cents"))
+      graft.ops.SkewJoin.saltedSumCount(li, Seq("l_returnflag"), "qty_cents",
+        saltBuckets = 8)
+        .select(col("l_returnflag"),
+          (col("sum_qty_cents").cast("double") / 100).as("sum_qty"),
+          col("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
     // S4 full table scan.
     "s4_scan" -> ((s, d) => t(s, d, "region").orderBy("r_regionkey")),
 
@@ -926,6 +940,13 @@ object SparkEntry {
          | COUNT(*) AS count_order
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a15_salted_agg" ->
+      s"""SELECT l_returnflag,
+         | CAST(SUM(${centsSql("l_quantity")}) AS DOUBLE) / 100 AS sum_qty,
+         | COUNT(*) AS n_rows
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
 
     "s2_json_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier

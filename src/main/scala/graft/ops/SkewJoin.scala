@@ -26,4 +26,29 @@ object SkewJoin {
       explode(lit((0 until saltBuckets).toArray)))
     salted.join(replicated, keys :+ "__salt", "inner").drop("__salt")
   }
+
+  /** Two-stage skew-safe aggregation — the aggregation analogue of
+    * [[saltedInnerJoin]]: stage 1 pre-aggregates on (keys, salt), spreading
+    * one hot key over `saltBuckets` reducers; stage 2 merges the salt
+    * buckets. Row-identical to the plain groupBy for decomposable
+    * aggregates (exact sums/counts here; for doubles, cents/decimal-encode
+    * first — the house rule — so the merge order can't perturb results).
+    *
+    * The salt is the task's partition id mod buckets: free to compute, and
+    * rows of a hot key that arrive spread across input partitions STAY
+    * spread in stage 1. (Spark's own partial aggregation covers the
+    * common case; explicit salting is for the regime where even
+    * per-partition partials leave one reducer holding a giant hash —
+    * e.g. high-cardinality sub-keys under one hot group key.)
+    */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+      saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    df.withColumn("__salt", pmod(spark_partition_id(), lit(saltBuckets)))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(col(valueCol)).as("__s"), count(lit(1)).as("__n"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__s")).as(s"sum_$valueCol"),
+        sum(col("__n")).cast("long").as("n_rows"))
+  }
 }

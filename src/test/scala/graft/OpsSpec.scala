@@ -389,6 +389,19 @@ class OpsSpec extends SparkSpec {
     assert(salted.count(_.head == "hot") == 900)
   }
 
+  test("saltedSumCount equals the plain groupBy (hot key spread only)") {
+    import graft.ops.SkewJoin
+    val df = ((1 to 900).map(_ => ("hot", 3L)) ++
+      (1 to 100).map(i => (s"k${i % 7}", i.toLong)))
+      .toDF("k", "v").repartition(8)
+    val salted = SkewJoin.saltedSumCount(df, Seq("k"), "v", saltBuckets = 4)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val plain = df.groupBy("k")
+      .agg(sum($"v").as("s"), count(lit(1)).as("n"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("decodeImage reads real PNG/JPEG dimensions; non-images fall back deterministically") {
     import java.awt.image.BufferedImage
     def encoded(fmt: String, w: Int, h: Int): Array[Byte] = {
