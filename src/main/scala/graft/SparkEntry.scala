@@ -829,6 +829,31 @@ object SparkEntry {
           .as("redacted"))
       .orderBy("doc_id")),
 
+    // Vocabulary-coverage quality score: fraction of each doc's tokens
+    // that fall in the corpus-wide top-100 vocabulary. Two passes: vocab
+    // built once (bounded: top-V, deterministic count-desc/word-asc
+    // tie-break), collected (V is driver-sized by construction) and
+    // folded into a map-side membership count — per-doc scoring never
+    // shuffles. Rational arithmetic only: exact counts, one double
+    // division.
+    "text_vocab_coverage" -> ((s, d) => {
+      val docs = Graft.spread(t(s, d, "documents"))
+      val vocab = docs.select(explode(Text.tokens(col("text"))).as("word"))
+        .where(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc).limit(100)
+        .select("word").collect().map(_.getString(0)).toSeq
+      docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          Text.stopwordHits(col("toks"), vocab).as("vocab_hits"))
+        .withColumn("coverage",
+          when(col("n_tokens") > 0,
+            col("vocab_hits").cast("double") / col("n_tokens"))
+            .otherwise(lit(0.0)))
+        .orderBy("doc_id")
+    }),
+
     // Brute-force cosine top-k (exact ANN baseline).
     "sim_brute_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -1439,6 +1464,25 @@ object SparkEntry {
         |FROM documents d
         | LEFT JOIN la ON la.doc_id = d.doc_id
         | LEFT JOIN bga ON bga.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "text_vocab_coverage" ->
+      """WITH words AS (
+        | SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        | FROM documents WHERE trim(text) <> ''),
+        |vocab AS (
+        | SELECT w AS word, COUNT(*) AS n FROM words WHERE w <> ''
+        | GROUP BY w ORDER BY n DESC, word ASC LIMIT 100),
+        |counts AS (
+        | SELECT w.doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS vocab_hits
+        | FROM words w LEFT JOIN vocab v ON v.word = w.w
+        | GROUP BY w.doc_id)
+        |SELECT d.doc_id,
+        | COALESCE(c.n_tokens, 0) AS n_tokens,
+        | COALESCE(c.vocab_hits, 0) AS vocab_hits,
+        | COALESCE(CAST(c.vocab_hits AS DOUBLE) / c.n_tokens, 0.0) AS coverage
+        |FROM documents d LEFT JOIN counts c ON c.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
     "text_strip_accents" ->
