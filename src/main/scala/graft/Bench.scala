@@ -44,9 +44,9 @@ object Bench {
   val headline: Seq[(String, Int)] = Seq(
     "q1_agg" -> 16,           // wide aggregation scan
     "j1_multiway_join" -> 8,  // 5-way join + agg
-    "w1_window" -> 512,       // window functions (filtered input is tiny)
+    "w1_window" -> 2048,      // window functions (filtered input is tiny)
     "a8_pivot" -> 32,         // pivot
-    "dedup_exact" -> 128,     // digest group-by
+    "dedup_exact" -> 256,     // digest group-by
     "dedup_minhash" -> 8,     // shingle + minhash array math
     "text_profile" -> 8,      // text analytics map pass
     "sim_brute_topk" -> 8192)  // vector similarity

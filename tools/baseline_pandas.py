@@ -27,8 +27,8 @@ import numpy as np
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
 REPS = {  # keep in sync with graft.Bench.headline
-    "q1_agg": 16, "j1_multiway_join": 8, "w1_window": 512, "a8_pivot": 32,
-    "dedup_exact": 128, "dedup_minhash": 8, "text_profile": 8,
+    "q1_agg": 16, "j1_multiway_join": 8, "w1_window": 2048, "a8_pivot": 32,
+    "dedup_exact": 256, "dedup_minhash": 8, "text_profile": 8,
     "sim_brute_topk": 8192,
 }
 
