@@ -149,6 +149,17 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Z-order (Morton) layout key: interleave two dimensions into one
+    // sort order — written in this order, parquet min/max stats prune on
+    // EITHER dimension. Top-200 by z compiles to TakeOrderedAndProject
+    // (no global sort), like o2.
+    "o3_zorder" -> ((s, d) => t(s, d, "part")
+      .select(col("p_partkey"), col("p_size"),
+        graft.functions.Layout.zValue(col("p_size"), col("p_partkey"), 16)
+          .as("z"))
+      .orderBy(col("z").asc, col("p_partkey").asc)
+      .limit(200)),
+
     // S4 full table scan.
     "s4_scan" -> ((s, d) => t(s, d, "region").orderBy("r_regionkey")),
 
@@ -965,6 +976,16 @@ object SparkEntry {
          | COUNT(*) AS count_order
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "o3_zorder" -> {
+      def zSql(a: String, b: String, bits: Int): String =
+        (0 until bits).flatMap(i => Seq(
+          s"(((CAST($a AS BIGINT) >> $i) & 1) << ${2 * i})",
+          s"(((CAST($b AS BIGINT) >> $i) & 1) << ${2 * i + 1})"))
+          .mkString("(", " | ", ")")
+      s"""SELECT p_partkey, p_size, ${zSql("p_size", "p_partkey", 16)} AS z
+         |FROM part ORDER BY z ASC, p_partkey ASC LIMIT 200""".stripMargin
+    },
 
     "a15_salted_agg" ->
       s"""SELECT l_returnflag,

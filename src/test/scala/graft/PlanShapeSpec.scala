@@ -52,6 +52,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("Generate"))
   }
 
+  test("o3_zorder compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan("o3_zorder")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+  }
+
+  test("map-side text queries stay single-stage (no join, no aggregate)") {
+    // repetition/chunking/PII/coverage scoring are per-doc map passes; a
+    // HashAggregate or Join in the plan would mean a corpus-wide shuffle
+    // crept into what must stay embarrassingly parallel at 100 TB.
+    // (text_vocab_coverage's vocab pass runs eagerly at build time — the
+    // SCORING plan asserted here has the vocab folded in as literals.)
+    for (q <- Seq("text_repetition", "text_chunks", "text_pii_redact",
+        "text_vocab_coverage", "text_strip_accents")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q plan contains a join: ${p.take(400)}")
+      assert(!p.contains("HashAggregate"),
+        s"$q plan contains an aggregate: ${p.take(400)}")
+    }
+  }
+
   test("similarity top-k is a bounded partial aggregate, not a window sort") {
     // The scale contract: no corpus-sized shuffle+sort into Q hot reducer
     // partitions. The finisher must be a partial+final ObjectHashAggregate
