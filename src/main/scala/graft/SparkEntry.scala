@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core.Graft
 import graft.functions.{Cleaning, Norm, StableHash, Text, Vectors}
 import graft.metrics.StaffingMetrics
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
 import graft.quality.DataQuality
 
 /** Driver contract: the operator corpus (SURVEY.md §2 + north-star
@@ -950,6 +950,50 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // HyperLogLog distinct-user estimate per event type next to the exact
+    // count (graft.ops.Sketches.HllAgg: mergeable partial+final aggregate —
+    // 4 KiB of registers per group cross the shuffle, never the user ids).
+    // The estimate is deterministic (integer registers, fixed-order float
+    // finish), so the oracle replays it bit-exactly.
+    "sketch_hll_distinct" -> ((s, d) => {
+      val ev = Graft.spread(t(s, d, "events")).where(col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id"),
+          StableHash.hash60(col("user_id").cast("string")).as("h"))
+      ev.groupBy("event_type")
+        .agg(Sketches.hllDistinct(12)(col("h")).as("est_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")
+    }),
+
+    // Count-min sketch token-frequency estimates for probe words, next to
+    // exact counts. The sketch is one partial+final aggregate (3x512 exact
+    // counters cross the shuffle); probe lookups read the collected sketch
+    // (bounded driver work, same class as the catalog read).
+    "sketch_cms_freq" -> ((s, d) => {
+      import s.implicits._
+      val toks = Graft.spread(t(s, d, "documents"))
+        .select(explode(Text.tokens(col("text"))).as("w"))
+        .where(col("w") =!= "")
+      val skRow = toks
+        .select(pmod(StableHash.hash60(col("w")), lit(Dedup.MinhashP)).as("h"))
+        .agg(Sketches.cmsSketch(3, 512)(col("h"))).head
+      // empty corpus (edge dataset): treat a null sketch as all-zero cells
+      val sk: Seq[Long] =
+        if (skRow.isNullAt(0)) Seq.fill(3 * 512)(0L) else skRow.getSeq[Long](0)
+      val est = CmsProbeWords.map { wd =>
+        val h = graft.plans.Hash60.hashUTF8(
+          org.apache.spark.unsafe.types.UTF8String.fromString(wd)) %
+          Dedup.MinhashP
+        (wd, Sketches.cmsEstimate(sk, 3, 512, h))
+      }.toDF("word", "est_count")
+      val exact = toks.groupBy(col("w").as("word"))
+        .agg(count(lit(1)).as("exact_count"))
+      est.join(exact, Seq("word"), "left")
+        .select(col("word"), col("est_count"),
+          coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+        .orderBy("word")
+    }),
+
     // Multimodal: synthetic media + metadata extraction (decode stays
     // stubbed; plumbing is real — see graft.ops.Multimodal).
     "mm_media_meta" -> ((s, d) => {
@@ -1613,7 +1657,11 @@ object SparkEntry {
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | md5(text) AS digest,
         | upper(substr(to_base64(encode(text)), 1, 4)) AS format
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "sketch_hll_distinct" -> hllDistinctOracle,
+
+    "sketch_cms_freq" -> cmsFreqOracle
   )
 
   // ---- generated oracles (shared hash/shingle SQL building blocks) --------
@@ -1657,6 +1705,98 @@ object SparkEntry {
 
   private def hash60Sql(expr: String): String =
     s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** Probe words for the count-min frequency query (high-frequency corpus
+    * tokens + one guaranteed-absent token); shared verbatim by the query
+    * and its oracle.
+    */
+  private val CmsProbeWords = Seq("join", "hash", "row", "batch", "scan",
+    "merge", "vector", "table", "query", "zzzmissing")
+
+  /** HLL registers replayed in SQL: bucket = top 12 hash bits, rank =
+    * leading zeros of the remaining 48 bits + 1 via the binary-string
+    * length trick (DuckDB has no clz); Σ2^-M_j is the exact HUGEINT
+    * Σ2^(61-M_j) with zero registers contributing 2^61 each; the float
+    * finish then mirrors [[graft.ops.Sketches.hllEstimate]] op-for-op
+    * (÷, ×, ln are correctly rounded in both engines — ln was verified
+    * bit-equal to Java Math.log, NOT StrictMath.log, which is why the
+    * engine never uses Spark's builtin `log`), and
+    * `floor(x+0.5) = Math.round`.
+    */
+  private def hllDistinctOracle: String = {
+    val mask = (1L << 48) - 1
+    s"""WITH src AS (
+       | SELECT event_type, user_id,
+       |  ${hash60Sql("CAST(user_id AS VARCHAR)")} AS h
+       | FROM events WHERE user_id IS NOT NULL),
+       |regs AS (
+       | SELECT event_type, h >> 48 AS b,
+       |  MAX(CASE WHEN (h & $mask) = 0 THEN 49
+       |      ELSE 48 - (length(ltrim(bin(h & $mask), '0')) - 1) END) AS r
+       | FROM src GROUP BY 1, 2),
+       |sums AS (
+       | SELECT event_type, COUNT(*) AS nz,
+       |  SUM(1::HUGEINT << (61 - r)) AS s_nz
+       | FROM regs GROUP BY 1),
+       |est AS (
+       | SELECT event_type, 4096 - nz AS zeros,
+       |  (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 4096.0)) *
+       |   (CAST(16777216::HUGEINT << 61 AS DOUBLE) /
+       |    CAST(s_nz + CAST(4096 - nz AS HUGEINT) * (1::HUGEINT << 61) AS DOUBLE)) AS raw
+       | FROM sums),
+       |fin AS (
+       | SELECT event_type,
+       |  CASE WHEN raw <= 10240.0 AND zeros > 0
+       |       THEN 4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))
+       |       ELSE raw END AS e
+       | FROM est),
+       |exact AS (
+       | SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+       | FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+       |SELECT f.event_type,
+       | CAST(floor(f.e + 0.5) AS BIGINT) AS est_users,
+       | x.exact_users
+       |FROM fin f JOIN exact x USING (event_type)
+       |ORDER BY f.event_type""".stripMargin
+  }
+
+  /** Count-min cells replayed in SQL: same base hash (md5-60 mod P) and
+    * affine row reseedings as [[graft.ops.Sketches.CmsAgg]]
+    * (Dedup.minhashCoeffs); estimates are MIN over rows of exact integer
+    * cell counts — no float path at all. TOTAL over the edge corpus: an
+    * empty token set leaves every cell 0 via the LEFT JOIN + COALESCE.
+    */
+  private def cmsFreqOracle: String = {
+    val p = Dedup.MinhashP
+    val coefRows = (0 until 3).map { j =>
+      val (a, b) = Dedup.minhashCoeffs(j)
+      s"($j, ${a}::BIGINT, ${b}::BIGINT)"
+    }.mkString(", ")
+    val probeRows = CmsProbeWords.map(w => s"('$w')").mkString(", ")
+    s"""WITH toks AS (
+       | SELECT w FROM (
+       |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |  FROM documents WHERE trim(text) <> '') WHERE w <> ''),
+       |hashed AS (SELECT ${hash60Sql("w")} % $p AS h FROM toks),
+       |coef(i, a, b) AS (VALUES $coefRows),
+       |cells AS (
+       | SELECT c.i, ((c.a * h.h + c.b) % $p) % 512 AS j, COUNT(*) AS cnt
+       | FROM hashed h CROSS JOIN coef c GROUP BY 1, 2),
+       |probes(word) AS (VALUES $probeRows),
+       |pcells AS (
+       | SELECT p.word, c.i,
+       |  ((c.a * (${hash60Sql("p.word")} % $p) + c.b) % $p) % 512 AS j
+       | FROM probes p CROSS JOIN coef c),
+       |est AS (
+       | SELECT pc.word, MIN(COALESCE(cl.cnt, 0)) AS est_count
+       | FROM pcells pc LEFT JOIN cells cl ON cl.i = pc.i AND cl.j = pc.j
+       | GROUP BY pc.word),
+       |exact AS (SELECT w AS word, COUNT(*) AS exact_count FROM toks GROUP BY w)
+       |SELECT e.word, CAST(e.est_count AS BIGINT) AS est_count,
+       | CAST(COALESCE(x.exact_count, 0) AS BIGINT) AS exact_count
+       |FROM est e LEFT JOIN exact x ON x.word = e.word
+       |ORDER BY e.word""".stripMargin
+  }
 
   /** Relational word + 3-shingle CTEs over `documents`, TOTAL over edge
     * cases to mirror Text.wordShingles exactly: >= 3 words -> distinct

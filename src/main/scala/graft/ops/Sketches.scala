@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Mergeable streaming sketches — the "sketch as data" tier a 100 TB
+  * pipeline needs: each is a typed [[Aggregator]], so Spark runs it as a
+  * partial+final aggregate (map-side fold, only the fixed-size sketch
+  * crosses the shuffle), and the same merge makes sketches storable —
+  * aggregate per day/partition, keep the sketch column, merge later
+  * without re-reading the data (same model as [[MinHashMerge]]).
+  *
+  * Both sketches are DETERMINISTIC — registers/counters are order- and
+  * partitioning-independent (max / sum of exact integers), and the
+  * HLL estimate is computed from exact integer state with a fixed
+  * operation order — so their outputs survive the strict DuckDB oracle
+  * (bit-equal replay in SQL; see `SparkEntry.oracleSql`). This is the
+  * reason these are hand-built rather than `approx_count_distinct` /
+  * `count_min_sketch`: Spark's built-ins use engine-private hashing
+  * (xxhash64 variants) that no second engine can replay, and their
+  * binary sketch formats are not stable public contracts. Reference
+  * behavior twin: the reference profiles corpora with exact
+  * `COUNT(DISTINCT …)` / `GROUP BY` counts (calculate_metrics.py); these
+  * sketches answer the same questions with bounded state at corpus scale.
+  *
+  * Inputs are pre-hashed 60-bit [[graft.functions.StableHash]] values so
+  * the hash cost is paid once in codegen'd expression space (and the
+  * oracle replays `md5` directly); null hashes (null inputs) are skipped,
+  * matching `COUNT(DISTINCT col)` null semantics.
+  */
+object Sketches {
+
+  /** HyperLogLog distinct-count estimate over a hash column (use
+    * `StableHash.hash60(...)`). `p` register-index bits → `2^p` byte
+    * registers; standard-error ≈ 1.04/sqrt(2^p) (p=12 → ~1.6%).
+    */
+  def hllDistinct(p: Int)(hash: Column): Column =
+    udaf(new HllAgg(p)).apply(hash)
+
+  /** Count-min sketch of value frequencies over a hash column reduced to
+    * `[0, MinhashP)` (use `pmod(StableHash.hash60(c), MinhashP)`). Returns
+    * the flat `depth × width` counter array; point-estimate with
+    * [[cmsEstimate]]. Overestimates only, by ≤ 2N/width w.p. 1-(1/2)^depth.
+    */
+  def cmsSketch(depth: Int, width: Int)(hash: Column): Column =
+    udaf(new CmsAgg(depth, width)).apply(hash)
+
+  /** Row-`i` cell index for base hash `h`: the same affine reseeding
+    * family as MinHash (one md5, `depth` cheap mixes — Dedup.minhashCoeffs).
+    */
+  def cmsCell(i: Int, width: Int, h: Long): Int = {
+    val (a, b) = Dedup.minhashCoeffs(i)
+    (((a * h + b) % Dedup.MinhashP) % width).toInt
+  }
+
+  /** Point frequency estimate: min over rows of the addressed counter. */
+  def cmsEstimate(counters: Seq[Long], depth: Int, width: Int, h: Long): Long = {
+    var best = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      val c = counters(i * width + cmsCell(i, width, h))
+      if (c < best) best = c
+      i += 1
+    }
+    best
+  }
+
+  /** HLL estimate from registers, in EXACT arithmetic up to the final
+    * (correctly-rounded, hence deterministic) double ops:
+    * Σ 2^-M_j is accumulated as the integer Σ 2^(61-M_j) (BigInt — ranks
+    * are ≤ 61 so every term is exact), the α·m²/Σ ratio is two exact
+    * BigInt→double casts, one divide, one multiply, and the small-range
+    * branch is `m·ln(m/V)` (ln == DuckDB's ln — both are correctly-rounded
+    * `Math.log` on this platform; `StrictMath.log` is NOT, which is why
+    * this never uses Spark's builtin `log`). Final rounding is
+    * `floor(x+0.5)` — `Math.round` — replayed verbatim in the oracle.
+    * Large-range correction is intentionally omitted: with 60-bit hashes
+    * collisions are negligible below ~2^30 distinct values.
+    */
+  def hllEstimate(regs: Array[Byte], m: Int): Long = {
+    var zeros = 0
+    var s = BigInt(0)
+    var i = 0
+    while (i < m) {
+      val r = regs(i) & 0xff
+      if (r == 0) zeros += 1
+      s += BigInt(1) << (61 - r)
+      i += 1
+    }
+    val num = (BigInt(m) * m) << 61
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val raw = alpha * (num.toDouble / s.toDouble)
+    val est =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      else raw
+    Math.round(est)
+  }
+}
+
+/** HyperLogLog (Flajolet et al. 2007) over 60-bit stable hashes: register
+  * index = top `p` hash bits, rank = leading zeros of the remaining
+  * `60-p` bits + 1, registers merge by elementwise max (associative,
+  * commutative, idempotent — re-aggregation-safe).
+  */
+class HllAgg(p: Int)
+    extends Aggregator[java.lang.Long, Array[Byte], Long] {
+  require(p >= 7 && p <= 16, "p must be in [7,16] (single-alpha regime)")
+  private val m = 1 << p
+  private val w = 60 - p
+  private val mask = (1L << w) - 1L
+
+  override def zero: Array[Byte] = new Array[Byte](m)
+
+  override def reduce(buf: Array[Byte], h: java.lang.Long): Array[Byte] = {
+    if (h != null) {
+      val v = h.longValue
+      val b = (v >>> w).toInt
+      val rest = v & mask
+      val r =
+        if (rest == 0L) w + 1
+        else w - (63 - java.lang.Long.numberOfLeadingZeros(rest))
+      if (r > buf(b)) buf(b) = r.toByte
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) {
+      if (b(i) > a(i)) a(i) = b(i)
+      i += 1
+    }
+    a
+  }
+
+  override def finish(regs: Array[Byte]): Long = Sketches.hllEstimate(regs, m)
+
+  override def bufferEncoder: Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
+  override def outputEncoder: Encoder[Long] =
+    org.apache.spark.sql.Encoders.scalaLong
+}
+
+/** Count-min sketch (Cormode & Muthukrishnan 2005): `depth` rows of
+  * `width` exact Long counters; each input increments one cell per row
+  * (affine-reseeded addressing). Counters merge by elementwise sum.
+  */
+class CmsAgg(depth: Int, width: Int)
+    extends Aggregator[java.lang.Long, Array[Long], Seq[Long]] {
+  require(depth >= 1 && width >= 2)
+  private val size = depth * width
+
+  override def zero: Array[Long] = new Array[Long](size)
+
+  override def reduce(buf: Array[Long], h: java.lang.Long): Array[Long] = {
+    if (h != null) {
+      val v = h.longValue
+      var i = 0
+      while (i < depth) {
+        buf(i * width + Sketches.cmsCell(i, width, v)) += 1L
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < size) {
+      a(i) += b(i)
+      i += 1
+    }
+    a
+  }
+
+  override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}

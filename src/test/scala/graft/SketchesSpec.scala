@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.StableHash
+import graft.ops.{Dedup, Sketches}
+
+/** HyperLogLog / count-min sketch semantics: accuracy bounds, merge
+  * (= partition-independence), null handling, and estimate determinism.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hashed(n: Int, parts: Int) =
+    spark.range(0, n, 1, parts)
+      .select(StableHash.hash60(col("id").cast("string")).as("h"))
+
+  test("hll estimate is within 5 sigma of exact across scales") {
+    for (n <- Seq(10, 100, 1000, 20000)) {
+      val est = hashed(n, 8).agg(Sketches.hllDistinct(12)(col("h")))
+        .head.getLong(0)
+      val sigma = 1.04 / math.sqrt(1 << 12) * n
+      assert(math.abs(est - n) <= math.max(5 * sigma, 1.0),
+        s"n=$n est=$est")
+    }
+  }
+
+  test("hll is partitioning-independent and null-skipping") {
+    val a = hashed(5000, 1).agg(Sketches.hllDistinct(12)(col("h"))).head.getLong(0)
+    val b = hashed(5000, 32).agg(Sketches.hllDistinct(12)(col("h"))).head.getLong(0)
+    assert(a == b)
+    val withNulls = hashed(5000, 8)
+      .union(spark.range(7).select(lit(null).cast("long").as("h")))
+    assert(withNulls.agg(Sketches.hllDistinct(12)(col("h"))).head.getLong(0) == a)
+  }
+
+  test("hll duplicates do not move the estimate") {
+    val once = hashed(3000, 4)
+    val thrice = once.union(once).union(once)
+    assert(once.agg(Sketches.hllDistinct(12)(col("h"))).head.getLong(0) ==
+      thrice.agg(Sketches.hllDistinct(12)(col("h"))).head.getLong(0))
+  }
+
+  test("hllEstimate small-range branch: empty and tiny registers") {
+    assert(Sketches.hllEstimate(new Array[Byte](4096), 4096) == 0L)
+    // one register set -> estimate ~1
+    val regs = new Array[Byte](4096)
+    regs(17) = 3
+    val e = Sketches.hllEstimate(regs, 4096)
+    assert(e >= 1L && e <= 2L, s"e=$e")
+  }
+
+  private def cmsOf(words: Seq[String], parts: Int = 4): Seq[Long] =
+    words.toDF("w").repartition(parts)
+      .select(pmod(StableHash.hash60(col("w")), lit(Dedup.MinhashP)).as("h"))
+      .agg(Sketches.cmsSketch(3, 512)(col("h")))
+      .head.getSeq[Long](0)
+
+  private def baseHash(w: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(w.getBytes("UTF-8"))
+    val top = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    (top >>> 4) % Dedup.MinhashP
+  }
+
+  test("cms never underestimates and is exact without collisions") {
+    val words = Seq.fill(10)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma")
+    val sk = cmsOf(words)
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for ((w, c) <- exact) {
+      val est = Sketches.cmsEstimate(sk, 3, 512, baseHash(w))
+      assert(est >= c, s"$w underestimated: $est < $c")
+      assert(est <= c + words.size, s"$w absurd: $est")
+    }
+    // 3 distinct words in 3*512 cells: no collision, estimates exact
+    assert(Sketches.cmsEstimate(sk, 3, 512, baseHash("alpha")) == 10L)
+    assert(Sketches.cmsEstimate(sk, 3, 512, baseHash("beta")) == 3L)
+    assert(Sketches.cmsEstimate(sk, 3, 512, baseHash("gamma")) == 1L)
+  }
+
+  test("cms merges across partitions to the single-partition sketch") {
+    val words = (0 until 500).map(i => s"w${i % 37}")
+    assert(cmsOf(words, 1) == cmsOf(words, 16))
+  }
+
+  test("cms total count is conserved per row") {
+    val words = (0 until 200).map(i => s"t$i")
+    val sk = cmsOf(words)
+    for (row <- 0 until 3)
+      assert(sk.slice(row * 512, (row + 1) * 512).sum == 200L)
+  }
+}
