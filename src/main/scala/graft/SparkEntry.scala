@@ -950,6 +950,12 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // Unigram-LM quality scoring: corpus-frequency model (pass 1) + mean
+    // token log-prob per doc (pass 2) — see TextAnalysis.unigramLmScores
+    // for the ordered-fold determinism contract.
+    "text_unigram_lm" -> ((s, d) =>
+      TextAnalysis.unigramLmScores(t(s, d, "documents")).orderBy("doc_id")),
+
     // HyperLogLog distinct-user estimate per event type next to the exact
     // count (graft.ops.Sketches.HllAgg: mergeable partial+final aggregate —
     // 4 KiB of registers per group cross the shuffle, never the user ids).
@@ -992,6 +998,29 @@ object SparkEntry {
         .select(col("word"), col("est_count"),
           coalesce(col("exact_count"), lit(0L)).as("exact_count"))
         .orderBy("word")
+    }),
+
+    // Streaming dedup under load: every event arrives TWICE (self-union of
+    // the file stream), dropDuplicatesWithinWatermark collapses them with
+    // bounded state, and the survivors are profiled. Order-independent —
+    // planted copies are byte-identical and source event_ids are unique —
+    // so unlike most arrival-order streaming shapes this one supports a
+    // strict oracle (= the same profile over the original events).
+    "stream_dedup_counts" -> ((s, d) => {
+      Graft.tune(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val ev = graft.streaming.StreamingIngest
+        .parquetStream(s, d, schema, globFilter = Some("events.parquet"))
+        .withColumn("ts", Graft.nanosToTimestamp("ts"))
+      val planted = ev.union(ev)
+      val ded = graft.streaming.StreamingIngest
+        .dedupStream(planted, Seq("event_id"))
+      val res = graft.streaming.StreamingIngest
+        .runAvailableNow(s, ded, "stream_dedup_mem", outputMode = "append")
+      res.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
     }),
 
     // Multimodal: synthetic media + metadata extraction (decode stays
@@ -1659,9 +1688,43 @@ object SparkEntry {
         | upper(substr(to_base64(encode(text)), 1, 4)) AS format
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    // Dedup of the doubled stream == the original events (unique ids,
+    // byte-identical copies), so the oracle profiles the source directly.
+    "stream_dedup_counts" ->
+      """SELECT event_type,
+        | COUNT(*) AS n_events,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "sketch_hll_distinct" -> hllDistinctOracle,
 
-    "sketch_cms_freq" -> cmsFreqOracle
+    "sketch_cms_freq" -> cmsFreqOracle,
+
+    // Per-type terms k*ln(c/N) are elementwise bit-deterministic (DuckDB
+    // ln == the engine's MathLn); the per-doc sum replays the engine's
+    // ordered fold as list_sum(list(term ORDER BY w)).
+    "text_unigram_lm" ->
+      """WITH toks AS (
+        | SELECT doc_id, w FROM (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE trim(text) <> '') WHERE w <> ''),
+        |vocab AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab),
+        |model AS (
+        | SELECT w, ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS lp
+        | FROM vocab, tot),
+        |doctok AS (SELECT doc_id, w, COUNT(*) AS k FROM toks GROUP BY doc_id, w),
+        |terms AS (
+        | SELECT dt.doc_id, dt.w, dt.k, CAST(dt.k AS DOUBLE) * m.lp AS term
+        | FROM doctok dt JOIN model m USING (w)),
+        |agg AS (
+        | SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+        |  list_sum(list(term ORDER BY w)) AS lsum
+        | FROM terms GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+        | a.lsum / CAST(a.n_tokens AS DOUBLE) AS lm_score
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   // ---- generated oracles (shared hash/shingle SQL building blocks) --------

@@ -46,4 +46,58 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),
         avg("quality_score").as("avg_quality"))
+
+  /** Unigram language-model quality score: two passes over the corpus —
+    * (1) a token-frequency model P(w) = c_w / N, (2) each document scored
+    * by its mean token log-probability Σ c_{d,w}·ln(P(w)) / |d| (the
+    * negated per-token cross-entropy; exp(-score) is the document's
+    * unigram perplexity). The classic "looks like the corpus" quality
+    * filter: gibberish and boilerplate-repetition documents sit far from
+    * the corpus mean score.
+    *
+    * Scale shape: pass 1 is one map-side-combined shuffle on token; pass 2
+    * folds tokens per (doc, token) FIRST (bounding hot-token join rows by
+    * doc-frequency, not term-frequency), joins the model on token (AQE
+    * skew-split handles the Zipf head), and re-aggregates per doc. The
+    * model stays fully distributed — N is a 1-row broadcast, never a
+    * driver value.
+    *
+    * Determinism (strict-oracle discipline): every per-type term
+    * k·ln(c/N) is elementwise bit-deterministic ([[graft.plans.MathLn]]
+    * == DuckDB `ln`), and the per-doc sum is an ORDERED left fold over
+    * terms sorted by token (`sort_array` + `aggregate`), replayed in
+    * DuckDB as `list_sum(list(term ORDER BY w))` — both engines fold
+    * in-order, so the double sum is bit-equal despite float
+    * non-associativity.
+    *
+    * Output: (idCol, n_tokens, lm_score); empty/whitespace docs keep
+    * n_tokens = 0 with NULL score.
+    */
+  def unigramLmScores(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = graft.core.Graft.spread(docs)
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("n"))
+    val model = vocab.crossJoin(broadcast(total))
+      .select(col("w"),
+        graft.plans.MathLn(col("c").cast("double") / col("n").cast("double"))
+          .as("lp"))
+    val docTok = toks.groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("k"))
+    val perDoc = docTok.join(model, "w")
+      .select(col(idCol), col("w"), col("k"),
+        (col("k").cast("double") * col("lp")).as("term"))
+      .groupBy(idCol)
+      .agg(sum(col("k")).as("n_tokens"),
+        aggregate(
+          sort_array(collect_list(struct(col("w"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("lsum"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (col("lsum") / col("n_tokens").cast("double")).as("lm_score"))
+  }
 }

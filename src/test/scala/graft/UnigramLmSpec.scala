@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis
+
+/** Unigram-LM scoring semantics + the MathLn parity contract. */
+class UnigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MathLn equals java.lang.Math.log through codegen") {
+    val xs = Seq(1.0, 0.5, 999.0 / 50000, 1e-12, 7.25, 0.0199986)
+    val out = xs.toDF("x")
+      .select(graft.plans.MathLn(col("x")).as("y"))
+      .as[Double].collect()
+    assert(out.toSeq == xs.map(java.lang.Math.log))
+    // the motivating case: StrictMath differs here
+    assert(java.lang.Math.log(999.0 / 50000) !=
+      StrictMath.log(999.0 / 50000))
+  }
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the dog sat on the rug"),
+    (3L, "zyzzyva qwertyuiop"), // rare tokens -> low score
+    (4L, ""),
+    (5L, null.asInstanceOf[String])
+  ).toDF("doc_id", "text")
+
+  test("rare-token docs score below common-token docs; empty docs are NULL") {
+    val res = TextAnalysis.unigramLmScores(docs).orderBy("doc_id").collect()
+    val score = res.map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val n = res.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n(1L) == 6 && n(3L) == 2 && n(4L) == 0 && n(5L) == 0)
+    assert(score(4L).isEmpty && score(5L).isEmpty)
+    assert(score(3L).get < score(1L).get)
+    assert(score(3L).get < score(2L).get)
+  }
+
+  test("score equals the hand-computed mean token log-prob") {
+    val one = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val s = TextAnalysis.unigramLmScores(one).head
+    // model: P(a)=2/3, P(b)=1/3; ordered fold: (0 + 2*ln(2/3)) + 1*ln(1/3)
+    val expect = ((0.0 + 2.0 * math.log(2.0 / 3.0)) + math.log(1.0 / 3.0)) / 3.0
+    assert(s.getLong(1) == 3L)
+    assert(s.getDouble(2) == expect)
+  }
+
+  test("deterministic under repartitioning") {
+    val wide = (0L until 200L).map(i => (i, s"tok${i % 17} tok${i % 5} shared words"))
+    val a = TextAnalysis.unigramLmScores(wide.toDF("doc_id", "text").repartition(1))
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.unigramLmScores(wide.toDF("doc_id", "text").repartition(13))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+}
