@@ -810,6 +810,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Relational twin of text_repetition (explode+groupBy counting — the
+    // huge-document scale path; see repetitionSignalsRelational). Same
+    // planted duplication, same oracle.
+    "text_repetition_rel" -> ((s, d) => {
+      val base = coalesce(col("text"), lit(""))
+      val planted = concat_ws("\n", base, substring(base, 1, 20),
+        substring(base, 1, 20))
+      TextAnalysis.repetitionSignalsRelational(
+        t(s, d, "documents").select(col("doc_id"), planted.as("text")))
+        .orderBy("doc_id")
+    }),
+
     // Accent stripping (native StripAccents expression). Unicode is
     // PLANTED — the synthetic corpus is ASCII; DuckDB's strip_accents
     // replays the same NFD + mark-removal recipe.
@@ -1521,44 +1533,11 @@ object SparkEntry {
 
     "text_profile" -> textProfileOracle,
 
-    "text_repetition" ->
-      """WITH base AS (
-        | SELECT doc_id,
-        |  COALESCE(text,'') || chr(10) || substr(COALESCE(text,''),1,20)
-        |   || chr(10) || substr(COALESCE(text,''),1,20) AS t
-        | FROM documents),
-        |lines AS (
-        | SELECT doc_id, trim(l) AS line
-        | FROM base, unnest(string_split(t, chr(10))) AS u(l)
-        | WHERE trim(l) <> ''),
-        |lc AS (SELECT doc_id, line, COUNT(*) AS c, len(line) AS ln
-        |       FROM lines GROUP BY doc_id, line),
-        |la AS (SELECT doc_id,
-        |        CAST(SUM(c) AS DOUBLE) AS n_lines,
-        |        CAST(COUNT(*) AS DOUBLE) AS n_distinct,
-        |        CAST(SUM(c*ln) AS DOUBLE) AS total_chars,
-        |        CAST(SUM(CASE WHEN c >= 2 THEN c*ln ELSE 0 END) AS DOUBLE) AS dup_chars
-        |       FROM lc GROUP BY doc_id),
-        |words AS (
-        | SELECT doc_id, w, i FROM (
-        |  SELECT doc_id,
-        |   unnest(string_split_regex(trim(lower(t)), '\s+')) AS w,
-        |   generate_subscripts(string_split_regex(trim(lower(t)), '\s+'), 1) AS i
-        |  FROM base WHERE trim(t) <> '')),
-        |bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS bi
-        |       FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
-        |bgc AS (SELECT doc_id, bi, COUNT(*) AS c FROM bg GROUP BY doc_id, bi),
-        |bga AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS nb,
-        |        CAST(MAX(c) AS DOUBLE) AS maxc FROM bgc GROUP BY doc_id)
-        |SELECT d.doc_id,
-        | CAST(COALESCE(la.n_lines, 0) AS BIGINT) AS n_lines,
-        | COALESCE((la.n_lines - la.n_distinct) / la.n_lines, 0.0) AS dup_line_frac,
-        | COALESCE(la.dup_chars / la.total_chars, 0.0) AS dup_line_char_frac,
-        | COALESCE(bga.maxc / bga.nb, 0.0) AS top_bigram_frac
-        |FROM documents d
-        | LEFT JOIN la ON la.doc_id = d.doc_id
-        | LEFT JOIN bga ON bga.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "text_repetition" -> repetitionOracle,
+
+    // Same oracle verbatim: the relational operator is contractually
+    // output-identical to the HOF one (RepetitionRelationalSpec).
+    "text_repetition_rel" -> repetitionOracle,
 
     "text_vocab_coverage" ->
       """WITH words AS (
@@ -1768,6 +1747,50 @@ object SparkEntry {
 
   private def hash60Sql(expr: String): String =
     s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** Shared by `text_repetition` (map-side HOF counting) and
+    * `text_repetition_rel` (relational explode+groupBy twin for huge
+    * docs): the DuckDB replay is necessarily relational, which is exactly
+    * what makes one oracle serve both engine forms.
+    */
+  private val repetitionOracle: String =
+    """WITH base AS (
+      | SELECT doc_id,
+      |  COALESCE(text,'') || chr(10) || substr(COALESCE(text,''),1,20)
+      |   || chr(10) || substr(COALESCE(text,''),1,20) AS t
+      | FROM documents),
+      |lines AS (
+      | SELECT doc_id, trim(l) AS line
+      | FROM base, unnest(string_split(t, chr(10))) AS u(l)
+      | WHERE trim(l) <> ''),
+      |lc AS (SELECT doc_id, line, COUNT(*) AS c, len(line) AS ln
+      |       FROM lines GROUP BY doc_id, line),
+      |la AS (SELECT doc_id,
+      |        CAST(SUM(c) AS DOUBLE) AS n_lines,
+      |        CAST(COUNT(*) AS DOUBLE) AS n_distinct,
+      |        CAST(SUM(c*ln) AS DOUBLE) AS total_chars,
+      |        CAST(SUM(CASE WHEN c >= 2 THEN c*ln ELSE 0 END) AS DOUBLE) AS dup_chars
+      |       FROM lc GROUP BY doc_id),
+      |words AS (
+      | SELECT doc_id, w, i FROM (
+      |  SELECT doc_id,
+      |   unnest(string_split_regex(trim(lower(t)), '\s+')) AS w,
+      |   generate_subscripts(string_split_regex(trim(lower(t)), '\s+'), 1) AS i
+      |  FROM base WHERE trim(t) <> '')),
+      |bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS bi
+      |       FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+      |bgc AS (SELECT doc_id, bi, COUNT(*) AS c FROM bg GROUP BY doc_id, bi),
+      |bga AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS nb,
+      |        CAST(MAX(c) AS DOUBLE) AS maxc FROM bgc GROUP BY doc_id)
+      |SELECT d.doc_id,
+      | CAST(COALESCE(la.n_lines, 0) AS BIGINT) AS n_lines,
+      | COALESCE((la.n_lines - la.n_distinct) / la.n_lines, 0.0) AS dup_line_frac,
+      | COALESCE(la.dup_chars / la.total_chars, 0.0) AS dup_line_char_frac,
+      | COALESCE(bga.maxc / bga.nb, 0.0) AS top_bigram_frac
+      |FROM documents d
+      | LEFT JOIN la ON la.doc_id = d.doc_id
+      | LEFT JOIN bga ON bga.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   /** Probe words for the count-min frequency query (high-frequency corpus
     * tokens + one guaranteed-absent token); shared verbatim by the query

@@ -47,6 +47,57 @@ object TextAnalysis {
         sum("n_tokens").as("total_tokens"),
         avg("quality_score").as("avg_quality"))
 
+  /** Relational twin of [[graft.functions.Text.repetitionFromParts]]:
+    * identical outputs (spec-asserted equality), different complexity
+    * class. The HOF form counts duplicates in-array per document —
+    * map-side, zero shuffle, O(L²) per doc — the right shape for prose
+    * documents (tens-to-hundreds of lines). This form explodes lines and
+    * bigrams and counts them relationally — two shuffles on
+    * (doc, line)/(doc, bigram), O(L log L)-ish total — the right shape
+    * when single documents are huge (100k-line crawl artifacts), where
+    * O(L²) in-array counting would dominate. Shuffle keys are
+    * (doc, distinct-value) pairs: well-spread by construction, no hot
+    * keys even when one document is enormous.
+    */
+  def repetitionSignalsRelational(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val base = graft.core.Graft.spread(docs)
+      .select(col(idCol), Text.linesOf(col(textCol)).as("__ls"),
+        Text.tokens(col(textCol)).as("__toks"))
+    val lineAgg = base
+      .select(col(idCol), explode(col("__ls")).as("line"))
+      .groupBy(col(idCol), col("line"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(sum(col("c")).as("nl"),
+        count(lit(1)).as("nd"),
+        sum(col("c") * length(col("line")).cast("long")).as("tc"),
+        sum(when(col("c") >= 2, col("c") * length(col("line")).cast("long"))
+          .otherwise(0L)).as("dc"))
+    val n = size(col("__toks"))
+    val bi = slice(
+      zip_with(col("__toks"), slice(col("__toks"), lit(2), n),
+        (x, y) => concat(x, lit(" "), y)),
+      lit(1), greatest(n - 1, lit(0)))
+    val bgAgg = base
+      .select(col(idCol), explode(bi).as("bg"))
+      .groupBy(col(idCol), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(sum(col("c")).as("nb"), max(col("c")).as("maxc"))
+    docs.select(col(idCol))
+      .join(lineAgg, Seq(idCol), "left")
+      .join(bgAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nl"), lit(0L)).as("n_lines"),
+        coalesce((col("nl").cast("double") - col("nd").cast("double")) /
+          col("nl").cast("double"), lit(0.0)).as("dup_line_frac"),
+        coalesce(col("dc").cast("double") / col("tc").cast("double"),
+          lit(0.0)).as("dup_line_char_frac"),
+        coalesce(col("maxc").cast("double") / col("nb").cast("double"),
+          lit(0.0)).as("top_bigram_frac"))
+  }
+
   /** Unigram language-model quality score: two passes over the corpus —
     * (1) a token-frequency model P(w) = c_w / N, (2) each document scored
     * by its mean token log-probability Σ c_{d,w}·ln(P(w)) / |d| (the
