@@ -962,6 +962,12 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // TF-IDF top-3 terms per document (corpus df model + per-doc top-k
+    // window on the high-cardinality doc key).
+    "text_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(t(s, d, "documents"), k = 3)
+        .orderBy("doc_id", "rank")),
+
     // Unigram-LM quality scoring: corpus-frequency model (pass 1) + mean
     // token log-prob per doc (pass 2) — see TextAnalysis.unigramLmScores
     // for the ordered-fold determinism contract.
@@ -1678,6 +1684,25 @@ object SparkEntry {
     "sketch_hll_distinct" -> hllDistinctOracle,
 
     "sketch_cms_freq" -> cmsFreqOracle,
+
+    "text_tfidf" ->
+      """WITH toks AS (
+        | SELECT doc_id, w FROM (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE trim(text) <> '') WHERE w <> ''),
+        |doctok AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+        |dfreq AS (SELECT w, COUNT(*) AS df FROM doctok GROUP BY w),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+        |scored AS (
+        | SELECT dt.doc_id, dt.w, dt.tf,
+        |  CAST(dt.tf AS DOUBLE) * ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+        | FROM doctok dt JOIN dfreq USING (w), n),
+        |ranked AS (
+        | SELECT *, row_number() OVER (
+        |   PARTITION BY doc_id ORDER BY tfidf DESC, w ASC) AS rank
+        | FROM scored)
+        |SELECT doc_id, rank, w AS term, CAST(tf AS BIGINT) AS tf, tfidf
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // Per-type terms k*ln(c/N) are elementwise bit-deterministic (DuckDB
     // ln == the engine's MathLn); the per-doc sum replays the engine's

@@ -98,6 +98,43 @@ object TextAnalysis {
           lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** TF-IDF top-k terms per document: tf·ln(N/df) over the corpus
+    * document-frequency model, keeping each doc's k highest-scoring terms.
+    *
+    * Scale shape: term frequencies and document frequencies are both
+    * map-side-combined aggregates; N joins in as a 1-row broadcast; the
+    * top-k window partitions on doc_id — a HIGH-cardinality key, so unlike
+    * the query_id top-k this window form is scale-safe (each partition
+    * sorts one doc's distinct terms). Determinism: tf·ln(N/df) is
+    * elementwise bit-deterministic ([[graft.plans.MathLn]] == DuckDB ln),
+    * and rank ties break on the term string, so rows are stable
+    * cross-engine.
+    */
+  def tfidfTopTerms(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.core.Graft.spread(docs)
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+    val docTok = toks.groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = docTok.groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val scored = docTok.join(dfreq, "w")
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("w"), col("tf"),
+        (col("tf").cast("double") *
+          graft.plans.MathLn(
+            col("nd").cast("double") / col("df").cast("double")))
+          .as("tfidf"))
+    val win = Window.partitionBy(idCol)
+      .orderBy(col("tfidf").desc, col("w").asc)
+    scored.withColumn("rank", row_number().over(win))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("w").as("term"),
+        col("tf"), col("tfidf"))
+  }
+
   /** Unigram language-model quality score: two passes over the corpus —
     * (1) a token-frequency model P(w) = c_w / N, (2) each document scored
     * by its mean token log-probability Σ c_{d,w}·ln(P(w)) / |d| (the
