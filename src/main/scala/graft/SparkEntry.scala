@@ -474,6 +474,52 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Cube w/ grouping id: the full subtotal lattice (complements a10's
+    // rollup hierarchy). One Expand + one aggregate — a single shuffle
+    // regardless of how many grouping sets the lattice expands to.
+    "a16_cube" -> ((s, d) => t(s, d, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        dsum2(col("l_quantity")).as("sum_qty"))
+      .select("gid", "l_returnflag", "l_linestatus", "n", "sum_qty")
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
+
+    // Unpivot (wide->long melt) — the inverse of a8's pivot. Compiles to a
+    // map-side Expand (each input row fans out to 4 output rows, no join,
+    // no shuffle before the final sort). Values are copied verbatim, so
+    // the compare is bit-exact with no decimal staging.
+    "a17_unpivot" -> ((s, d) => t(s, d, "lineitem")
+      .where(col("l_orderkey") <= 500)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")),
+
+    // Frame-clause window battery: cume_dist, first/last/nth over running
+    // frames, 3-row moving sum (decimal-exact). Complements w4's ranking
+    // battery; all functions share ONE partition ordering so the physical
+    // plan is a single Window over a single sort (asserted in PlanShapeSpec).
+    "w5_frames" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders").where(col("o_custkey") <= 100)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          cume_dist().over(w).as("cd"),
+          first(col("o_orderkey")).over(run).as("first_ok"),
+          last(col("o_orderkey"))
+            .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+            .as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(run).as("second_ok"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .over(w.rowsBetween(-2, Window.currentRow))
+            .cast("double").as("moving_sum3"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // A8 pivot aggregation (metrics_dashboard.py:34-39), explicit values
     // for a deterministic single-pass plan (SURVEY §7.4.9).
     "a8_pivot" -> ((s, d) => {
@@ -1311,6 +1357,33 @@ object SparkEntry {
         | ROUND((n * sqp - sq * sp) /
         |  sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 9) AS corr_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "a16_cube" ->
+      """SELECT GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+        | l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "a17_unpivot" ->
+      """WITH src AS (SELECT * FROM lineitem WHERE l_orderkey <= 500)
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM src
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM src
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "w5_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        | cume_dist() OVER w AS cd,
+        | first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_ok,
+        | last_value(o_orderkey) OVER (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_ok,
+        | nth_value(o_orderkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_ok,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "a8_pivot" -> {
       val types = Seq("click", "error", "purchase", "signup", "view")

@@ -89,4 +89,23 @@ class PlanShapeSpec extends SparkSpec {
     // two Window operators, but user_id is exchanged once
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p.take(800))
   }
+
+  test("w5_frames computes all five frame functions over one sorted window") {
+    val p = plan("w5_frames")
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1,
+      s"expected a single Window operator: ${p.take(800)}")
+    assert("Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size == 1, p.take(800))
+  }
+
+  test("a16_cube is one Expand + one aggregate exchange (no per-set scans)") {
+    val p = plan("a16_cube")
+    assert(p.contains("Expand"), p.take(600))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(800))
+  }
+
+  test("a17_unpivot is a map-side Expand — no join, no aggregate exchange") {
+    val p = plan("a17_unpivot")
+    assert(p.contains("Expand"), p.take(600))
+    assert(!p.contains("Join") && !p.contains("hashpartitioning"), p.take(800))
+  }
 }
