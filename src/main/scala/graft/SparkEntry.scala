@@ -777,6 +777,18 @@ object SparkEntry {
         shingleK = 2, minJaccard = 0.05)
         .orderBy("id_a", "id_b")),
 
+    // Sorted-neighborhood candidate pairs (multi-pass SNM family): block by
+    // source, order by a 16-char raw text prefix (binary collation — both
+    // engines compare UTF-8 bytes; no case folding, which IS
+    // collation-sensitive), pair each doc with its 2 predecessors. One
+    // exchange + one sort, no self-join (plan asserted in PlanShapeSpec).
+    "dedup_sorted_neighborhood" -> ((s, d) =>
+      Dedup.sortedNeighborhood(
+        t(s, d, "documents"), "doc_id",
+        coalesce(substring(col("text"), 1, 16), lit("")), col("source"),
+        window = 3)
+        .orderBy("block", "id_b", "dist")),
+
     // Text-analysis profile (lang-id, quality, token counts, fingerprint).
     "text_profile" -> ((s, d) =>
       TextAnalysis.profile(t(s, d, "documents")).orderBy("doc_id")),
@@ -1571,6 +1583,20 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle(16),
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+
+    "dedup_sorted_neighborhood" ->
+      """WITH keyed AS (
+        | SELECT source AS block, COALESCE(substr(text, 1, 16), '') AS skey,
+        |  doc_id AS id
+        | FROM documents),
+        |lagged AS (
+        | SELECT block, id,
+        |  LAG(id, 1) OVER w AS p1, LAG(id, 2) OVER w AS p2
+        | FROM keyed WINDOW w AS (PARTITION BY block ORDER BY skey, id))
+        |SELECT block, p1 AS id_a, id AS id_b, 1 AS dist FROM lagged WHERE p1 IS NOT NULL
+        |UNION ALL
+        |SELECT block, p2, id, 2 FROM lagged WHERE p2 IS NOT NULL
+        |ORDER BY block, id_b, dist""".stripMargin,
 
     "split_train_val" -> {
       val h = hash60Sql("CAST(doc_id AS VARCHAR)")

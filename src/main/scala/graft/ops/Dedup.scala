@@ -218,6 +218,45 @@ object Dedup {
     labels
   }
 
+  /** Sorted-neighborhood candidate pairs (the classic SNM family:
+    * Hernández & Stolfo, SIGMOD 1995 — public-knowledge algorithm): records
+    * are sorted by a discriminating key within blocks, and each record is
+    * paired with its `window - 1` predecessors in that order.
+    *
+    * Spark-first shape: ONE exchange on the block key + one sort, then the
+    * predecessor pairing is pure window-lag arithmetic — no self-join, and
+    * the output is bounded by n*(window-1) rows, never quadratic. This is
+    * the cheap complement to [[minhashPairs]]: no per-token hashing at all,
+    * just a sort — the right first pass when near-dups share prefixes.
+    *
+    * At 100 TB: `blockCol` must have cardinality well above the executor
+    * count or the few-hot-keys shuffle kills the sort (use a key prefix,
+    * not a language tag); and run multiple passes with different sort keys
+    * (multi-pass SNM) to catch pairs one ordering separates — each pass is
+    * independent and unions cheaply.
+    *
+    * Output: (block, id_a, id_b, dist) with `id_a` the earlier record and
+    * `dist` its distance in the sorted order (1 = adjacent).
+    */
+  def sortedNeighborhood(df: DataFrame, idCol: String, sortKey: Column,
+      blockCol: Column, window: Int = 3): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy("block").orderBy(col("skey"), col("id"))
+    val keyed = df.select(blockCol.as("block"), sortKey.as("skey"),
+      col(idCol).as("id"))
+    // window lags first (generators cannot contain window expressions),
+    // then the pure-projection explode
+    val preds = (1 until window).map(i => lag(col("id"), i).over(w))
+    keyed
+      .select(col("block"), col("id").as("id_b"), array(preds: _*).as("__preds"))
+      .select(col("block"), col("id_b"),
+        posexplode(col("__preds")).as(Seq("i", "id_a")))
+      .where(col("id_a").isNotNull)
+      .select(col("block"), col("id_a"), col("id_b"),
+        (col("i") + 1).cast("int").as("dist"))
+  }
+
   /** Embedding near-dup: cosine >= threshold pairs, bucketed by BANDED
     * random-hyperplane LSH so the pair join is bucket-local (the minhash
     * band structure applied to hyperplane hashing).

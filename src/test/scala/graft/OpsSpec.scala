@@ -453,6 +453,22 @@ class OpsSpec extends SparkSpec {
     assert((back.getRGB(2, 1) & 0xFFFFFF) == 0xFF8000)
   }
 
+  test("sortedNeighborhood pairs each record with its window predecessors only") {
+    // sorted order within the single block: ids 10,30,20,40 by key
+    val rows = Seq(
+      (10L, "aaa", "s"), (30L, "abb", "s"), (20L, "abc", "s"), (40L, "zzz", "s"),
+      (50L, "aaa", "t") // different block: never pairs with the others
+    ).toDF("id", "k", "src")
+    val out = Dedup.sortedNeighborhood(rows, "id", $"k", $"src", window = 3)
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set(
+      (10L, 30L, 1), (30L, 20L, 1), (20L, 40L, 1),
+      (10L, 20L, 2), (30L, 40L, 2)))
+    // bound: at most n*(window-1) pairs
+    assert(out.size <= 5 * 2)
+  }
+
   test("multimodal: metadata never decodes; fake decode is deterministic") {
     val media = Multimodal.withMeta(Multimodal.syntheticMediaFromDocs(
       docs.withColumnRenamed("text", "text")))

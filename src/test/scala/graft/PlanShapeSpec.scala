@@ -103,6 +103,12 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(800))
   }
 
+  test("dedup_sorted_neighborhood is one exchange + one sort, no self-join") {
+    val p = plan("dedup_sorted_neighborhood")
+    assert(!p.contains("Join"), p.take(800))
+    assert("Exchange hashpartitioning\\(block".r.findAllIn(p).size == 1, p.take(800))
+  }
+
   test("a17_unpivot is a map-side Expand — no join, no aggregate exchange") {
     val p = plan("a17_unpivot")
     assert(p.contains("Expand"), p.take(600))
