@@ -789,6 +789,21 @@ object SparkEntry {
         window = 3)
         .orderBy("block", "id_b", "dist")),
 
+    // Bloom-prefiltered incremental dedup: which docs with id >= 250 carry
+    // text NOT already present among ids < 250? Result is bit-identical to
+    // the plain left-anti join (the oracle's NOT EXISTS); the Bloom sketch
+    // only routes rows so that at corpus scale definitely-new rows never
+    // enter the shuffle join.
+    "bloom_new_docs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val incoming = docs.where(col("doc_id") >= 250)
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+      val seen = docs.where(col("doc_id") < 250)
+        .select(md5(col("text")).as("digest"))
+      graft.ops.BloomDedup.newRows(incoming, seen, "digest", expectedItems = 1 << 16)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // Text-analysis profile (lang-id, quality, token counts, fingerprint).
     "text_profile" -> ((s, d) =>
       TextAnalysis.profile(t(s, d, "documents")).orderBy("doc_id")),
@@ -1575,6 +1590,13 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY digest""".stripMargin,
+
+    "bloom_new_docs" ->
+      """SELECT i.doc_id FROM documents i
+        |WHERE i.doc_id >= 250 AND NOT EXISTS (
+        |  SELECT 1 FROM documents s
+        |  WHERE s.doc_id < 250 AND md5(s.text) = md5(i.text))
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash" -> minhashOracle,
 

@@ -483,4 +483,37 @@ class OpsSpec extends SparkSpec {
       Multimodal.decodeImage(spark, media), stride = 5)
     assert(frames.count() > 0)
   }
+
+  test("bloom dedup newRows equals plain left-anti join (nulls, dups, empty seen)") {
+    import graft.ops.BloomDedup
+    val incoming = Seq(
+      (1L, Option("a")), (2L, Option("b")), (3L, Option("b")), // dup keys in incoming
+      (4L, Option("zz")), (5L, None), (6L, None)               // null keys
+    ).toDF("id", "k")
+    val seen = Seq(Option("b"), Option("b"), Option("c"), None) // dup + null in seen
+      .toDF("k")
+
+    val expected = incoming.join(seen, Seq("k"), "left_anti")
+      .select("id").as[Long].collect().sorted.toSeq
+    val got = BloomDedup.newRows(incoming, seen, "k", expectedItems = 100L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == expected)
+    // null-key rows are definitely new (SQL join semantics)
+    assert(got.contains(5L) && got.contains(6L))
+
+    // empty seen side: the bloom aggregate yields null; everything is new
+    val emptySeen = seen.where($"k" === "never")
+    val gotEmpty = BloomDedup.newRows(incoming, emptySeen, "k", 100L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(gotEmpty == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+
+    // probe marks seen keys might-contain and is exactly-false on a key
+    // that was never inserted (no false negatives is the Bloom guarantee;
+    // here we also pin the specific fixture routing)
+    val bloom = BloomDedup.bloomFilter(seen, $"k", 100L)
+    val probed = BloomDedup.probe(incoming, bloom, $"k")
+      .select("id", "__might_contain")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(probed(2L) && probed(3L)) // true dups must be flagged
+  }
 }
