@@ -804,6 +804,44 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Ordered funnel (view -> click -> purchase): per-user first completion
+    // time of each step, each strictly after the previous step. All joins
+    // and aggregates key on user_id, so one exchange is reused end-to-end.
+    "funnel_user_steps" -> ((s, d) => {
+      val ev = t(s, d, "events").where(col("user_id") <= 200)
+        .select(col("user_id"), expr("ts DIV 1000").as("ts_us"), col("event_type"))
+      graft.ops.Funnel.stepTimes(ev, "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"))
+        .orderBy("user_id")
+    }),
+
+    // Funnel summary over ALL users: entities reaching each step.
+    "funnel_counts" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), expr("ts DIV 1000").as("ts_us"), col("event_type"))
+      val st = graft.ops.Funnel.stepTimes(ev, "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"))
+      graft.ops.Funnel.counts(st, "user_id").orderBy("step_no")
+    }),
+
+    // Batch CDC merge (SCD-1 upsert): every 10th order gets two conflicting
+    // update versions (seq 1 and 2); the argmax dedup must pick seq 2, the
+    // anti-join keeps everything else. Single double-add keeps the updated
+    // price bit-deterministic across engines.
+    "upsert_merge" -> ((s, d) => {
+      val cur = t(s, d, "orders").where(col("o_orderkey") <= 5000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lit(0L).as("seq"))
+      val base = cur.where(col("o_orderkey") % 10 === 0)
+      def version(bump: Double, seq: Long) = base.select(
+        col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + bump).as("o_totalprice"), lit(seq).as("seq"))
+      graft.ops.Upsert.merge(
+        cur, version(1.0, 1L).unionByName(version(2.0, 2L)),
+        Seq("o_orderkey"), "seq")
+        .orderBy("o_orderkey")
+    }),
+
     // Text-analysis profile (lang-id, quality, token counts, fingerprint).
     "text_profile" -> ((s, d) =>
       TextAnalysis.profile(t(s, d, "documents")).orderBy("doc_id")),
@@ -1597,6 +1635,59 @@ object SparkEntry {
         |  SELECT 1 FROM documents s
         |  WHERE s.doc_id < 250 AND md5(s.text) = md5(i.text))
         |ORDER BY doc_id""".stripMargin,
+
+    "funnel_user_steps" ->
+      """WITH ev AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+        | WHERE user_id <= 200),
+        |s1 AS (
+        | SELECT user_id, MIN(ts_us) AS step1_view FROM ev
+        | WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        | SELECT e.user_id, MIN(e.ts_us) AS step2_click
+        | FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        | WHERE e.event_type = 'click' AND e.ts_us > s1.step1_view GROUP BY 1),
+        |s3 AS (
+        | SELECT e.user_id, MIN(e.ts_us) AS step3_purchase
+        | FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts_us > s2.step2_click GROUP BY 1)
+        |SELECT s1.user_id AS user_id, s1.step1_view, s2.step2_click, s3.step3_purchase
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "funnel_counts" ->
+      """WITH ev AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |s1 AS (
+        | SELECT user_id, MIN(ts_us) AS t FROM ev
+        | WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        | SELECT e.user_id, MIN(e.ts_us) AS t
+        | FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        | WHERE e.event_type = 'click' AND e.ts_us > s1.t GROUP BY 1),
+        |s3 AS (
+        | SELECT e.user_id, MIN(e.ts_us) AS t
+        | FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts_us > s2.t GROUP BY 1)
+        |SELECT CAST(1 AS INTEGER) AS step_no, 'step1_view' AS step,
+        |       (SELECT COUNT(*) FROM s1) AS n_entities
+        |UNION ALL SELECT CAST(2 AS INTEGER), 'step2_click', (SELECT COUNT(*) FROM s2)
+        |UNION ALL SELECT CAST(3 AS INTEGER), 'step3_purchase', (SELECT COUNT(*) FROM s3)
+        |ORDER BY step_no""".stripMargin,
+
+    "upsert_merge" ->
+      """WITH cur AS (
+        | SELECT o_orderkey, o_custkey, o_totalprice, CAST(0 AS BIGINT) AS seq
+        | FROM orders WHERE o_orderkey <= 5000),
+        |upd AS (
+        | SELECT o_orderkey, o_custkey, o_totalprice + 2.0 AS o_totalprice,
+        |  CAST(2 AS BIGINT) AS seq
+        | FROM cur WHERE o_orderkey % 10 = 0)
+        |SELECT c.o_orderkey, c.o_custkey, c.o_totalprice, c.seq FROM cur c
+        |WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = c.o_orderkey)
+        |UNION ALL SELECT o_orderkey, o_custkey, o_totalprice, seq FROM upd
+        |ORDER BY o_orderkey""".stripMargin,
 
     "dedup_minhash" -> minhashOracle,
 

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Funnel, Upsert}
+import graft.ingest.Bucketed
+
+/** Funnel ordering semantics, batch upsert merge semantics, and the
+  * exchange-free bucketed-join layout guarantee.
+  */
+class FunnelUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (user, ts, type) planted funnel cases
+  private lazy val ev = Seq(
+    // u1 completes all three in order
+    (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "buy"),
+    // u2 clicks BEFORE viewing; that click must not count, the later one does
+    (2L, 5L, "click"), (2L, 10L, "view"), (2L, 40L, "click"),
+    // u3 views only
+    (3L, 7L, "view"),
+    // u4 buys without ever viewing -> not in the funnel at all
+    (4L, 9L, "buy"),
+    // u5: buy lands BETWEEN view and click -> buy must not count (order!)
+    (5L, 10L, "view"), (5L, 15L, "buy"), (5L, 20L, "click")
+  ).toDF("user_id", "ts", "event_type")
+
+  test("funnel stepTimes enforces strict step order per entity") {
+    val st = Funnel.stepTimes(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "buy"))
+    val rows = st.collect().map(r => r.getLong(0) ->
+      (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(rows(1L) == ((Some(10L), Some(20L), Some(30L))))
+    assert(rows(2L) == ((Some(10L), Some(40L), None))) // pre-view click ignored
+    assert(rows(3L) == ((Some(7L), None, None)))
+    assert(!rows.contains(4L)) // never entered the funnel
+    assert(rows(5L) == ((Some(10L), Some(20L), None))) // buy-before-click ignored
+  }
+
+  test("funnel counts unpivots to ordered step counts") {
+    val st = Funnel.stepTimes(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "buy"))
+    val c = Funnel.counts(st, "user_id").orderBy("step_no")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(c.toSeq == Seq(
+      (1, "step1_view", 4L), (2, "step2_click", 3L), (3, "step3_buy", 1L)))
+  }
+
+  private lazy val current = Seq(
+    (1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L)
+  ).toDF("k", "v", "seq")
+
+  test("upsert merge: latest update wins, unmatched rows pass through, inserts appear") {
+    val updates = Seq(
+      (2L, "b1", 1L), (2L, "b2", 2L), // intra-batch conflict: seq 2 wins
+      (4L, "d", 1L)                   // brand-new key (insert)
+    ).toDF("k", "v", "seq")
+    val out = Upsert.merge(current, updates, Seq("k"), "seq")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, "a", 0L), (2L, "b2", 2L), (3L, "c", 0L), (4L, "d", 1L)))
+  }
+
+  test("upsert with empty updates is identity; empty current is just the updates") {
+    val empty = current.where($"k" < 0)
+    assert(Upsert.merge(current, empty, Seq("k"), "seq").count() == 3)
+    val out = Upsert.merge(empty, current, Seq("k"), "seq").orderBy("k")
+      .select("k").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L, 3L))
+  }
+
+  test("bucketed co-located join plans with zero exchanges") {
+    val o = spark.range(0, 1000).select($"id".as("k"), ($"id" * 2).as("a"))
+    val l = spark.range(0, 3000).select(($"id" % 1000).as("k"), $"id".as("b"))
+    Bucketed.write(o, "bkt_o", "k", 8)
+    Bucketed.write(l, "bkt_l", "k", 8)
+    // force SMJ so the test exercises the exchange-removal path, not broadcast
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = Bucketed.read(spark, "bkt_o")
+        .join(Bucketed.read(spark, "bkt_l"), Seq("k"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(800))
+      assert(!p.contains("Exchange"), p.take(800)) // the whole point of bucketing
+      assert(j.count() == 3000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
