@@ -1042,6 +1042,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Scalar-quantized (int8) ANN with exact rerank: encode is replayed in
+    // the oracle bit-for-bit (amax fold -> scale -> rounded tinyint codes),
+    // approximate ranking picks 40 candidates, exact cosine reranks to 10.
+    "sim_sq8_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.sq8TopK(emb, emb.where(col("vec_id") < 5), k = 10,
+        rerank = 40)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF-style approximate top-k (centroid cells + nProbe probing).
     "sim_ivf_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -1836,6 +1847,8 @@ object SparkEntry {
 
     "sim_lsh_topk" -> lshTopkOracle,
 
+    "sim_sq8_topk" -> sq8TopkOracle(),
+
     "sim_ivf_trained_topk" -> ivfTrainedOracle(),
 
     "sim_ivf_topk" ->
@@ -2374,6 +2387,58 @@ object SparkEntry {
        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
        | FROM scored)
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Replays the WHOLE sq8 path: amax -> scale -> tinyint codes (the
+    * encoding), guarded in-order code-dot (dotSql discipline — list_sum
+    * skips nulls where Spark's fold nulls out, hence the element-count
+    * guard), approximate candidate cut, exact rerank. Degenerate-vector
+    * routes (null / null-element / all-zero / ragged) all collapse to a
+    * NULL score on both engines even though the intermediate `scale`
+    * differs in null-ness (Spark folds to 0, list_max yields NULL) —
+    * the codes are NULL either way.
+    */
+  private def sq8TopkOracle(rerank: Int = 40, k: Int = 10): String = {
+    val codesDot =
+      "(CASE WHEN len(codes) = len(qv) AND len(codes) = list_aggregate(codes, 'count')" +
+        " AND len(qv) = list_aggregate(qv, 'count')" +
+        " THEN list_sum(list_transform(list_zip(codes, qv), x -> x[1] * x[2])) END)"
+    s"""WITH enc AS (
+       |  SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv,
+       |   sqrt(${dotSql("embedding::DOUBLE[]", "embedding::DOUBLE[]")}) AS cn,
+       |   list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+       |  FROM embeddings),
+       | enc2 AS (
+       |  SELECT corpus_id, cv, cn, scale,
+       |   CASE WHEN scale > 0
+       |    THEN list_transform(cv, x -> CAST(round(x / scale) AS TINYINT)) END AS codes
+       |  FROM enc),
+       | q AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+       |   sqrt(${dotSql("embedding::DOUBLE[]", "embedding::DOUBLE[]")}) AS qn
+       |  FROM embeddings WHERE vec_id < 5),
+       | approx AS (
+       |  SELECT q.query_id, e.corpus_id,
+       |   CASE WHEN q.qn > 0 AND e.cn > 0
+       |    THEN (e.scale * $codesDot) / (q.qn * e.cn) END AS ascore
+       |  FROM enc2 e CROSS JOIN q WHERE e.corpus_id <> q.query_id),
+       | cands AS (
+       |  SELECT query_id, corpus_id FROM (
+       |   SELECT query_id, corpus_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ascore DESC, corpus_id ASC) AS rn
+       |   FROM approx) WHERE rn <= $rerank),
+       | exact AS (
+       |  SELECT ca.query_id, ca.corpus_id, ${cosineSql("q.qv", "e.cv")} AS cosine
+       |  FROM cands ca JOIN enc2 e ON e.corpus_id = ca.corpus_id
+       |                JOIN q ON q.query_id = ca.query_id)
+       |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
+       |FROM (
+       | SELECT query_id, corpus_id, cosine,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, corpus_id ASC) AS rank
+       | FROM exact)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   private def lshTopkOracle: String = {

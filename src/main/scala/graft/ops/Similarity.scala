@@ -282,6 +282,59 @@ object Similarity {
     TopK.perGroupTopK(scored, Seq("query_id"), "corpus_id", "cosine", k)
   }
 
+  /** Scalar-quantized (int8) approximate top-k with exact rerank — the
+    * memory/bandwidth scale path for dense retrieval. Each corpus vector is
+    * encoded ONCE (map-side) as `tinyint` codes `round(v_i/scale)` with
+    * `scale = max|v_i| / 127` plus its exact norm: a 4x smaller footprint
+    * than float32, which at 100 TB is the difference between a corpus that
+    * fits in cluster memory and one that doesn't. Scoring is asymmetric
+    * (full-precision query against codes, one `scale` multiply to undo the
+    * quantization), candidates = top `rerank` per query by approximate
+    * cosine, then ONLY those candidates fetch their full vectors for the
+    * exact rerank — corpus-sized reads happen once at encode, never per
+    * query. With `rerank >= corpus size` the result equals [[bruteForceTopK]]
+    * exactly (asserted in OpsSpec).
+    *
+    * Every arithmetic step (amax fold, per-element round, in-order code
+    * dot, single-multiply dequantize) is bit-reproducible, so the DuckDB
+    * oracle replays the ENCODING too, not just the ranking. Degenerate
+    * vectors (null / null-element / all-zero / ragged-vs-query) quantize to
+    * null codes or a null score and rank last, matching the exact paths.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      rerank: Int = 40): DataFrame = {
+    // amax via null-skipping greatest fold (starts at 0.0, so empty or
+    // all-null vectors yield scale 0 -> null codes)
+    val amax = aggregate(Vectors.asDouble(col("cv")), lit(0.0),
+      (acc, x) => greatest(acc, abs(x)))
+    val enc = graft.core.Graft.spread(corpus)
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"),
+        Vectors.norm2(col("embedding")).as("cn"))
+      .withColumn("scale", amax / 127.0)
+      .withColumn("codes", when(col("scale") > 0,
+        transform(Vectors.asDouble(col("cv")),
+          x => round(x / col("scale")).cast("tinyint"))))
+    val q = queries.select(col("vec_id").as("query_id"),
+      Vectors.asDouble(col("embedding")).as("qv"),
+      Vectors.norm2(col("embedding")).as("qn"))
+    val adot = col("scale") * aggregate(
+      zip_with(col("codes"), col("qv"), (c, u) => c * u), lit(0.0), _ + _)
+    val scored = enc.crossJoin(broadcast(q))
+      .where(col("corpus_id") =!= col("query_id"))
+      .withColumn("ascore",
+        when(col("qn") > 0 && col("cn") > 0, adot / (col("qn") * col("cn")))
+          .otherwise(lit(null).cast("double")))
+    val cands = TopK.perGroupTopK(scored, Seq("query_id"), "corpus_id",
+      "ascore", rerank)
+    val exact = cands.select("query_id", "corpus_id")
+      .join(corpus.select(col("vec_id").as("corpus_id"),
+        col("embedding").as("cv")), Seq("corpus_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))), Seq("query_id"))
+      .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
+    TopK.perGroupTopK(exact, Seq("query_id"), "corpus_id", "cosine", k)
+  }
+
   /** LSH-bucketed approximate top-k: candidates restricted to query buckets
     * (multi-probe over Hamming-1 neighbors when probes > 1).
     */

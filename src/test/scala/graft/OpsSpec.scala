@@ -230,6 +230,16 @@ class OpsSpec extends SparkSpec {
     // approximate methods must beat random chance (10/500 = 2%) by a lot
     assert(lshRecall > 0.05 && ivfRecall > 0.05 && trainedRecall > 0.05)
     assert(lsh.subsetOf(brute) || lsh.nonEmpty) // sanity: non-degenerate
+
+    // sq8: with rerank >= corpus size the exact rerank sees every vector,
+    // so the result must EQUAL brute force (quantization only routed)
+    val sqAll = resultSet(Similarity.sq8TopK(emb, queries, 10, rerank = 600))
+    assert(sqAll == brute)
+    // and at a 4% candidate budget the int8 approximation still recalls most
+    val sq = resultSet(Similarity.sq8TopK(emb, queries, 10, rerank = 20))
+    val sqRecall = (sq & brute).size.toDouble / brute.size
+    info(f"sq8 recall@10 with rerank=20 on 500 vectors: $sqRecall%.2f")
+    assert(sqRecall > 0.8) // int8 error is tiny; near-exact candidates
   }
 
   test("trainedCentroids: deterministic across runs, Lloyd step reduces distortion") {
