@@ -123,6 +123,23 @@ object SparkEntry {
       s.read.orc(tmp).orderBy("p_partkey")
     }),
 
+    // Schema evolution across file generations: v1 files lack a column
+    // that v2 files carry; a mergeSchema read unions the schemas and fills
+    // v1 rows with NULL — the append-a-column migration every long-lived
+    // table goes through (P5's missing-declared-column rule at the
+    // file-generation level).
+    "s7_schema_evolution" -> ((s, d) => {
+      val tmp = s"/tmp/graft_evolve_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val o = t(s, d, "orders")
+      o.where(col("o_orderkey") <= 1000).select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(s"$tmp/v1")
+      o.where(col("o_orderkey") > 1000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$tmp/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+        .orderBy("o_orderkey")
+    }),
+
     // A1 group-by multi-agg (reference calculate_metrics.py:123-131 shape).
     "q1_agg" -> ((s, d) => t(s, d, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
@@ -1646,6 +1663,11 @@ object SparkEntry {
         |  SELECT 1 FROM documents s
         |  WHERE s.doc_id < 250 AND md5(s.text) = md5(i.text))
         |ORDER BY doc_id""".stripMargin,
+
+    "s7_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey,
+        | CASE WHEN o_orderkey <= 1000 THEN NULL ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "funnel_user_steps" ->
       """WITH ev AS (

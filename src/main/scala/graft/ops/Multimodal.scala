@@ -47,6 +47,31 @@ object Multimodal {
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
       encode(col("text"), "UTF-8").as("bytes"))
 
+  /** Ingest real media files from a directory tree via Spark's native
+    * `binaryFile` source: one row per file with (path, modificationTime,
+    * length, content), glob-filtered at the SOURCE (non-matching files are
+    * never opened — at 100 TB the listing prunes before any read).
+    * `media_id` is a stable 60-bit hash of the path, `kind` comes from the
+    * extension, and the result plugs straight into [[withMeta]] /
+    * [[decodeImage]]. `binaryFile` caps single files at
+    * `spark.sql.sources.binaryFile.maxLength` (2 GB default) — larger blobs
+    * belong in chunked object storage, not a DataFrame row.
+    */
+  def readMediaDir(spark: SparkSession, dir: String,
+      glob: String = "*.{png,jpg,jpeg,gif,bmp,wav,mp4}"): DataFrame = {
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        graft.functions.StableHash.hash60(col("path")).as("media_id"),
+        col("path"),
+        when(ext.isin("png", "jpg", "jpeg", "gif", "bmp"), "image")
+          .when(ext.isin("wav", "mp3", "flac"), "audio")
+          .otherwise("video").as("kind"),
+        col("content").as("bytes"))
+  }
+
   /** Metadata extraction — pure Catalyst, never decodes the payload. */
   def withMeta(media: DataFrame): DataFrame =
     media.withColumn("meta", struct(

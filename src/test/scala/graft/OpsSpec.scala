@@ -494,6 +494,50 @@ class OpsSpec extends SparkSpec {
     assert(frames.count() > 0)
   }
 
+  test("readMediaDir ingests real files via binaryFile with source-level glob pruning") {
+    import java.awt.image.BufferedImage
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_media").toString
+    def writePng(name: String, w: Int, h: Int): Unit = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val f = Paths.get(dir, name).toFile
+      assert(javax.imageio.ImageIO.write(img, "png", f))
+    }
+    writePng("a.png", 11, 7)
+    writePng("b.png", 5, 13)
+    Files.write(Paths.get(dir, "ignore.txt"), "not media".getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "c.wav"), Array.fill(32)(1.toByte))
+
+    val media = Multimodal.readMediaDir(spark, dir)
+    val rows = media.collect()
+    assert(rows.length == 3) // .txt pruned at the source listing
+    val kinds = rows.map(r => r.getAs[String]("path").split('/').last ->
+      r.getAs[String]("kind")).toMap
+    assert(kinds("a.png") == "image" && kinds("c.wav") == "audio")
+    // ids are stable content-independent path hashes, unique here
+    assert(rows.map(_.getAs[Long]("media_id")).distinct.length == 3)
+    // and the ingested bytes decode for real
+    val dec = Multimodal.decodeImage(spark, media.where($"kind" === "image"))
+      .select("width", "height").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(dec == Set((11, 7), (5, 13)))
+  }
+
+  test("compaction rewrites many small files into few, preserving rows") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft_cmp_in").toString
+    val out = Files.createTempDirectory("graft_cmp_out").toString
+    spark.range(0, 10000).toDF("id")
+      .repartition(40) // 40 tiny files
+      .write.mode("overwrite").parquet(in)
+    assert(new java.io.File(in).listFiles().count(_.getName.endsWith(".parquet")) == 40)
+    val n = graft.ingest.Compaction.compact(spark, in, out, targetBytes = 1L << 20)
+    assert(n == 1) // 40 tiny files total well under 1 MB target
+    val files = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1)
+    assert(spark.read.parquet(out).count() == 10000)
+  }
+
   test("bloom dedup newRows equals plain left-anti join (nulls, dups, empty seen)") {
     import graft.ops.BloomDedup
     val incoming = Seq(
