@@ -1128,6 +1128,29 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Bigram-LM fluency scores (conditional log-prob transitions; the
+    // word-order-sensitive sibling of text_unigram_lm).
+    "text_bigram_lm" -> ((s, d) =>
+      TextAnalysis.bigramLmScores(t(s, d, "documents")).orderBy("doc_id")),
+
+    // Deterministic stratified sampling: per-source keep rates decided by
+    // a stable id hash — reproducible across engines/partitionings, and
+    // consistent (the same doc samples in everywhere).
+    "sample_stratified" -> ((s, d) =>
+      graft.ops.Sampling.stratified(
+        t(s, d, "documents"), "source",
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.1),
+        idCol = "doc_id", default = 0.05)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // Exactly-k uniform sample as the k smallest id hashes: a bounded
+    // top-k (TakeOrderedAndProject), never a global sort.
+    "sample_uniform_k" -> ((s, d) =>
+      graft.ops.Sampling.uniformK(t(s, d, "events"), "event_id", k = 100)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")),
+
     // Count-min sketch token-frequency estimates for probe words, next to
     // exact counts. The sketch is one partial+final aggregate (3x512 exact
     // counters cross the shuffle); probe lookups read the collected sketch
@@ -1954,6 +1977,54 @@ object SparkEntry {
     // Per-type terms k*ln(c/N) are elementwise bit-deterministic (DuckDB
     // ln == the engine's MathLn); the per-doc sum replays the engine's
     // ordered fold as list_sum(list(term ORDER BY w)).
+    // Thresholds are the INTEGER buckets Spark's truncating double->long
+    // cast produces (DuckDB's double->BIGINT cast ROUNDS, so replaying the
+    // float arithmetic would be engine-dependent at the margin).
+    "sample_stratified" -> {
+      val h = hash60Sql("CAST(doc_id AS VARCHAR)", 0)
+      s"""SELECT doc_id, source FROM documents
+         |WHERE $h % 1000000 <
+         | (CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 250000
+         |   WHEN 'src2' THEN 100000 ELSE 50000 END)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "sample_uniform_k" -> {
+      val h = hash60Sql("CAST(event_id AS VARCHAR)", 0)
+      s"""SELECT event_id, user_id, event_type FROM (
+         | SELECT event_id, user_id, event_type
+         | FROM events ORDER BY $h, event_id LIMIT 100)
+         |ORDER BY event_id""".stripMargin
+    },
+
+    "text_bigram_lm" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    w -> w <> '') AS ts
+        | FROM documents WHERE trim(text) <> ''),
+        |pairs AS (
+        | SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        | FROM base, UNNEST(range(1, len(ts))) AS t(i)),
+        |bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
+        |uni AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+        |model AS (
+        | SELECT w1, w2, ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) AS lp
+        | FROM bg JOIN uni USING (w1)),
+        |docbg AS (
+        | SELECT doc_id, w1, w2, COUNT(*) AS k FROM pairs GROUP BY 1, 2, 3),
+        |terms AS (
+        | SELECT db.doc_id, db.w1, db.w2, db.k, CAST(db.k AS DOUBLE) * m.lp AS term
+        | FROM docbg db JOIN model m USING (w1, w2)),
+        |agg AS (
+        | SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+        |  list_sum(list(term ORDER BY w1, w2)) AS lsum
+        | FROM terms GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+        | a.lsum / CAST(a.n_bigrams AS DOUBLE) AS lm_score
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "text_unigram_lm" ->
       """WITH toks AS (
         | SELECT doc_id, w FROM (

@@ -188,4 +188,47 @@ object TextAnalysis {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         (col("lsum") / col("n_tokens").cast("double")).as("lm_score"))
   }
+
+  /** Bigram-LM fluency score: mean log P(w_i | w_{i-1}) under the corpus's
+    * own conditional bigram model — the next step up from
+    * [[unigramLmScores]] (word-salad text keeps plausible unigrams but
+    * improbable transitions). Bigram extraction is a map-side zip of each
+    * token array with its own tail (no positional self-join, no shuffle
+    * until the model group-bys); the per-doc sum replays as an ordered
+    * fold over (w1, w2)-sorted terms so engines agree bit-for-bit.
+    */
+  def bigramLmScores(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val ts0 = filter(Text.tokens(col(textCol)), w => w =!= "")
+    val base = graft.core.Graft.spread(docs).select(col(idCol), ts0.as("ts"))
+    val n1 = size(col("ts")) - 1
+    val pairsArr = when(size(col("ts")) < 2,
+        array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(zip_with(
+        slice(col("ts"), lit(1), n1), slice(col("ts"), lit(2), n1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+    val pairs = base.select(col(idCol), explode(pairsArr).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = bg.groupBy("w1").agg(sum("c12").as("c1"))
+    val model = bg.join(uni, "w1")
+      .select(col("w1"), col("w2"),
+        graft.plans.MathLn(col("c12").cast("double") / col("c1").cast("double"))
+          .as("lp"))
+    val docBg = pairs.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+    val perDoc = docBg.join(model, Seq("w1", "w2"))
+      .select(col(idCol), col("w1"), col("w2"), col("k"),
+        (col("k").cast("double") * col("lp")).as("term"))
+      .groupBy(idCol)
+      .agg(sum(col("k")).as("n_bigrams"),
+        aggregate(
+          sort_array(collect_list(struct(col("w1"), col("w2"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("lsum"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("lsum") / col("n_bigrams").cast("double")).as("lm_score"))
+  }
 }

@@ -54,4 +54,47 @@ class UnigramLmSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("bigram LM: scrambled word order scores below natural order") {
+    // 10 fluent docs establish "the cat" / "cat sat" as common transitions;
+    // the scrambled doc uses the SAME words in an order never seen
+    val fluent = (10L until 20L).map(i => (i, "the cat sat on the mat"))
+    val d = (fluent :+ (1L, "mat the on sat cat the"))
+      .toDF("doc_id", "text")
+    val res = TextAnalysis.bigramLmScores(d).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(res(1L) < res(10L)) // unigram LM would score these EQUAL
+    // sanity on counts: 6 tokens -> 5 bigrams
+    val nb = TextAnalysis.bigramLmScores(d).where(col("doc_id") === 1)
+      .select("n_bigrams").collect().head.getLong(0)
+    assert(nb == 5L)
+  }
+
+  test("bigram LM: single-token and empty docs yield zero bigrams, null score") {
+    val d = Seq((1L, "solo"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    val res = TextAnalysis.bigramLmScores(d).orderBy("doc_id").collect()
+    assert(res(0).getLong(1) == 0L && res(0).isNullAt(2))
+    assert(res(1).getLong(1) == 0L && res(1).isNullAt(2))
+    assert(res(2).getLong(1) == 1L && res(2).getDouble(2) == math.log(1.0))
+  }
+
+  test("deterministic sampling: stable membership, stratified rates, consistent joins") {
+    import graft.ops.Sampling
+    val docs = (0L until 2000L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    val s1 = Sampling.bernoulli(docs, "id", 0.3).select("id").as[Long].collect().toSet
+    val s2 = Sampling.bernoulli(docs.repartition(7), "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2) // layout-independent (df.sample is not)
+    assert(math.abs(s1.size - 600) < 80) // ~30%
+    // monotone: a smaller fraction is a SUBSET of a larger one
+    val s3 = Sampling.bernoulli(docs, "id", 0.1).select("id").as[Long].collect().toSet
+    assert(s3.subsetOf(s1))
+    // stratified: absent stratum uses default 0 -> dropped entirely
+    val st = Sampling.stratified(docs, "src", Map("src0" -> 1.0, "src1" -> 0.5), "id")
+      .select("id", "src").collect()
+    assert(st.count(_.getString(1) == "src0") == 500) // rate 1.0 keeps all
+    assert(!st.exists(r => r.getString(1) == "src2" || r.getString(1) == "src3"))
+    val k = Sampling.uniformK(docs, "id", 37).count()
+    assert(k == 37)
+  }
 }
