@@ -114,4 +114,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Expand"), p.take(600))
     assert(!p.contains("Join") && !p.contains("hashpartitioning"), p.take(800))
   }
+
+  test("sample_uniform_k compiles to TakeOrderedAndProject (bounded, no global sort)") {
+    val p = plan("sample_uniform_k")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("bloom_new_docs probes map-side off ONE reused bloom subquery") {
+    val p = finalPlan("bloom_new_docs")
+    // the probe must sit in scan-level filters (map-side row routing),
+    // never appear as a join
+    assert(p.contains("might_contain"), p.take(800))
+    assert("DataFilters: \\[[^\\]]*might_contain".r.findFirstIn(p).isDefined,
+      s"probe not pushed to the scan: ${p.take(1200)}")
+    // both branches + the inferred seen-side filter reuse one subquery
+    assert(p.contains("ReusedSubquery"), p.take(800))
+    // the exact verify is an anti join over the pruned slice
+    assert(p.contains("LeftAnti"), p.take(800))
+  }
+
+  test("funnel_user_steps reuses a single user_id exchange across all steps") {
+    val p = finalPlan("funnel_user_steps")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"funnel should shuffle user_id exactly once: ${p.take(1200)}")
+  }
+
+  test("upsert_merge anti join broadcasts the delta; snapshot never shuffles") {
+    val p = finalPlan("upsert_merge")
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined, p.take(1200))
+  }
+
+  test("sim_sq8_topk ranks through bounded TopKAgg — no Window, no corpus sort") {
+    val p = finalPlan("sim_sq8_topk")
+    assert(!p.contains("Window"), p.take(800))
+    assert("partial_topkagg".r.findAllIn(p).size >= 2, // approx + rerank stages
+      s"expected bounded partial top-k in both stages: ${p.take(1200)}")
+  }
 }
