@@ -806,6 +806,26 @@ object SparkEntry {
         window = 3)
         .orderBy("block", "id_b", "dist")),
 
+    // Incremental aggregate maintenance: the lineitem "history" arrives as
+    // three disjoint deltas (orderkey ranges); each delta aggregates to
+    // per-flag (sum,count) state, states merge, metrics finish. The oracle
+    // is the FROM-SCRATCH aggregate over the whole table — exact integer
+    // cents make the merge provably order-free.
+    "incr_agg_merge" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"),
+          cents(col("l_quantity")).as("qty_cents"))
+      val deltas = Seq(
+        li.where(col("l_orderkey") % 3 === 0),
+        li.where(col("l_orderkey") % 3 === 1),
+        li.where(col("l_orderkey") % 3 === 2))
+        .map(dta => graft.ops.IncrementalAgg.partials(
+          dta, Seq("l_returnflag"), "qty_cents"))
+      val merged = graft.ops.IncrementalAgg.merge(deltas, Seq("l_returnflag"))
+      graft.ops.IncrementalAgg.finish(merged, Seq("l_returnflag"), scale = 100L)
+        .orderBy("l_returnflag")
+    }),
+
     // Bloom-prefiltered incremental dedup: which docs with id >= 250 carry
     // text NOT already present among ids < 250? Result is bit-identical to
     // the plain left-anti join (the oracle's NOT EXISTS); the Bloom sketch
@@ -1679,6 +1699,16 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY digest""".stripMargin,
+
+    "incr_agg_merge" -> {
+      val q = centsSql("l_quantity")
+      s"""SELECT l_returnflag,
+         | CAST(SUM($q) AS DOUBLE) / 100 AS total,
+         | CAST(SUM($q) AS DOUBLE) / 100 / CAST(COUNT(l_quantity) AS DOUBLE) AS mean,
+         | COUNT(l_quantity) AS n
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin
+    },
 
     "bloom_new_docs" ->
       """SELECT i.doc_id FROM documents i

@@ -68,6 +68,30 @@ class FunnelUpsertSpec extends SparkSpec {
     assert(out == Seq(1L, 2L, 3L))
   }
 
+  test("incremental agg: any delta split and merge order equals from-scratch") {
+    import graft.ops.IncrementalAgg
+    val rows = (0L until 300L).map(i => (s"k${i % 3}", i, i * 7 % 101))
+      .toDF("k", "id", "v")
+    val direct = rows.groupBy("k")
+      .agg(sum("v").as("psum"), count("v").as("pcnt"))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    def split(mod: Int) = (0 until mod).map(r =>
+      IncrementalAgg.partials(rows.where($"id" % mod === r), Seq("k"), "v"))
+    for (parts <- Seq(split(2), split(5), split(5).reverse)) {
+      val merged = IncrementalAgg.merge(parts, Seq("k"))
+        .orderBy("k").collect().map(_.toSeq).toSeq
+      assert(merged == direct)
+    }
+    // and a state can itself be merged with a fresh delta (true increment)
+    val s0 = IncrementalAgg.merge(split(2), Seq("k"))
+    val more = Seq((s"k0", 999L, 50L)).toDF("k", "id", "v")
+    val s1 = IncrementalAgg.merge(
+      Seq(s0, IncrementalAgg.partials(more, Seq("k"), "v")), Seq("k"))
+    val k0 = s1.where($"k" === "k0").collect().head
+    assert(k0.getLong(1) == direct.find(_.head == "k0").get(1).asInstanceOf[Long] + 50L)
+    assert(k0.getLong(2) == direct.find(_.head == "k0").get(2).asInstanceOf[Long] + 1L)
+  }
+
   test("bucketed co-located join plans with zero exchanges") {
     val o = spark.range(0, 1000).select($"id".as("k"), ($"id" * 2).as("a"))
     val l = spark.range(0, 3000).select(($"id" % 1000).as("k"), $"id".as("b"))
