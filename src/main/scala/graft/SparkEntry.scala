@@ -1054,6 +1054,33 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Per-label embedding centroids (class prototypes): relational
+    // posexplode + decimal-exact per-dimension means + position-sorted
+    // regroup — scales like a group-by, no per-group vector buffers.
+    // (Scalar projection of the centroid rather than the raw list column:
+    // Spark and DuckDB disagree on the arrow list CHILD FIELD NAME
+    // ("element" vs "l"), a schema-compare hazard; the FULL centroids are
+    // cross-checked anyway by emb_assign_nearest's distances.)
+    "emb_label_centroids" -> ((s, d) =>
+      graft.ops.EmbeddingAgg.groupCentroids(
+        Graft.spread(t(s, d, "embeddings")), "label", "embedding")
+        .select(col("label"), size(col("centroid")).cast("long").as("n_dims"),
+          col("centroid")(0).as("c0"), col("centroid")(1).as("c1"),
+          col("centroid")(2).as("c2"), col("centroid")(3).as("c3"))
+        .orderBy("label")),
+
+    // Nearest-centroid assignment (classify every vector against the
+    // label prototypes): centroids broadcast, corpus scored map-side,
+    // bounded top-1 finisher.
+    "emb_assign_nearest" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = graft.ops.EmbeddingAgg.groupCentroids(emb, "label", "embedding")
+      graft.ops.EmbeddingAgg.assignNearest(
+        Graft.spread(emb), "vec_id", "embedding", cents, "label", "centroid")
+        .withColumn("dist", round(col("dist"), 6))
+        .orderBy("vec_id")
+    }),
+
     // S5 catalog scan: register views, list user tables filtered by the
     // engine-prefix pattern (F8). The expected listing is a fixed constant,
     // so even the catalog query gets an exact oracle.
@@ -1924,6 +1951,28 @@ object SparkEntry {
 
     "sim_sq8_topk" -> sq8TopkOracle(),
 
+    "emb_label_centroids" ->
+      (labelCentroidsSql +
+        """
+          |SELECT label, CAST(len(centroid) AS BIGINT) AS n_dims,
+          | centroid[1] AS c0, centroid[2] AS c1,
+          | centroid[3] AS c2, centroid[4] AS c3
+          |FROM cents ORDER BY label""".stripMargin),
+
+    "emb_assign_nearest" -> {
+      s"""$labelCentroidsSql,
+         |scored AS (
+         | SELECT e.vec_id, CAST(c.label AS BIGINT) AS nearest,
+         |  ${distSql("e.embedding::DOUBLE[]", "c.centroid")} AS dist
+         | FROM embeddings e CROSS JOIN cents c),
+         |ranked AS (
+         | SELECT vec_id, nearest, dist, ROW_NUMBER() OVER (
+         |   PARTITION BY vec_id ORDER BY dist ASC, nearest ASC) AS rn
+         | FROM scored)
+         |SELECT vec_id, nearest, ROUND(dist, 6) AS dist
+         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
+
     "sim_ivf_trained_topk" -> ivfTrainedOracle(),
 
     "sim_ivf_topk" ->
@@ -2113,6 +2162,21 @@ object SparkEntry {
     */
   private def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** Shared CTE prefix: per-label decimal-exact centroids (same discipline
+    * as the trained-IVF oracle; all-null dims are skipped, not
+    * zero-filled, mirroring groupCentroids).
+    */
+  private val labelCentroidsSql: String =
+    """WITH dims AS (
+      | SELECT label, i, CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / COUNT(v) AS m
+      | FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+      |        generate_subscripts(embedding, 1) AS i
+      |       FROM embeddings)
+      | GROUP BY label, i),
+      |cents AS (
+      | SELECT label, list(m ORDER BY i) AS centroid
+      | FROM dims WHERE m IS NOT NULL GROUP BY label)""".stripMargin
 
   /** DuckDB SQL for StableHash.hash60(expr, seed). */
   private def hash60Sql(expr: String, seed: Int): String =
