@@ -879,6 +879,30 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Edit-distance fuzzy match (entity-resolution shape): candidates from
+    // the sorted-neighborhood pass, verified with Levenshtein over a
+    // normalized bounded prefix (cost capped per pair; the DP is O(L^2) so
+    // NEVER run it corpus x corpus — candidates only). Normalization to
+    // [a-z0-9 ] keeps both engines' character semantics identical.
+    "dedup_editdist" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val prefix = substring(
+        regexp_replace(lower(coalesce(col("text"), lit(""))), "[^a-z0-9 ]", ""),
+        1, 24)
+      val cands = Dedup.sortedNeighborhood(
+        docs, "doc_id",
+        coalesce(substring(col("text"), 1, 16), lit("")), col("source"),
+        window = 3)
+        .select("id_a", "id_b")
+      cands
+        .join(docs.select(col("doc_id").as("id_a"), prefix.as("pa")), Seq("id_a"))
+        .join(docs.select(col("doc_id").as("id_b"), prefix.as("pb")), Seq("id_b"))
+        .withColumn("lev", levenshtein(col("pa"), col("pb")).cast("long"))
+        .where(col("lev") <= 12)
+        .select("id_a", "id_b", "lev")
+        .orderBy("id_a", "id_b")
+    }),
+
     // Text-analysis profile (lang-id, quality, token counts, fingerprint).
     "text_profile" -> ((s, d) =>
       TextAnalysis.profile(t(s, d, "documents")).orderBy("doc_id")),
@@ -1823,6 +1847,32 @@ object SparkEntry {
         |UNION ALL
         |SELECT block, p2, id, 2 FROM lagged WHERE p2 IS NOT NULL
         |ORDER BY block, id_b, dist""".stripMargin,
+
+    "dedup_editdist" ->
+      """WITH keyed AS (
+        | SELECT source AS block, COALESCE(substr(text, 1, 16), '') AS skey,
+        |  doc_id AS id
+        | FROM documents),
+        |lagged AS (
+        | SELECT block, id,
+        |  LAG(id, 1) OVER w AS p1, LAG(id, 2) OVER w AS p2
+        | FROM keyed WINDOW w AS (PARTITION BY block ORDER BY skey, id)),
+        |cands AS (
+        | SELECT p1 AS id_a, id AS id_b FROM lagged WHERE p1 IS NOT NULL
+        | UNION ALL
+        | SELECT p2, id FROM lagged WHERE p2 IS NOT NULL),
+        |pref AS (
+        | SELECT doc_id,
+        |  substr(regexp_replace(lower(COALESCE(text, '')), '[^a-z0-9 ]', '', 'g'),
+        |   1, 24) AS p
+        | FROM documents)
+        |SELECT c.id_a, c.id_b,
+        | CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev
+        |FROM cands c
+        | JOIN pref a ON a.doc_id = c.id_a
+        | JOIN pref b ON b.doc_id = c.id_b
+        |WHERE levenshtein(a.p, b.p) <= 12
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "split_train_val" -> {
       val h = hash60Sql("CAST(doc_id AS VARCHAR)")
