@@ -826,6 +826,25 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // IQR outlier filter (Tukey-fence shape, k=0.5 because the synthetic
+    // totalprice distribution is short-tailed — k=1.5 selects nothing):
+    // quartiles via one aggregate, broadcast back, map-side filter. Spark
+    // `percentile` and DuckDB `quantile_cont` share R-7 interpolation, and
+    // the fence arithmetic is the same double expression tree on both
+    // engines, so the selected row set matches exactly.
+    "f9_iqr_outliers" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      val qs = o.groupBy("o_orderpriority")
+        .agg(expr("percentile(o_totalprice, 0.25)").as("q1"),
+          expr("percentile(o_totalprice, 0.75)").as("q3"))
+      o.join(broadcast(qs), Seq("o_orderpriority"))
+        .where(col("o_totalprice") < col("q1") - (col("q3") - col("q1")) * 0.5 ||
+          col("o_totalprice") > col("q3") + (col("q3") - col("q1")) * 0.5)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
     // Bloom-prefiltered incremental dedup: which docs with id >= 250 carry
     // text NOT already present among ids < 250? Result is bit-identical to
     // the plain left-anti join (the oracle's NOT EXISTS); the Bloom sketch
@@ -1760,6 +1779,18 @@ object SparkEntry {
          |FROM lineitem GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin
     },
+
+    "f9_iqr_outliers" ->
+      """WITH qs AS (
+        | SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.25) AS q1,
+        |  quantile_cont(o_totalprice, 0.75) AS q3
+        | FROM orders GROUP BY 1)
+        |SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice
+        |FROM orders o JOIN qs USING (o_orderpriority)
+        |WHERE o.o_totalprice < qs.q1 - (qs.q3 - qs.q1) * 0.5
+        |   OR o.o_totalprice > qs.q3 + (qs.q3 - qs.q1) * 0.5
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "bloom_new_docs" ->
       """SELECT i.doc_id FROM documents i
