@@ -550,6 +550,23 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // DYNAMIC pivot: spine columns discovered from the data (one bounded
+    // distinct-collect — the two-pass shape every dynamic-pivot engine
+    // uses; the collect is |distinct values|, never data-sized). Output is
+    // identical to the explicit-values pivot, which is what the oracle
+    // states.
+    "a18_dynamic_pivot" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(date_trunc("day", Graft.nanosToTimestamp("ts")).cast("date")
+          .cast("string").as("day"),
+          col("event_type"), col("value").cast(DecimalType(28, 10)).as("dval"))
+      val types = ev.select("event_type").distinct()
+        .orderBy("event_type").collect().map(_.getString(0)).toSeq
+      val piv = ev.groupBy("day").pivot("event_type", types).sum("dval")
+      piv.select(col("day") +: types.map(ty => col(ty).cast("double").as(ty)): _*)
+        .orderBy("day")
+    }),
+
     // O1 sort on a non-key column (metrics_dashboard.py sort_index analogue).
     "o1_sort" -> ((s, d) => t(s, d, "nation")
       .select("n_nationkey", "n_name").orderBy("n_name")),
@@ -1218,6 +1235,24 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Grouped heavy hitters: top-3 terms per language through the bounded
+    // TopKAgg (its id channel is Long, so terms ride as hash60 ids and the
+    // winners join their strings back — k rows per group per partition
+    // cross the shuffle, never the full term distribution).
+    "text_top_terms" -> ((s, d) => {
+      val toks = Graft.spread(t(s, d, "documents"))
+        .select(col("lang"), explode(Text.tokens(col("text"))).as("w"))
+        .where(col("w") =!= "")
+      val counts = toks.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+        .withColumn("wid", StableHash.hash60(col("w")))
+      val top = graft.ops.TopK.perGroupTopK(
+        counts.withColumn("score", col("c").cast("double")),
+        Seq("lang"), "wid", "score", 3)
+      top.join(counts, Seq("lang", "wid"))
+        .select(col("lang"), col("rank"), col("w").as("term"), col("c").as("n"))
+        .orderBy("lang", "rank")
+    }),
+
     // Bigram-LM fluency scores (conditional log-prob transitions; the
     // word-order-sensitive sibling of text_unigram_lm).
     "text_bigram_lm" -> ((s, d) =>
@@ -1590,6 +1625,18 @@ object SparkEntry {
         |FROM orders WHERE o_custkey <= 100
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // The dynamic pivot discovers the same spine from the data, so its
+    // oracle is the explicit-values statement.
+    "a18_dynamic_pivot" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cases = types.map(ty =>
+        s"CAST(SUM(CASE WHEN event_type = '$ty' THEN CAST(value AS DECIMAL(28,10)) END) AS DOUBLE) AS $ty")
+        .mkString(",\n ")
+      s"""SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+         | $cases
+         |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+    },
 
     "a8_pivot" -> {
       val types = Seq("click", "error", "purchase", "signup", "view")
@@ -2155,6 +2202,21 @@ object SparkEntry {
          | SELECT event_id, user_id, event_type
          | FROM events ORDER BY $h, event_id LIMIT 100)
          |ORDER BY event_id""".stripMargin
+    },
+
+    "text_top_terms" -> {
+      val h = hash60Sql("w")
+      s"""WITH toks AS (
+         | SELECT lang, w FROM (
+         |  SELECT lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |  FROM documents WHERE trim(text) <> '') WHERE w <> ''),
+         |counts AS (SELECT lang, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+         |ranked AS (
+         | SELECT lang, w, c, ROW_NUMBER() OVER (
+         |   PARTITION BY lang ORDER BY c DESC, $h ASC) AS rank
+         | FROM counts)
+         |SELECT lang, rank, w AS term, c AS n
+         |FROM ranked WHERE rank <= 3 ORDER BY lang, rank""".stripMargin
     },
 
     "text_bigram_lm" ->
