@@ -1166,6 +1166,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Product-quantization ANN (8 sub-spaces x 16 centroids = 64x vector
+    // compression) with ADC scoring and exact rerank; the whole pipeline —
+    // codebook, encode, lookup tables, candidate cut — replays in the
+    // oracle.
+    "sim_pq_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.pqTopK(emb, emb.where(col("vec_id") < 5), k = 10,
+        m = 8, dsub = 8, codebookSize = 16, rerank = 40)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // Scalar-quantized (int8) ANN with exact rerank: encode is replayed in
     // the oracle bit-for-bit (amax fold -> scale -> rounded tinyint codes),
     // approximate ranking picks 40 candidates, exact cosine reranks to 10.
@@ -2079,6 +2091,8 @@ object SparkEntry {
 
     "sim_sq8_topk" -> sq8TopkOracle(),
 
+    "sim_pq_topk" -> pqTopkOracle(),
+
     "emb_label_centroids" ->
       (labelCentroidsSql +
         """
@@ -2770,6 +2784,85 @@ object SparkEntry {
        | FROM exact)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Guarded squared-L2 (no sqrt — argmin/sum care only about order), same
+    * totality discipline as [[distSql]].
+    */
+  private def l2sqSql(a: String, b: String): String =
+    s"(CASE WHEN len($a) = len($b) AND len($a) = list_aggregate($a, 'count')" +
+      s" AND len($b) = list_aggregate($b, 'count')" +
+      s" THEN list_sum(list_transform(list_zip($a, $b)," +
+      s" x -> (x[1] - x[2]) * (x[1] - x[2]))) END)"
+
+  /** Replays the whole PQ pipeline: prefix-sample codebook (null seed
+    * vectors excluded on both engines), per-sub-space argmin encode (all-
+    * null distances -> j=0 by the j-asc tie-break), ADC lookup join, and a
+    * TOTAL ordered sum for the approximate distance (list_sum skips nulls,
+    * so the COUNT guard nulls the whole sum exactly where Spark's fold
+    * does), then the exact cosine rerank.
+    */
+  private def pqTopkOracle(m: Int = 8, dsub: Int = 8, cbSize: Int = 16,
+      rerank: Int = 40, k: Int = 10): String =
+    s"""WITH pref AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  ORDER BY vec_id LIMIT $cbSize),
+       | jmap AS (
+       |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
+       |  FROM pref),
+       | cb AS (
+       |  SELECT jm.j, t.i AS sub, list_slice(p.v, t.i * $dsub + 1, t.i * $dsub + $dsub) AS cvec
+       |  FROM pref p JOIN jmap jm USING (vec_id)
+       |  CROSS JOIN (SELECT unnest(range(0, $m)) AS i) t
+       |  WHERE p.v IS NOT NULL),
+       | csub AS (
+       |  SELECT e.vec_id AS corpus_id, t.i AS sub,
+       |   list_slice(e.v, t.i * $dsub + 1, t.i * $dsub + $dsub) AS sv
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |        WHERE embedding IS NOT NULL) e
+       |  CROSS JOIN (SELECT unnest(range(0, $m)) AS i) t),
+       | codes AS (
+       |  SELECT corpus_id, sub, j FROM (
+       |   SELECT c.corpus_id, c.sub, cb.j, ROW_NUMBER() OVER (
+       |     PARTITION BY c.corpus_id, c.sub
+       |     ORDER BY ${l2sqSql("c.sv", "cb.cvec")} ASC, cb.j ASC) AS rn
+       |   FROM csub c JOIN cb ON cb.sub = c.sub) WHERE rn = 1),
+       | qsub AS (
+       |  SELECT q.vec_id AS query_id, t.i AS sub,
+       |   list_slice(q.v, t.i * $dsub + 1, t.i * $dsub + $dsub) AS qsv
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |        WHERE vec_id < 5 AND embedding IS NOT NULL) q
+       |  CROSS JOIN (SELECT unnest(range(0, $m)) AS i) t),
+       | qlut AS (
+       |  SELECT qs.query_id, qs.sub, cb.j,
+       |   ${l2sqSql("qs.qsv", "cb.cvec")} AS pd
+       |  FROM qsub qs JOIN cb ON cb.sub = qs.sub),
+       | approx AS (
+       |  SELECT ql.query_id, co.corpus_id,
+       |   CASE WHEN COUNT(*) = COUNT(ql.pd)
+       |    THEN list_sum(list(ql.pd ORDER BY co.sub)) END AS adist
+       |  FROM codes co JOIN qlut ql ON ql.sub = co.sub AND ql.j = co.j
+       |  WHERE co.corpus_id <> ql.query_id
+       |  GROUP BY 1, 2),
+       | cands AS (
+       |  SELECT query_id, corpus_id FROM (
+       |   SELECT query_id, corpus_id, ROW_NUMBER() OVER (
+       |     PARTITION BY query_id ORDER BY adist ASC, corpus_id ASC) AS rn
+       |   FROM approx) WHERE rn <= $rerank),
+       | exact AS (
+       |  SELECT ca.query_id, ca.corpus_id,
+       |   ${cosineSql("q.qv", "e.cv")} AS cosine
+       |  FROM cands ca
+       |   JOIN (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) e
+       |     ON e.vec_id = ca.corpus_id
+       |   JOIN (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |         FROM embeddings WHERE vec_id < 5) q
+       |     ON q.query_id = ca.query_id)
+       |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
+       |FROM (
+       | SELECT query_id, corpus_id, cosine, ROW_NUMBER() OVER (
+       |   PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+       | FROM exact)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   private def lshTopkOracle: String = {
     val bucketC = lshBucketSql("cv", 4, 64)

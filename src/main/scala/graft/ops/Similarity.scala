@@ -335,6 +335,88 @@ object Similarity {
     TopK.perGroupTopK(exact, Seq("query_id"), "corpus_id", "cosine", k)
   }
 
+  /** Product-quantization (PQ) approximate top-k with exact rerank — the
+    * next rung past [[sq8TopK]] on the compression ladder: `m` sub-spaces
+    * of `dsub` dims, each encoded as the index of its nearest sub-codebook
+    * centroid. At m=8, codebookSize=16 a 64-dim float32 vector compresses
+    * 64x (8 half-byte codes vs 256 bytes); scoring is asymmetric distance
+    * computation (ADC): per query, an m x codebookSize lookup table of
+    * partial distances, then each corpus vector's approximate distance is
+    * m table lookups summed — no float vector is touched until the exact
+    * rerank of the top `rerank` candidates.
+    *
+    * Codebooks here are the deterministic prefix sample (same contract as
+    * [[ivfTopK]] — the encode/ADC machinery is what matters at scale and
+    * determinism keeps the WHOLE pipeline oracle-replayable; swap in
+    * [[trainedCentroids]]-style Lloyd refinement per sub-space for
+    * production recall). Scale shape: encode is corpus x m x codebookSize
+    * map-side distance evals against a broadcast codebook; codes shuffle
+    * once for the ADC join; candidates are a bounded top-k.
+    *
+    * Degenerate routes mirror the oracle exactly: a NULL corpus vector is
+    * excluded (posexplode skips it / `WHERE v IS NOT NULL`); null-element
+    * or ragged sub-vectors get all-null distances and deterministically
+    * code to j=0; null query sub-distances make the ADC sum null (the
+    * ordered fold is total, never null-skipping), ranking last.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+      dsub: Int = 8, codebookSize: Int = 16, rerank: Int = 40): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    def subVecs(v: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(m - 1)),
+        i => slice(Vectors.asDouble(v), i * dsub + 1, lit(dsub)))
+
+    // prefix-sample codebook; j = rank of the seed's vec_id (driver holds
+    // codebookSize ids, never vectors)
+    val prefIds = corpus.orderBy("vec_id").limit(codebookSize)
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).sorted
+    val jDf = prefIds.zipWithIndex
+      .map { case (id, j) => (id, j.toLong) }.toSeq.toDF("vec_id", "j")
+    val cb = corpus.join(broadcast(jDf), Seq("vec_id"))
+      .select(col("j"), posexplode(subVecs(col("embedding"))))
+      .toDF("j", "sub", "cvec")
+
+    // encode: nearest sub-centroid per (corpus vector, sub-space)
+    val csub = graft.core.Graft.spread(corpus)
+      .select(col("vec_id").cast("long").as("corpus_id"),
+        posexplode(subVecs(col("embedding"))))
+      .toDF("corpus_id", "sub", "sv")
+    val cdist = csub.join(broadcast(cb), Seq("sub"))
+      .withColumn("negd", -Vectors.l2sq(col("sv"), col("cvec")))
+    val codes = TopK.perGroupTopK(cdist, Seq("corpus_id", "sub"), "j", "negd", 1)
+      .select("corpus_id", "sub", "j")
+
+    // ADC lookup table: query x sub x centroid partial distances
+    val qsub = queries
+      .select(col("vec_id").cast("long").as("query_id"),
+        posexplode(subVecs(col("embedding"))))
+      .toDF("query_id", "sub", "qsv")
+    val qlut = qsub.join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("j"),
+        Vectors.l2sq(col("qsv"), col("cvec")).as("pd"))
+
+    // approximate distance = ordered (total, null-propagating) sum of the
+    // coded sub-distances
+    val approx = codes.join(broadcast(qlut), Seq("sub", "j"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .groupBy("query_id", "corpus_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("sub"), col("pd")))),
+        lit(0.0), (acc, x) => acc + x.getField("pd")).as("adist"))
+    val cands = TopK.perGroupTopK(
+      approx.withColumn("nad", -col("adist")),
+      Seq("query_id"), "corpus_id", "nad", rerank)
+
+    val exact = cands.select("query_id", "corpus_id")
+      .join(corpus.select(col("vec_id").cast("long").as("corpus_id"),
+        col("embedding").as("cv")), Seq("corpus_id"))
+      .join(broadcast(queries.select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("qv"))), Seq("query_id"))
+      .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
+    TopK.perGroupTopK(exact, Seq("query_id"), "corpus_id", "cosine", k)
+  }
+
   /** LSH-bucketed approximate top-k: candidates restricted to query buckets
     * (multi-probe over Hamming-1 neighbors when probes > 1).
     */

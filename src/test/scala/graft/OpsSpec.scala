@@ -240,6 +240,17 @@ class OpsSpec extends SparkSpec {
     val sqRecall = (sq & brute).size.toDouble / brute.size
     info(f"sq8 recall@10 with rerank=20 on 500 vectors: $sqRecall%.2f")
     assert(sqRecall > 0.8) // int8 error is tiny; near-exact candidates
+
+    // pq: full rerank sees every vector -> must EQUAL brute force
+    val pqAll = resultSet(Similarity.pqTopK(emb, queries, 10, rerank = 600))
+    assert(pqAll == brute)
+    // 64x-compressed ADC ranking at an 8% candidate budget still recalls
+    // well above chance (prefix-sample codebooks, not trained — recall is
+    // bounded by codebook quality, so the bar is looser than sq8's)
+    val pq = resultSet(Similarity.pqTopK(emb, queries, 10, rerank = 40))
+    val pqRecall = (pq & brute).size.toDouble / brute.size
+    info(f"pq recall@10 with rerank=40 on 500 vectors: $pqRecall%.2f")
+    assert(pqRecall > 0.3)
   }
 
   test("trainedCentroids: deterministic across runs, Lloyd step reduces distortion") {
