@@ -1340,6 +1340,61 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Streaming funnel: per-user stateful aggregation (collect the event
+    // multiset under AvailableNow), then a batch fold over the SORTED
+    // timeline computes strict-order step times. Order-independent by
+    // construction — the sorted array is a function of the multiset, and
+    // Funnel.foldStepTimes compares ts values, never positions — so the
+    // strict batch oracle (same SQL as funnel_user_steps) applies.
+    // State is bounded per user at its funnel-step events only (the
+    // type filter drops everything else before the agg).
+    "stream_funnel_user_steps" -> ((s, d) => {
+      Graft.tune(s)
+      val steps = Seq("view", "click", "purchase")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val ev = graft.streaming.StreamingIngest
+        .parquetStream(s, d, schema, globFilter = Some("events.parquet"))
+        .where(col("user_id") <= 200 && col("event_type").isin(steps: _*))
+        .select(col("user_id"), expr("ts DIV 1000").as("ts"), col("event_type"))
+      val agg = ev.groupBy("user_id")
+        .agg(collect_list(struct(col("ts"), col("event_type"))).as("evs"))
+      val res = graft.streaming.StreamingIngest
+        .runAvailableNow(s, agg, "stream_funnel_mem")
+      res.select(col("user_id"),
+          graft.ops.Funnel.foldStepTimes(sort_array(col("evs")), steps).as("st"))
+        .where(col("st.step1_view").isNotNull)
+        .select(col("user_id"), col("st.step1_view").as("step1_view"),
+          col("st.step2_click").as("step2_click"),
+          col("st.step3_purchase").as("step3_purchase"))
+        .orderBy("user_id")
+    }),
+
+    // Streaming CDC merge: the update feed arrives as a stream, the
+    // latest-version-per-key reduction runs INSIDE the stream (max-struct
+    // argmax — commutative and associative, hence arrival-order-free),
+    // and the batch anti-join+union applies the compacted delta to the
+    // snapshot. Same strict oracle as the batch upsert_merge.
+    "stream_upsert_merge" -> ((s, d) => {
+      Graft.tune(s)
+      val schema = s.read.parquet(s"$d/orders.parquet").schema
+      val base = graft.streaming.StreamingIngest
+        .parquetStream(s, d, schema, globFilter = Some("orders.parquet"))
+        .where(col("o_orderkey") <= 5000 && col("o_orderkey") % 10 === 0)
+      def version(bump: Double, seq: Long) = base.select(
+        col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + bump).as("o_totalprice"), lit(seq).as("seq"))
+      val updates = version(1.0, 1L).unionByName(version(2.0, 2L))
+      val latest = graft.streaming.StreamingIngest.runAvailableNow(
+        s, graft.ops.Upsert.latestPerKey(updates, Seq("o_orderkey"), "seq"),
+        "stream_upsert_mem")
+      val cur = t(s, d, "orders").where(col("o_orderkey") <= 5000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lit(0L).as("seq"))
+      cur.join(latest.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .unionByName(latest.select(cur.columns.map(col): _*))
+        .orderBy("o_orderkey")
+    }),
+
     // Multimodal: synthetic media + metadata extraction (decode stays
     // stubbed; plumbing is real — see graft.ops.Multimodal).
     "mm_media_meta" -> ((s, d) => {
@@ -1863,25 +1918,10 @@ object SparkEntry {
         | CASE WHEN o_orderkey <= 1000 THEN NULL ELSE o_totalprice END AS o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
-    "funnel_user_steps" ->
-      """WITH ev AS (
-        | SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
-        | WHERE user_id <= 200),
-        |s1 AS (
-        | SELECT user_id, MIN(ts_us) AS step1_view FROM ev
-        | WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (
-        | SELECT e.user_id, MIN(e.ts_us) AS step2_click
-        | FROM ev e JOIN s1 ON e.user_id = s1.user_id
-        | WHERE e.event_type = 'click' AND e.ts_us > s1.step1_view GROUP BY 1),
-        |s3 AS (
-        | SELECT e.user_id, MIN(e.ts_us) AS step3_purchase
-        | FROM ev e JOIN s2 ON e.user_id = s2.user_id
-        | WHERE e.event_type = 'purchase' AND e.ts_us > s2.step2_click GROUP BY 1)
-        |SELECT s1.user_id AS user_id, s1.step1_view, s2.step2_click, s3.step3_purchase
-        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
-        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
-        |ORDER BY user_id""".stripMargin,
+    "funnel_user_steps" -> funnelUserStepsSql,
+
+    // identical semantics, streaming execution path on the Spark side
+    "stream_funnel_user_steps" -> funnelUserStepsSql,
 
     "funnel_counts" ->
       """WITH ev AS (
@@ -1903,18 +1943,10 @@ object SparkEntry {
         |UNION ALL SELECT CAST(3 AS INTEGER), 'step3_purchase', (SELECT COUNT(*) FROM s3)
         |ORDER BY step_no""".stripMargin,
 
-    "upsert_merge" ->
-      """WITH cur AS (
-        | SELECT o_orderkey, o_custkey, o_totalprice, CAST(0 AS BIGINT) AS seq
-        | FROM orders WHERE o_orderkey <= 5000),
-        |upd AS (
-        | SELECT o_orderkey, o_custkey, o_totalprice + 2.0 AS o_totalprice,
-        |  CAST(2 AS BIGINT) AS seq
-        | FROM cur WHERE o_orderkey % 10 = 0)
-        |SELECT c.o_orderkey, c.o_custkey, c.o_totalprice, c.seq FROM cur c
-        |WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = c.o_orderkey)
-        |UNION ALL SELECT o_orderkey, o_custkey, o_totalprice, seq FROM upd
-        |ORDER BY o_orderkey""".stripMargin,
+    "upsert_merge" -> upsertMergeSql,
+
+    // identical semantics, streaming latest-per-key on the Spark side
+    "stream_upsert_merge" -> upsertMergeSql,
 
     "dedup_minhash" -> minhashOracle,
 
@@ -2784,6 +2816,47 @@ object SparkEntry {
        | FROM exact)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Shared by the batch and streaming funnel queries — the streaming path
+    * is arrival-order-independent (sorted-multiset fold), so the strict
+    * batch oracle applies to both.
+    */
+  private val funnelUserStepsSql: String =
+    """WITH ev AS (
+      | SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+      | WHERE user_id <= 200),
+      |s1 AS (
+      | SELECT user_id, MIN(ts_us) AS step1_view FROM ev
+      | WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      | SELECT e.user_id, MIN(e.ts_us) AS step2_click
+      | FROM ev e JOIN s1 ON e.user_id = s1.user_id
+      | WHERE e.event_type = 'click' AND e.ts_us > s1.step1_view GROUP BY 1),
+      |s3 AS (
+      | SELECT e.user_id, MIN(e.ts_us) AS step3_purchase
+      | FROM ev e JOIN s2 ON e.user_id = s2.user_id
+      | WHERE e.event_type = 'purchase' AND e.ts_us > s2.step2_click GROUP BY 1)
+      |SELECT s1.user_id AS user_id, s1.step1_view, s2.step2_click, s3.step3_purchase
+      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Shared by the batch and streaming upsert queries — the streaming
+    * latest-per-key is a commutative/associative argmax, so arrival order
+    * cannot change it.
+    */
+  private val upsertMergeSql: String =
+    """WITH cur AS (
+      | SELECT o_orderkey, o_custkey, o_totalprice, CAST(0 AS BIGINT) AS seq
+      | FROM orders WHERE o_orderkey <= 5000),
+      |upd AS (
+      | SELECT o_orderkey, o_custkey, o_totalprice + 2.0 AS o_totalprice,
+      |  CAST(2 AS BIGINT) AS seq
+      | FROM cur WHERE o_orderkey % 10 = 0)
+      |SELECT c.o_orderkey, c.o_custkey, c.o_totalprice, c.seq FROM cur c
+      |WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = c.o_orderkey)
+      |UNION ALL SELECT o_orderkey, o_custkey, o_totalprice, seq FROM upd
+      |ORDER BY o_orderkey""".stripMargin
 
   /** Guarded squared-L2 (no sqrt — argmin/sum care only about order), same
     * totality discipline as [[distSql]].

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Ordered funnel analysis: for each entity, the first time each step
@@ -41,6 +41,43 @@ object Funnel {
         .groupBy(keep: _*)
         .agg(min(col("__ts")).as(stepName(i)))
     }
+  }
+
+  /** Step times from ONE entity's collected event multiset — the streaming
+    * twin of [[stepTimes]]. `evs` is an array of `struct(ts: long,
+    * event_type: string)` sorted ascending (sort it with `sort_array`; the
+    * struct's leading `ts` field drives the order). A single left fold
+    * walks the timeline: step i's slot fills at the first event of its type
+    * whose ts is strictly after step i-1's filled slot. All comparisons are
+    * on ts VALUES, never array positions, so ties in ts resolve identically
+    * no matter how the sort broke them — which is what makes the streaming
+    * query arrival-order-independent: the sorted array is a function of the
+    * event multiset alone.
+    *
+    * Returns a struct column with fields `step1_<name>`..`stepK_<name>`
+    * (null = never reached), matching [[stepTimes]]'s column contract.
+    */
+  def foldStepTimes(evs: Column, steps: Seq[String]): Column = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    def fname(i: Int) = s"step${i + 1}_${steps(i)}"
+    val zero = struct(
+      steps.indices.map(i => lit(null).cast("long").as(fname(i))): _*)
+    aggregate(evs, zero, (acc, e) => {
+      val ts = e.getField("ts")
+      val ty = e.getField("event_type")
+      // each branch reads the PRE-event accumulator, so an event can never
+      // satisfy two consecutive steps at once (it would need ts > itself)
+      val fields = steps.indices.map { i =>
+        val cur = acc.getField(fname(i))
+        val prevOk =
+          if (i == 0) lit(true)
+          else acc.getField(fname(i - 1)).isNotNull &&
+            ts > acc.getField(fname(i - 1))
+        when(cur.isNull && ty === steps(i) && prevOk, ts)
+          .otherwise(cur).as(fname(i))
+      }
+      struct(fields: _*)
+    })
   }
 
   /** Funnel summary: one row per step with the count of entities that

@@ -45,6 +45,26 @@ class FunnelUpsertSpec extends SparkSpec {
       (1, "step1_view", 4L), (2, "step2_click", 3L), (3, "step3_buy", 1L)))
   }
 
+  test("foldStepTimes over the sorted multiset equals stepTimes, any arrival order") {
+    val steps = Seq("view", "click", "buy")
+    val batch = Funnel.stepTimes(ev, "user_id", "ts", "event_type", steps)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    // simulate streaming arrival in REVERSED order; sort_array + fold must
+    // erase it (order-independence is what licenses the strict oracle)
+    val folded = ev.orderBy($"ts".desc)
+      .groupBy("user_id")
+      .agg(collect_list(struct($"ts", $"event_type")).as("evs"))
+      .select($"user_id",
+        Funnel.foldStepTimes(sort_array($"evs"), steps).as("st"))
+      .where($"st.step1_view".isNotNull)
+      .collect().map(r => r.getLong(0) -> {
+        val st = r.getStruct(1)
+        (Option(st.get(0)), Option(st.get(1)), Option(st.get(2)))
+      }).toMap
+    assert(folded == batch)
+  }
+
   private lazy val current = Seq(
     (1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L)
   ).toDF("k", "v", "seq")
