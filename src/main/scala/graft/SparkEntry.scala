@@ -1340,6 +1340,17 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Test-set decontamination: training docs (doc_id >= 20) flagged by
+    // 3-shingle overlap with a benchmark slice (doc_id < 20). Benchmark
+    // shingle set broadcasts; the mark is a map-side probe.
+    "text_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.decontaminate(
+        docs.where(col("doc_id") >= 20), docs.where(col("doc_id") < 20),
+        "text", "doc_id", shingleK = 3)
+        .orderBy("doc_id")
+    }),
+
     // Streaming funnel: per-user stateful aggregation (collect the event
     // multiset under AvailableNow), then a batch fold over the SORTED
     // timeline computes strict-order step times. Order-independent by
@@ -1955,6 +1966,8 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle(16),
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+
+    "text_decontaminate" -> decontaminateOracle,
 
     "dedup_sorted_neighborhood" ->
       """WITH keyed AS (
@@ -2615,6 +2628,46 @@ object SparkEntry {
       | JOIN sizes sb ON sb.id = id_b
       |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.05
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Replays decontamination: distinct 3-shingles per side (with the
+    * whole-text shingle for <3-word docs, mirroring wordShingles), then
+    * per-training-doc totals and benchmark-membership hits; zero-shingle
+    * docs re-enter via the doc-spine left join.
+    */
+  private def decontaminateOracle: String = {
+    def words(src: String) =
+      s"""SELECT doc_id, w, i FROM (
+         | SELECT doc_id,
+         |  unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+         |  generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS i
+         | FROM $src WHERE trim(text) <> '')""".stripMargin
+    def shingles(wordsCte: String, src: String) =
+      s"""SELECT DISTINCT a.doc_id AS id, a.w || ' ' || b.w || ' ' || c.w AS sh
+         |FROM $wordsCte a
+         | JOIN $wordsCte b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         | JOIN $wordsCte c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+         |UNION
+         |SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS sh
+         |FROM $src WHERE trim(text) <> ''
+         | AND len(string_split_regex(trim(lower(text)), '\\s+')) < 3""".stripMargin
+    s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+       |train AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
+       |bw AS (${words("bench")}),
+       |tw AS (${words("train")}),
+       |bsh AS (SELECT DISTINCT sh FROM (${shingles("bw", "bench")})),
+       |tsh AS (${shingles("tw", "train")}),
+       |agg AS (
+       | SELECT id, COUNT(*) AS n_shingles,
+       |  CAST(SUM(CASE WHEN sh IN (SELECT sh FROM bsh) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       | FROM tsh GROUP BY id)
+       |SELECT t.doc_id,
+       | CAST(COALESCE(agg.n_shingles, 0) AS BIGINT) AS n_shingles,
+       | CAST(COALESCE(agg.n_hits, 0) AS BIGINT) AS n_hits,
+       | CAST(CASE WHEN COALESCE(agg.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
+       |  AS is_contaminated
+       |FROM train t LEFT JOIN agg ON agg.id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
 
   /** Per-language stopword hit sums + argmax with the array_max-on-struct
     * tie-break (lexicographically LAST language wins ties).

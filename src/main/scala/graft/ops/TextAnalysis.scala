@@ -231,4 +231,44 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         (col("lsum") / col("n_bigrams").cast("double")).as("lm_score"))
   }
+
+  /** Test-set decontamination: flag training documents sharing any word
+    * k-shingle with a benchmark/eval corpus — the guard every pretraining
+    * pipeline runs so evaluation data never leaks into training data.
+    *
+    * Returns one row per training doc: distinct-shingle count, the number
+    * of those shingles that appear anywhere in the benchmark, and a 0/1
+    * contamination flag. Filter `is_contaminated = 0` (or join back) to
+    * take the clean slice; keeping counts rather than a bare flag lets
+    * callers threshold on overlap fraction instead of any-hit.
+    *
+    * Shape at scale: the benchmark side is tiny relative to a 100 TB
+    * training corpus (eval sets are MBs), so its distinct shingle set
+    * BROADCASTS and the membership mark is a map-side hash probe on the
+    * exploded training shingles — no shuffle touches corpus x benchmark.
+    * The only exchange is the doc-level count aggregation (partial
+    * map-side), plus the join back to the doc spine for zero-shingle
+    * (empty/null-text) docs.
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleK: Int = 3): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(Text.wordShingles(col(textCol), shingleK)).as("sh"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val trainGrams = graft.core.Graft.spread(train).select(col(idCol),
+      explode(Text.wordShingles(col(textCol), shingleK)).as("sh"))
+    // single pass: left join marks hits, one aggregate counts both signals
+    val counts = trainGrams
+      .join(broadcast(benchGrams), Seq("sh"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hits"))
+    train.select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("is_contaminated", (col("n_hits") > 0).cast("int"))
+  }
 }

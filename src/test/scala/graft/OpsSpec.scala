@@ -365,6 +365,28 @@ class OpsSpec extends SparkSpec {
     assert(planDepth < 30, s"plan has $planDepth nodes - lineage not truncated")
   }
 
+  test("decontaminate flags shingle overlap with the benchmark, not incidental words") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a quick brown fox appeared"),        // shares "quick brown fox"
+      (2L, "quick dog and lazy fox"),            // shared words, no shared trigram
+      (3L, "totally unrelated text here indeed"),
+      (4L, ""),                                  // no shingles at all
+      (5L, "over the lazy dog today")            // shares two trigrams
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.decontaminate(train, bench)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, 1),
+      (2L, 3L, 0L, 0),
+      (3L, 3L, 0L, 0),
+      (4L, 0L, 0L, 0),
+      (5L, 3L, 2L, 1)))
+  }
+
   test("operators tolerate empty inputs (no crash, empty/zero outputs)") {
     val noDocs = docs.where(lit(false))
     assert(Dedup.exact(noDocs, "text", "doc_id").count() == 0)
