@@ -1288,6 +1288,14 @@ object SparkEntry {
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")),
 
+    // Weighted without-replacement sample (Efraimidis-Spirakis keys over
+    // a stable hash + the portable software ln, so selection, rank and
+    // key VALUES all replay bit-exactly in the oracle).
+    "sample_weighted" -> ((s, d) =>
+      graft.ops.Sampling.weightedK(
+        t(s, d, "documents"), "doc_id", "n_chars", k = 50)
+        .orderBy("rank")),
+
     // Count-min sketch token-frequency estimates for probe words, next to
     // exact counts. The sketch is one partial+final aggregate (3x512 exact
     // counters cross the shuffle); probe lookups read the collected sketch
@@ -2263,6 +2271,8 @@ object SparkEntry {
          |ORDER BY event_id""".stripMargin
     },
 
+    "sample_weighted" -> sampleWeightedOracle,
+
     "text_top_terms" -> {
       val h = hash60Sql("w")
       s"""WITH toks AS (
@@ -2868,6 +2878,43 @@ object SparkEntry {
        |    ORDER BY cosine DESC, corpus_id ASC) AS rank
        | FROM exact)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Replays Sampling.weightedK bit-for-bit: the Efraimidis-Spirakis key
+    * uses the PORTABLE ln (exact exponent via bin(), atanh Horner series
+    * in the identical association order — see Sampling.portableLnStages),
+    * so every double here is the same double Spark computes; native ln
+    * would drift in the last ulp on ~0.1% of inputs.
+    */
+  private def sampleWeightedOracle: String = {
+    val ln2 = "CAST(0.6931471805599453 AS DOUBLE)"
+    def d(i: Int) = s"CAST($i AS DOUBLE)"
+    // Horner shape identical to Sampling.portableLnStages' poly
+    val poly = Seq(13, 11, 9, 7, 5, 3).foldLeft("") { (acc, q) =>
+      if (acc.isEmpty) s"${d(1)}/${d(q)}"
+      else s"${d(1)}/${d(q)} + z2*($acc)"
+    }
+    val h = hash60Sql("CAST(doc_id AS VARCHAR)", 0)
+    s"""WITH w AS (
+       | SELECT doc_id, n_chars FROM documents WHERE n_chars > 0),
+       |st AS (SELECT doc_id, n_chars, $h + 1 AS n FROM w),
+       |pp AS (SELECT doc_id, n_chars, n,
+       |        CAST(len(bin(n)) - 1 AS INTEGER) AS p FROM st),
+       |mm AS (SELECT doc_id, n_chars, p,
+       |        CAST(n AS DOUBLE) / CAST((CAST(1 AS BIGINT) << p) AS DOUBLE) AS m
+       |       FROM pp),
+       |zz AS (SELECT doc_id, n_chars, p,
+       |        (m - ${d(1)}) / (m + ${d(1)}) AS z FROM mm),
+       |z2t AS (SELECT doc_id, n_chars, p, z, z*z AS z2 FROM zz),
+       |kk AS (SELECT doc_id, n_chars,
+       |  (CAST(p AS DOUBLE) * $ln2 +
+       |   ${d(2)} * z * (${d(1)} + z2 * ($poly))
+       |   - ${d(60)} * $ln2) / CAST(n_chars AS DOUBLE) AS key
+       | FROM z2t)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS INTEGER) AS rank,
+       | doc_id, n_chars, ROUND(key, 6) AS es_key
+       |FROM (SELECT * FROM kk ORDER BY key DESC, doc_id LIMIT 50)
+       |ORDER BY rank""".stripMargin
   }
 
   /** Shared by the batch and streaming funnel queries — the streaming path

@@ -373,12 +373,19 @@ object Similarity {
       .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).sorted
     val jDf = prefIds.zipWithIndex
       .map { case (id, j) => (id, j.toLong) }.toSeq.toDF("vec_id", "j")
+    // null seed vectors keep their j slot but contribute no centroids, and
+    // null corpus/query vectors never encode or score — subVecs over a
+    // null vector is an array OF null sub-vectors (transform maps the
+    // non-null index sequence), so the explode would NOT drop them; the
+    // explicit isNotNull filters mirror the oracle's `WHERE v IS NOT NULL`.
     val cb = corpus.join(broadcast(jDf), Seq("vec_id"))
+      .where(col("embedding").isNotNull)
       .select(col("j"), posexplode(subVecs(col("embedding"))))
       .toDF("j", "sub", "cvec")
 
     // encode: nearest sub-centroid per (corpus vector, sub-space)
     val csub = graft.core.Graft.spread(corpus)
+      .where(col("embedding").isNotNull)
       .select(col("vec_id").cast("long").as("corpus_id"),
         posexplode(subVecs(col("embedding"))))
       .toDF("corpus_id", "sub", "sv")
@@ -388,7 +395,7 @@ object Similarity {
       .select("corpus_id", "sub", "j")
 
     // ADC lookup table: query x sub x centroid partial distances
-    val qsub = queries
+    val qsub = queries.where(col("embedding").isNotNull)
       .select(col("vec_id").cast("long").as("query_id"),
         posexplode(subVecs(col("embedding"))))
       .toDF("query_id", "sub", "qsv")

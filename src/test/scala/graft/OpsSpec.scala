@@ -387,6 +387,41 @@ class OpsSpec extends SparkSpec {
       (5L, 3L, 2L, 1)))
   }
 
+  test("weightedK: portable ln accurate, selection weight-monotone and deterministic") {
+    import graft.ops.Sampling
+    // portable ln vs Math.log over the domain [1, 2^60]
+    val ns = Seq(1L, 2L, 3L, 7L, 255L, 256L, 1000003L,
+      (1L << 40) - 1L, (1L << 59) + 12345L, 1L << 60)
+    val lnRows = Sampling.portableLnStages(ns.toDF("__n"), "__n")
+      .select($"__n", $"__ln").collect()
+    lnRows.foreach { r =>
+      val err = math.abs(r.getDouble(1) - math.log(r.getLong(0).toDouble))
+      assert(err < 5e-8, s"portable ln off by $err at n=${r.getLong(0)}")
+    }
+
+    // one overwhelming weight is (essentially) always sampled
+    val rows = (0L until 1000L).map(i =>
+      (i, if (i == 417L) 1000000L else 1L)).toDF("id", "w")
+    val top = Sampling.weightedK(rows, "id", "w", k = 10)
+    assert(top.where($"id" === 417L).count() == 1)
+
+    // 10x weights dominate the sample far beyond their population share
+    val tiered = (0L until 1000L).map(i =>
+      (i, if (i < 500L) 10L else 1L)).toDF("id", "w")
+    val heavy = Sampling.weightedK(tiered, "id", "w", k = 100)
+      .where($"id" < 500L).count()
+    assert(heavy > 75, s"only $heavy/100 heavy-weight rows sampled")
+
+    // deterministic across runs; k >= n returns every positive-weight row
+    val a = Sampling.weightedK(tiered, "id", "w", 20).collect().toSeq
+    val b = Sampling.weightedK(tiered, "id", "w", 20).collect().toSeq
+    assert(a == b)
+    val mixed = Seq((1L, 5L), (2L, 0L), (3L, -4L), (4L, 2L))
+      .toDF("id", "w")
+    assert(Sampling.weightedK(mixed, "id", "w", 100)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+  }
+
   test("operators tolerate empty inputs (no crash, empty/zero outputs)") {
     val noDocs = docs.where(lit(false))
     assert(Dedup.exact(noDocs, "text", "doc_id").count() == 0)
