@@ -1348,6 +1348,19 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Sequence packing: global token offsets via the two-phase distributed
+    // prefix sum (range partitions -> P-row driver scan -> partition-local
+    // windows; NO single-partition global window), then 512-token sequence
+    // spans.
+    "pack_sequences" -> ((s, d) => {
+      val withN = t(s, d, "documents").select(col("doc_id"),
+        when(trim(coalesce(col("text"), lit(""))) === "", lit(0L))
+          .otherwise(size(Text.tokens(col("text"))).cast("long"))
+          .as("n_tokens"))
+      graft.ops.Packing.packSequences(withN, "doc_id", "n_tokens", seqLen = 512)
+        .orderBy("doc_id")
+    }),
+
     // Test-set decontamination: training docs (doc_id >= 20) flagged by
     // 3-shingle overlap with a benchmark slice (doc_id < 20). Benchmark
     // shingle set broadcasts; the mark is a map-side probe.
@@ -1976,6 +1989,27 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
 
     "text_decontaminate" -> decontaminateOracle,
+
+    // the oracle's single global window IS the naive shape the operator
+    // exists to avoid — fine for DuckDB at verify scale
+    "pack_sequences" ->
+      """WITH n AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN trim(COALESCE(text,'')) = '' THEN 0
+        |   ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+        |   AS BIGINT) AS n_tokens
+        | FROM documents),
+        |o AS (
+        | SELECT doc_id, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   - n_tokens AS tok_offset
+        | FROM n)
+        |SELECT doc_id, n_tokens, tok_offset,
+        | tok_offset // 512 AS seq_first,
+        | CASE WHEN n_tokens > 0
+        |  THEN (tok_offset + n_tokens - 1) // 512 END AS seq_last
+        |FROM o ORDER BY doc_id""".stripMargin,
 
     "dedup_sorted_neighborhood" ->
       """WITH keyed AS (

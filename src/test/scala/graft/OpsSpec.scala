@@ -422,6 +422,34 @@ class OpsSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
   }
 
+  test("packing: two-phase prefix sum matches serial cumsum for every partition count") {
+    import graft.ops.Packing
+    val rows = Seq(
+      (0L, 5L), (1L, 0L), (2L, 600L), (3L, 7L), (4L, 0L),
+      (5L, 512L), (6L, 1L), (7L, 1023L), (8L, 3L), (9L, 2L)
+    ).toDF("id", "n")
+    // serial reference
+    val ns = rows.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val serial = ns.scanLeft(0L)(_ + _._2).init.zip(ns)
+      .map { case (off, (id, n)) => id -> (n, off) }.toMap
+    for (p <- Seq(1, 3, 7, 32)) {
+      val got = Packing.packSequences(rows, "id", "n", seqLen = 512, numParts = p)
+        .orderBy("id").collect()
+      got.foreach { r =>
+        val (id, n, off) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        assert((n, off) == serial(id), s"id=$id parts=$p")
+        assert(r.getLong(3) == off / 512)
+        if (n == 0) assert(r.isNullAt(4))
+        else assert(r.getLong(4) == (off + n - 1) / 512)
+      }
+    }
+    // scale guard: the plan must never collapse to a single-partition
+    // global window (the shape the operator exists to avoid)
+    val plan = Packing.globalOffsets(rows, "id", "n", numParts = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan.take(600))
+  }
+
   test("operators tolerate empty inputs (no crash, empty/zero outputs)") {
     val noDocs = docs.where(lit(false))
     assert(Dedup.exact(noDocs, "text", "doc_id").count() == 0)
