@@ -1348,6 +1348,14 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Deterministic 16-way shard assignment + balance audit (map-side
+    // hash, k-row aggregate) — the reproducible global shuffle of a
+    // training-data export.
+    "shard_stats" -> ((s, d) =>
+      graft.ops.Sharding.stats(
+        t(s, d, "documents"), "doc_id", "n_chars", nShards = 16)
+        .orderBy("shard")),
+
     // Sequence packing: global token offsets via the two-phase distributed
     // prefix sum (range partitions -> P-row driver scan -> partition-local
     // windows; NO single-partition global window), then 512-token sequence
@@ -1399,6 +1407,31 @@ object SparkEntry {
           col("st.step2_click").as("step2_click"),
           col("st.step3_purchase").as("step3_purchase"))
         .orderBy("user_id")
+    }),
+
+    // Stream-stream interval join under AvailableNow: every (view, click)
+    // pair per user with the click inside [view, view + 1h]. Both sides
+    // watermarked so state is evicted at watermark + window; an INNER
+    // time-bounded join emits exactly the pair set regardless of arrival
+    // order, so the strict batch oracle applies.
+    "stream_interval_join" -> ((s, d) => {
+      Graft.tune(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      def src(tpe: String, a: String) = graft.streaming.StreamingIngest
+        .parquetStream(s, d, schema, globFilter = Some("events.parquet"))
+        .where(col("event_type") === tpe && col("user_id") <= 100)
+        .select(col("user_id").as(s"${a}_user"),
+          Graft.nanosToTimestamp("ts").as(s"${a}_ts"),
+          expr("ts DIV 1000").as(s"${a}_us"))
+      val views = src("view", "v").withWatermark("v_ts", "2 hours")
+      val clicks = src("click", "c").withWatermark("c_ts", "2 hours")
+      val joined = views.join(clicks,
+        expr("v_user = c_user AND c_ts >= v_ts AND c_ts <= v_ts + interval 1 hour"))
+      graft.streaming.StreamingIngest
+        .runAvailableNow(s, joined, "stream_ij_mem", outputMode = "append")
+        .select(col("v_user").as("user_id"),
+          col("v_us").as("view_us"), col("c_us").as("click_us"))
+        .orderBy("user_id", "view_us", "click_us")
     }),
 
     // Streaming CDC merge: the update feed arrives as a stream, the
@@ -1980,6 +2013,15 @@ object SparkEntry {
     // identical semantics, streaming latest-per-key on the Spark side
     "stream_upsert_merge" -> upsertMergeSql,
 
+    "stream_interval_join" ->
+      """SELECT v.user_id, epoch_us(v.ts) AS view_us, epoch_us(c.ts) AS click_us
+        |FROM events v JOIN events c
+        | ON c.user_id = v.user_id
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'
+        | AND v.user_id <= 100
+        |ORDER BY 1, 2, 3""".stripMargin,
+
     "dedup_minhash" -> minhashOracle,
 
     "dedup_group_minhash" -> groupMinhashOracle,
@@ -2306,6 +2348,15 @@ object SparkEntry {
     },
 
     "sample_weighted" -> sampleWeightedOracle,
+
+    "shard_stats" -> {
+      val h = hash60Sql("CAST(doc_id AS VARCHAR)", 0)
+      s"""SELECT CAST($h % 16 AS BIGINT) AS shard,
+         | COUNT(*) AS n_rows,
+         | CAST(SUM(n_chars) AS BIGINT) AS total_size,
+         | MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
+    },
 
     "text_top_terms" -> {
       val h = hash60Sql("w")

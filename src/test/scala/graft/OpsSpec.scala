@@ -450,6 +450,31 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan.take(600))
   }
 
+  test("sharding: stable assignment, full coverage, sharded write round-trips") {
+    import graft.ops.Sharding
+    val rows = (0L until 500L).map(i => (i, i * 3 % 17)).toDF("id", "sz")
+    val a = Sharding.assign(rows, "id", 8)
+    val shards = a.select("shard").distinct().collect().map(_.getLong(0)).toSet
+    assert(shards.subsetOf((0L until 8L).toSet) && shards.size == 8)
+    assert(a.count() == 500) // exactly one shard per row
+    // same ids -> same shards, independent of partitioning
+    val b = Sharding.assign(rows.repartition(13), "id", 8)
+      .select("id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aMap = a.select("id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aMap == b)
+    // statistical balance: no shard more than 2x the mean
+    val counts = Sharding.stats(rows, "id", "sz", 8)
+      .select("n_rows").collect().map(_.getLong(0))
+    assert(counts.max < 2 * (500 / 8), s"imbalanced: ${counts.toSeq}")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard_test").toString
+    Sharding.writeSharded(rows, "id", 4, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 500)
+    assert(back.select("shard").distinct().count() == 4)
+    assert(new java.io.File(s"$dir/shard=0").isDirectory)
+  }
+
   test("operators tolerate empty inputs (no crash, empty/zero outputs)") {
     val noDocs = docs.where(lit(false))
     assert(Dedup.exact(noDocs, "text", "doc_id").count() == 0)
