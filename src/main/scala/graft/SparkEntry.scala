@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core.Graft
 import graft.functions.{Cleaning, Norm, StableHash, Text, Vectors}
 import graft.metrics.StaffingMetrics
-import graft.ops.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Regression, Similarity, Sketches, TextAnalysis}
 import graft.quality.DataQuality
 
 /** Driver contract: the operator corpus (SURVEY.md §2 + north-star
@@ -491,6 +491,14 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Closed-form per-group OLS (y = a + b*x): slope/intercept/r2 from ONE
+    // pass of exact decimal sufficient statistics (ops.Regression) — a
+    // single partial+final hash aggregate, q1-shaped at any scale.
+    "a18_regression" -> ((s, d) =>
+      Regression.groupedOls(t(s, d, "lineitem"), Seq("l_returnflag"),
+        xCol = "l_quantity", yCol = "l_extendedprice")
+        .orderBy("l_returnflag")),
+
     // Cube w/ grouping id: the full subtotal lattice (complements a10's
     // rollup hierarchy). One Expand + one aggregate — a single shuffle
     // regardless of how many grouping sets the lattice expands to.
@@ -914,6 +922,18 @@ object SparkEntry {
         Seq("o_orderkey"), "seq")
         .orderBy("o_orderkey")
     }),
+
+    // SCD type 2 dimension history (vs upsert_merge's SCD-1 overwrite):
+    // each user's event_type stream collapses to versioned runs with
+    // valid_from/valid_to/version_no/is_current. seq = event_id (unique),
+    // so run boundaries are deterministic cross-engine.
+    "upsert_scd2" -> ((s, d) =>
+      graft.ops.Upsert.scd2History(
+        t(s, d, "events").where(col("user_id") <= 100)
+          .select("user_id", "event_id", "event_type"),
+        keyCols = Seq("user_id"), seqCol = "event_id",
+        valueCols = Seq("event_type"))
+        .orderBy("user_id", "version_no")),
 
     // Edit-distance fuzzy match (entity-resolution shape): candidates from
     // the sorted-neighborhood pass, verified with Levenshtein over a
@@ -1731,6 +1751,27 @@ object SparkEntry {
         |  sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 9) AS corr_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
 
+    "a18_regression" ->
+      """WITH m AS (
+        | SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        | FROM lineitem GROUP BY l_returnflag),
+        |f AS (
+        | SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd, sx, sy, sxx, sxy, syy,
+        |  CAST(n AS DOUBLE) * sxy - sx * sy AS covn,
+        |  CAST(n AS DOUBLE) * sxx - sx * sx AS varxn,
+        |  CAST(n AS DOUBLE) * syy - sy * sy AS varyn
+        | FROM m)
+        |SELECT l_returnflag, n,
+        | ROUND(covn / NULLIF(varxn, 0.0), 9) AS slope,
+        | ROUND((sy - (covn / NULLIF(varxn, 0.0)) * sx) / nd, 9) AS intercept,
+        | ROUND(covn * covn / NULLIF(varxn * varyn, 0.0), 9) AS r2
+        |FROM f ORDER BY l_returnflag""".stripMargin,
+
     "a16_cube" ->
       """SELECT GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
         | l_returnflag, l_linestatus, COUNT(*) AS n,
@@ -2009,6 +2050,24 @@ object SparkEntry {
         |ORDER BY step_no""".stripMargin,
 
     "upsert_merge" -> upsertMergeSql,
+
+    "upsert_scd2" ->
+      """WITH src AS (
+        | SELECT user_id, event_id, event_type FROM events WHERE user_id <= 100),
+        |chg AS (
+        | SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        | FROM src),
+        |keep AS (
+        | SELECT user_id, event_id, event_type FROM chg
+        | WHERE event_type IS DISTINCT FROM prev),
+        |v AS (
+        | SELECT user_id, event_type, event_id AS valid_from,
+        |  lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS version_no
+        | FROM keep)
+        |SELECT user_id, event_type, valid_from, valid_to, version_no,
+        | (valid_to IS NULL) AS is_current
+        |FROM v ORDER BY user_id, version_no""".stripMargin,
 
     // identical semantics, streaming latest-per-key on the Spark side
     "stream_upsert_merge" -> upsertMergeSql,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch CDC merge (SCD type 1): apply a batch of keyed updates to a
@@ -42,5 +43,39 @@ object Upsert {
     val latest = latestPerKey(updates, keyCols, seqCol)
     current.join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(latest.select(current.columns.map(col): _*))
+  }
+
+  /** SCD type 2: the full version HISTORY (vs `merge`'s latest-wins
+    * overwrite). From a keyed change log, emit one row per run of equal
+    * consecutive values: valid_from = the run's first `seqCol`, valid_to =
+    * the next version's valid_from (NULL while current), a per-key
+    * version_no, and is_current.
+    *
+    * Change detection is null-safe (`<=>` over the value-column struct),
+    * so NULL-valued states version correctly. Requires (key, seq) unique —
+    * with duplicates the run detection is nondeterministic; dedupe with
+    * [[latestPerKey]] first.
+    *
+    * Shape at scale: one exchange on the key, then two window passes over
+    * the SAME (partition, order), which plan as a single sort — the change
+    * log never shuffles twice. This is q_topn_per_group-shaped: per-key
+    * state fits a partition because keys are the dimension's entities, not
+    * the fact volume.
+    */
+  def scd2History(changes: DataFrame, keyCols: Seq[String], seqCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol))
+    val v = struct(valueCols.map(col): _*)
+    changes
+      .withColumn("__prev", lag(v, 1).over(w))
+      .where(!(v <=> col("__prev")))
+      .drop("__prev")
+      .withColumn("valid_from", col(seqCol))
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .withColumn("version_no", row_number().over(w).cast("long"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(keyCols.map(col) ++ valueCols.map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("version_no"),
+          col("is_current")): _*)
   }
 }

@@ -112,6 +112,30 @@ class FunnelUpsertSpec extends SparkSpec {
     assert(k0.getLong(2) == direct.find(_.head == "k0").get(2).asInstanceOf[Long] + 1L)
   }
 
+  test("scd2History versions runs of equal values, null-safely") {
+    val log = Seq(
+      // k1: A A B A -> three versions (the repeat A at seq 2 collapses)
+      (1L, 1L, Some("A")), (1L, 2L, Some("A")), (1L, 3L, Some("B")), (1L, 4L, Some("A")),
+      // k2: null A null -> null states version correctly (null-safe compare)
+      (2L, 1L, None), (2L, 2L, Some("A")), (2L, 3L, None),
+      // k3: single row -> one current version
+      (3L, 7L, Some("Z"))
+    ).toDF("k", "seq", "v")
+    val h = Upsert.scd2History(log, Seq("k"), "seq", Seq("v"))
+      .orderBy("k", "version_no")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2),
+        Option(r.get(3)), r.getLong(4), r.getBoolean(5)))
+    assert(h.toSeq == Seq(
+      (1L, Some("A"), 1L, Some(3L), 1L, false),
+      (1L, Some("B"), 3L, Some(4L), 2L, false),
+      (1L, Some("A"), 4L, None, 3L, true),
+      (2L, None, 1L, Some(2L), 1L, false),
+      (2L, Some("A"), 2L, Some(3L), 2L, false),
+      (2L, None, 3L, None, 3L, true),
+      (3L, Some("Z"), 7L, None, 1L, true)))
+  }
+
   test("bucketed co-located join plans with zero exchanges") {
     val o = spark.range(0, 1000).select($"id".as("k"), ($"id" * 2).as("a"))
     val l = spark.range(0, 3000).select(($"id" % 1000).as("k"), $"id".as("b"))
