@@ -831,6 +831,14 @@ object SparkEntry {
         window = 3)
         .orderBy("block", "id_b", "dist")),
 
+    // Duplicated-passage detection (substring-level dedup): maximal token
+    // spans whose every 5-gram window occurs >= 2 times corpus-wide —
+    // the relational form of suffix-based span dedup (vs the doc-level
+    // dedup_* family). Spans merge via gaps-and-islands per doc.
+    "dedup_passages" -> ((s, d) =>
+      Dedup.duplicatedPassages(t(s, d, "documents"), "text", "doc_id", k = 5)
+        .orderBy("id", "span_start")),
+
     // Incremental aggregate maintenance: the lineitem "history" arrives as
     // three disjoint deltas (orderkey ranges); each delta aggregates to
     // per-flag (sum,count) state, states merge, metrics finish. The oracle
@@ -988,6 +996,24 @@ object SparkEntry {
           max("doc_id").as("max_id"))
         .orderBy("split")
     }),
+
+    // Inverted index: per-term df / total tf / delta-encoded "gap:tf"
+    // posting list, bounded to the 50 highest-df terms (deterministic
+    // df-desc/word-asc cut) — the retrieval-index construction pass.
+    "text_postings" -> ((s, d) =>
+      TextAnalysis.invertedIndex(t(s, d, "documents"))
+        .orderBy(col("df").desc, col("word").asc).limit(50)
+        .orderBy("word")),
+
+    // BM25 ranked retrieval (Okapi, Lucene idf; k1=1.2, b=0.75): top-10
+    // docs per query. Query terms broadcast; only term-matching docs are
+    // scored; bounded TopK finisher (no query_id window).
+    "text_bm25_topk" -> ((s, d) =>
+      TextAnalysis.bm25TopK(t(s, d, "documents"),
+        Seq(1L -> Seq("spark", "join", "fast"),
+          2L -> Seq("customer", "query", "slow"),
+          3L -> Seq("vector", "hash", "merge")), k = 10)
+        .orderBy("query_id", "rank")),
 
     // Doc-length histogram (fixed-width integer buckets).
     "text_histogram" -> ((s, d) => t(s, d, "documents")
@@ -2126,6 +2152,34 @@ object SparkEntry {
         |SELECT block, p2, id, 2 FROM lagged WHERE p2 IS NOT NULL
         |ORDER BY block, id_b, dist""".stripMargin,
 
+    "dedup_passages" ->
+      """WITH words AS (
+        | SELECT doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+        |  generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS i
+        | FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |g AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |  w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+        |    || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS gram
+        | FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+        |wg AS (SELECT doc_id, p, gram FROM g WHERE gram IS NOT NULL),
+        |rep AS (SELECT gram FROM wg GROUP BY gram HAVING COUNT(*) >= 2),
+        |m AS (SELECT doc_id, p FROM wg WHERE gram IN (SELECT gram FROM rep)),
+        |isl AS (
+        | SELECT doc_id, p,
+        |  CASE WHEN lag(p) OVER w2 IS NULL OR p > lag(p) OVER w2 + 5
+        |       THEN 1 ELSE 0 END AS nw
+        | FROM m WINDOW w2 AS (PARTITION BY doc_id ORDER BY p)),
+        |isl2 AS (
+        | SELECT doc_id, p,
+        |  SUM(nw) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS island
+        | FROM isl)
+        |SELECT doc_id AS id, MIN(p) AS span_start, MAX(p) + 4 AS span_end,
+        | MAX(p) + 4 - MIN(p) + 1 AS span_tokens, CAST(COUNT(*) AS BIGINT) AS n_windows
+        |FROM isl2 GROUP BY doc_id, island
+        |ORDER BY id, span_start""".stripMargin,
+
     "dedup_editdist" ->
       """WITH keyed AS (
         | SELECT source AS block, COALESCE(substr(text, 1, 16), '') AS skey,
@@ -2168,6 +2222,55 @@ object SparkEntry {
     "text_histogram" ->
       """SELECT n_chars // 50 AS bucket, COUNT(*) AS n_docs
         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "text_bm25_topk" ->
+      """WITH q AS (SELECT CAST(qid AS BIGINT) AS query_id, word FROM (VALUES
+        |  (1,'spark'),(1,'join'),(1,'fast'),
+        |  (2,'customer'),(2,'query'),(2,'slow'),
+        |  (3,'vector'),(3,'hash'),(3,'merge')) t(qid, word)),
+        |tf AS (
+        | SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        | WHERE word <> '' GROUP BY doc_id, word),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+        |dfs AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+        |        WHERE word IN (SELECT word FROM q) GROUP BY word),
+        |sc AS (
+        | SELECT query_id, doc_id,
+        |  CAST(SUM(CAST(round(
+        |   ln((CAST(st.n AS DOUBLE) - CAST(dfs.df AS DOUBLE) + 0.5) / (CAST(dfs.df AS DOUBLE) + 0.5) + 1.0)
+        |   * ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE)
+        |      + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / (CAST(st.tot AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+        |   * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS score
+        | FROM q JOIN tf USING (word) JOIN dfs USING (word) JOIN dl USING (doc_id) CROSS JOIN st
+        | GROUP BY query_id, doc_id),
+        |r AS (SELECT query_id, doc_id, score,
+        | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+        | FROM sc)
+        |SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "text_postings" ->
+      """WITH tf AS (
+        | SELECT word, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        | WHERE word <> '' GROUP BY word, doc_id),
+        |del AS (
+        | SELECT word, doc_id, tf,
+        |  doc_id - lag(doc_id) OVER (PARTITION BY word ORDER BY doc_id) AS gap
+        | FROM tf),
+        |agg AS (
+        | SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
+        |  CAST(SUM(tf) AS BIGINT) AS total_tf,
+        |  string_agg(CAST(COALESCE(gap, doc_id) AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+        |             ',' ORDER BY doc_id) AS postings
+        | FROM del GROUP BY word)
+        |SELECT word, df, total_tf, postings
+        |FROM (SELECT * FROM agg ORDER BY df DESC, word LIMIT 50)
+        |ORDER BY word""".stripMargin,
 
     "text_clean" ->
       """SELECT doc_id,

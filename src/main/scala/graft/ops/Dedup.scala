@@ -298,4 +298,67 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Duplicated-passage detection: maximal token spans whose every k-gram
+    * window occurs at least twice in the corpus (cross-document or
+    * internal repetition) — the relational formulation of suffix-based
+    * training-data substring dedup (public algorithm family: Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better",
+    * which dedups repeated spans rather than whole documents).
+    *
+    * Pipeline: (1) positional k-gram windows per doc (map-side; the O(k)
+    * zip_with shingling of [[graft.functions.Text.wordShingles]], kept
+    * positional and non-distinct); (2) one hash aggregate on the gram
+    * finds windows with >= 2 occurrences; (3) a semi join marks each doc's
+    * duplicated positions; (4) gaps-and-islands per doc merges
+    * overlapping/adjacent windows (start gap <= k) into maximal spans.
+    *
+    * Shape at scale: shuffles key on the gram (uniform by construction —
+    * natural-language k-grams are heavy-tailed, but the >= 2 filter runs
+    * map-side partial aggregation first, so hot grams combine before the
+    * wire; production keys on hash60(gram) to cut shuffle bytes ~10x, the
+    * corpus query keys on the string so the oracle replays it exactly).
+    * The island merge is one window pass partitioned by doc — per-doc
+    * state only. Nothing is ever all-pairs.
+    *
+    * Output: (id, span_start, span_end, span_tokens, n_windows) with
+    * 1-based inclusive token positions, one row per maximal span.
+    */
+  def duplicatedPassages(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "passage window must be >= 2 tokens")
+    val toks = Text.tokens(col(textCol))
+    val n = size(toks)
+    // positional k-grams: zip k shifted copies (O(k) splits/row, no CSE
+    // trap), keep the n-k+1 complete windows; pos is the 1-based start.
+    val shifted = (0 until k).map(j => slice(toks, lit(j + 1), n))
+    val grams = shifted.reduceRight((a, b) =>
+      zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    val windows = graft.core.Graft.spread(df)
+      .select(col(idCol).as("id"),
+        posexplode(slice(grams, lit(1), greatest(n - (k - 1), lit(0)))))
+      .select(col("id"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("gram"))
+    val repeated = windows.groupBy("gram")
+      .agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2)
+      .select("gram")
+    val marked = windows.join(repeated, Seq("gram"), "left_semi")
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy("id").orderBy("p")
+    marked
+      .withColumn("__prev", lag(col("p"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("p") > col("__prev") + k, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(
+        w.rowsBetween(W.unboundedPreceding, 0)))
+      .groupBy("id", "__island")
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows"))
+  }
 }

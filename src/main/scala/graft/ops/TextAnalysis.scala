@@ -271,4 +271,89 @@ object TextAnalysis {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("is_contaminated", (col("n_hits") > 0).cast("int"))
   }
+
+  /** BM25 ranked retrieval: top-k documents per query under Okapi BM25
+    * with the Lucene-style always-positive idf,
+    * `ln((N - df + 0.5)/(df + 0.5) + 1)`.
+    *
+    * Shape at scale: the query-term set is tiny, so the (word)-key joins
+    * that attach df and the per-doc tf broadcast the query side, and the
+    * scored candidate set is only "docs containing >= 1 query term" — the
+    * corpus-wide tf table is filtered by a broadcast semi join BEFORE any
+    * scoring. Corpus statistics (N, total tokens) ride a one-row
+    * cross-joined aggregate (scalar-subquery shape, no driver collect).
+    * The finisher is the bounded [[TopK.perGroupTopK]] partial aggregate —
+    * no `Window.partitionBy(query_id)` over the scored set.
+    *
+    * Cross-engine determinism: per-term contributions are a fixed double
+    * expression tree over exact-integer operands ([[graft.plans.MathLn]]
+    * == DuckDB `ln`), rounded to integer nano-units; the per-doc sum is
+    * then an exact BIGINT sum (order-free), descaled once.
+    */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "word")
+    val tf = graft.core.Graft.spread(docs)
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(idCol, "word").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(idCol).agg(sum(col("tf")).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+    val dfs = tf.join(broadcast(q.select("word").distinct()), Seq("word"), "left_semi")
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val nd = col("n").cast("double"); val dfd = col("df").cast("double")
+    val tfd = col("tf").cast("double"); val dld = col("dl").cast("double")
+    val avgdl = col("tot").cast("double") / nd
+    val idf = graft.plans.MathLn((nd - dfd + 0.5) / (dfd + 0.5) + 1.0)
+    val tfNorm = (tfd * 2.2) / (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (dld / avgdl)))
+    val scored = broadcast(q)
+      .join(tf, Seq("word"))
+      .join(broadcast(dfs), Seq("word"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(st))
+      .select(col("query_id"), col(idCol),
+        round(idf * tfNorm * 1000000000.0).cast("long").as("nano"))
+      .groupBy("query_id", idCol)
+      .agg((sum(col("nano")).cast("double") / 1000000000.0).as("score"))
+    TopK.perGroupTopK(scored, Seq("query_id"), idCol, "score", k)
+  }
+
+  /** Inverted index: term -> document-frequency, total term-frequency, and
+    * a delta-encoded posting list "gap:tf,gap:tf,..." (first entry is the
+    * absolute doc id; gaps thereafter — the classic index compression
+    * layout, string-encoded so it stays engine-portable).
+    *
+    * Shape at scale: two hash aggregates — (term, doc) for tf, then term
+    * for the list. Both shuffle keys are uniform (terms x docs, then
+    * terms). Posting-list size is bounded by document frequency; for
+    * stopword-class terms at 100 TB the per-term row grows unbounded, so
+    * production layouts shard the list (term, shard_no) at a fixed df
+    * cap — callers bound df (as the corpus query does) or post-split.
+    * sort_array on the (doc_id, tf) struct array is the only per-term
+    * O(df log df) step, local to its reducer.
+    */
+  def invertedIndex(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tf = graft.core.Graft.spread(docs)
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word", idCol).agg(count(lit(1)).as("tf"))
+    tf.groupBy("word")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+        sort_array(collect_list(struct(col(idCol), col("tf")))).as("__ps"))
+      .select(col("word"), col("df"), col("total_tf"),
+        array_join(
+          transform(col("__ps"), (x, i) =>
+            concat(
+              when(i === 0, x.getField(idCol))
+                .otherwise(x.getField(idCol) -
+                  element_at(col("__ps"), i).getField(idCol))
+                .cast("string"),
+              lit(":"), x.getField("tf").cast("string"))),
+          ",").as("postings"))
+  }
 }

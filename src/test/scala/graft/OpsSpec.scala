@@ -691,4 +691,42 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(probed(2L) && probed(3L)) // true dups must be flagged
   }
+
+  test("bm25TopK rewards term density over raw length, bounded finisher, no window") {
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "apple apple apple filler filler filler filler filler"),
+      (3L, "cherry plum")
+    ).toDF("doc_id", "text")
+    val top = graft.ops.TextAnalysis.bm25TopK(docs, Seq(1L -> Seq("apple")), k = 5)
+    val rows = top.orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    // doc 2 has 3x the tf; length normalization dampens but does not erase it
+    assert(rows.map(_._1).toSeq == Seq(2L, 1L)) // doc 3 never scored
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKAgg"), plan.take(600))
+    assert(!plan.contains("Window"), plan.take(600))
+  }
+
+  test("duplicatedPassages finds maximal cross-doc spans and internal repeats") {
+    // docs 1 and 2 share the 6-token passage "p q r s t u" (one island of
+    // two overlapping 5-gram windows); doc 3 is unique filler; doc 4
+    // repeats its own 5 tokens "v w x y z" twice (internal repetition,
+    // two islands in the same doc).
+    val docs = Seq(
+      (1L, "a1 b1 c1 p q r s t u d1 e1"),
+      (2L, "f2 g2 p q r s t u h2"),
+      (3L, "k3 l3 m3 n3 o3 q3 r3 s3"),
+      (4L, "v w x y z j4 j5 j6 v w x y z")
+    ).toDF("doc_id", "text")
+    val spans = graft.ops.Dedup.duplicatedPassages(docs, "text", "doc_id", k = 5)
+      .orderBy("id", "span_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(spans.toSeq == Seq(
+      (1L, 4L, 9L, 6L, 2L),   // "p q r s t u" at tokens 4..9, 2 windows merged
+      (2L, 3L, 8L, 6L, 2L),
+      (4L, 1L, 5L, 5L, 1L),   // first "v w x y z"
+      (4L, 9L, 13L, 5L, 1L))) // second copy, separate island (gap > k)
+  }
 }
