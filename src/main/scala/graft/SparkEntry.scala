@@ -839,6 +839,17 @@ object SparkEntry {
       Dedup.duplicatedPassages(t(s, d, "documents"), "text", "doc_id", k = 5)
         .orderBy("id", "span_start")),
 
+    // Hierarchy closure (recursive-CTE semantics via iterative joins with
+    // checkpointed lineage): a deterministic 4-ary forest derived from
+    // part keys (parent = id DIV 4), flattened to root/depth/path per
+    // node. The oracle replays it as a genuine WITH RECURSIVE.
+    "hier_closure" -> ((s, d) => {
+      val edges = t(s, d, "part").where(col("p_partkey") <= 2000)
+        .select(col("p_partkey").as("id"),
+          when(col("p_partkey") > 0, expr("p_partkey DIV 4")).as("parent"))
+      graft.ops.Hierarchy.rootPaths(edges).orderBy("id")
+    }),
+
     // Incremental aggregate maintenance: the lineitem "history" arrives as
     // three disjoint deltas (orderkey ranges); each delta aggregates to
     // per-flag (sum,count) state, states merge, metrics finish. The oracle
@@ -1014,6 +1025,16 @@ object SparkEntry {
           2L -> Seq("customer", "query", "slow"),
           3L -> Seq("vector", "hash", "merge")), k = 10)
         .orderBy("query_id", "rank")),
+
+    // BPE tokenizer training, round-1 statistic: corpus-frequency-weighted
+    // adjacent character-pair counts over the distinct word vocabulary
+    // (what the first merge maximizes), top-20. The full iterative
+    // learner (ops.Bpe.learnBpe) is driver-loop-controlled and
+    // spec-verified on the classic Sennrich fixture.
+    "bpe_top_pairs" -> ((s, d) =>
+      graft.ops.Bpe.pairStats(graft.ops.Bpe.seedVocab(t(s, d, "documents")))
+        .orderBy(col("weight").desc, col("a").asc, col("b").asc).limit(20)
+        .orderBy("a", "b")),
 
     // Doc-length histogram (fixed-width integer buckets).
     "text_histogram" -> ((s, d) => t(s, d, "documents")
@@ -1326,6 +1347,22 @@ object SparkEntry {
         idCol = "doc_id", default = 0.05)
         .select("doc_id", "source")
         .orderBy("doc_id")),
+
+    // Domain-mixture resampling: per-source acceptance rates that realize
+    // a target mixture at maximum retention (binding stratum keeps 100%);
+    // membership is the stable hash bucket vs the floor'd ppm threshold.
+    // Output: per-source original count, rate, and post-sample count.
+    "sample_mixture" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val targets = Map("src0" -> 0.3, "src1" -> 0.3, "src2" -> 0.4)
+      val rates = graft.ops.Sampling.mixtureRates(docs, "source", targets)
+      val kept = graft.ops.Sampling.mixture(docs, "source", targets, "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_orig"), col("rate_ppm"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("source")
+    }),
 
     // Exactly-k uniform sample as the k smallest id hashes: a bounded
     // top-k (TakeOrderedAndProject), never a global sort.
@@ -2152,6 +2189,22 @@ object SparkEntry {
         |SELECT block, p2, id, 2 FROM lagged WHERE p2 IS NOT NULL
         |ORDER BY block, id_b, dist""".stripMargin,
 
+    "hier_closure" ->
+      """WITH RECURSIVE e AS (
+        | SELECT p_partkey AS id,
+        |  CASE WHEN p_partkey > 0 THEN p_partkey // 4 END AS parent
+        | FROM part WHERE p_partkey <= 2000),
+        |walk AS (
+        | SELECT id, id AS anc, CAST(0 AS BIGINT) AS depth, CAST(id AS VARCHAR) AS path
+        | FROM e
+        | UNION ALL
+        | SELECT w.id, p.parent, w.depth + 1, CAST(p.parent AS VARCHAR) || '/' || w.path
+        | FROM walk w JOIN e p ON p.id = w.anc AND p.parent IS NOT NULL)
+        |SELECT id, anc AS root, depth, path FROM walk w
+        |WHERE NOT EXISTS (
+        | SELECT 1 FROM e p WHERE p.id = w.anc AND p.parent IS NOT NULL)
+        |ORDER BY id""".stripMargin,
+
     "dedup_passages" ->
       """WITH words AS (
         | SELECT doc_id,
@@ -2251,6 +2304,23 @@ object SparkEntry {
         | FROM sc)
         |SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    "bpe_top_pairs" ->
+      """WITH words AS (
+        | SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        | WHERE word <> '' GROUP BY word),
+        |pairs AS (
+        | SELECT substr(word, CAST(i AS INTEGER), 2) AS pr, cnt
+        | FROM words, unnest(range(1, length(word))) AS u(i)),
+        |agg AS (
+        | SELECT substr(pr, 1, 1) AS a, substr(pr, 2, 1) AS b,
+        |  CAST(SUM(cnt) AS BIGINT) AS weight
+        | FROM pairs GROUP BY 1, 2)
+        |SELECT a, b, weight
+        |FROM (SELECT * FROM agg ORDER BY weight DESC, a, b LIMIT 20)
+        |ORDER BY a, b""".stripMargin,
 
     "text_postings" ->
       """WITH tf AS (
@@ -2492,6 +2562,29 @@ object SparkEntry {
     // Thresholds are the INTEGER buckets Spark's truncating double->long
     // cast produces (DuckDB's double->BIGINT cast ROUNDS, so replaying the
     // float arithmetic would be engine-dependent at the margin).
+    "sample_mixture" -> {
+      val h = hash60Sql("CAST(doc_id AS VARCHAR)", 0)
+      s"""WITH tgt AS (
+         | SELECT source, CAST(tshare AS DOUBLE) AS tshare
+         | FROM (VALUES ('src0', 0.3), ('src1', 0.3), ('src2', 0.4)) t(source, tshare)),
+         |cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_orig
+         |        FROM documents GROUP BY source),
+         |j AS (SELECT c.source, c.n_orig, t.tshare FROM cnt c JOIN tgt t USING (source)),
+         |m AS (SELECT MIN(CAST(n_orig AS DOUBLE) / tshare) AS mm FROM j),
+         |rates AS (
+         | SELECT source, n_orig,
+         |  CAST(floor(tshare * mm / CAST(n_orig AS DOUBLE) * 1000000.0) AS BIGINT) AS rate_ppm
+         | FROM j CROSS JOIN m),
+         |kept AS (
+         | SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+         | FROM documents d JOIN rates r USING (source)
+         | WHERE ($h % 1000000) < r.rate_ppm
+         | GROUP BY d.source)
+         |SELECT source, n_orig, rate_ppm, COALESCE(n_kept, 0) AS n_kept
+         |FROM rates LEFT JOIN kept USING (source)
+         |ORDER BY source""".stripMargin
+    },
+
     "sample_stratified" -> {
       val h = hash60Sql("CAST(doc_id AS VARCHAR)", 0)
       s"""SELECT doc_id, source FROM documents

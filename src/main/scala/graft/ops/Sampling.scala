@@ -53,6 +53,47 @@ object Sampling {
       .limit(k)
       .drop("__h")
 
+  /** Domain-mixture resampling rates (the data-mixture rebalancing step of
+    * corpus assembly — public method family: DoReMi / The Pile-style
+    * domain weighting): given target mixture shares t_s per stratum,
+    * compute the per-stratum acceptance rate that realizes the target
+    * proportions while keeping as much data as possible. The binding
+    * stratum is the one with the least data relative to its target:
+    * M = min_s(n_s / t_s) is the largest total consistent with the
+    * mixture, and rate_s = t_s * M / n_s keeps exactly its share.
+    *
+    * Rates are surfaced as integer ppm thresholds, floor'd BEFORE any
+    * cast (Spark's double->long cast truncates, DuckDB's rounds — an
+    * explicit floor is the one portable spelling), so membership below
+    * is an exact integer comparison against the stable id-hash bucket.
+    *
+    * Shape at scale: one count-only aggregate over the corpus, a
+    * broadcast-sized rate table out. Strata absent from `targets` (or
+    * with zero rows) get no rate row and drop out of the sample.
+    */
+  def mixtureRates(df: DataFrame, stratumCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val tgt = targets.toSeq.toDF(stratumCol, "__t")
+    val joined = df.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
+      .join(broadcast(tgt), Seq(stratumCol))
+    val m = joined.agg(min(col("__n").cast("double") / col("__t")).as("__m"))
+    joined.crossJoin(broadcast(m))
+      .select(col(stratumCol), col("__n").as("n_orig"),
+        floor(col("__t") * col("__m") / col("__n").cast("double")
+          * lit(1000000.0)).as("rate_ppm"))
+  }
+
+  /** The resampled rows: map-side membership check of the id-hash bucket
+    * against the broadcast [[mixtureRates]] thresholds.
+    */
+  def mixture(df: DataFrame, stratumCol: String, targets: Map[String, Double],
+      idCol: String, seed: Int = 0): DataFrame =
+    df.join(broadcast(mixtureRates(df, stratumCol, targets)), Seq(stratumCol))
+      .where(bucket(idCol, seed) < col("rate_ppm"))
+      .drop("n_orig", "rate_ppm")
+
   /** ln(2) as the decimal literal both engines parse to the same double. */
   val LN2: Double = 0.6931471805599453
 

@@ -708,6 +708,71 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(600))
   }
 
+  test("mixtureRates binds on the scarcest stratum; mixture filters by threshold") {
+    import graft.ops.Sampling
+    val rows = (1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 150).map(i => (i.toLong, "b")) ++
+      (151 to 350).map(i => (i.toLong, "c"))
+    val df = rows.toDF("id", "s")
+    val targets = Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)
+    // M = min(100/.5, 50/.25, 200/.25) = 200 -> a,b keep all; c keeps 25%
+    val rates = Sampling.mixtureRates(df, "s", targets)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rates("a") == ((100L, 1000000L)))
+    assert(rates("b") == ((50L, 1000000L)))
+    assert(rates("c") == ((200L, 250000L)))
+    val kept = Sampling.mixture(df, "s", targets, "id")
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("a") == 100L && kept("b") == 50L)
+    // c's kept count must equal the independent hash-threshold replay
+    val expectC = df.where($"s" === "c")
+      .where(pmod(graft.functions.StableHash.hash60($"id".cast("string"), 0),
+        lit(1000000L)) < 250000L).count()
+    assert(kept.getOrElse("c", 0L) == expectC && expectC > 0)
+  }
+
+  test("rootPaths resolves explicit and implicit roots at any depth") {
+    val edges = Seq(
+      (1L, None), (2L, Some(1L)), (3L, Some(1L)), (4L, Some(2L)),
+      (5L, Some(9L)) // parent 9 has no edge row: implicit root
+    ).toDF("id", "parent")
+    val got = graft.ops.Hierarchy.rootPaths(edges).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0L, "1"),
+      (2L, 1L, 1L, "1/2"),
+      (3L, 1L, 1L, "1/3"),
+      (4L, 1L, 2L, "1/2/4"),
+      (5L, 9L, 1L, "9/5")))
+  }
+
+  test("learnBpe reproduces the classic merge sequence with deterministic ties") {
+    import graft.ops.Bpe
+    // Sennrich et al. example corpus: low x5, lower x2, newest x6, widest x3
+    val vocab0 = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "cnt")
+      .withColumn("sym", split($"word", ""))
+    val (merges, vocab) = Bpe.learnBpe(vocab0, nMerges = 3)
+    // (e,s)=9 ties (s,t)=9 -> lexical tie-break picks (e,s); then (es,t)=9;
+    // then (l,o)=7 ties (o,w)=7 -> (l,o)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o")))
+    val sym = vocab.collect().map(r =>
+      r.getString(0) -> r.getSeq[String](2).toList).toMap
+    assert(sym("newest") == List("n", "e", "w", "est"))
+    assert(sym("widest") == List("w", "i", "d", "est"))
+    assert(sym("low") == List("lo", "w"))
+    assert(sym("lower") == List("lo", "w", "e", "r"))
+  }
+
+  test("mergePair merges non-overlapping left-to-right (aaa -> [aa, a])") {
+    import graft.ops.Bpe
+    val df = Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a"), Seq[String]())
+      .toDF("sym")
+    val out = df.select(Bpe.mergePair($"sym", "a", "a").as("m"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(out == List(List("aa", "a"), List("aa", "aa"), Nil))
+  }
+
   test("duplicatedPassages finds maximal cross-doc spans and internal repeats") {
     // docs 1 and 2 share the 6-token passage "p q r s t u" (one island of
     // two overlapping 5-gram windows); doc 3 is unique filler; doc 4
