@@ -839,6 +839,69 @@ object SparkEntry {
       Dedup.duplicatedPassages(t(s, d, "documents"), "text", "doc_id", k = 5)
         .orderBy("id", "span_start")),
 
+    // Time-RANGE window frame (vs w5's ROWS frames): per-user trailing
+    // 1-day sum/count over the microsecond event timeline. RANGE peers
+    // (ts ties) share a frame, so the result is layout-independent.
+    "w6_time_range" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-86400000000L, 0L)
+      t(s, d, "events").where(col("user_id") <= 100)
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("ts_us"), col("value"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          (sum(cents(col("value"))).over(w).cast("double") / 100).as("trail_sum"),
+          count(lit(1)).over(w).cast("long").as("trail_n"))
+        .orderBy("event_id")
+    }),
+
+    // Per-group z-score normalization (feature standardization): exact
+    // decimal moment sums broadcast back; the scoring pass is map-side.
+    "f10_zscore" -> ((s, d) => {
+      val q = col("l_quantity").cast(DecimalType(18, 2))
+      val stats = t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(q).cast("double").as("sx"),
+          sum(q * q).cast("double").as("sxx"))
+      val nd = col("n").cast("double")
+      val mean = col("sx") / nd
+      val sd = sqrt((col("sxx") - col("sx") * col("sx") / nd) / (nd - 1.0))
+      t(s, d, "lineitem").where(col("l_orderkey") <= 2000)
+        .join(broadcast(stats), Seq("l_returnflag"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round((col("l_quantity") - mean) / sd, 9).as("z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Order-independent table content checksum (replication / migration
+    // verification): bit_xor of stable row hashes + row count per table.
+    // XOR is commutative-associative, so any partitioning agrees; doubles
+    // enter the digest as exact cents, never as formatted strings.
+    "q_table_checksum" -> ((s, d) => {
+      def ck(name: String, df: DataFrame, key: Column) =
+        df.select(StableHash.hash60(key).as("h"))
+          .agg(expr("bit_xor(h)").as("xor_sig"), count(lit(1)).as("n_rows"))
+          .select(lit(name).as("table_name"), col("xor_sig"), col("n_rows"))
+      ck("nation", t(s, d, "nation"),
+        concat_ws("|", col("n_nationkey"), col("n_name"), col("n_regionkey")))
+        .unionByName(ck("region", t(s, d, "region"),
+          concat_ws("|", col("r_regionkey"), col("r_name"))))
+        .unionByName(ck("supplier", t(s, d, "supplier"),
+          concat_ws("|", col("s_suppkey"), col("s_name"), col("s_nationkey"),
+            cents(col("s_acctbal")))))
+        .orderBy("table_name")
+    }),
+
+    // PageRank, two exact-integer iterations over a derived 1000-node
+    // graph (out-degree 2 per source). Integer nano-arithmetic end to end
+    // -> the oracle replays BOTH iterations in plain SQL, bit-exact.
+    "graph_pagerank" -> ((s, d) => {
+      val base = t(s, d, "part").where(col("p_partkey") <= 1000)
+      val edges = base.select(col("p_partkey").as("src"),
+        expr("(p_partkey * 31 + 7) % 1000").as("dst"))
+        .unionByName(base.select(col("p_partkey").as("src"),
+          expr("(p_partkey * 17 + 3) % 1000").as("dst")))
+      graft.ops.Graph.pageRank(edges, iterations = 2).orderBy("id")
+    }),
+
     // Hierarchy closure (recursive-CTE semantics via iterative joins with
     // checkpointed lineage): a deterministic 4-ary forest derived from
     // part keys (parent = id DIV 4), flattened to root/depth/path per
@@ -2188,6 +2251,70 @@ object SparkEntry {
         |UNION ALL
         |SELECT block, p2, id, 2 FROM lagged WHERE p2 IS NOT NULL
         |ORDER BY block, id_b, dist""".stripMargin,
+
+    "w6_time_range" ->
+      """WITH ev AS (
+        | SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        | FROM events WHERE user_id <= 100)
+        |SELECT event_id, user_id, ts_us,
+        | CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100 AS trail_sum,
+        | CAST(COUNT(*) OVER w AS BIGINT) AS trail_n
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "f10_zscore" ->
+      """WITH st AS (
+        | SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        | ROUND((l.l_quantity - sx / CAST(n AS DOUBLE)) /
+        |  sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 9) AS z
+        |FROM lineitem l JOIN st USING (l_returnflag)
+        |WHERE l.l_orderkey <= 2000
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+
+    "q_table_checksum" -> {
+      def ckSql(name: String, table: String, key: String) =
+        s"""SELECT '$name' AS table_name,
+           | bit_xor(${hash60Sql(key)}) AS xor_sig,
+           | CAST(COUNT(*) AS BIGINT) AS n_rows FROM $table"""
+      s"""${ckSql("nation", "nation",
+        "concat_ws('|', n_nationkey, n_name, n_regionkey)")}
+         |UNION ALL
+         |${ckSql("region", "region", "concat_ws('|', r_regionkey, r_name)")}
+         |UNION ALL
+         |${ckSql("supplier", "supplier",
+        "concat_ws('|', s_suppkey, s_name, s_nationkey, CAST(round(s_acctbal * 100) AS BIGINT))")}
+         |ORDER BY table_name""".stripMargin
+    },
+
+    "graph_pagerank" ->
+      """WITH e AS (
+        | SELECT p_partkey AS src, (p_partkey * 31 + 7) % 1000 AS dst
+        | FROM part WHERE p_partkey <= 1000
+        | UNION ALL
+        | SELECT p_partkey, (p_partkey * 17 + 3) % 1000
+        | FROM part WHERE p_partkey <= 1000),
+        |nodes AS (SELECT DISTINCT id FROM
+        | (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+        |s1 AS (SELECT e.dst AS id, CAST(SUM(r0.r // o.outdeg) AS BIGINT) AS s
+        |       FROM e JOIN r0 ON r0.id = e.src JOIN outdeg o ON o.src = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n.id, 150000000 + (85 * COALESCE(s1.s, 0)) // 100 AS r
+        |       FROM nodes n LEFT JOIN s1 USING (id)),
+        |s2 AS (SELECT e.dst AS id, CAST(SUM(r1.r // o.outdeg) AS BIGINT) AS s
+        |       FROM e JOIN r1 ON r1.id = e.src JOIN outdeg o ON o.src = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n.id, 150000000 + (85 * COALESCE(s2.s, 0)) // 100 AS r
+        |       FROM nodes n LEFT JOIN s2 USING (id))
+        |SELECT id, CAST(r AS DOUBLE) / 1000000000.0 AS pagerank
+        |FROM r2 ORDER BY id""".stripMargin,
 
     "hier_closure" ->
       """WITH RECURSIVE e AS (

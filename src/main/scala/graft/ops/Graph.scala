@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics beyond [[Dedup.clusterNearDups]]'s connected
+  * components: iterative PageRank over an (src, dst) edge table.
+  *
+  * Everything is EXACT 64-bit integer arithmetic in nano-units: rank
+  * starts at 10^9, a node's contribution is `rank DIV outdeg` (truncating
+  * division; the dropped remainder is < outdeg nanos — deterministic, and
+  * ~1e-6 relative, far below PageRank's own iteration error), damping is
+  * `(85 * sum) DIV 100`. No float enters until the final descale, so
+  * results are bit-reproducible on any engine and any partitioning — the
+  * whole two-iteration computation can be replayed in plain SQL, which is
+  * exactly what the corpus oracle does.
+  *
+  * Shape at scale: per iteration, one shuffle keyed on src (rank + outdeg
+  * attach; same key, the exchange is reused) and one keyed on dst (the
+  * contribution sum — partial map-side combine first), which is the
+  * canonical distributed-PageRank plan. Lineage is truncated by an eager
+  * localCheckpoint per iteration, so iteration N plans O(1) work, not
+  * O(N) ([[Hierarchy.rootPaths]]'s discipline). Dangling nodes (no
+  * out-edges) contribute nothing — standard simplified PageRank; feed a
+  * sink-completed edge set if mass conservation matters.
+  */
+object Graph {
+
+  /** `iterations` rounds of integer PageRank; returns (id, r_nano). */
+  def pageRankNano(edges: DataFrame, iterations: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var rank = nodes.select(col("id"), lit(1000000000L).as("r_nano"))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(rank.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("id"), expr("r_nano DIV outdeg").as("c"))
+      val sums = contrib.groupBy("id").agg(sum(col("c")).as("s_nano"))
+      rank = nodes.join(sums, Seq("id"), "left")
+        .select(col("id"),
+          expr("150000000L + (85 * coalesce(s_nano, 0L)) DIV 100")
+            .as("r_nano"))
+        .localCheckpoint(true)
+    }
+    rank
+  }
+
+  /** Float view: (id, pagerank) with pagerank = r_nano / 1e9. */
+  def pageRank(edges: DataFrame, iterations: Int): DataFrame =
+    pageRankNano(edges, iterations)
+      .select(col("id"),
+        (col("r_nano").cast("double") / 1000000000.0).as("pagerank"))
+}

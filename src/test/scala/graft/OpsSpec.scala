@@ -708,6 +708,23 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(600))
   }
 
+  test("pageRank star graph: exact integer ranks at 1, 2, and 5 iterations") {
+    import graft.ops.Graph
+    val edges = (1L to 10L).map(i => (i, 0L)).toDF("src", "dst")
+    // r0 = 1.0 everywhere; spokes have no inbound -> 0.15 forever
+    val r1 = Graph.pageRank(edges, 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r1(0L) == 0.15 + 0.85 * 10.0) // hub: 8.65 exactly
+    assert(r1(1L) == 0.15)
+    val r2 = Graph.pageRank(edges, 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r2(0L) == 1.425) // 0.15 + 0.85 * (10 * 0.15), exact in nanos
+    // 5 iterations: the checkpointed loop stays flat and ranks stay exact
+    val r5 = Graph.pageRank(edges, 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r5(0L) == 1.425 && r5(1L) == 0.15) // star converges by round 2
+  }
+
   test("mixtureRates binds on the scarcest stratum; mixture filters by threshold") {
     import graft.ops.Sampling
     val rows = (1 to 100).map(i => (i.toLong, "a")) ++
