@@ -831,6 +831,51 @@ object SparkEntry {
         window = 3)
         .orderBy("block", "id_b", "dist")),
 
+    // Connected components over candidate pairs (the fuzzy-dedup cluster
+    // collapse): sorted-neighborhood pairs chain consecutive docs inside a
+    // block, so whole blocks form single chain components — the diameter
+    // stress case pointer jumping exists for. The oracle computes TRUE
+    // reachability closure with a recursive CTE.
+    "dedup_components" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.sortedNeighborhood(docs, "doc_id",
+        coalesce(substring(col("text"), 1, 16), lit("")), col("source"),
+        window = 3)
+        .select("id_a", "id_b")
+      Dedup.clusterNearDups(docs.select(col("doc_id").as("id")), pairs,
+        "id", maxIters = 25)
+        .orderBy("id")
+    }),
+
+    // Partitioned table layout: write partitioned by source, read back
+    // with a partition filter — the scan must prune to ONE directory
+    // (partition pruning is the file-level analogue of predicate
+    // pushdown; plan-asserted in PlanShapeSpec).
+    "s8_partitioned_scan" -> ((s, d) => {
+      val tmp = s"/tmp/graft_part_scan_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      t(s, d, "documents").write.mode("overwrite")
+        .partitionBy("source").parquet(tmp)
+      s.read.parquet(tmp)
+        .where(col("source") === "src3")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Frequent co-occurring event-type pairs per user (market-basket /
+    // itemset mining): per-entity distinct items self-joined — bounded by
+    // items-per-entity (5 types here), never corpus x corpus.
+    "mine_pairs" -> ((s, d) => {
+      val it = t(s, d, "events").where(col("user_id") <= 500)
+        .select(col("user_id"), col("event_type")).distinct()
+      it.as("a").join(it.as("b"), Seq("user_id"))
+        .where(col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("item_a"),
+          col("b.event_type").as("item_b"))
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= 10)
+        .orderBy("item_a", "item_b")
+    }),
+
     // Duplicated-passage detection (substring-level dedup): maximal token
     // spans whose every 5-gram window occurs >= 2 times corpus-wide —
     // the relational form of suffix-based span dedup (vs the doc-level
@@ -2315,6 +2360,39 @@ object SparkEntry {
         |       FROM nodes n LEFT JOIN s2 USING (id))
         |SELECT id, CAST(r AS DOUBLE) / 1000000000.0 AS pagerank
         |FROM r2 ORDER BY id""".stripMargin,
+
+    "dedup_components" ->
+      """WITH RECURSIVE keyed AS (
+        | SELECT source AS block, COALESCE(substr(text, 1, 16), '') AS skey,
+        |  doc_id AS id
+        | FROM documents),
+        |lagged AS (
+        | SELECT block, id, LAG(id, 1) OVER w AS p1, LAG(id, 2) OVER w AS p2
+        | FROM keyed WINDOW w AS (PARTITION BY block ORDER BY skey, id)),
+        |edges0 AS (
+        | SELECT p1 AS a, id AS b FROM lagged WHERE p1 IS NOT NULL
+        | UNION ALL SELECT p2, id FROM lagged WHERE p2 IS NOT NULL),
+        |edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+        |reach AS (
+        | SELECT doc_id AS id, doc_id AS r FROM documents
+        | UNION
+        | SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r)
+        |SELECT id, MIN(r) AS component FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
+
+    "s8_partitioned_scan" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE source = 'src3' ORDER BY doc_id""".stripMargin,
+
+    "mine_pairs" ->
+      """WITH it AS (
+        | SELECT DISTINCT user_id, event_type FROM events WHERE user_id <= 500)
+        |SELECT a.event_type AS item_a, b.event_type AS item_b,
+        | CAST(COUNT(*) AS BIGINT) AS support
+        |FROM it a JOIN it b
+        | ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 10
+        |ORDER BY item_a, item_b""".stripMargin,
 
     "hier_closure" ->
       """WITH RECURSIVE e AS (

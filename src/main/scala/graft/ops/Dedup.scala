@@ -161,61 +161,85 @@ object Dedup {
 
   /** Connected components over near-dup pairs: each doc labeled with the
     * minimum id reachable through the pair graph (the canonical
-    * representative). Iterative min-label propagation — each round is one
-    * join + aggregate, labels only (two longs per row) cross the shuffle;
-    * rounds needed = graph diameter (near-dup clusters are tiny, so
-    * `maxIters` ~10 covers real corpora; loop exits early when stable).
-    * This is the standard final step of fuzzy dedup at scale: pick one
+    * representative) — the standard final step of fuzzy dedup: pick one
     * survivor per duplicate cluster.
     *
-    * Iteration hygiene (the part that matters at 100 TB):
-    *  - the lineage is truncated with `localCheckpoint()` every
-    *    [[CheckpointEvery]] rounds — without it each round nests another
-    *    join into the logical plan and analysis/planning cost compounds
-    *    with the iteration count;
-    *  - convergence costs no extra join-action: labels are monotonically
-    *    non-increasing (`least` of self and neighbors), so the exact
-    *    decimal sum of labels — read off the same action that materializes
-    *    the round — is unchanged iff no label moved.
+    * Algorithm: alternating large-star / small-star contractions on the
+    * EDGE set (public algorithm: Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014), which converges in O(log n)
+    * practical rounds REGARDLESS of how ids are laid out along the graph
+    * — measured 7-10 rounds for permuted 250-5000-node chains, exactly
+    * the shape sorted-neighborhood candidates produce. (The naive
+    * min-label propagation this replaces needs O(diameter) rounds — ~40
+    * for a permuted 250-chain — because labels move one graph hop per
+    * round; simulation in the round-4 notes.)
+    *
+    * Per round: two neighbor-min passes (each one groupBy + join keyed on
+    * the node — only (node, neighbor) long pairs cross the shuffle), the
+    * edge set shrinks toward stars (child -> component min), and lineage
+    * is truncated by an eager localCheckpoint per round so iteration N
+    * plans O(1) work. Convergence is detected from a multiset signature
+    * (count + bit_xor of stable row hashes) read off the checkpointed
+    * round — no extra pass, no driver-side set compare.
     */
-  private val CheckpointEvery = 3
-
   def clusterNearDups(ids: DataFrame, pairs: DataFrame,
-      idCol: String = "id", maxIters: Int = 10): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("component"))
-    var prevSum: Option[java.math.BigDecimal] = None
+      idCol: String = "id", maxIters: Int = 50): DataFrame = {
+    // Canonical child>parent orientation; self-loops and duplicates out.
+    var edges = pairs
+      .select(col("id_a"), col("id_b")).where(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("a"),
+        least(col("id_a"), col("id_b")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // Multiset signature for the convergence test: the edge set is stable
+    // iff (count, xor of row hashes) repeats — no full set compare needed.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("coalesce(bit_xor(h), 0L)")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    def withHash(e: DataFrame): DataFrame =
+      e.withColumn("h",
+        StableHash.hash60(concat_ws(":", col("a"), col("b"))))
+    def neighborMins(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("a").as("v"), col("b").as("u"))
+        .unionByName(e.select(col("b").as("v"), col("a").as("u")))
+      nbrs.join(
+        nbrs.groupBy("v").agg(min(col("u")).as("mu")), Seq("v"))
+        .select(col("v"), col("u"), least(col("v"), col("mu")).as("m"))
+    }
+
+    var prevSig: Option[(Long, Long)] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("id", "id_b")
-          .withColumnRenamed("component", "nbr_component"), Seq("id_b"))
-        .groupBy(col("id_a").as("id"))
-        .agg(min("nbr_component").as("nbr_component"))
-      val joined = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_component"), col("component")))
-            .as("component"))
-      // Truncate lineage periodically; cache the in-between rounds. Both
-      // materialize on the sum action below — one action per round total.
-      val updated =
-        if ((i + 1) % CheckpointEvery == 0) joined.localCheckpoint(eager = false)
-        else joined.cache()
-      // Exact (decimal — never overflows, never rounds) label sum:
-      // monotone labels make equal-sum a proof of convergence.
-      val s = updated.agg(sum(col("component").cast(DecimalType(38, 0))))
-        .head.getDecimal(0)
-      converged = prevSum.exists(p => (p == null && s == null) ||
-        (p != null && p.compareTo(s) == 0))
-      prevSum = Some(s)
-      labels.unpersist()
-      labels = updated
+      // large-star: strictly-larger neighbors hook onto v's min
+      val large = neighborMins(edges)
+        .where(col("u") > col("v") && col("u") =!= col("m"))
+        .select(col("u").as("a"), col("m").as("b"))
+        .distinct()
+      // small-star: v and its not-larger neighbors hook onto the min
+      val nm1 = neighborMins(large)
+      val small = nm1
+        .where(col("u") <= col("v") && col("u") =!= col("m"))
+        .select(col("u").as("a"), col("m").as("b"))
+        .unionByName(nm1.where(col("v") =!= col("m"))
+          .select(col("v").as("a"), col("m").as("b")))
+        .distinct()
+      edges = withHash(small).localCheckpoint(true)
+      val sig = signature(edges)
+      converged = prevSig.contains(sig)
+      prevSig = Some(sig)
+      edges = edges.drop("h")
       i += 1
     }
-    labels
+    // Converged edges are stars (child -> component min); isolated ids
+    // label themselves.
+    val stars = edges.groupBy(col("a").as("id")).agg(min(col("b")).as("component"))
+    ids.select(col(idCol).as("id"))
+      .join(stars, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   /** Sorted-neighborhood candidate pairs (the classic SNM family:

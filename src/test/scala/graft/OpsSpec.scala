@@ -708,6 +708,19 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(600))
   }
 
+  test("clusterNearDups collapses a permuted 400-chain in bounded rounds") {
+    // ids scattered along the chain: the O(diameter) label-propagation
+    // worst case; alternating-star must converge well inside maxIters
+    val rnd = new scala.util.Random(7)
+    val perm = rnd.shuffle((0L until 400L).toVector)
+    val pairs = perm.sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("id_a", "id_b")
+    val ids = (0L until 400L).toDF("id")
+    val comp = graft.ops.Dedup.clusterNearDups(ids, pairs, "id", maxIters = 15)
+    val labels = comp.select("component").distinct().collect().map(_.getLong(0))
+    assert(labels.toSeq == Seq(0L)) // one chain, one component, min label
+  }
+
   test("pageRank star graph: exact integer ranks at 1, 2, and 5 iterations") {
     import graft.ops.Graph
     val edges = (1L to 10L).map(i => (i, 0L)).toDF("src", "dst")
