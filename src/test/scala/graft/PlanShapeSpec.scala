@@ -150,4 +150,24 @@ class PlanShapeSpec extends SparkSpec {
     assert("partial_topkagg".r.findAllIn(p).size >= 2, // approx + rerank stages
       s"expected bounded partial top-k in both stages: ${p.take(1200)}")
   }
+
+  test("s8_partitioned_scan prunes to the one matching partition directory") {
+    val df = SparkEntry.queries("s8_partitioned_scan")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"), p.take(800))
+    assert("PartitionFilters: \\[[^\\]]*source".r.findFirstIn(p).isDefined,
+      s"source filter must prune partitions, not scan rows: ${p.take(1200)}")
+    // the pruned scan reads exactly one of the 20 source= directories
+    val scanned = df.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.toString.linesIterator.take(1)).mkString
+    assert(df.inputFiles.forall(_.contains("source=src3")),
+      s"only the src3 directory may be read: ${df.inputFiles.take(3).mkString(",")}")
+  }
+
+  test("text_bm25_topk ranks through bounded TopKAgg with broadcast query terms") {
+    val p = finalPlan("text_bm25_topk")
+    assert(!p.contains("Window"), p.take(800))
+    assert(p.contains("TopKAgg"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
 }
