@@ -152,16 +152,28 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("s8_partitioned_scan prunes to the one matching partition directory") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val df = SparkEntry.queries("s8_partitioned_scan")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("PartitionFilters"), p.take(800))
     assert("PartitionFilters: \\[[^\\]]*source".r.findFirstIn(p).isDefined,
       s"source filter must prune partitions, not scan rows: ${p.take(1200)}")
-    // the pruned scan reads exactly one of the 20 source= directories
-    val scanned = df.queryExecution.executedPlan.collectLeaves()
-      .flatMap(_.toString.linesIterator.take(1)).mkString
-    assert(df.inputFiles.forall(_.contains("source=src3")),
-      s"only the src3 directory may be read: ${df.inputFiles.take(3).mkString(",")}")
+    // Dataset.inputFiles lists the UNpruned file index, so it can't verify
+    // pruning; read the physical scan's post-pruning metrics instead.
+    df.queryExecution.toRdd.count() // materialize so driver metrics populate
+    // AdaptiveSparkPlanExec and (post-execution) QueryStageExec are leaf
+    // nodes that hide their subtrees from collect — recurse through both.
+    def scans(plan: SparkPlan): Seq[FileSourceScanExec] = plan.collect {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+    val fs = scans(df.queryExecution.executedPlan)
+    assert(fs.nonEmpty, s"no FileSourceScanExec in plan: ${p.take(800)}")
+    val partsRead = fs.map(_.metrics("numPartitions").value).sum
+    assert(partsRead == 1,
+      s"scan must read exactly 1 of the 20 source= directories, read $partsRead")
   }
 
   test("text_bm25_topk ranks through bounded TopKAgg with broadcast query terms") {
