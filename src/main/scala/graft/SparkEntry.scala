@@ -2241,11 +2241,15 @@ object SparkEntry {
       """WITH src AS (
         | SELECT user_id, event_id, event_type FROM events WHERE user_id <= 100),
         |chg AS (
-        | SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        | SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
         | FROM src),
         |keep AS (
         | SELECT user_id, event_id, event_type FROM chg
-        | WHERE event_type IS DISTINCT FROM prev),
+        | -- rn = 1 keeps a NULL-valued first version: the Spark side lags a
+        | -- STRUCT (never null-equal to its first-row NULL), so the scalar
+        | -- IS DISTINCT FROM alone would diverge on NULL-leading keys
+        | WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
         |v AS (
         | SELECT user_id, event_type, event_id AS valid_from,
         |  lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to,

@@ -140,13 +140,41 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for all pairs within `blockCol` blocks
     * (relational formulation: explode shingles, self-join on shingle,
     * count intersections — no array columns cross the shuffle).
+    *
+    * Two guard rails make the self-join survive corpus scale:
+    *
+    *  - '''Document-frequency cap''' (`maxShingleDf`): a shingle shared by
+    *    d docs contributes d^2^ joined rows, so one stock phrase in 10^6^
+    *    docs would alone produce 10^12^ rows. Shingles whose per-block df
+    *    exceeds the cap are dropped from BOTH the intersection and the set
+    *    sizes before the join — the result is exact Jaccard over the
+    *    reduced shingle universe (hot shingles carry ~zero discriminative
+    *    signal; dropping them from both sides keeps identical docs at
+    *    jaccard 1.0). A doc whose every shingle is hot has an empty
+    *    reduced set and emits no pairs.
+    *  - '''Blocking''' (`blockCol`): pairs are only formed inside a block
+    *    (e.g. language, source, LSH bucket), bounding the join the same
+    *    way [[minhashPairs]] bands do. `None` keeps the single-block
+    *    whole-corpus semantics.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      shingleK: Int, minJaccard: Double): DataFrame = {
-    val sh = graft.core.Graft.spread(df).select(col(idCol).as("id"),
+      shingleK: Int, minJaccard: Double,
+      blockCol: Option[Column] = None,
+      maxShingleDf: Int = 10000): DataFrame = {
+    require(maxShingleDf >= 2, "maxShingleDf < 2 would drop every shared shingle")
+    val blk = blockCol.getOrElse(lit(""))
+    val sh = graft.core.Graft.spread(df).select(blk.as("blk"),
+      col(idCol).as("id"),
       explode(Text.wordShingles(col(textCol), shingleK)).as("sh"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"), Seq("sh"))
+    // per-block doc frequency (wordShingles is distinct per doc, so
+    // count(*) == #docs carrying the shingle); partial aggregation
+    // combines hot shingles map-side before the wire
+    val rare = sh.groupBy("blk", "sh").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxShingleDf)
+      .select("blk", "sh")
+    val pruned = sh.join(rare, Seq("blk", "sh"), "left_semi")
+    val sizes = pruned.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = pruned.as("a").join(pruned.as("b"), Seq("blk", "sh"))
       .where(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -234,6 +262,13 @@ object Dedup {
       edges = edges.drop("h")
       i += 1
     }
+    // Exhausting maxIters before the star fixed point would make the final
+    // groupBy/min below label non-star edges silently wrong — refuse.
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterNearDups did not reach the star fixed point in $maxIters " +
+          "rounds; the labeling below would be silently incorrect. " +
+          "Alternating-star converges in O(log n) rounds — raise maxIters.")
     // Converged edges are stars (child -> component min); isolated ids
     // label themselves.
     val stars = edges.groupBy(col("a").as("id")).agg(min(col("b")).as("component"))

@@ -24,14 +24,30 @@ object Hierarchy {
     * root-to-node id path "r/…/id". `edges` columns: `id`, `parent`
     * (NULL parent = root). A referenced parent with no edge row is
     * treated as a root (so forests with implicit roots resolve).
+    *
+    * `maxDepth` bounds the parent chase: a cycle in the edge table (a is
+    * an ancestor of itself) would otherwise loop forever — after maxDepth
+    * rounds with unresolved rows the call fails with the offending node
+    * ids rather than spinning.
     */
-  def rootPaths(edges: DataFrame): DataFrame = {
+  def rootPaths(edges: DataFrame, maxDepth: Int = 64): DataFrame = {
+    require(maxDepth >= 1, "maxDepth must be >= 1")
     val e = edges.select(col("id").as("__eid"), col("parent").as("__eparent"))
     var state = edges.select(col("id"), col("id").as("anc"),
       lit(0L).as("depth"), col("id").cast("string").as("path"),
       lit(false).as("done"))
     var remaining = 1L
+    var rounds = 0
     while (remaining > 0) {
+      if (rounds >= maxDepth) {
+        val stuck = state.where(!col("done")).select("id")
+          .orderBy("id").limit(5).collect().map(_.get(0)).mkString(", ")
+        throw new IllegalStateException(
+          s"rootPaths exceeded maxDepth=$maxDepth with $remaining unresolved " +
+            s"node(s) (e.g. id(s) $stuck) — the edge table contains a cycle " +
+            "or a deeper-than-expected chain; raise maxDepth if the latter.")
+      }
+      rounds += 1
       state = state.where(!col("done"))
         .join(e, col("anc") === col("__eid"), "left")
         .select(col("id"),

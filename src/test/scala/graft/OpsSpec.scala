@@ -63,6 +63,41 @@ class OpsSpec extends SparkSpec {
     assert(out((1L, 3L)) < 1.0)
   }
 
+  test("ngram jaccard df cap drops corpus-wide hot shingles from the join") {
+    // 40 docs all share the hot bigram "common phrase"; only docs 0 and 1
+    // also share a rare one. Uncapped, the hot shingle alone joins
+    // 40*39/2 = 780 pairs; with the cap the only surviving pair is (0,1)
+    // through their rare shingle, scored over the REDUCED shingle sets.
+    val hot = (0L until 40L).map { i =>
+      val rare = if (i <= 1) "rare match" else s"unique$i filler$i"
+      (i, s"common phrase $rare")
+    }.toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(hot, "text", "doc_id", 2, 0.01,
+      maxShingleDf = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(capped.map(_._1).toSet == Set((0L, 1L)),
+      s"only the rare-shingle pair may survive the cap: ${capped.toSeq}")
+    // docs 0/1 each have 3 shingles; "common phrase" (df=40) is dropped
+    // from both sets -> 2 shared of 2 kept per doc... "phrase rare" is
+    // also shared (df=2, kept): jaccard = 2/2 = 1.0 on the reduced sets
+    assert(capped.head._2 == 1.0, s"reduced-set jaccard: ${capped.head._2}")
+    // sanity: uncapped default finds hot-shingle pairs too
+    val uncapped = Dedup.ngramJaccardPairs(hot, "text", "doc_id", 2, 0.01)
+    assert(uncapped.count() == 40L * 39 / 2)
+  }
+
+  test("ngram jaccard blockCol confines pairs to their block") {
+    val blocked = Seq(
+      (1L, "the same exact text", "en"),
+      (2L, "the same exact text", "en"),
+      (3L, "the same exact text", "de") // identical, but another block
+    ).toDF("doc_id", "text", "lang")
+    val got = Dedup.ngramJaccardPairs(blocked, "text", "doc_id", 2, 0.5,
+      blockCol = Some($"lang"))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == Set((1L, 2L)), s"cross-block pair leaked: ${got.toSeq}")
+  }
+
   private lazy val vecs = {
     val base = Array.tabulate(8)(i => 1.0f + i)
     Seq(
@@ -363,6 +398,18 @@ class OpsSpec extends SparkSpec {
     // Lineage was truncated: the final plan must not nest ~14 joins.
     val planDepth = out.queryExecution.optimizedPlan.collect { case p => p }.size
     assert(planDepth < 30, s"plan has $planDepth nodes - lineage not truncated")
+  }
+
+  test("clusterNearDups refuses to mislabel when maxIters cuts off convergence") {
+    // An 8-node chain needs >1 alternating-star round; with maxIters = 1
+    // the old code fell through to the final groupBy/min and returned
+    // silently wrong labels. Now it must throw.
+    val ids = (0L to 7L).toDF("id")
+    val pairs = (0L until 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.clusterNearDups(ids, pairs, maxIters = 1).collect()
+    }
+    assert(e.getMessage.contains("maxIters") || e.getMessage.contains("rounds"))
   }
 
   test("decontaminate flags shingle overlap with the benchmark, not incidental words") {
@@ -774,6 +821,19 @@ class OpsSpec extends SparkSpec {
       (3L, 1L, 1L, "1/3"),
       (4L, 1L, 2L, "1/2/4"),
       (5L, 9L, 1L, "9/5")))
+  }
+
+  test("rootPaths fails fast on a cyclic edge table instead of spinning") {
+    val edges = Seq(
+      (1L, None),        // a healthy root…
+      (2L, Some(3L)),    // …and a 2<->3 cycle that never resolves
+      (3L, Some(2L))
+    ).toDF("id", "parent")
+    val e = intercept[IllegalStateException] {
+      graft.ops.Hierarchy.rootPaths(edges, maxDepth = 8).collect()
+    }
+    assert(e.getMessage.contains("cycle"), e.getMessage)
+    assert(e.getMessage.contains("2"), s"should name a stuck id: ${e.getMessage}")
   }
 
   test("learnBpe reproduces the classic merge sequence with deterministic ties") {
