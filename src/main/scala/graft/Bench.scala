@@ -49,7 +49,11 @@ object Bench {
     "dedup_exact" -> 256,     // digest group-by
     "dedup_minhash" -> 8,     // shingle + minhash array math
     "text_profile" -> 8,      // text analytics map pass
-    "sim_brute_topk" -> 8192)  // vector similarity
+    "sim_brute_topk" -> 8192, // vector similarity
+    "dedup_passages" -> 4,    // positional k-gram span dedup (data-bound)
+    "graph_pagerank" -> 2048,  // iterative graph: per-round barrier amortizes
+    "text_bm25_topk" -> 512,  // ranked retrieval (index amortized)
+    "sim_pq_topk" -> 1024)     // PQ ANN (codebook/encode amortized)
 
   /** r copies of every row, tagged 0..r-1: one scan, spread across all
     * cores FIRST (the single-row-group test files scan as one partition —
@@ -145,6 +149,83 @@ object Bench {
           .select((col("vec_id") + col("__rep") * 1000000L).as("vec_id"),
             col("embedding"))
         Similarity.bruteForceTopK(emb, q, k = 10)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy("query_id", "rank")
+      case "dedup_passages" =>
+        // The corpus operator's pipeline verbatim (Dedup.duplicatedPassages)
+        // with __rep folded into the gram key: window occurrence counts must
+        // not pool across instances or the fused run would mark more spans
+        // than N independent runs would.
+        val k = 5
+        val d0 = replicate(t("documents").select("doc_id", "text"), r)
+          .select(col("__rep"), (col("doc_id") * r + col("__rep")).as("id"),
+            col("text"))
+        val toks = graft.functions.Text.tokens(col("text"))
+        val n = size(toks)
+        val shifted = (0 until k).map(j => slice(toks, lit(j + 1), n))
+        val grams = shifted.reduceRight((a, b) =>
+          zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+        val windows = d0
+          .select(col("__rep"), col("id"),
+            posexplode(slice(grams, lit(1), greatest(n - (k - 1), lit(0)))))
+          .select(col("__rep"), col("id"),
+            (col("pos") + 1).cast("long").as("p"), col("col").as("gram"))
+        val repeated = windows.groupBy("__rep", "gram")
+          .agg(count(lit(1)).as("occ"))
+          .where(col("occ") >= 2).select("__rep", "gram")
+        val marked = windows.join(repeated, Seq("__rep", "gram"), "left_semi")
+        val w = Window.partitionBy("id").orderBy("p") // ids are rep-disjoint
+        marked
+          .withColumn("__prev", lag(col("p"), 1).over(w))
+          .withColumn("__new",
+            when(col("__prev").isNull || col("p") > col("__prev") + k, 1L)
+              .otherwise(0L))
+          .withColumn("__island", sum(col("__new")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("id", "__island")
+          .agg(min(col("p")).as("span_start"),
+            (max(col("p")) + (k - 1)).as("span_end"),
+            count(lit(1)).as("n_windows"))
+          .select(col("id"), col("span_start"), col("span_end"),
+            (col("span_end") - col("span_start") + 1).as("span_tokens"),
+            col("n_windows"))
+          .orderBy("id", "span_start")
+      case "graph_pagerank" =>
+        // N node-id-disjoint copies of the derived 1000-node graph run as
+        // one PageRank call: ranks never normalize across components, so
+        // the fused result is exactly N independent runs.
+        val base = replicate(t("part").where(col("p_partkey") <= 1000), r)
+        val off = col("__rep") * 1000000L
+        val edges = base.select((col("p_partkey") + off).as("src"),
+            (expr("(p_partkey * 31 + 7) % 1000") + off).as("dst"))
+          .unionByName(base.select((col("p_partkey") + off).as("src"),
+            (expr("(p_partkey * 17 + 3) % 1000") + off).as("dst")))
+        graft.ops.Graph.pageRank(edges, iterations = 2).orderBy("id")
+      case "text_bm25_topk" =>
+        // Query-side replication (the sim_* pattern): the corpus tf/dl
+        // index builds once per fused run — the resident-engine story,
+        // mirrored by the pandas twin building its index in the untimed
+        // factory — while matching, scoring and the bounded top-k run once
+        // per instance on rep-disjoint query ids.
+        val baseQ = Seq(1L -> Seq("spark", "join", "fast"),
+          2L -> Seq("customer", "query", "slow"),
+          3L -> Seq("vector", "hash", "merge"))
+        val qs = (0 until r).flatMap { j =>
+          baseQ.map { case (qid, ts) => (j * 1000000L + qid) -> ts }
+        }
+        TextAnalysis.bm25TopK(t("documents"), qs, k = 10)
+          .orderBy("query_id", "rank")
+      case "sim_pq_topk" =>
+        // Same shape as sim_brute_topk: replicate the query side only; the
+        // codebook train + corpus encode amortize across instances like any
+        // resident ANN index.
+        val emb = t("embeddings")
+        val q = emb.where(col("vec_id") < 5)
+          .withColumn("__rep", explode(sequence(lit(0L), lit(r - 1L))))
+          .select((col("vec_id") + col("__rep") * 1000000L).as("vec_id"),
+            col("embedding"))
+        Similarity.pqTopK(emb, q, k = 10, m = 8, dsub = 8,
+          codebookSize = 16, rerank = 40)
           .withColumn("cosine", round(col("cosine"), 6))
           .orderBy("query_id", "rank")
     }

@@ -3571,12 +3571,11 @@ object SparkEntry {
        |  CROSS JOIN (SELECT unnest(range(0, $m)) AS i) t),
        | qlut AS (
        |  SELECT qs.query_id, qs.sub, cb.j,
-       |   ${l2sqSql("qs.qsv", "cb.cvec")} AS pd
+       |   CAST(ROUND((${l2sqSql("qs.qsv", "cb.cvec")}) * 1000000000.0) AS BIGINT) AS pd
        |  FROM qsub qs JOIN cb ON cb.sub = qs.sub),
        | approx AS (
        |  SELECT ql.query_id, co.corpus_id,
-       |   CASE WHEN COUNT(*) = COUNT(ql.pd)
-       |    THEN list_sum(list(ql.pd ORDER BY co.sub)) END AS adist
+       |   CASE WHEN COUNT(*) = COUNT(ql.pd) THEN SUM(ql.pd) END AS adist
        |  FROM codes co JOIN qlut ql ON ql.sub = co.sub AND ql.j = co.j
        |  WHERE co.corpus_id <> ql.query_id
        |  GROUP BY 1, 2),

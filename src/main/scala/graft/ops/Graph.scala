@@ -28,25 +28,32 @@ object Graph {
 
   /** `iterations` rounds of integer PageRank; returns (id, r_nano). */
   def pageRankNano(edges: DataFrame, iterations: Int): DataFrame = {
+    // Edges are hash-partitioned on src ONCE; every iteration's rank
+    // attach then aligns with that layout instead of re-shuffling the
+    // edge set (the dominant bytes) each round. Out-degree rides in the
+    // rank state — computed once, so the per-iteration plan is a single
+    // src-keyed join plus the dst-keyed contribution sum.
     val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(true)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
+      .join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left")
       .localCheckpoint(true)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    var rank = nodes.select(col("id"), lit(1000000000L).as("r_nano"))
+    var rank = nodes.select(col("id"), col("outdeg"),
+      lit(1000000000L).as("r_nano"))
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(rank.withColumnRenamed("id", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         .select(col("dst").as("id"), expr("r_nano DIV outdeg").as("c"))
       val sums = contrib.groupBy("id").agg(sum(col("c")).as("s_nano"))
       rank = nodes.join(sums, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("outdeg"),
           expr("150000000L + (85 * coalesce(s_nano, 0L)) DIV 100")
             .as("r_nano"))
         .localCheckpoint(true)
     }
-    rank
+    rank.select(col("id"), col("r_nano"))
   }
 
   /** Float view: (id, pagerank) with pagerank = r_nano / 1e9. */

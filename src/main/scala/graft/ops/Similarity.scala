@@ -399,21 +399,89 @@ object Similarity {
       .select(col("vec_id").cast("long").as("query_id"),
         posexplode(subVecs(col("embedding"))))
       .toDF("query_id", "sub", "qsv")
+    // partial distances as exact integer nanos: a sum of longs is
+    // order-free (no ordered double fold needed) and replays bit-exactly
+    // in the oracle's SUM(BIGINT)
     val qlut = qsub.join(broadcast(cb), Seq("sub"))
       .select(col("query_id"), col("sub"), col("j"),
-        Vectors.l2sq(col("qsv"), col("cvec")).as("pd"))
+        round(Vectors.l2sq(col("qsv"), col("cvec")) * 1e9).cast("long")
+          .as("pd_nano"))
 
-    // approximate distance = ordered (total, null-propagating) sum of the
-    // coded sub-distances
-    val approx = codes.join(broadcast(qlut), Seq("sub", "j"))
-      .where(col("corpus_id") =!= col("query_id"))
-      .groupBy("query_id", "corpus_id")
-      .agg(aggregate(
-        sort_array(collect_list(struct(col("sub"), col("pd")))),
-        lit(0.0), (acc, x) => acc + x.getField("pd")).as("adist"))
-    val cands = TopK.perGroupTopK(
-      approx.withColumn("nad", -col("adist")),
-      Seq("query_id"), "corpus_id", "nad", rerank)
+    // ADC scan as a per-partition primitive kernel (bruteForceTopK's
+    // design): the LUT side is bounded by the query set (nq x m x
+    // codebookSize longs — driver-collected like bruteForceTopK's query
+    // vectors), each partition folds its coded vectors into
+    // rerank-bounded per-query buffers, and only partitions x nq x rerank
+    // buffer rows reach the merge — the corpus never shuffles. A NULL
+    // sub-distance (null query element) makes the candidate's adist NULL;
+    // it ranks last but IS still a candidate, mirroring the oracle's
+    // NULLS LAST — NaN is the in-flight sentinel (TopKAgg contract).
+    val lutRows = qlut.collect()
+    val qIds = lutRows.map(_.getLong(0)).distinct.sorted
+    val qIdx = qIds.zipWithIndex.toMap
+    val cbs = codebookSize
+    val lut = Array.fill(qIds.length)(Array.fill(m * cbs)(Long.MinValue))
+    lutRows.foreach { r =>
+      val slot = r.getInt(1) * cbs + r.getLong(2).toInt
+      lut(qIdx(r.getLong(0)))(slot) =
+        if (r.isNullAt(3)) Long.MinValue else r.getLong(3)
+    }
+    val bcLut = sp.sparkContext.broadcast((qIds, lut))
+
+    // one row per coded corpus vector: its (sub, j) code pairs
+    val packedCodes = codes.groupBy("corpus_id")
+      .agg(sort_array(collect_list(
+        struct(col("sub").cast("int").as("sub"), col("j").cast("int").as("j"))))
+        .as("cs"))
+    val packed = packedCodes.mapPartitions { rows =>
+      val (ids, luts) = bcLut.value
+      val nq = ids.length
+      if (nq == 0) Iterator.empty
+      else {
+        val bufS = Array.fill(nq)(new Array[Double](rerank))
+        val bufI = Array.fill(nq)(new Array[Long](rerank))
+        val cnt = new Array[Int](nq)
+        rows.foreach { r =>
+          val cid = r.getLong(0)
+          val cs = r.getSeq[org.apache.spark.sql.Row](1)
+          // unpack the row's codes to primitive LUT slots ONCE — the
+          // query loop below must not touch Row objects
+          val nSlots = cs.length
+          val slots = new Array[Int](nSlots)
+          var si = 0
+          val it = cs.iterator
+          while (it.hasNext) {
+            val p = it.next()
+            slots(si) = p.getInt(0) * cbs + p.getInt(1)
+            si += 1
+          }
+          var qi = 0
+          while (qi < nq) {
+            if (cid != ids(qi)) {
+              val l = luts(qi)
+              var acc = 0L
+              var ok = true
+              var s = 0
+              while (ok && s < nSlots) {
+                val pd = l(slots(s))
+                if (pd == Long.MinValue) ok = false else acc += pd
+                s += 1
+              }
+              // exact: nano totals stay far below 2^53, so the negated
+              // double preserves long ordering and equality
+              val score = if (ok) -acc.toDouble else Double.NaN
+              insertBounded(bufS(qi), bufI(qi), cnt, qi, score, cid, rerank)
+            }
+            qi += 1
+          }
+        }
+        Iterator.range(0, nq).filter(cnt(_) > 0).map { qi =>
+          (ids(qi), bufS(qi).take(cnt(qi)), bufI(qi).take(cnt(qi)))
+        }
+      }
+    }.toDF("query_id", "scores", "ids")
+    val cands = TopK.mergeGroupTopK(packed, Seq("query_id"), "scores", "ids",
+      "corpus_id", "nad", rerank)
 
     val exact = cands.select("query_id", "corpus_id")
       .join(corpus.select(col("vec_id").cast("long").as("corpus_id"),

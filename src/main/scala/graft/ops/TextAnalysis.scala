@@ -302,6 +302,11 @@ object TextAnalysis {
       .where(col("word") =!= "")
       .groupBy(idCol, "word").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(idCol).agg(sum(col("tf")).as("dl"))
+    // doc length rides WITH the postings (one doc-keyed co-partitioned
+    // join at index-build time, the classic "store dl in the index"
+    // layout) so per-query scoring below is pure broadcast joins — no
+    // doc-keyed shuffle per query batch
+    val tfdl = tf.join(dl, Seq(idCol))
     val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
     val dfs = tf.join(broadcast(q.select("word").distinct()), Seq("word"), "left_semi")
       .groupBy("word").agg(count(lit(1)).as("df"))
@@ -311,9 +316,8 @@ object TextAnalysis {
     val idf = graft.plans.MathLn((nd - dfd + 0.5) / (dfd + 0.5) + 1.0)
     val tfNorm = (tfd * 2.2) / (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (dld / avgdl)))
     val scored = broadcast(q)
-      .join(tf, Seq("word"))
+      .join(tfdl, Seq("word"))
       .join(broadcast(dfs), Seq("word"))
-      .join(dl, Seq(idCol))
       .crossJoin(broadcast(st))
       .select(col("query_id"), col(idCol),
         round(idf * tfNorm * 1000000000.0).cast("long").as("nano"))

@@ -29,7 +29,8 @@ sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 REPS = {  # keep in sync with graft.Bench.headline
     "q1_agg": 16, "j1_multiway_join": 8, "w1_window": 2048, "a8_pivot": 32,
     "dedup_exact": 256, "dedup_minhash": 8, "text_profile": 8,
-    "sim_brute_topk": 8192,
+    "sim_brute_topk": 8192, "dedup_passages": 4, "graph_pagerank": 2048,
+    "text_bm25_topk": 512, "sim_pq_topk": 1024,
 }
 
 
@@ -167,11 +168,116 @@ def sim_brute():
     return compute
 
 
+def dedup_passages():
+    """Positional 5-gram span dedup: windows, corpus-wide occurrence >= 2,
+    per-doc island merge — the eager-pandas form of Dedup.duplicatedPassages.
+    """
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    k = 5
+    def compute():
+        ids, ps, gs = [], [], []
+        for did, t in zip(d.doc_id.to_numpy(), d.text.to_numpy()):
+            toks = t.lower().split()
+            for i in range(len(toks) - k + 1):
+                ids.append(did); ps.append(i + 1)
+                gs.append(" ".join(toks[i:i + k]))
+        w = pd.DataFrame({"id": ids, "p": ps, "g": gs})
+        occ = w.groupby("g").g.transform("size")
+        m = w[occ >= 2].sort_values(["id", "p"])
+        new_island = (m.groupby("id").p.diff().fillna(k + 1) > k).astype(int)
+        island = new_island.groupby(m.id.values).cumsum()
+        spans = m.assign(isl=island.values).groupby(["id", "isl"]).agg(
+            start=("p", "min"), end=("p", "max"), n=("p", "size"))
+        return len(spans)
+    return compute
+
+
+def graph_pagerank():
+    """Two exact-nano PageRank iterations over the derived 1000-node graph
+    (same integer arithmetic as graft.ops.Graph.pageRankNano)."""
+    p = pd.read_parquet(f"{sf}/part.parquet", columns=["p_partkey"])
+    p = p[p.p_partkey <= 1000]
+    def compute():
+        key = p.p_partkey.to_numpy()
+        src = np.concatenate([key, key])
+        dst = np.concatenate([(key * 31 + 7) % 1000, (key * 17 + 3) % 1000])
+        e = pd.DataFrame({"src": src, "dst": dst})
+        nodes = pd.unique(np.concatenate([src, dst]))
+        outdeg = e.groupby("src").size()
+        rank = pd.Series(10**9, index=nodes, dtype=np.int64)
+        for _ in range(2):
+            c = rank.reindex(e.src).to_numpy() // outdeg.reindex(e.src).to_numpy()
+            sums = pd.Series(c, index=e.dst).groupby(level=0).sum()
+            rank = (150000000
+                    + (85 * sums.reindex(nodes).fillna(0).astype(np.int64)) // 100)
+        return len(rank)
+    return compute
+
+
+def text_bm25():
+    """BM25 top-10 for 3 queries. The tf/dl index builds in the factory
+    (read + index once), matching Bench's fused runs where the corpus index
+    amortizes across instances; compute scores the queries."""
+    d = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    ex = d.assign(w=d.text.str.lower().str.strip().str.split()).explode("w")
+    ex = ex[ex.w.notna() & (ex.w != "")]
+    tf = ex.groupby(["doc_id", "w"]).size().rename("tf").reset_index()
+    dl = tf.groupby("doc_id").tf.sum()
+    N, avgdl = len(dl), dl.sum() / max(len(dl), 1)
+    queries = {1: ["spark", "join", "fast"], 2: ["customer", "query", "slow"],
+               3: ["vector", "hash", "merge"]}
+    def compute():
+        words = {w for ts in queries.values() for w in ts}
+        sub = tf[tf.w.isin(words)]
+        dfc = sub.groupby("w").doc_id.size()
+        out = 0
+        for qid, ts in queries.items():
+            s = sub[sub.w.isin(ts)].copy()
+            s["df"] = dfc.reindex(s.w).to_numpy()
+            s["dl"] = dl.reindex(s.doc_id).to_numpy()
+            idf = np.log((N - s.df + 0.5) / (s.df + 0.5) + 1.0)
+            tfn = (s.tf * 2.2) / (s.tf + 1.2 * (0.25 + 0.75 * s.dl / avgdl))
+            s["score"] = idf * tfn
+            top = s.groupby("doc_id").score.sum().nlargest(10)
+            out += len(top)
+        return out
+    return compute
+
+
+def sim_pq():
+    """PQ ANN (8x8 sub-spaces, 16 centroids, ADC + exact rerank of 40).
+    Codebook + corpus encode in the factory (the resident index, as Bench's
+    fused runs amortize them); compute answers the 5 queries."""
+    e = pd.read_parquet(f"{sf}/embeddings.parquet")
+    mat = np.stack(e.embedding.to_numpy()).astype(np.float64)
+    m, dsub, cbs, rr = 8, 8, 16, 40
+    cb = [mat[:cbs, j * dsub:(j + 1) * dsub].copy() for j in range(m)]
+    codes = np.stack([
+        np.argmin(((mat[:, j * dsub:(j + 1) * dsub][:, None, :]
+                    - cb[j][None, :, :]) ** 2).sum(-1), axis=1)
+        for j in range(m)], axis=1)
+    norms = np.linalg.norm(mat, axis=1)
+    def compute():
+        q = mat[:5]
+        total = 0
+        for qi in range(len(q)):
+            luts = np.stack([q[qi, j * dsub:(j + 1) * dsub] @ cb[j].T
+                             for j in range(m)])            # m x cbs
+            adc = luts[np.arange(m)[None, :], codes].sum(1)  # approx dot
+            cand = np.argpartition(-adc, min(rr, len(adc) - 1))[:rr]
+            exact = (mat[cand] @ q[qi]) / (norms[cand] * np.linalg.norm(q[qi]))
+            total += len(cand[np.argsort(-exact)[:10]])
+        return total
+    return compute
+
+
 WORKLOADS = [
     ("q1_agg", q1_agg), ("j1_multiway_join", j1_join),
     ("w1_window", w1_window), ("a8_pivot", a8_pivot),
     ("dedup_exact", dedup_exact), ("dedup_minhash", dedup_minhash),
-    ("text_profile", text_profile), ("sim_brute_topk", sim_brute)]
+    ("text_profile", text_profile), ("sim_brute_topk", sim_brute),
+    ("dedup_passages", dedup_passages), ("graph_pagerank", graph_pagerank),
+    ("text_bm25_topk", text_bm25), ("sim_pq_topk", sim_pq)]
 
 print(f"{'workload':24s} {'single':>8s} {'amortized':>10s}  (N)")
 tot_s = tot_a = 0.0
