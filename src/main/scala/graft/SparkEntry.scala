@@ -1368,6 +1368,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // PQ with Lloyd-trained sub-codebooks (2 rounds of assign + decimal-
+    // exact per-dim means, seeded from the same prefix sample): the whole
+    // training chain replays in the oracle, like sim_ivf_trained_topk's.
+    "sim_pq_trained_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.pqTopKTrained(emb, emb.where(col("vec_id") < 5), k = 10,
+        m = 8, dsub = 8, codebookSize = 16, rerank = 40, iters = 2)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // Scalar-quantized (int8) ANN with exact rerank: encode is replayed in
     // the oracle bit-for-bit (amax fold -> scale -> rounded tinyint codes),
     // approximate ranking picks 40 candidates, exact cosine reranks to 10.
@@ -2678,6 +2689,8 @@ object SparkEntry {
 
     "sim_pq_topk" -> pqTopkOracle(),
 
+    "sim_pq_trained_topk" -> pqTopkOracle(iters = 2),
+
     "emb_label_centroids" ->
       (labelCentroidsSql +
         """
@@ -3539,14 +3552,40 @@ object SparkEntry {
     * does), then the exact cosine rerank.
     */
   private def pqTopkOracle(m: Int = 8, dsub: Int = 8, cbSize: Int = 16,
-      rerank: Int = 40, k: Int = 10): String =
+      rerank: Int = 40, k: Int = 10, iters: Int = 0): String = {
+    // optional Lloyd chain: assign (argmin over cb{it-1}) -> per-dim
+    // decimal-exact mean -> cb$it, empty (sub, j) cells carried forward —
+    // mirrors Similarity.trainedPqCodebook round for round
+    val trainCtes = (1 to iters).map { it =>
+      val prev = s"cb${it - 1}"
+      s""" a$it AS (
+         |  SELECT corpus_id, sub, sv, j FROM (
+         |   SELECT c.corpus_id, c.sub, c.sv, cb.j, ROW_NUMBER() OVER (
+         |     PARTITION BY c.corpus_id, c.sub
+         |     ORDER BY ${l2sqSql("c.sv", "cb.cvec")} ASC, cb.j ASC) AS rn
+         |   FROM csub c JOIN $prev cb ON cb.sub = c.sub) WHERE rn = 1),
+         | s$it AS (
+         |  SELECT a.sub, a.j, r.i,
+         |   CAST(SUM(CAST(a.sv[r.i] AS DECIMAL(38,12))) AS DOUBLE)
+         |     / COUNT(a.sv[r.i]) AS mv
+         |  FROM a$it a CROSS JOIN range(1, ${dsub + 1}) r(i)
+         |  GROUP BY a.sub, a.j, r.i
+         |  HAVING COUNT(a.sv[r.i]) > 0),
+         | cb$it AS (
+         |  SELECT j, sub, list(mv ORDER BY i) AS cvec FROM s$it GROUP BY j, sub
+         |  UNION ALL
+         |  SELECT p.j, p.sub, p.cvec FROM $prev p
+         |  WHERE NOT EXISTS (
+         |   SELECT 1 FROM s$it s WHERE s.sub = p.sub AND s.j = p.j)),""".stripMargin
+    }.mkString("\n")
+    val cbFin = s"cb$iters"
     s"""WITH pref AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |  ORDER BY vec_id LIMIT $cbSize),
        | jmap AS (
        |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
        |  FROM pref),
-       | cb AS (
+       | cb0 AS (
        |  SELECT jm.j, t.i AS sub, list_slice(p.v, t.i * $dsub + 1, t.i * $dsub + $dsub) AS cvec
        |  FROM pref p JOIN jmap jm USING (vec_id)
        |  CROSS JOIN (SELECT unnest(range(0, $m)) AS i) t
@@ -3557,12 +3596,13 @@ object SparkEntry {
        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |        WHERE embedding IS NOT NULL) e
        |  CROSS JOIN (SELECT unnest(range(0, $m)) AS i) t),
+       |$trainCtes
        | codes AS (
        |  SELECT corpus_id, sub, j FROM (
        |   SELECT c.corpus_id, c.sub, cb.j, ROW_NUMBER() OVER (
        |     PARTITION BY c.corpus_id, c.sub
        |     ORDER BY ${l2sqSql("c.sv", "cb.cvec")} ASC, cb.j ASC) AS rn
-       |   FROM csub c JOIN cb ON cb.sub = c.sub) WHERE rn = 1),
+       |   FROM csub c JOIN $cbFin cb ON cb.sub = c.sub) WHERE rn = 1),
        | qsub AS (
        |  SELECT q.vec_id AS query_id, t.i AS sub,
        |   list_slice(q.v, t.i * $dsub + 1, t.i * $dsub + $dsub) AS qsv
@@ -3572,7 +3612,7 @@ object SparkEntry {
        | qlut AS (
        |  SELECT qs.query_id, qs.sub, cb.j,
        |   CAST(ROUND((${l2sqSql("qs.qsv", "cb.cvec")}) * 1000000000.0) AS BIGINT) AS pd
-       |  FROM qsub qs JOIN cb ON cb.sub = qs.sub),
+       |  FROM qsub qs JOIN $cbFin cb ON cb.sub = qs.sub),
        | approx AS (
        |  SELECT ql.query_id, co.corpus_id,
        |   CASE WHEN COUNT(*) = COUNT(ql.pd) THEN SUM(ql.pd) END AS adist
@@ -3599,6 +3639,7 @@ object SparkEntry {
        |   PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
        | FROM exact)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
 
   private def lshTopkOracle: String = {
     val bucketC = lshBucketSql("cv", 4, 64)

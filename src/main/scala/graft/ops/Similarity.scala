@@ -360,28 +360,126 @@ object Similarity {
     * ordered fold is total, never null-skipping), ranking last.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
-      dsub: Int = 8, codebookSize: Int = 16, rerank: Int = 40): DataFrame = {
+      dsub: Int = 8, codebookSize: Int = 16, rerank: Int = 40): DataFrame =
+    pqWithCodebook(corpus, queries,
+      prefixPqCodebook(corpus, m, dsub, codebookSize),
+      k, m, dsub, codebookSize, rerank)
+
+  /** [[pqTopK]] with per-sub-space Lloyd-refined codebooks — the
+    * production-recall rung: `iters` rounds of assign (nearest
+    * sub-centroid, the encode step itself) + update (per-(sub, j, dim)
+    * decimal-exact mean, [[trainedCentroids]]'s discipline), seeded from
+    * the same deterministic prefix sample so the whole training replays
+    * in the oracle. Refined sub-centroids sit at the mass centers of the
+    * sub-vector distribution instead of wherever the first
+    * `codebookSize` corpus rows happened to fall, so quantization error
+    * — and with it ADC ranking error — only decreases; recall >=
+    * untrained PQ (asserted in OpsSpec against brute-force truth).
+    *
+    * Scale shape per round: one broadcast-codebook distance pass over
+    * corpus x m x codebookSize (the encode shape), one (sub, j, dim)
+    * hash aggregate, and an m x codebookSize x dsub driver collect —
+    * centroids are tiny; the corpus never collects.
+    */
+  def pqTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, dsub: Int = 8, codebookSize: Int = 16, rerank: Int = 40,
+      iters: Int = 2): DataFrame =
+    pqWithCodebook(corpus, queries,
+      trainedPqCodebook(corpus, m, dsub, codebookSize, iters),
+      k, m, dsub, codebookSize, rerank)
+
+  /** `transform`-free sub-vector split: array of `m` dsub-dim slices. */
+  private def pqSubVecs(v: org.apache.spark.sql.Column, m: Int,
+      dsub: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(m - 1)),
+      i => slice(Vectors.asDouble(v), i * dsub + 1, lit(dsub)))
+
+  /** Deterministic prefix-sample PQ codebook as (j, sub, cvec) rows;
+    * j = rank of the seed's vec_id (driver holds codebookSize ids, never
+    * vectors). Null seed vectors keep their j slot but contribute no
+    * centroids — subVecs over a null vector is an array OF null
+    * sub-vectors (transform maps the non-null index sequence), so the
+    * explode would NOT drop them; the explicit isNotNull filter mirrors
+    * the oracle's `WHERE v IS NOT NULL`.
+    */
+  private def prefixPqCodebook(corpus: DataFrame, m: Int, dsub: Int,
+      codebookSize: Int): DataFrame = {
     val sp = corpus.sparkSession
     import sp.implicits._
-    def subVecs(v: org.apache.spark.sql.Column) =
-      transform(sequence(lit(0), lit(m - 1)),
-        i => slice(Vectors.asDouble(v), i * dsub + 1, lit(dsub)))
-
-    // prefix-sample codebook; j = rank of the seed's vec_id (driver holds
-    // codebookSize ids, never vectors)
     val prefIds = corpus.orderBy("vec_id").limit(codebookSize)
       .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).sorted
     val jDf = prefIds.zipWithIndex
       .map { case (id, j) => (id, j.toLong) }.toSeq.toDF("vec_id", "j")
-    // null seed vectors keep their j slot but contribute no centroids, and
-    // null corpus/query vectors never encode or score — subVecs over a
-    // null vector is an array OF null sub-vectors (transform maps the
-    // non-null index sequence), so the explode would NOT drop them; the
-    // explicit isNotNull filters mirror the oracle's `WHERE v IS NOT NULL`.
-    val cb = corpus.join(broadcast(jDf), Seq("vec_id"))
+    corpus.join(broadcast(jDf), Seq("vec_id"))
       .where(col("embedding").isNotNull)
-      .select(col("j"), posexplode(subVecs(col("embedding"))))
+      .select(col("j"), posexplode(pqSubVecs(col("embedding"), m, dsub)))
       .toDF("j", "sub", "cvec")
+  }
+
+  /** Lloyd refinement of the prefix codebook, per sub-space; returns
+    * (j, sub, cvec) like [[prefixPqCodebook]]. Empty (sub, j) cells keep
+    * their previous centroid; per-dim means use the decimal-exact
+    * sum/count form so the oracle replays them bit-for-bit; dims whose
+    * values are all null are skipped (compact), as in
+    * [[trainedCentroids]].
+    */
+  def trainedPqCodebook(corpus: DataFrame, m: Int, dsub: Int,
+      codebookSize: Int, iters: Int): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val csub = graft.core.Graft.spread(corpus)
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id").cast("long").as("corpus_id"),
+        posexplode(pqSubVecs(col("embedding"), m, dsub)))
+      .toDF("corpus_id", "sub", "sv")
+    var cents: Seq[(Long, Int, Seq[Double])] =
+      prefixPqCodebook(corpus, m, dsub, codebookSize).collect().toSeq
+        .map { r =>
+          // a seed sub-vector with a null element is equivalent to a null
+          // centroid under the null-propagating l2sq (its every distance
+          // is NULL either way), and only the null form round-trips the
+          // Seq[Double] encoder
+          val cv = if (r.isNullAt(2)) null else {
+            val s = r.getSeq[Any](2)
+            if (s.contains(null)) null
+            else s.map(_.asInstanceOf[Number].doubleValue())
+          }
+          (r.getLong(0), r.getInt(1), cv)
+        }
+    for (_ <- 0 until iters) {
+      val cbDf = cents.toDF("j", "sub", "cvec")
+      val dist = csub.join(broadcast(cbDf), Seq("sub"))
+        .withColumn("negd", -Vectors.l2sq(col("sv"), col("cvec")))
+      val assigned = TopK.perGroupTopK(dist,
+        Seq("corpus_id", "sub", "sv"), "j", "negd", 1)
+      val dims = assigned
+        .select(col("sub"), col("j"), posexplode(col("sv")))
+        .groupBy("sub", "j", "pos")
+        .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast("double") / count(col("col"))).as("mv"))
+        .where(col("mv").isNotNull)
+        .collect()
+        .groupBy(r => (r.getLong(1), r.getInt(0)))
+      cents = cents.map { case (j, sub, old) =>
+        dims.get((j, sub)) match {
+          case Some(rows) =>
+            (j, sub, rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+          case None => (j, sub, old)
+        }
+      }
+    }
+    cents.toDF("j", "sub", "cvec")
+  }
+
+  /** Shared PQ pipeline over a supplied (j, sub, cvec) codebook:
+    * encode, nano ADC via the per-partition kernel, exact rerank.
+    */
+  private def pqWithCodebook(corpus: DataFrame, queries: DataFrame,
+      cb: DataFrame, k: Int, m: Int, dsub: Int, codebookSize: Int,
+      rerank: Int): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    def subVecs(v: org.apache.spark.sql.Column) = pqSubVecs(v, m, dsub)
 
     // encode: nearest sub-centroid per (corpus vector, sub-space)
     val csub = graft.core.Graft.spread(corpus)

@@ -286,6 +286,17 @@ class OpsSpec extends SparkSpec {
     val pqRecall = (pq & brute).size.toDouble / brute.size
     info(f"pq recall@10 with rerank=40 on 500 vectors: $pqRecall%.2f")
     assert(pqRecall > 0.3)
+
+    // Lloyd-trained sub-codebooks reduce quantization error, so recall at
+    // the same candidate budget must not drop below the prefix sample's
+    val pqT = resultSet(Similarity.pqTopKTrained(emb, queries, 10,
+      rerank = 40, iters = 2))
+    val pqTRecall = (pqT & brute).size.toDouble / brute.size
+    info(f"trained pq recall@10 with rerank=40 on 500 vectors: $pqTRecall%.2f")
+    assert(pqTRecall >= pqRecall)
+    // full-rerank invariance holds for the trained codebook too
+    assert(resultSet(Similarity.pqTopKTrained(emb, queries, 10,
+      rerank = 600, iters = 1)) == brute)
   }
 
   test("trainedCentroids: deterministic across runs, Lloyd step reduces distortion") {
