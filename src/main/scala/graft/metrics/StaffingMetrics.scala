@@ -23,7 +23,23 @@ object StaffingMetrics {
 
   val criticalCols = Seq("MDScensus", "Hrs_RN", "Hrs_LPN", "Hrs_CNA")
 
-  final case class JoinAudit(steps: Int, emptyAfterStep: Seq[Int])
+  /** Join audit. `steps` is eager. `emptyAfterStep` (the reference's
+    * `empty_merges`) is populated by the FIRST action on the joined frame:
+    * the per-step row counts ride that job as `observe()` metrics, so the
+    * audit costs zero extra jobs (the former shape was an eager `isEmpty`
+    * per step — an extra action re-evaluating the join prefix, O(N^2) over
+    * N frames). Reading it before any action throws (never blocks).
+    */
+  final class JoinAudit(val steps: Int,
+      obs: Seq[(Int, org.apache.spark.sql.Observation)]) {
+    def emptyAfterStep: Seq[Int] = obs.flatMap { case (i, o) =>
+      val m = org.apache.spark.sql.graftbridge.GraftBridge.observationOrEmpty(o)
+      if (m.isEmpty) throw new IllegalStateException(
+        "foldJoin audit is populated by the first action on the joined " +
+          "frame — run one (count/collect/write) before reading it")
+      if (m("rows").asInstanceOf[Long] == 0L) Some(i) else None
+    }
+  }
 
   /** Row-drop accounting, mirroring the reference's per-stage warnings
     * (calculate_metrics.py:93-97 zero-sentinel count, :100-113 critical
@@ -43,24 +59,28 @@ object StaffingMetrics {
     * Empty intermediate joins are recorded (the reference's `empty_merges`).
     */
   /** `audit = true` reproduces the reference's per-step empty-merge check
-    * (calculate_metrics.py:57-62) — an eager isEmpty per join step, i.e. an
-    * extra action that re-evaluates the join prefix. Fine for the metrics
-    * pipeline's file counts; pass `audit = false` for generic fold-joins at
-    * scale (one lazy plan, no intermediate actions).
+    * (calculate_metrics.py:57-62) as free-riding `observe()` counters: one
+    * `CollectMetrics` per step inside the single lazy plan, read back from
+    * [[JoinAudit.emptyAfterStep]] after the caller's first action. Scale-
+    * safe at any N; `audit = false` skips even the plan nodes.
     */
   def foldJoin(frames: Seq[DataFrame], keys: Seq[String] = joinKeys,
       audit: Boolean = true): (DataFrame, JoinAudit) = {
     require(frames.nonEmpty, "no qualifying input frames") // :51-54
     var merged = frames.head
-    var empties = List.empty[Int]
+    var obs = List.empty[(Int, org.apache.spark.sql.Observation)]
     frames.zipWithIndex.drop(1).foreach { case (f, i) =>
       val clash = merged.columns.toSet
         .intersect(f.columns.toSet) -- keys
       val renamed = clash.foldLeft(f)((d, c) => d.withColumnRenamed(c, s"${c}_f$i"))
       merged = merged.join(renamed, keys, "inner")
-      if (audit && merged.isEmpty) empties ::= i // :57-62 empty-merge audit
+      if (audit) { // :57-62 empty-merge audit
+        val o = org.apache.spark.sql.Observation(s"foldjoin_step_$i")
+        merged = merged.observe(o, count(lit(1)).as("rows"))
+        obs ::= (i, o)
+      }
     }
-    (merged, JoinAudit(frames.size - 1, empties.reverse))
+    (merged, new JoinAudit(frames.size - 1, obs.reverse))
   }
 
   /** Post-merge contract check (reference calculate_metrics.py:64-67). */

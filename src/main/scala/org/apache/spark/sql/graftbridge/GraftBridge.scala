@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Non-blocking read of an [[org.apache.spark.sql.Observation]]
+    * (`getOrEmpty` minus its `private[sql]` wait): empty map until the
+    * first action on the observed frame completes.
+    */
+  def observationOrEmpty(
+      o: org.apache.spark.sql.Observation): Map[String, Any] =
+    o.getRowOrEmpty
+      .map(r => r.schema.fieldNames.zip(r.toSeq).toMap)
+      .getOrElse(Map.empty)
 }

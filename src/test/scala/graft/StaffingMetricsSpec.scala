@@ -35,17 +35,47 @@ class StaffingMetricsSpec extends SparkSpec {
     assert(audit.steps == 1 && audit.emptyAfterStep.isEmpty)
   }
 
-  test("foldJoin records empty intermediate joins (empty_merges audit)") {
+  test("foldJoin records empty intermediate joins (empty_merges audit) in ONE job") {
     val a = Seq(("k1", "2024Q1")).toDF("PROVNUM", "CY_Qtr")
     val b = Seq(("zzz", "2024Q1")).toDF("PROVNUM", "CY_Qtr")
-    val (_, audit) = StaffingMetrics.foldJoin(Seq(a, b))
+    val (merged, audit) = StaffingMetrics.foldJoin(Seq(a, b))
+    // unread audit must throw, not block or return garbage
+    intercept[IllegalStateException] { audit.emptyAfterStep }
+    // the audit counters ride the caller's own action as observe() metrics
+    // — the audited count must launch EXACTLY as many jobs as the
+    // unaudited one (AQE splits one action into several jobs; the audit
+    // may not add any)
+    def jobsDuring(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(): Unit
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        // listener events are delivered asynchronously; settle briefly
+        val deadline = System.currentTimeMillis() + 5000
+        while (jobs.get() < 1 && System.currentTimeMillis() < deadline)
+          Thread.sleep(10)
+        Thread.sleep(200)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      jobs.get()
+    }
+    val (plain, _) = StaffingMetrics.foldJoin(Seq(a, b), audit = false)
+    val baseline = jobsDuring(assert(plain.count() == 0))
+    val audited = jobsDuring(assert(merged.count() == 0))
+    assert(audited == baseline,
+      s"audit must ride the caller's action: $audited jobs vs $baseline plain")
     assert(audit.emptyAfterStep == Seq(1))
   }
 
   test("full pipeline: hand-computed metrics (clean -> agg -> ratios)") {
     val (out, audit) = StaffingMetrics.run(Seq(staffing, contract))
+    val rows = out.collect() // first action populates the join audit
     assert(audit.emptyAfterStep.isEmpty)
-    val rows = out.collect()
     // P2 dropped (zero-sentinel nulls census -> na.drop), P3 dropped (bad
     // quarter -> null CY_Qtr -> na.drop). P1 survives with TWO merged rows
     // (2 staffing x 2 contract rows on the same key = 4 joined rows).
