@@ -838,6 +838,21 @@ object SparkEntry {
         window = 3)
         .orderBy("block", "id_b", "dist")),
 
+    // Multi-pass SNM: pass 1 blocks by source and sorts by text prefix
+    // (the single-pass entry's ordering); pass 2 blocks by lang and sorts
+    // by zero-padded length + the NEXT 16 chars — a pair whose prefixes
+    // diverge but whose bodies agree survives pass 2. Canonical pairs
+    // merge with (n_passes, min_dist).
+    "dedup_snm_multipass" -> ((s, d) =>
+      Dedup.multiPassSortedNeighborhood(
+        t(s, d, "documents"), "doc_id",
+        Seq(
+          (coalesce(substring(col("text"), 1, 16), lit("")), col("source")),
+          (concat(lpad(coalesce(col("n_chars"), lit(0L)).cast("string"), 6, "0"),
+            coalesce(substring(col("text"), 17, 16), lit(""))), col("lang"))),
+        window = 3)
+        .orderBy("id_a", "id_b")),
+
     // Connected components over candidate pairs (the fuzzy-dedup cluster
     // collapse): sorted-neighborhood pairs chain consecutive docs inside a
     // block, so whole blocks form single chain components — the diameter
@@ -2326,6 +2341,33 @@ object SparkEntry {
         |UNION ALL
         |SELECT block, p2, id, 2 FROM lagged WHERE p2 IS NOT NULL
         |ORDER BY block, id_b, dist""".stripMargin,
+
+    "dedup_snm_multipass" ->
+      """WITH k1 AS (
+        | SELECT source AS block, COALESCE(substr(text, 1, 16), '') AS skey,
+        |  doc_id AS id
+        | FROM documents),
+        |l1 AS (
+        | SELECT id, LAG(id, 1) OVER w AS p1, LAG(id, 2) OVER w AS p2
+        | FROM k1 WINDOW w AS (PARTITION BY block ORDER BY skey, id)),
+        |k2 AS (
+        | SELECT lang AS block,
+        |  lpad(CAST(COALESCE(n_chars, 0) AS VARCHAR), 6, '0')
+        |   || COALESCE(substr(text, 17, 16), '') AS skey,
+        |  doc_id AS id
+        | FROM documents),
+        |l2 AS (
+        | SELECT id, LAG(id, 1) OVER w AS p1, LAG(id, 2) OVER w AS p2
+        | FROM k2 WINDOW w AS (PARTITION BY block ORDER BY skey, id)),
+        |allp AS (
+        | SELECT p1 AS a, id AS b, 1 AS dist FROM l1 WHERE p1 IS NOT NULL
+        | UNION ALL SELECT p2, id, 2 FROM l1 WHERE p2 IS NOT NULL
+        | UNION ALL SELECT p1, id, 1 FROM l2 WHERE p1 IS NOT NULL
+        | UNION ALL SELECT p2, id, 2 FROM l2 WHERE p2 IS NOT NULL)
+        |SELECT LEAST(a, b) AS id_a, GREATEST(a, b) AS id_b,
+        | CAST(COUNT(*) AS BIGINT) AS n_passes, MIN(dist) AS min_dist
+        |FROM allp GROUP BY 1, 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "w6_time_range" ->
       """WITH ev AS (

@@ -316,6 +316,31 @@ object Dedup {
         (col("i") + 1).cast("int").as("dist"))
   }
 
+  /** Multi-pass sorted neighborhood (the full Hernández-Stolfo scheme):
+    * one [[sortedNeighborhood]] pass per (sortKey, blockCol) spec, pairs
+    * canonicalized (id_a < id_b) and merged — a near-dup pair that one
+    * ordering separates (different prefixes, say) is caught by another
+    * (length + suffix, a phonetic key, ...). Cost is passes x one
+    * sort-and-lag pass, never quadratic, and the merge is one hash
+    * aggregate on the bounded pair set.
+    *
+    * Output: (id_a, id_b, n_passes, min_dist) — how many passes proposed
+    * the pair and the closest in-window distance any of them saw (the
+    * usual downstream priority signal: verify closest-first).
+    */
+  def multiPassSortedNeighborhood(df: DataFrame, idCol: String,
+      passes: Seq[(Column, Column)], window: Int = 3): DataFrame = {
+    require(passes.nonEmpty, "at least one (sortKey, blockCol) pass")
+    passes.map { case (sortKey, blockCol) =>
+      sortedNeighborhood(df, idCol, sortKey, blockCol, window)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"),
+          col("dist"))
+    }.reduce(_.unionByName(_))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_passes"), min(col("dist")).as("min_dist"))
+  }
+
   /** Embedding near-dup: cosine >= threshold pairs, bucketed by BANDED
     * random-hyperplane LSH so the pair join is bucket-local (the minhash
     * band structure applied to hyperplane hashing).

@@ -411,6 +411,28 @@ class OpsSpec extends SparkSpec {
     assert(planDepth < 30, s"plan has $planDepth nodes - lineage not truncated")
   }
 
+  test("multi-pass SNM finds the pair the first ordering separates") {
+    val d = Seq(
+      (1L, "aaaa zzzz"), // prefix-sorted: 1,2,3 — suffix-sorted: 3,1,2
+      (2L, "bbbb zzzz"),
+      (3L, "cccc qqqq")
+    ).toDF("doc_id", "text")
+    val byPrefix = substring($"text", 1, 4)
+    val bySuffix = substring($"text", 6, 4)
+    val got = Dedup.multiPassSortedNeighborhood(d, "doc_id",
+      Seq((byPrefix, lit("")), (bySuffix, lit(""))), window = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getInt(3)))
+      .toMap
+    // (1,3) is adjacent ONLY in the suffix ordering (3 sorts before 1)
+    assert(got((1L, 3L)) == (1L, 1))
+    // (1,2) is adjacent in BOTH orderings -> n_passes 2
+    assert(got((1L, 2L)) == (2L, 1))
+    // (2,3) only in the prefix ordering
+    assert(got((2L, 3L)) == (1L, 1))
+    assert(got.size == 3)
+  }
+
   test("clusterNearDups refuses to mislabel when maxIters cuts off convergence") {
     // An 8-node chain needs >1 alternating-star round; with maxIters = 1
     // the old code fell through to the final groupBy/min and returned
