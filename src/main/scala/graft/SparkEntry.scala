@@ -1692,6 +1692,39 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Streaming Bloom-prefiltered incremental dedup: the seen side seeds
+    // an append-only target; incoming docs arrive as 4 parquet files
+    // streamed one per micro-batch (file order is whatever the source
+    // lists), and each batch appends only digests absent from the
+    // target-so-far via the Bloom-routed anti-join. The returned NEW
+    // DIGEST SET is arrival-order independent by construction.
+    "stream_bloom_new_docs" -> ((s, d) => {
+      Graft.tune(s)
+      val docs = t(s, d, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stream_bloom_").toString
+      val target = s"$root/target"
+      val inDir = s"$root/incoming"
+      val seenDigests = docs.where(col("doc_id") < 250)
+        .select(md5(col("text")).as("digest"), col("doc_id"))
+      seenDigests.write.mode("overwrite").parquet(target)
+      docs.where(col("doc_id") >= 250).select(col("doc_id"), col("text"))
+        .repartition(4).write.mode("overwrite").parquet(inDir)
+      val schema = s.read.parquet(inDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .select(md5(col("text")).as("digest"), col("doc_id"))
+      val q = graft.streaming.StreamingIngest
+        .bloomUpsertStream(stream, "digest", target, expectedItems = 1 << 16)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ck")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(target)
+        .join(seenDigests.select("digest"), Seq("digest"), "left_anti")
+        .select("digest").distinct().orderBy("digest")
+    }),
+
     // Multimodal: synthetic media + metadata extraction (decode stays
     // stubbed; plumbing is real — see graft.ops.Multimodal).
     "mm_media_meta" -> ((s, d) => {
@@ -2230,6 +2263,13 @@ object SparkEntry {
         |  SELECT 1 FROM documents s
         |  WHERE s.doc_id < 250 AND md5(s.text) = md5(i.text))
         |ORDER BY doc_id""".stripMargin,
+
+    "stream_bloom_new_docs" ->
+      """SELECT DISTINCT md5(i.text) AS digest FROM documents i
+        |WHERE i.doc_id >= 250 AND NOT EXISTS (
+        |  SELECT 1 FROM documents s
+        |  WHERE s.doc_id < 250 AND md5(s.text) = md5(i.text))
+        |ORDER BY digest""".stripMargin,
 
     "s7_schema_evolution" ->
       """SELECT o_orderkey, o_custkey,

@@ -82,6 +82,33 @@ object StreamingIngest {
       newRows.write.mode("append").parquet(targetPath)
     }
 
+  /** [[upsertStream]] with the Bloom-prefiltered membership test composed
+    * in: each micro-batch appends only keys absent from the target, and
+    * the absence check is [[graft.ops.BloomDedup.newRows]] — a Bloom
+    * sketch of the (huge) target routes definitely-new rows around the
+    * exact anti-join, so the per-batch cost is proportional to the
+    * probable-dup fraction, not the target size. Result rows are
+    * bit-identical to the plain anti-join (the sketch only routes).
+    *
+    * Arrival-order contract: the target's KEY SET is independent of
+    * micro-batch boundaries and order (a key lands in the target iff some
+    * input row carried it and the seed didn't); which carrier row's other
+    * columns ride along is first-arrival, as in any append-only upsert —
+    * query the key set (as stream_bloom_new_docs does) for the
+    * deterministic surface.
+    */
+  def bloomUpsertStream(stream: DataFrame, keyCol: String, targetPath: String,
+      expectedItems: Long): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val inBatch = batch.dropDuplicates(Seq(keyCol))
+      val newRows = if (new java.io.File(targetPath).exists()) {
+        graft.ops.BloomDedup.newRows(inBatch,
+          spark.read.parquet(targetPath), keyCol, expectedItems)
+      } else inBatch
+      newRows.write.mode("append").parquet(targetPath)
+    }
+
   /** Run a streaming DataFrame to completion over the currently-available
     * input (Trigger.AvailableNow) into an in-memory table; returns the
     * result as a batch DataFrame. Used by tests and the Verify harness.

@@ -182,4 +182,32 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == 4)
     assert(out.count() == 4)
   }
+
+  test("bloomUpsertStream: final key set independent of micro-batch boundaries") {
+    import org.apache.spark.sql.streaming.Trigger
+    // seed {a,b}; incoming carries b (dup of seed), c twice (the second in
+    // a LATER batch when split), and d — the new-key set must be {c,d}
+    // whether the input arrives as one batch or two
+    def run(groups: Seq[Seq[(String, Long)]]): Set[String] = {
+      val root = Files.createTempDirectory("graft_bloom_up").toString
+      val target = root + "/t"
+      Seq(("a", 0L), ("b", 0L)).toDF("digest", "doc_id")
+        .write.parquet(target)
+      groups.foreach(_.toDF("digest", "doc_id").coalesce(1)
+        .write.mode("append").parquet(root + "/in"))
+      val schema = spark.read.parquet(root + "/in").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(root + "/in")
+      val q = StreamingIngest.bloomUpsertStream(stream, "digest", target, 1024)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", root + "/ck")
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(target).select("digest").as[String].collect().toSet --
+        Set("a", "b")
+    }
+    val rows = Seq(("b", 1L), ("c", 2L), ("c", 3L), ("d", 4L))
+    assert(run(Seq(rows)) == Set("c", "d"))
+    assert(run(Seq(rows.take(2), rows.drop(2))) == Set("c", "d"))
+  }
 }
