@@ -31,12 +31,21 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Graft.table(s, dir, name)
 
-  /** dataset dir -> materialized partitioned layout for s8_partitioned_scan.
-    * computeIfAbsent gives write-once-per-JVM; the value is a fresh
-    * createTempDirectory path, so concurrent processes never share a dir.
+  /** (layout kind, dataset dir) -> materialized scratch layout for the
+    * source-format round-trip entries. computeIfAbsent gives write-once
+    * per JVM; each value is a fresh createTempDirectory path, so
+    * concurrent processes never share a dir — a killed run's half-written
+    * leftovers can never be picked up by a later one (a fixed /tmp path
+    * raced exactly that way).
     */
-  private val partScanLayouts =
+  private val scratchLayouts =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def scratch(kind: String, d: String)(write: String => Unit): String =
+    scratchLayouts.computeIfAbsent(s"$kind:$d", { _ =>
+      val out = java.nio.file.Files.createTempDirectory(s"graft_${kind}_").toString
+      write(out)
+      out
+    })
 
   /** Exact decimal sum of a 2-dp double column, surfaced as DOUBLE. */
   private def dsum2(c: Column): Column =
@@ -98,14 +107,13 @@ object SparkEntry {
     // union is the source's own). Lossless round-trip, so the parquet table
     // is its own oracle.
     "s1_csv_glob_scan" -> ((s, d) => {
-      import java.nio.file.{Files, Paths}
-      val tmp = Paths.get(s"/tmp/graft_csv_roundtrip_${d.replaceAll("[^0-9a-zA-Z]", "_")}")
-      Files.createDirectories(tmp)
-      val n = t(s, d, "nation")
-      n.where(col("n_regionkey") < 2).coalesce(1).write.mode("overwrite")
-        .option("header", "true").csv(tmp.resolve("NATION_part_a").toString)
-      n.where(col("n_regionkey") >= 2).coalesce(1).write.mode("overwrite")
-        .option("header", "true").csv(tmp.resolve("NATION_part_b").toString)
+      val tmp = scratch("csv_glob", d) { out =>
+        val n = t(s, d, "nation")
+        n.where(col("n_regionkey") < 2).coalesce(1).write.mode("overwrite")
+          .option("header", "true").csv(s"$out/NATION_part_a")
+        n.where(col("n_regionkey") >= 2).coalesce(1).write.mode("overwrite")
+          .option("header", "true").csv(s"$out/NATION_part_b")
+      }
       s.read.option("header", "true")
         .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .csv(s"$tmp/NATION_part_*/*.csv")
@@ -115,9 +123,9 @@ object SparkEntry {
     // JSON-lines source round-trip (schema-on-read; lossless for these
     // types, so the parquet table is its own oracle).
     "s2_json_roundtrip" -> ((s, d) => {
-      val tmp = s"/tmp/graft_json_rt_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
-      val src = t(s, d, "supplier")
-      src.coalesce(1).write.mode("overwrite").json(tmp)
+      val tmp = scratch("json_rt", d) { out =>
+        t(s, d, "supplier").coalesce(1).write.mode("overwrite").json(out)
+      }
       s.read.schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
         .json(tmp)
         .orderBy("s_suppkey")
@@ -125,8 +133,9 @@ object SparkEntry {
 
     // ORC source round-trip (columnar alternative to parquet).
     "s3_orc_roundtrip" -> ((s, d) => {
-      val tmp = s"/tmp/graft_orc_rt_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
-      t(s, d, "part").write.mode("overwrite").orc(tmp)
+      val tmp = scratch("orc_rt", d) { out =>
+        t(s, d, "part").write.mode("overwrite").orc(out)
+      }
       s.read.orc(tmp).orderBy("p_partkey")
     }),
 
@@ -136,13 +145,14 @@ object SparkEntry {
     // table goes through (P5's missing-declared-column rule at the
     // file-generation level).
     "s7_schema_evolution" -> ((s, d) => {
-      val tmp = s"/tmp/graft_evolve_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
-      val o = t(s, d, "orders")
-      o.where(col("o_orderkey") <= 1000).select("o_orderkey", "o_custkey")
-        .write.mode("overwrite").parquet(s"$tmp/v1")
-      o.where(col("o_orderkey") > 1000)
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .write.mode("overwrite").parquet(s"$tmp/v2")
+      val tmp = scratch("evolve", d) { out =>
+        val o = t(s, d, "orders")
+        o.where(col("o_orderkey") <= 1000).select("o_orderkey", "o_custkey")
+          .write.mode("overwrite").parquet(s"$out/v1")
+        o.where(col("o_orderkey") > 1000)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$out/v2")
+      }
       s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
         .orderBy("o_orderkey")
     }),
@@ -874,17 +884,10 @@ object SparkEntry {
     // (partition pruning is the file-level analogue of predicate
     // pushdown; plan-asserted in PlanShapeSpec).
     "s8_partitioned_scan" -> ((s, d) => {
-      // Write-once per (JVM, dataset dir) into a per-process unique temp
-      // dir: concurrent JVMs get distinct paths (no cross-process race on
-      // a shared /tmp layout), and fused bench reps inside one JVM reuse
-      // the first materialization instead of rewriting.
-      val tmp = partScanLayouts.computeIfAbsent(d, { dir =>
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_part_scan_").toString
-        t(s, dir, "documents").write.mode("overwrite")
+      val tmp = scratch("part_scan", d) { out =>
+        t(s, d, "documents").write.mode("overwrite")
           .partitionBy("source").parquet(out)
-        out
-      })
+      }
       s.read.parquet(tmp)
         .where(col("source") === "src3")
         .select("doc_id", "text", "lang", "source", "n_chars")
