@@ -1723,8 +1723,12 @@ object SparkEntry {
         .option("checkpointLocation", s"$root/ck")
         .start()
       q.awaitTermination()
-      s.read.parquet(target)
-        .join(seenDigests.select("digest"), Seq("digest"), "left_anti")
+      // Appended rows are exactly those carrying incoming ids: a plain
+      // anti-join readback against the seed would also surface a NULL-
+      // digest SEED row (NULL never matches an anti join), while a null
+      // digest must count as new only when an incoming doc carries it —
+      // the oracle's NOT-EXISTS semantics (null is always "new").
+      s.read.parquet(target).where(col("doc_id") >= 250)
         .select("digest").distinct().orderBy("digest")
     }),
 
