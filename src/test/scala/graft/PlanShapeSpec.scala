@@ -176,6 +176,21 @@ class PlanShapeSpec extends SparkSpec {
       s"scan must read exactly 1 of the 20 source= directories, read $partsRead")
   }
 
+  test("dedup_snm_multipass is two sort passes + one merge agg — no self-join") {
+    val p = plan("dedup_snm_multipass")
+    assert("Window".r.findAllIn(p).size == 2,
+      s"one window pass per sort key expected: ${p.take(800)}")
+    assert(!p.contains("Join"), s"SNM must never self-join: ${p.take(800)}")
+  }
+
+  test("sim_pq_topk scores ADC through the partition kernel, no Window") {
+    val p = finalPlan("sim_pq_topk")
+    assert(!p.contains("Window"), p.take(800))
+    assert(p.contains("MapPartitions"),
+      s"ADC must run in the primitive kernel: ${p.take(1200)}")
+    assert(p.contains("TopKAgg"), p.take(1200))
+  }
+
   test("text_bm25_topk ranks through bounded TopKAgg with broadcast query terms") {
     val p = finalPlan("text_bm25_topk")
     assert(!p.contains("Window"), p.take(800))
