@@ -1397,6 +1397,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-PQ composed index (the production FAISS-style layout): coarse
+    // cells prune the candidate scan, PQ codes ADC-score what remains,
+    // exact cosine reranks the winners. Both prunes replay in the oracle.
+    "sim_ivfpq_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 5), k = 10,
+        nCells = 16, nProbe = 4, m = 8, dsub = 8, codebookSize = 16,
+        rerank = 40)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // Scalar-quantized (int8) ANN with exact rerank: encode is replayed in
     // the oracle bit-for-bit (amax fold -> scale -> rounded tinyint codes),
     // approximate ranking picks 40 candidates, exact cosine reranks to 10.
@@ -2780,6 +2792,8 @@ object SparkEntry {
 
     "sim_pq_trained_topk" -> pqTopkOracle(iters = 2),
 
+    "sim_ivfpq_topk" -> ivfPqTopkOracle(),
+
     "emb_label_centroids" ->
       (labelCentroidsSql +
         """
@@ -3729,6 +3743,94 @@ object SparkEntry {
        | FROM exact)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Replays the composed IVF-PQ pipeline: prefix coarse cells + prefix
+    * sub-codebooks, corpus cell assignment and PQ encode, query probes,
+    * nano ADC restricted to probed cells, exact cosine rerank.
+    */
+  private def ivfPqTopkOracle(nCells: Int = 16, nProbe: Int = 4, m: Int = 8,
+      dsub: Int = 8, cbSize: Int = 16, rerank: Int = 40, k: Int = 10): String =
+    s"""WITH pref AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  ORDER BY vec_id LIMIT $cbSize),
+       | jmap AS (
+       |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
+       |  FROM pref),
+       | cb AS (
+       |  SELECT jm.j, t.i AS sub, list_slice(p.v, t.i * $dsub + 1, t.i * $dsub + $dsub) AS cvec
+       |  FROM pref p JOIN jmap jm USING (vec_id)
+       |  CROSS JOIN (SELECT unnest(range(0, $m)) AS i) t
+       |  WHERE p.v IS NOT NULL),
+       | cents AS (
+       |  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS centv
+       |  FROM embeddings ORDER BY vec_id LIMIT $nCells),
+       | corpus AS (
+       |  SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       | cassign AS (
+       |  SELECT corpus_id, cell FROM (
+       |   SELECT c.corpus_id, ct.cent_id AS cell, ROW_NUMBER() OVER (
+       |     PARTITION BY c.corpus_id
+       |     ORDER BY ${distSql("c.cv", "ct.centv")} ASC, ct.cent_id ASC) AS rn
+       |   FROM corpus c CROSS JOIN cents ct) WHERE rn = 1),
+       | csub AS (
+       |  SELECT c.corpus_id, t.i AS sub,
+       |   list_slice(c.cv, t.i * $dsub + 1, t.i * $dsub + $dsub) AS sv
+       |  FROM corpus c
+       |  CROSS JOIN (SELECT unnest(range(0, $m)) AS i) t),
+       | codes AS (
+       |  SELECT corpus_id, sub, j FROM (
+       |   SELECT c.corpus_id, c.sub, cb.j, ROW_NUMBER() OVER (
+       |     PARTITION BY c.corpus_id, c.sub
+       |     ORDER BY ${l2sqSql("c.sv", "cb.cvec")} ASC, cb.j ASC) AS rn
+       |   FROM csub c JOIN cb ON cb.sub = c.sub) WHERE rn = 1),
+       | q AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+       |  WHERE vec_id < 5 AND embedding IS NOT NULL),
+       | qprobe AS (
+       |  SELECT query_id, cell FROM (
+       |   SELECT q.query_id, ct.cent_id AS cell, ROW_NUMBER() OVER (
+       |     PARTITION BY q.query_id
+       |     ORDER BY ${distSql("q.qv", "ct.centv")} ASC, ct.cent_id ASC) AS rn
+       |   FROM q CROSS JOIN cents ct) WHERE rn <= $nProbe),
+       | qsub AS (
+       |  SELECT q.query_id, t.i AS sub,
+       |   list_slice(q.qv, t.i * $dsub + 1, t.i * $dsub + $dsub) AS qsv
+       |  FROM q CROSS JOIN (SELECT unnest(range(0, $m)) AS i) t),
+       | qlut AS (
+       |  SELECT qs.query_id, qs.sub, cb.j,
+       |   CAST(ROUND((${l2sqSql("qs.qsv", "cb.cvec")}) * 1000000000.0) AS BIGINT) AS pd
+       |  FROM qsub qs JOIN cb ON cb.sub = qs.sub),
+       | approx AS (
+       |  SELECT ql.query_id, co.corpus_id,
+       |   CASE WHEN COUNT(*) = COUNT(ql.pd) THEN SUM(ql.pd) END AS adist
+       |  FROM codes co
+       |   JOIN cassign ca ON ca.corpus_id = co.corpus_id
+       |   JOIN qprobe qp ON qp.cell = ca.cell
+       |   JOIN qlut ql ON ql.sub = co.sub AND ql.j = co.j
+       |     AND ql.query_id = qp.query_id
+       |  WHERE co.corpus_id <> qp.query_id
+       |  GROUP BY 1, 2),
+       | cands AS (
+       |  SELECT query_id, corpus_id FROM (
+       |   SELECT query_id, corpus_id, ROW_NUMBER() OVER (
+       |     PARTITION BY query_id ORDER BY adist ASC, corpus_id ASC) AS rn
+       |   FROM approx) WHERE rn <= $rerank),
+       | exact AS (
+       |  SELECT ca.query_id, ca.corpus_id,
+       |   ${cosineSql("q.qv", "e.cv")} AS cosine
+       |  FROM cands ca
+       |   JOIN (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) e
+       |     ON e.vec_id = ca.corpus_id
+       |   JOIN (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |         FROM embeddings WHERE vec_id < 5) q
+       |     ON q.query_id = ca.query_id)
+       |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
+       |FROM (
+       | SELECT query_id, corpus_id, cosine, ROW_NUMBER() OVER (
+       |   PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+       | FROM exact)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   private def lshTopkOracle: String = {
     val bucketC = lshBucketSql("cv", 4, 64)

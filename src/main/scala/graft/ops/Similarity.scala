@@ -471,12 +471,48 @@ object Similarity {
     cents.toDF("j", "sub", "cvec")
   }
 
+  /** IVF-PQ composed index (the production ANN layout: coarse cells
+    * prune the scan, PQ codes make what remains cheap to score): the
+    * corpus is assigned to one of `nCells` prefix-sample cells and
+    * PQ-encoded; a query probes its `nProbe` nearest cells and
+    * ADC-scores ONLY vectors living in them, then reranks the top
+    * `rerank` exactly. At 100 TB the corpus is written cell-partitioned,
+    * so the probe reads nProbe/nCells of the files (partition pruning)
+    * and touches 64x-compressed codes — full vectors load only for the
+    * Q x rerank winners. Both prunes replay in the oracle.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 2, m: Int = 8, dsub: Int = 8,
+      codebookSize: Int = 16, rerank: Int = 40): DataFrame = {
+    val cents = corpus.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").cast("long").as("cent_id"),
+        col("embedding").as("centv"))
+    val cc = nearestCells(
+      graft.core.Graft.spread(corpus).where(col("embedding").isNotNull)
+        .select(col("vec_id").cast("long").as("corpus_id"),
+          col("embedding").as("cv")),
+      "corpus_id", "cv", 1, cents)
+      .select(col("corpus_id"), col("cell").cast("long").as("cell"))
+    val qc = nearestCells(
+      queries.where(col("embedding").isNotNull)
+        .select(col("vec_id").cast("long").as("query_id"),
+          col("embedding").as("qv")),
+      "query_id", "qv", nProbe, cents)
+      .select(col("query_id"), col("cell").cast("long").as("cell"))
+    pqWithCodebook(corpus, queries,
+      prefixPqCodebook(corpus, m, dsub, codebookSize),
+      k, m, dsub, codebookSize, rerank, cells = Some((cc, qc)))
+  }
+
   /** Shared PQ pipeline over a supplied (j, sub, cvec) codebook:
     * encode, nano ADC via the per-partition kernel, exact rerank.
+    * `cells` (corpus cell assignment, query probe set) restricts ADC
+    * scoring to cell-matched pairs — the IVF-PQ compose.
     */
   private def pqWithCodebook(corpus: DataFrame, queries: DataFrame,
       cb: DataFrame, k: Int, m: Int, dsub: Int, codebookSize: Int,
-      rerank: Int): DataFrame = {
+      rerank: Int,
+      cells: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val sp = corpus.sparkSession
     import sp.implicits._
     def subVecs(v: org.apache.spark.sql.Column) = pqSubVecs(v, m, dsub)
@@ -524,15 +560,33 @@ object Similarity {
       lut(qIdx(r.getLong(0)))(slot) =
         if (r.isNullAt(3)) Long.MinValue else r.getLong(3)
     }
-    val bcLut = sp.sparkContext.broadcast((qIds, lut))
+    // per-query probed-cell sets (IVF-PQ only; bounded nProbe longs per
+    // query, collected alongside the LUTs)
+    val hasCells = cells.isDefined
+    val qCells: Array[Array[Long]] = cells match {
+      case Some((_, qc)) =>
+        val byQ = qc.collect().groupBy(_.getLong(0))
+        qIds.map(id => byQ.get(id)
+          .map(_.map(_.getLong(1)).sorted).getOrElse(Array.empty[Long]))
+      case None => Array.empty
+    }
+    val bcLut = sp.sparkContext.broadcast((qIds, lut, qCells))
 
-    // one row per coded corpus vector: its (sub, j) code pairs
-    val packedCodes = codes.groupBy("corpus_id")
+    // one row per coded corpus vector: its (sub, j) code pairs (+ its
+    // IVF cell when composing)
+    val packedBase = codes.groupBy("corpus_id")
       .agg(sort_array(collect_list(
         struct(col("sub").cast("int").as("sub"), col("j").cast("int").as("j"))))
         .as("cs"))
+    val packedCodes = cells match {
+      case Some((cc, _)) =>
+        packedBase.join(cc, Seq("corpus_id"))
+          .select(col("corpus_id"), col("cs"), col("cell"))
+      case None =>
+        packedBase.select(col("corpus_id"), col("cs"), lit(0L).as("cell"))
+    }
     val packed = packedCodes.mapPartitions { rows =>
-      val (ids, luts) = bcLut.value
+      val (ids, luts, qcells) = bcLut.value
       val nq = ids.length
       if (nq == 0) Iterator.empty
       else {
@@ -542,6 +596,7 @@ object Similarity {
         rows.foreach { r =>
           val cid = r.getLong(0)
           val cs = r.getSeq[org.apache.spark.sql.Row](1)
+          val cell = r.getLong(2)
           // unpack the row's codes to primitive LUT slots ONCE — the
           // query loop below must not touch Row objects
           val nSlots = cs.length
@@ -553,9 +608,22 @@ object Similarity {
             slots(si) = p.getInt(0) * cbs + p.getInt(1)
             si += 1
           }
+          @inline def probed(qi: Int): Boolean = {
+            if (!hasCells) true
+            else {
+              val pc = qcells(qi)
+              var i = 0
+              var found = false
+              while (!found && i < pc.length) {
+                if (pc(i) == cell) found = true
+                i += 1
+              }
+              found
+            }
+          }
           var qi = 0
           while (qi < nq) {
-            if (cid != ids(qi)) {
+            if (cid != ids(qi) && probed(qi)) {
               val l = luts(qi)
               var acc = 0L
               var ok = true

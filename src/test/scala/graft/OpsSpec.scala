@@ -297,6 +297,17 @@ class OpsSpec extends SparkSpec {
     // full-rerank invariance holds for the trained codebook too
     assert(resultSet(Similarity.pqTopKTrained(emb, queries, 10,
       rerank = 600, iters = 1)) == brute)
+
+    // IVF-PQ compose: probing every cell with full rerank must EQUAL
+    // brute force (both prunes disabled -> exact path)
+    assert(resultSet(Similarity.ivfPqTopK(emb, queries, 10,
+      nCells = 16, nProbe = 16, rerank = 600)) == brute)
+    // and at the pruned setting recall stays well above chance
+    val ivfpq = resultSet(Similarity.ivfPqTopK(emb, queries, 10,
+      nCells = 16, nProbe = 4, rerank = 40))
+    val ivfpqRecall = (ivfpq & brute).size.toDouble / brute.size
+    info(f"ivf-pq recall@10 (nProbe=4/16, rerank=40) on 500 vectors: $ivfpqRecall%.2f")
+    assert(ivfpqRecall > 0.05)
   }
 
   test("trainedCentroids: deterministic across runs, Lloyd step reduces distortion") {
