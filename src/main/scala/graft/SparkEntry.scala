@@ -1482,17 +1482,19 @@ object SparkEntry {
     // TopKAgg (its id channel is Long, so terms ride as hash60 ids and the
     // winners join their strings back — k rows per group per partition
     // cross the shuffle, never the full term distribution).
+    // String-id bounded top-k (TopKAggStr): terms rank directly through
+    // the k-slot aggregate — no hash60 surrogate id + join-back, and ties
+    // break on the term itself (UTF-8 byte order, DuckDB-identical).
     "text_top_terms" -> ((s, d) => {
       val toks = Graft.spread(t(s, d, "documents"))
         .select(col("lang"), explode(Text.tokens(col("text"))).as("w"))
         .where(col("w") =!= "")
       val counts = toks.groupBy("lang", "w").agg(count(lit(1)).as("c"))
-        .withColumn("wid", StableHash.hash60(col("w")))
-      val top = graft.ops.TopK.perGroupTopK(
+      graft.ops.TopK.perGroupTopKStr(
         counts.withColumn("score", col("c").cast("double")),
-        Seq("lang"), "wid", "score", 3)
-      top.join(counts, Seq("lang", "wid"))
-        .select(col("lang"), col("rank"), col("w").as("term"), col("c").as("n"))
+        Seq("lang"), "w", "score", 3)
+        .select(col("lang"), col("rank"), col("w").as("term"),
+          col("score").cast("long").as("n"))
         .orderBy("lang", "rank")
     }),
 
@@ -2953,8 +2955,7 @@ object SparkEntry {
          |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
     },
 
-    "text_top_terms" -> {
-      val h = hash60Sql("w")
+    "text_top_terms" ->
       s"""WITH toks AS (
          | SELECT lang, w FROM (
          |  SELECT lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
@@ -2962,11 +2963,10 @@ object SparkEntry {
          |counts AS (SELECT lang, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
          |ranked AS (
          | SELECT lang, w, c, ROW_NUMBER() OVER (
-         |   PARTITION BY lang ORDER BY c DESC, $h ASC) AS rank
+         |   PARTITION BY lang ORDER BY c DESC, w ASC) AS rank
          | FROM counts)
          |SELECT lang, rank, w AS term, c AS n
-         |FROM ranked WHERE rank <= 3 ORDER BY lang, rank""".stripMargin
-    },
+         |FROM ranked WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
 
     "text_bigram_lm" ->
       """WITH base AS (

@@ -201,6 +201,28 @@ class OpsSpec extends SparkSpec {
       Seq((11L, 1L), (10L, 2L)))
   }
 
+  test("TopKAggStr matches the row_number window form (string ids, ties, nulls)") {
+    import org.apache.spark.sql.expressions.Window
+    // engineered score ties force the string tie-break; planted nulls
+    // rank last; 8 partitions force partial+final buffer merges
+    val scored = spark.range(200)
+      .select(
+        (col("id") % 3).as("g"),
+        // id DIV 3 -> unique term per group (no dedup nondeterminism)
+        concat(lit("term_"), lpad(expr("id DIV 3").cast("string"), 3, "0")).as("cand"),
+        when(col("id") % 11 === 0, lit(null).cast("double"))
+          .otherwise((col("id") % 7).cast("double")).as("score"))
+      .repartition(8)
+    val viaAgg = graft.ops.TopK.perGroupTopKStr(scored, Seq("g"), "cand", "score", 5)
+      .orderBy("g", "rank").collect().map(_.toSeq)
+    val w = Window.partitionBy("g").orderBy(col("score").desc_nulls_last, col("cand").asc)
+    val viaWindow = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select("g", "cand", "score", "rank")
+      .orderBy("g", "rank").collect().map(_.toSeq)
+    assert(viaAgg.toSeq == viaWindow.toSeq)
+  }
+
   test("MinHashMerge aggregator: group signature = elementwise min of members") {
     val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", 8, 3)
       .withColumn("grp", when($"doc_id" <= 3, "a").otherwise("b"))
