@@ -1337,6 +1337,15 @@ object SparkEntry {
           col("centroid")(2).as("c2"), col("centroid")(3).as("c3"))
         .orderBy("label")),
 
+    // Covariance of the embedding distribution (PCA input): upper-
+    // triangle entries, nano-exact product sums so every double replays
+    // bit-for-bit. The 64x64 matrix is the bounded output; the corpus
+    // only streams through the (i, j) hash aggregate.
+    "emb_covariance" -> ((s, d) =>
+      graft.ops.EmbeddingAgg.covarianceUpper(
+        Graft.spread(t(s, d, "embeddings")), "embedding", dim = 64)
+        .orderBy("i", "j")),
+
     // Nearest-centroid assignment (classify every vector against the
     // label prototypes): centroids broadcast, corpus scored map-side,
     // bounded top-1 finisher.
@@ -2795,6 +2804,32 @@ object SparkEntry {
     "sim_pq_trained_topk" -> pqTopkOracle(iters = 2),
 
     "sim_ivfpq_topk" -> ivfPqTopkOracle(),
+
+    "emb_covariance" ->
+      """WITH clean AS (
+        | SELECT embedding::DOUBLE[] AS v FROM embeddings
+        | WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |  AND len(embedding) = list_aggregate(embedding, 'count')),
+        |nn AS (SELECT COUNT(*) AS n FROM clean),
+        |pairs AS (
+        | SELECT i.i AS i, j.j AS j,
+        |  CAST(ROUND(v[CAST(i.i AS INT) + 1] * v[CAST(j.j AS INT) + 1]
+        |    * 1000000000.0) AS BIGINT) AS p
+        | FROM clean CROSS JOIN range(0, 64) i(i) CROSS JOIN range(0, 64) j(j)
+        | WHERE j.j >= i.i),
+        |sums AS (SELECT i, j, SUM(p) AS s FROM pairs GROUP BY 1, 2),
+        |mom AS (
+        | SELECT t.i AS i,
+        |  SUM(CAST(ROUND(v[CAST(t.i AS INT) + 1] * 1000000000.0) AS BIGINT)) AS sm
+        | FROM clean CROSS JOIN range(0, 64) t(i) GROUP BY 1)
+        |SELECT s.i, s.j,
+        | CAST(s.s AS DOUBLE) / 1000000000.0 / nn.n
+        |  - (CAST(mi.sm AS DOUBLE) / 1000000000.0 / nn.n)
+        |    * (CAST(mj.sm AS DOUBLE) / 1000000000.0 / nn.n) AS cov
+        |FROM sums s CROSS JOIN nn
+        | JOIN mom mi ON mi.i = s.i
+        | JOIN mom mj ON mj.i = s.j
+        |ORDER BY s.i, s.j""".stripMargin,
 
     "emb_label_centroids" ->
       (labelCentroidsSql +

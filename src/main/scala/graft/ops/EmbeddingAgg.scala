@@ -38,6 +38,79 @@ object EmbeddingAgg {
     * broadcast — the corpus is touched map-side only, plus the bounded
     * per-id top-1 aggregate.
     */
+  /** Upper-triangle covariance entries (i <= j) of the embedding
+    * distribution — the input to PCA whitening / dimensionality cuts.
+    *
+    * Exactness: per-row products are rounded to integer nanos
+    * (`ROUND(x*1e9)` — the proven cross-engine rounding), summed as
+    * longs (order-free), and descaled once, so every entry replays
+    * bit-for-bit in the oracle regardless of partitioning. Only full
+    * `dim`-length vectors with no null elements participate (the
+    * contract the oracle mirrors).
+    *
+    * Scale shape: the upper-triangle explode is dim(dim+1)/2 scalar rows
+    * per vector, hash-aggregated on (i, j) with map-side partial combine
+    * — wire rows are partitions x dim^2/2, independent of corpus size;
+    * nothing collects until the (dim^2/2)-row result.
+    */
+  def covarianceUpper(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val raw = col(vecCol)
+    val clean = df.where(raw.isNotNull && size(raw) === dim &&
+        !exists(raw, x => x.isNull))
+      .select(graft.functions.Vectors.asDouble(raw).as("v"))
+    val n = clean.agg(count(lit(1)).as("n"))
+    def nano(c: org.apache.spark.sql.Column) = round(c * 1e9).cast("long")
+    val pairs = clean.select(explode(flatten(transform(
+        sequence(lit(0), lit(dim - 1)), i =>
+          transform(sequence(i, lit(dim - 1)), j =>
+            struct(i.as("i"), j.as("j"),
+              nano(element_at(col("v"), i + 1) *
+                element_at(col("v"), j + 1)).as("p")))))).as("e"))
+      .select(col("e.i").cast("long").as("i"),
+        col("e.j").cast("long").as("j"), col("e.p").as("p"))
+    val sums = pairs.groupBy("i", "j").agg(sum(col("p")).as("s"))
+    val mom = clean.select(posexplode(col("v")))
+      .groupBy(col("pos").cast("long").as("i"))
+      .agg(sum(nano(col("col"))).as("sm"))
+    sums
+      .join(mom.select(col("i"), col("sm").as("si")), Seq("i"))
+      .join(mom.select(col("i").as("j"), col("sm").as("sj")), Seq("j"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        (col("s").cast("double") / 1e9 / col("n")
+          - (col("si").cast("double") / 1e9 / col("n"))
+            * (col("sj").cast("double") / 1e9 / col("n"))).as("cov"))
+  }
+
+  /** First principal component by power iteration over a
+    * [[covarianceUpper]] result: the (dim^2/2)-row entry set collects to
+    * the driver (tiny — the corpus never does), iterates
+    * v <- normalize(C v) from the uniform start, and sign-fixes so the
+    * first non-zero coordinate is positive (deterministic orientation).
+    */
+  def pc1(cov: DataFrame, dim: Int, iters: Int = 30): Array[Double] = {
+    val m = Array.ofDim[Double](dim, dim)
+    cov.select(col("i").cast("int"), col("j").cast("int"), col("cov"))
+      .collect().foreach { r =>
+        val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+        m(i)(j) = c
+        m(j)(i) = c
+      }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 0 until iters) {
+      val nv = Array.tabulate(dim) { i =>
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += m(i)(j) * v(j); j += 1 }
+        s
+      }
+      val norm = math.sqrt(nv.map(x => x * x).sum)
+      if (norm > 0) v = nv.map(_ / norm)
+    }
+    val lead = v.indexWhere(_ != 0.0)
+    if (lead >= 0 && v(lead) < 0) v.map(-_) else v
+  }
+
   def assignNearest(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centKeyCol: String,
       centVecCol: String): DataFrame = {

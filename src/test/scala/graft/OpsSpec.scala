@@ -201,6 +201,30 @@ class OpsSpec extends SparkSpec {
       Seq((11L, 1L), (10L, 2L)))
   }
 
+  test("covarianceUpper + pc1 recover a planted dominant direction") {
+    import graft.ops.EmbeddingAgg
+    val dim = 8
+    // direction d = (1,1,0,...)/sqrt(2); points t*d + tiny deterministic
+    // noise on axis 2 — the top eigenvector must align with d
+    val rows = (0 until 200).map { t =>
+      val scale = (t % 21) - 10.0 // symmetric spread along d
+      val noise = ((t % 7) - 3.0) * 0.01
+      val v = Array.tabulate(dim)(i =>
+        (if (i == 0 || i == 1) scale / math.sqrt(2.0) else 0.0) +
+          (if (i == 2) noise else 0.0))
+      Tuple1(v.map(_.toFloat))
+    }.toDF("embedding")
+    val cov = EmbeddingAgg.covarianceUpper(rows, "embedding", dim)
+    assert(cov.count() == dim * (dim + 1) / 2)
+    val pc = EmbeddingAgg.pc1(cov, dim)
+    val d = Array.tabulate(dim)(i => if (i <= 1) 1.0 / math.sqrt(2.0) else 0.0)
+    val cos = pc.zip(d).map { case (a, b) => a * b }.sum
+    info(f"cos(pc1, planted direction) = $cos%.6f")
+    assert(math.abs(cos) > 0.999, s"pc1 = ${pc.mkString(",")}")
+    // deterministic orientation: first non-zero coordinate positive
+    assert(pc(pc.indexWhere(_ != 0.0)) > 0)
+  }
+
   test("TopKAggStr matches the row_number window form (string ids, ties, nulls)") {
     import org.apache.spark.sql.expressions.Window
     // engineered score ties force the string tie-break; planted nulls
