@@ -411,6 +411,19 @@ object SparkEntry {
       .where(col("n") > 1)
       .orderBy("user_id", "event_type")),
 
+    // Declarative DQ constraint suite (Deequ-style): four checks over
+    // events evaluated in ONE aggregate pass; exact-count ratios replay
+    // bit-for-bit in the oracle.
+    "dq_constraints" -> ((s, d) => {
+      import graft.quality.Constraints._
+      check(t(s, d, "events"), Seq(
+        NotNull("value", 0.9),
+        InSet("event_type",
+          Seq("click", "error", "purchase", "signup", "view"), 1.0),
+        Between("value", 0.0, 500.0, 0.5),
+        UniqueRatio("event_id", 1.0)))
+    }),
+
     // A5 per-column completeness profile (load_nursing_home_data.py:20-36).
     "a5_completeness" -> ((s, d) => {
       val ev = t(s, d, "events").select(
@@ -2804,6 +2817,44 @@ object SparkEntry {
     "sim_pq_trained_topk" -> pqTopkOracle(iters = 2),
 
     "sim_ivfpq_topk" -> ivfPqTopkOracle(),
+
+    "dq_constraints" ->
+      """WITH s AS (
+        | SELECT COUNT(*) AS n,
+        |  COUNT(value) AS nn_value,
+        |  COUNT(event_type) AS nn_et,
+        |  COUNT(CASE WHEN event_type IN
+        |    ('click','error','purchase','signup','view') THEN 1 END) AS c_set,
+        |  COUNT(CASE WHEN value >= 0.0 AND value <= 500.0 THEN 1 END) AS c_btw,
+        |  COUNT(DISTINCT event_id)
+        |   + MAX(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS c_uni
+        | FROM events)
+        |SELECT * FROM (
+        | SELECT 'between' AS check_name, 'value' AS target,
+        |  CASE WHEN nn_value > 0 THEN CAST(c_btw AS DOUBLE) / nn_value
+        |   ELSE 0.0 END AS observed,
+        |  CAST(0.5 AS DOUBLE) AS threshold,
+        |  (CASE WHEN nn_value > 0 THEN CAST(c_btw AS DOUBLE) / nn_value
+        |   ELSE 0.0 END) >= 0.5 AS pass FROM s
+        | UNION ALL
+        | SELECT 'in_set', 'event_type',
+        |  CASE WHEN nn_et > 0 THEN CAST(c_set AS DOUBLE) / nn_et ELSE 0.0 END,
+        |  CAST(1.0 AS DOUBLE),
+        |  (CASE WHEN nn_et > 0 THEN CAST(c_set AS DOUBLE) / nn_et
+        |   ELSE 0.0 END) >= 1.0 FROM s
+        | UNION ALL
+        | SELECT 'not_null', 'value',
+        |  CASE WHEN n > 0 THEN CAST(nn_value AS DOUBLE) / n ELSE 0.0 END,
+        |  CAST(0.9 AS DOUBLE),
+        |  (CASE WHEN n > 0 THEN CAST(nn_value AS DOUBLE) / n
+        |   ELSE 0.0 END) >= 0.9 FROM s
+        | UNION ALL
+        | SELECT 'unique_ratio', 'event_id',
+        |  CASE WHEN n > 0 THEN CAST(c_uni AS DOUBLE) / n ELSE 0.0 END,
+        |  CAST(1.0 AS DOUBLE),
+        |  (CASE WHEN n > 0 THEN CAST(c_uni AS DOUBLE) / n
+        |   ELSE 0.0 END) >= 1.0 FROM s)
+        |ORDER BY check_name, target""".stripMargin,
 
     "emb_covariance" ->
       """WITH clean AS (
