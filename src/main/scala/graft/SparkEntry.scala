@@ -1180,6 +1180,16 @@ object SparkEntry {
           3L -> Seq("vector", "hash", "merge")), k = 10)
         .orderBy("query_id", "rank")),
 
+    // BPE inference: a FIXED trained merge list (the model artifact)
+    // applied corpus-wide — words split to chars, merges folded in order,
+    // all map-side. Output: per-doc subword count + first-10 subwords.
+    "bpe_encode" -> ((s, d) =>
+      graft.ops.Bpe.encodeDocs(t(s, d, "documents"), "text", "doc_id",
+        bpeEncodeMerges)
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_subwords"),
+          concat_ws(" ", slice(col("tk"), 1, 10)).as("head10"))
+        .orderBy("doc_id")),
+
     // BPE tokenizer training, round-1 statistic: corpus-frequency-weighted
     // adjacent character-pair counts over the distinct word vocabulary
     // (what the first merge maximizes), top-20. The full iterative
@@ -2818,6 +2828,8 @@ object SparkEntry {
 
     "sim_ivfpq_topk" -> ivfPqTopkOracle(),
 
+    "bpe_encode" -> bpeEncodeOracle(bpeEncodeMerges),
+
     "dq_constraints" ->
       """WITH s AS (
         | SELECT COUNT(*) AS n,
@@ -3740,6 +3752,56 @@ object SparkEntry {
     * so the COUNT guard nulls the whole sum exactly where Spark's fold
     * does), then the exact cosine rerank.
     */
+  /** Fixed BPE merge artifact for bpe_encode (common-English bigram
+    * merges; what matters is the fold semantics, not the vocabulary). */
+  private val bpeEncodeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+    "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+
+  /** Replays [[graft.ops.Bpe.encode]]: per word, sentinel-wrapped char
+    * symbols folded through the merge list as chained REPLACEs (plain
+    * substring replace is left-to-right non-overlapping in both engines —
+    * exactly the greedy BPE rewrite), then split back to subwords.
+    * Sentinels chr(1)/chr(2) are verified absent from every corpus.
+    */
+  private def bpeEncodeOracle(merges: Seq[(String, String)]): String = {
+    def wrap(sym: String) = s"chr(1)||'$sym'||chr(2)"
+    val wrapped = "list_aggregate(list_transform(string_split(w, '')," +
+      " c -> chr(1)||c||chr(2)), 'string_agg', '')"
+    val folded = merges.foldLeft(wrapped) { case (acc, (a, b)) =>
+      s"REPLACE($acc, ${wrap(a)}||${wrap(b)}, ${wrap(a + b)})"
+    }
+    s"""WITH words AS (
+       | SELECT doc_id, w, i FROM (
+       |  SELECT doc_id,
+       |   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+       |   generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS i
+       |  FROM documents WHERE trim(text) <> '')
+       | WHERE w <> ''),
+       |enc0 AS (SELECT doc_id, i, $folded AS s FROM words),
+       |enc AS (
+       | SELECT doc_id, i,
+       |  string_split(substr(s, 2, len(s) - 2), chr(2)||chr(1)) AS tk
+       | FROM enc0),
+       |toks AS (
+       | SELECT doc_id, i, unnest(tk) AS t, generate_subscripts(tk, 1) AS j
+       | FROM enc),
+       |ord AS (
+       | SELECT doc_id, t, ROW_NUMBER() OVER (
+       |   PARTITION BY doc_id ORDER BY i, j) AS r
+       | FROM toks)
+       |SELECT d.doc_id,
+       | COALESCE(c.n, 0) AS n_subwords,
+       | COALESCE(h.head10, '') AS head10
+       |FROM documents d
+       | LEFT JOIN (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+       |            FROM ord GROUP BY 1) c ON c.doc_id = d.doc_id
+       | LEFT JOIN (SELECT doc_id, string_agg(t, ' ' ORDER BY r) AS head10
+       |            FROM ord WHERE r <= 10 GROUP BY doc_id) h
+       |   ON h.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   private def pqTopkOracle(m: Int = 8, dsub: Int = 8, cbSize: Int = 16,
       rerank: Int = 40, k: Int = 10, iters: Int = 0): String = {
     // optional Lloyd chain: assign (argmin over cb{it-1}) -> per-dim

@@ -201,6 +201,21 @@ class OpsSpec extends SparkSpec {
       Seq((11L, 1L), (10L, 2L)))
   }
 
+  test("encodeDocs applies learned merges in order, never across words") {
+    import graft.ops.Bpe
+    val vocab0 = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "cnt")
+      .withColumn("sym", split($"word", ""))
+    val (merges, _) = Bpe.learnBpe(vocab0, nMerges = 3)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o")))
+    val docs = Seq((1L, "low lower newest"), (2L, "widest low"))
+      .toDF("doc_id", "text")
+    val enc = Bpe.encodeDocs(docs, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(enc(1L) == List("lo", "w", "lo", "w", "e", "r", "n", "e", "w", "est"))
+    assert(enc(2L) == List("w", "i", "d", "est", "lo", "w"))
+  }
+
   test("covarianceUpper + pc1 recover a planted dominant direction") {
     import graft.ops.EmbeddingAgg
     val dim = 8
