@@ -1132,6 +1132,28 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Jaro-Winkler fuzzy match over SNM candidates (the native codegen'd
+    // expression; DuckDB's jaro_winkler_similarity is the oracle). Same
+    // candidate discipline as dedup_editdist: never corpus x corpus.
+    "dedup_jarowinkler" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val prefix = substring(
+        regexp_replace(lower(coalesce(col("text"), lit(""))), "[^a-z0-9 ]", ""),
+        1, 24)
+      val cands = Dedup.sortedNeighborhood(
+        docs, "doc_id",
+        coalesce(substring(col("text"), 1, 16), lit("")), col("source"),
+        window = 3)
+        .select("id_a", "id_b")
+      cands
+        .join(docs.select(col("doc_id").as("id_a"), prefix.as("pa")), Seq("id_a"))
+        .join(docs.select(col("doc_id").as("id_b"), prefix.as("pb")), Seq("id_b"))
+        .withColumn("jw", round(graft.plans.JaroWinkler(col("pa"), col("pb")), 6))
+        .where(col("jw") >= 0.8)
+        .select("id_a", "id_b", "jw")
+        .orderBy("id_a", "id_b")
+    }),
+
     // Text-analysis profile (lang-id, quality, token counts, fingerprint).
     "text_profile" -> ((s, d) =>
       TextAnalysis.profile(t(s, d, "documents")).orderBy("doc_id")),
@@ -2627,6 +2649,33 @@ object SparkEntry {
         | JOIN pref a ON a.doc_id = c.id_a
         | JOIN pref b ON b.doc_id = c.id_b
         |WHERE levenshtein(a.p, b.p) <= 12
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_jarowinkler" ->
+      """WITH keyed AS (
+        | SELECT source AS block, COALESCE(substr(text, 1, 16), '') AS skey,
+        |  doc_id AS id
+        | FROM documents),
+        |lagged AS (
+        | SELECT block, id,
+        |  LAG(id, 1) OVER w AS p1, LAG(id, 2) OVER w AS p2
+        | FROM keyed WINDOW w AS (PARTITION BY block ORDER BY skey, id)),
+        |cands AS (
+        | SELECT p1 AS id_a, id AS id_b FROM lagged WHERE p1 IS NOT NULL
+        | UNION ALL
+        | SELECT p2, id FROM lagged WHERE p2 IS NOT NULL),
+        |pref AS (
+        | SELECT doc_id,
+        |  substr(regexp_replace(lower(COALESCE(text, '')), '[^a-z0-9 ]', '', 'g'),
+        |   1, 24) AS p
+        | FROM documents)
+        |SELECT id_a, id_b, jw FROM (
+        | SELECT c.id_a, c.id_b,
+        |  ROUND(jaro_winkler_similarity(a.p, b.p), 6) AS jw
+        | FROM cands c
+        |  JOIN pref a ON a.doc_id = c.id_a
+        |  JOIN pref b ON b.doc_id = c.id_b)
+        |WHERE jw >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
     "split_train_val" -> {

@@ -30,6 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         StripAccents(args.head)
       }))
     e.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "jaro_winkler(a, b) takes two arguments")
+        JaroWinkler(args.head, args(1))
+      }))
+    e.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (args: Seq[Expression]) => {

@@ -82,6 +82,31 @@ class FunctionsSpec extends SparkSpec {
     assert(got.where($"fast" < 0).count() == 0)
   }
 
+  test("native JaroWinkler matches the DuckDB reference values") {
+    import graft.plans.JaroWinkler
+    // reference values read off duckdb jaro_winkler_similarity
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111), // transposition + boost
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0),                  // duckdb scores both-empty 0
+      ("aXXXXX", "aYYYYY", 0.4444444444444444), // jaro <= 0.7: no boost
+      ("aaa", "aa", 0.9111111111111111),
+      ("的是", "的不", 0.6666666666666666),     // codepoint units
+      ("ab", "ba", 0.0),              // window 0: no cross-position match
+      ("ABC", "abc", 0.0))            // case-sensitive
+    val df = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+    val got = df.select(JaroWinkler($"a", $"b")).as[Double].collect()
+    got.zip(cases).foreach { case (g, (a, b, want)) =>
+      assert(g == want, s"jw($a, $b) = $g, want $want")
+    }
+    // null-intolerant: null input -> null out
+    val n = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+      .select(JaroWinkler($"a", $"b")).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("wordShingles: k-grams, distinct, short-doc fallback") {
     val got = Seq("a b c d", "a b", "", "x x x x")
       .toDF("t").select(Text.wordShingles($"t", 3)).as[Seq[String]].collect()
