@@ -1591,6 +1591,15 @@ object SparkEntry {
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")),
 
+    // Class-balanced subsampling: exactly k docs per language, smallest
+    // stable hashes win (deterministic, layout-independent); bounded
+    // k-slot buffers, no per-group sort. The hash folds mod 2^53 so the
+    // aggregate's double score channel is exact.
+    "sample_group_k" -> ((s, d) =>
+      graft.ops.Sampling.groupK(t(s, d, "documents"), "lang", "doc_id",
+        k = 20)
+        .orderBy("lang", "rank")),
+
     // Weighted without-replacement sample (Efraimidis-Spirakis keys over
     // a stable hash + the portable software ln, so selection, rank and
     // key VALUES all replay bit-exactly in the oracle).
@@ -3114,6 +3123,19 @@ object SparkEntry {
          | FROM counts)
          |SELECT lang, rank, w AS term, c AS n
          |FROM ranked WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+
+    "sample_group_k" ->
+      s"""WITH h AS (
+         | SELECT lang, doc_id,
+         |  (${hash60Sql("CAST(doc_id AS VARCHAR)", 0)}
+         |    % 9007199254740992) AS hh
+         | FROM documents),
+         |r AS (
+         | SELECT lang, doc_id, CAST(ROW_NUMBER() OVER (
+         |   PARTITION BY lang ORDER BY hh ASC, doc_id ASC) AS BIGINT) AS rank
+         | FROM h)
+         |SELECT lang, doc_id, rank FROM r
+         |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
 
     "text_bigram_lm" ->
       """WITH base AS (

@@ -53,6 +53,28 @@ object Sampling {
       .limit(k)
       .drop("__h")
 
+  /** Exactly-k uniform sample PER GROUP (class-balanced subsampling —
+    * the per-language / per-source balancing step of corpus assembly):
+    * within each group, the k smallest id hashes win. Deterministic,
+    * layout-independent, and bounded — the k-slot [[TopK.TopKAgg]]
+    * buffer replaces any per-group sort, so only partitions x groups x k
+    * rows cross the shuffle. Returns (groupCol, idCol, rank), rank 1..k
+    * in hash order.
+    */
+  def groupK(df: DataFrame, groupCol: String, idCol: String, k: Int,
+      seed: Int = 0): DataFrame =
+    TopK.perGroupTopK(
+      df.select(col(groupCol), col(idCol),
+        // negated hash: the aggregate keeps the HIGHEST scores, we want
+        // the smallest. The 60-bit hash is folded mod 2^53 so the double
+        // score channel stays EXACT (a raw hash60 would round above
+        // 2^53 and tie-break differently than the oracle's BIGINT sort);
+        // ids break residual collisions identically on both engines.
+        (-(StableHash.hash60(col(idCol), seed) % lit(9007199254740992L))
+          .cast("double")).as("__nh")),
+      Seq(groupCol), idCol, "__nh", k)
+      .select(col(groupCol), col(idCol), col("rank"))
+
   /** Domain-mixture resampling rates (the data-mixture rebalancing step of
     * corpus assembly — public method family: DoReMi / The Pile-style
     * domain weighting): given target mixture shares t_s per stratum,
