@@ -483,6 +483,32 @@ class OpsSpec extends SparkSpec {
     assert(planDepth < 30, s"plan has $planDepth nodes - lineage not truncated")
   }
 
+  test("groupK selection is identical under any partitioning") {
+    import graft.ops.Sampling
+    val docs = spark.range(500)
+      .select(col("id").as("doc_id"), (col("id") % 5).cast("string").as("lang"))
+    def sel(parts: Int) = Sampling.groupK(
+      docs.repartition(parts), "lang", "doc_id", k = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val one = sel(1)
+    assert(one.size == 35 && sel(32) == one)
+  }
+
+  test("multi-pass SNM output is the union of its single passes") {
+    val d = (0L until 60L).map(i => (i, s"w${i % 7} body${i / 3} tail$i"))
+      .toDF("doc_id", "text")
+    val p1 = (substring($"text", 1, 4), lit(""))
+    val p2 = (substring($"text", 6, 6), lit(""))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(least($"id_a", $"id_b"), greatest($"id_a", $"id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = canon(Dedup.sortedNeighborhood(d, "doc_id", p1._1, p1._2, 3)) ++
+      canon(Dedup.sortedNeighborhood(d, "doc_id", p2._1, p2._2, 3))
+    val multi = Dedup.multiPassSortedNeighborhood(d, "doc_id", Seq(p1, p2), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multi == single)
+  }
+
   test("multi-pass SNM finds the pair the first ordering separates") {
     val d = Seq(
       (1L, "aaaa zzzz"), // prefix-sorted: 1,2,3 — suffix-sorted: 3,1,2

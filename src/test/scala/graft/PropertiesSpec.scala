@@ -46,4 +46,20 @@ object NormProperties extends Properties("graft.norm") {
     s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq &&
       pos > 8 * 64 / 4 && pos < 8 * 64 * 3 / 4
   }
+
+  private def jw(a: String, b: String): Double =
+    graft.plans.JaroWinkler.similarity(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  property("jaro-winkler symmetric and bounded to [0,1]") =
+    Prop.forAll(anyString, anyString) { (a, b) =>
+      val s = jw(a, b)
+      s == jw(b, a) && s >= 0.0 && s <= 1.0
+    }
+
+  property("jaro-winkler identity: nonempty self-similarity is 1") =
+    Prop.forAll(anyString.suchThat(_.nonEmpty)) { s =>
+      jw(s, s) == 1.0
+    }
 }
