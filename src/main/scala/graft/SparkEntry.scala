@@ -930,6 +930,24 @@ object SparkEntry {
       Dedup.duplicatedPassages(t(s, d, "documents"), "text", "doc_id", k = 5)
         .orderBy("id", "span_start")),
 
+    // Time-series gap fill: per-user daily totals densified onto each
+    // user's own [min, max] day spine; gap days get n = 0 and carry the
+    // last observed total forward (one window pass; IGNORE NULLS
+    // last_value on both engines).
+    "ts_gapfill" -> ((s, d) => {
+      val daily = t(s, d, "events").where(col("user_id") <= 20)
+        .select(col("user_id"),
+          date_trunc("day", Graft.nanosToTimestamp("ts")).cast("date").as("day"),
+          cents(col("value")).as("vc"))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("vc")).cast("double") / 100).as("v"))
+      graft.ops.GapFill.dailyGapFill(daily, "user_id", "day", "v")
+        .select(col("user_id"), col("day").cast("string").as("day"),
+          coalesce(col("n"), lit(0L)).as("n"), col("v_ffill"))
+        .orderBy("user_id", "day")
+    }),
+
     // Time-RANGE window frame (vs w5's ROWS frames): per-user trailing
     // 1-day sum/count over the microsecond event timeline. RANGE peers
     // (ts ties) share a frame, so the result is layout-independent.
@@ -2492,6 +2510,27 @@ object SparkEntry {
         | CAST(COUNT(*) AS BIGINT) AS n_passes, MIN(dist) AS min_dist
         |FROM allp GROUP BY 1, 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "ts_gapfill" ->
+      """WITH daily AS (
+        | SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS v
+        | FROM events WHERE user_id <= 20 GROUP BY 1, 2),
+        |spine AS (
+        | SELECT user_id,
+        |  unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day
+        | FROM (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx
+        |       FROM daily GROUP BY 1)),
+        |j AS (
+        | SELECT s.user_id, s.day, d.n, d.v
+        | FROM spine s LEFT JOIN daily d USING (user_id, day))
+        |SELECT user_id, CAST(day AS VARCHAR) AS day,
+        | COALESCE(n, 0) AS n,
+        | last_value(v IGNORE NULLS) OVER (
+        |   PARTITION BY user_id ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+        |FROM j ORDER BY user_id, day""".stripMargin,
 
     "w6_time_range" ->
       """WITH ev AS (
