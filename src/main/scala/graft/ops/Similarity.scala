@@ -394,26 +394,95 @@ object Similarity {
     transform(sequence(lit(0), lit(m - 1)),
       i => slice(Vectors.asDouble(v), i * dsub + 1, lit(dsub)))
 
-  /** Deterministic prefix-sample PQ codebook as (j, sub, cvec) rows;
-    * j = rank of the seed's vec_id (driver holds codebookSize ids, never
-    * vectors). Null seed vectors keep their j slot but contribute no
-    * centroids — subVecs over a null vector is an array OF null
-    * sub-vectors (transform maps the non-null index sequence), so the
-    * explode would NOT drop them; the explicit isNotNull filter mirrors
-    * the oracle's `WHERE v IS NOT NULL`.
+  /** Driver-side twin of [[pqSubVecs]]'s slice for one sub-space:
+    * `slice(asDouble(v), sub*dsub+1, dsub)` — shorter (even empty) when
+    * the vector is ragged. Returns `null` when the slice contains a null
+    * element: under the null-propagating l2sq a null element nulls EVERY
+    * distance of the slice, exactly like a null vector, so the collapse
+    * is behavior-preserving (the same equivalence [[trainedPqCodebook]]
+    * has always used for seed centroids). Genuine NaN elements stay —
+    * they flow through arithmetic as NaN, as in Catalyst.
+    */
+  private def subSlice(v: Seq[Any], sub: Int, dsub: Int): Array[Double] = {
+    val start = sub * dsub
+    if (start >= v.length) Array.emptyDoubleArray
+    else {
+      val end = math.min(start + dsub, v.length)
+      val out = new Array[Double](end - start)
+      var i = start
+      while (i < end) {
+        val x = v(i)
+        if (x == null) return null
+        out(i - start) = x.asInstanceOf[Number].doubleValue()
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Driver-side twin of [[Vectors.l2sq]] over extracted slices, with NaN
+    * as the null sentinel (exactly [[TopKAgg]]'s conflation: a null
+    * distance and a genuine NaN distance both rank last): null-ish inputs
+    * (null slice, length mismatch — zip_with's null padding) → NaN;
+    * otherwise the same in-order `(x-y)^2` left fold, bit-identical
+    * IEEE arithmetic.
+    */
+  private def l2sqOrNaN(a: Array[Double], b: Array[Double]): Double =
+    if (a == null || b == null || a.length != b.length) Double.NaN
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+
+  /** Driver-side twin of `round(l2sq * 1e9).cast("long")` for the ADC
+    * LUT, distinguishing the two degenerate routes Catalyst takes: a
+    * NULL distance (null slice / length mismatch) → `Long.MinValue`
+    * (the "no value" LUT sentinel, as before), while a genuine NaN
+    * distance rounds to NaN and CASTS TO 0 (Spark's non-ANSI double→long
+    * cast), and +Inf saturates to Long.MaxValue — both probed against
+    * the real engine. The finite path is Catalyst Round's own arithmetic:
+    * HALF_UP on `BigDecimal.valueOf` (the double's shortest decimal
+    * repr), then the integral double→long cast.
+    */
+  private def pdNanoDriver(qsv: Array[Double], cvec: Array[Double]): Long =
+    if (qsv == null || cvec == null || qsv.length != cvec.length) Long.MinValue
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < qsv.length) { val d = qsv(i) - cvec(i); s += d * d; i += 1 }
+      val x = s * 1e9
+      if (x.isNaN) 0L
+      else if (x.isInfinite) x.toLong
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    }
+
+  /** Deterministic prefix-sample PQ codebook as driver-side (j, sub,
+    * cvec) entries — m x codebookSize x dsub doubles, an index-side
+    * constant, so it lives on the driver and broadcasts with the LUTs
+    * instead of costing a distributed join + argmin shuffle per run.
+    * j = rank of the seed's vec_id; null-embedding seeds keep their j
+    * slot but contribute no centroids (the old `WHERE v IS NOT NULL`);
+    * null-ELEMENT sub-slices become null centroids ([[subSlice]]'s
+    * equivalence).
     */
   private def prefixPqCodebook(corpus: DataFrame, m: Int, dsub: Int,
-      codebookSize: Int): DataFrame = {
-    val sp = corpus.sparkSession
-    import sp.implicits._
-    val prefIds = corpus.orderBy("vec_id").limit(codebookSize)
-      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).sorted
-    val jDf = prefIds.zipWithIndex
-      .map { case (id, j) => (id, j.toLong) }.toSeq.toDF("vec_id", "j")
-    corpus.join(broadcast(jDf), Seq("vec_id"))
-      .where(col("embedding").isNotNull)
-      .select(col("j"), posexplode(pqSubVecs(col("embedding"), m, dsub)))
-      .toDF("j", "sub", "cvec")
+      codebookSize: Int): Seq[(Long, Int, Seq[Double])] = {
+    val seeds = corpus.orderBy("vec_id").limit(codebookSize)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect().sortBy(_.getLong(0))
+    seeds.iterator.zipWithIndex.flatMap { case (r, j) =>
+      if (r.isNullAt(1)) Iterator.empty
+      else {
+        val v = r.getSeq[Any](1)
+        (0 until m).iterator.map { sub =>
+          val a = subSlice(v, sub, dsub)
+          (j.toLong, sub, if (a == null) null else a.toSeq)
+        }
+      }
+    }.toSeq
   }
 
   /** Lloyd refinement of the prefix codebook, per sub-space; returns
@@ -424,7 +493,7 @@ object Similarity {
     * [[trainedCentroids]].
     */
   def trainedPqCodebook(corpus: DataFrame, m: Int, dsub: Int,
-      codebookSize: Int, iters: Int): DataFrame = {
+      codebookSize: Int, iters: Int): Seq[(Long, Int, Seq[Double])] = {
     val sp = corpus.sparkSession
     import sp.implicits._
     val csub = graft.core.Graft.spread(corpus)
@@ -433,19 +502,7 @@ object Similarity {
         posexplode(pqSubVecs(col("embedding"), m, dsub)))
       .toDF("corpus_id", "sub", "sv")
     var cents: Seq[(Long, Int, Seq[Double])] =
-      prefixPqCodebook(corpus, m, dsub, codebookSize).collect().toSeq
-        .map { r =>
-          // a seed sub-vector with a null element is equivalent to a null
-          // centroid under the null-propagating l2sq (its every distance
-          // is NULL either way), and only the null form round-trips the
-          // Seq[Double] encoder
-          val cv = if (r.isNullAt(2)) null else {
-            val s = r.getSeq[Any](2)
-            if (s.contains(null)) null
-            else s.map(_.asInstanceOf[Number].doubleValue())
-          }
-          (r.getLong(0), r.getInt(1), cv)
-        }
+      prefixPqCodebook(corpus, m, dsub, codebookSize)
     for (_ <- 0 until iters) {
       val cbDf = cents.toDF("j", "sub", "cvec")
       val dist = csub.join(broadcast(cbDf), Seq("sub"))
@@ -468,7 +525,7 @@ object Similarity {
         }
       }
     }
-    cents.toDF("j", "sub", "cvec")
+    cents
   }
 
   /** IVF-PQ composed index (the production ANN layout: coarse cells
@@ -504,61 +561,71 @@ object Similarity {
       k, m, dsub, codebookSize, rerank, cells = Some((cc, qc)))
   }
 
-  /** Shared PQ pipeline over a supplied (j, sub, cvec) codebook:
-    * encode, nano ADC via the per-partition kernel, exact rerank.
+  /** Shared PQ pipeline over a supplied driver-side (j, sub, cvec)
+    * codebook: inline encode + nano ADC in ONE map pass, exact rerank.
     * `cells` (corpus cell assignment, query probe set) restricts ADC
     * scoring to cell-matched pairs — the IVF-PQ compose.
+    *
+    * Index-side state is driver/broadcast constants — the codebook
+    * (m x codebookSize x dsub doubles) and the ADC LUTs (nq x m x
+    * codebookSize longs, bounded by the query set like
+    * [[bruteForceTopK]]'s query vectors) — so the whole
+    * encode-and-score path is a single mapPartitions over the corpus:
+    * no per-sub-vector explode, no distributed argmin shuffle, no
+    * code-packing groupBy. Only partitions x nq x rerank bounded buffer
+    * rows reach the merge; the corpus never shuffles and never
+    * collects. The driver arithmetic ([[l2sqOrNaN]], [[pdNanoDriver]],
+    * the TopKAgg-contract argmin) is bit-identical to the Catalyst
+    * expressions it replaces, so the DuckDB oracle still replays
+    * encoding AND scoring exactly (asserted by the `sim_pq_*`/
+    * `sim_ivfpq_*` corpus entries and the OpsSpec parity case).
+    *
+    * A NULL sub-distance (null query element) makes the candidate's
+    * adist NULL; it ranks last but IS still a candidate, mirroring the
+    * oracle's NULLS LAST — NaN is the in-flight sentinel (TopKAgg
+    * contract).
     */
   private def pqWithCodebook(corpus: DataFrame, queries: DataFrame,
-      cb: DataFrame, k: Int, m: Int, dsub: Int, codebookSize: Int,
-      rerank: Int,
+      cb: Seq[(Long, Int, Seq[Double])], k: Int, m: Int, dsub: Int,
+      codebookSize: Int, rerank: Int,
       cells: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val sp = corpus.sparkSession
     import sp.implicits._
-    def subVecs(v: org.apache.spark.sql.Column) = pqSubVecs(v, m, dsub)
 
-    // encode: nearest sub-centroid per (corpus vector, sub-space)
-    val csub = graft.core.Graft.spread(corpus)
-      .where(col("embedding").isNotNull)
-      .select(col("vec_id").cast("long").as("corpus_id"),
-        posexplode(subVecs(col("embedding"))))
-      .toDF("corpus_id", "sub", "sv")
-    val cdist = csub.join(broadcast(cb), Seq("sub"))
-      .withColumn("negd", -Vectors.l2sq(col("sv"), col("cvec")))
-    val codes = TopK.perGroupTopK(cdist, Seq("corpus_id", "sub"), "j", "negd", 1)
-      .select("corpus_id", "sub", "j")
-
-    // ADC lookup table: query x sub x centroid partial distances
-    val qsub = queries.where(col("embedding").isNotNull)
-      .select(col("vec_id").cast("long").as("query_id"),
-        posexplode(subVecs(col("embedding"))))
-      .toDF("query_id", "sub", "qsv")
-    // partial distances as exact integer nanos: a sum of longs is
-    // order-free (no ordered double fold needed) and replays bit-exactly
-    // in the oracle's SUM(BIGINT)
-    val qlut = qsub.join(broadcast(cb), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("j"),
-        round(Vectors.l2sq(col("qsv"), col("cvec")) * 1e9).cast("long")
-          .as("pd_nano"))
-
-    // ADC scan as a per-partition primitive kernel (bruteForceTopK's
-    // design): the LUT side is bounded by the query set (nq x m x
-    // codebookSize longs — driver-collected like bruteForceTopK's query
-    // vectors), each partition folds its coded vectors into
-    // rerank-bounded per-query buffers, and only partitions x nq x rerank
-    // buffer rows reach the merge — the corpus never shuffles. A NULL
-    // sub-distance (null query element) makes the candidate's adist NULL;
-    // it ranks last but IS still a candidate, mirroring the oracle's
-    // NULLS LAST — NaN is the in-flight sentinel (TopKAgg contract).
-    val lutRows = qlut.collect()
-    val qIds = lutRows.map(_.getLong(0)).distinct.sorted
-    val qIdx = qIds.zipWithIndex.toMap
+    // driver codebook layout: js present (null-embedding seeds absent
+    // entirely), centroid per (sub, j) or null
     val cbs = codebookSize
+    val jsPresent: Array[Long] = cb.map(_._1).distinct.sorted.toArray
+    val jIdx = jsPresent.zipWithIndex.toMap
+    val centArr: Array[Array[Array[Double]]] =
+      Array.fill(m)(Array.fill(jsPresent.length)(null: Array[Double]))
+    cb.foreach { case (j, sub, v) =>
+      if (sub < m) centArr(sub)(jIdx(j)) = if (v == null) null else v.toArray
+    }
+
+    // ADC LUTs, computed driver-side from the collected query vectors:
+    // partial distances as exact integer nanos (a sum of longs is
+    // order-free and replays bit-exactly in the oracle's SUM(BIGINT));
+    // Long.MinValue marks a NULL partial distance.
+    val qRows = queries.where(col("embedding").isNotNull)
+      .select(col("vec_id").cast("long"), col("embedding")).collect()
+    val qIds = qRows.map(_.getLong(0)).distinct.sorted
+    val qIdx = qIds.zipWithIndex.toMap
     val lut = Array.fill(qIds.length)(Array.fill(m * cbs)(Long.MinValue))
-    lutRows.foreach { r =>
-      val slot = r.getInt(1) * cbs + r.getLong(2).toInt
-      lut(qIdx(r.getLong(0)))(slot) =
-        if (r.isNullAt(3)) Long.MinValue else r.getLong(3)
+    qRows.foreach { r =>
+      val dst = lut(qIdx(r.getLong(0)))
+      val v = r.getSeq[Any](1)
+      var sub = 0
+      while (sub < m) {
+        val qsv = subSlice(v, sub, dsub)
+        var idx = 0
+        while (idx < jsPresent.length) {
+          dst(sub * cbs + jsPresent(idx).toInt) =
+            pdNanoDriver(qsv, centArr(sub)(idx))
+          idx += 1
+        }
+        sub += 1
+      }
     }
     // per-query probed-cell sets (IVF-PQ only; bounded nProbe longs per
     // query, collected alongside the LUTs)
@@ -570,79 +637,113 @@ object Similarity {
           .map(_.map(_.getLong(1)).sorted).getOrElse(Array.empty[Long]))
       case None => Array.empty
     }
-    val bcLut = sp.sparkContext.broadcast((qIds, lut, qCells))
+    val bcLut = sp.sparkContext.broadcast((qIds, lut, qCells, centArr))
 
-    // one row per coded corpus vector: its (sub, j) code pairs (+ its
-    // IVF cell when composing)
-    val packedBase = codes.groupBy("corpus_id")
-      .agg(sort_array(collect_list(
-        struct(col("sub").cast("int").as("sub"), col("j").cast("int").as("j"))))
-        .as("cs"))
-    val packedCodes = cells match {
+    // one pass over the corpus: encode each vector to its m code slots
+    // (nearest sub-centroid — TopKAgg's exact contract: min distance,
+    // NaN/null last, ties and the all-null route to the smallest j),
+    // then ADC-score it against every query
+    val base = graft.core.Graft.spread(corpus)
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id").cast("long").as("corpus_id"),
+        col("embedding").as("cv"))
+    val withCell = cells match {
       case Some((cc, _)) =>
-        packedBase.join(cc, Seq("corpus_id"))
-          .select(col("corpus_id"), col("cs"), col("cell"))
+        base.join(cc, Seq("corpus_id"))
+          .select(col("corpus_id"), col("cv"), col("cell"))
       case None =>
-        packedBase.select(col("corpus_id"), col("cs"), lit(0L).as("cell"))
+        base.select(col("corpus_id"), col("cv"), lit(0L).as("cell"))
     }
-    val packed = packedCodes.mapPartitions { rows =>
-      val (ids, luts, qcells) = bcLut.value
+    val dsubL = dsub
+    val mL = m
+    val rkL = rerank
+    val hasCellsL = hasCells
+    val packed = withCell.mapPartitions { rows =>
+      val (ids, luts, qcells, cents) = bcLut.value
       val nq = ids.length
-      if (nq == 0) Iterator.empty
+      val nJ = jsPresent.length
+      if (nq == 0 || nJ == 0) Iterator.empty
       else {
-        val bufS = Array.fill(nq)(new Array[Double](rerank))
-        val bufI = Array.fill(nq)(new Array[Long](rerank))
-        val cnt = new Array[Int](nq)
+        // Materialize + encode the partition's rows ONCE into primitive
+        // arrays and make the QUERY the outer loop: each query then
+        // streams the partition's codes sequentially with its own
+        // m x codebookSize LUT resident in L1. (A row-outer order
+        // touches every query's LUT per row — nq LUTs blow the cache
+        // and the kernel runs at cache-miss speed, not lookup speed.)
+        // Memory: m ints + one long per row — far smaller than the
+        // vectors they encode.
+        val cidB = scala.collection.mutable.ArrayBuilder.make[Long]
+        val cellB = scala.collection.mutable.ArrayBuilder.make[Long]
+        val slotB = scala.collection.mutable.ArrayBuilder.make[Int]
         rows.foreach { r =>
-          val cid = r.getLong(0)
-          val cs = r.getSeq[org.apache.spark.sql.Row](1)
-          val cell = r.getLong(2)
-          // unpack the row's codes to primitive LUT slots ONCE — the
-          // query loop below must not touch Row objects
-          val nSlots = cs.length
-          val slots = new Array[Int](nSlots)
-          var si = 0
-          val it = cs.iterator
-          while (it.hasNext) {
-            val p = it.next()
-            slots(si) = p.getInt(0) * cbs + p.getInt(1)
-            si += 1
-          }
-          @inline def probed(qi: Int): Boolean = {
-            if (!hasCells) true
-            else {
-              val pc = qcells(qi)
-              var i = 0
-              var found = false
-              while (!found && i < pc.length) {
-                if (pc(i) == cell) found = true
-                i += 1
+          cidB += r.getLong(0)
+          cellB += r.getLong(2)
+          val v = r.getSeq[Any](1)
+          var sub = 0
+          while (sub < mL) {
+            val sv = subSlice(v, sub, dsubL)
+            var bestIdx = 0
+            var bestD = Double.NaN
+            var idx = 0
+            while (idx < nJ) {
+              val d = l2sqOrNaN(sv, cents(sub)(idx))
+              if (!d.isNaN && (bestD.isNaN || d < bestD)) {
+                bestD = d; bestIdx = idx
               }
-              found
+              idx += 1
             }
+            slotB += sub * cbs + jsPresent(bestIdx).toInt
+            sub += 1
           }
+        }
+        val cids = cidB.result()
+        val rcells = cellB.result()
+        val slots = slotB.result()
+        val n = cids.length
+        if (n == 0) Iterator.empty
+        else {
+          val bufS = Array.fill(nq)(new Array[Double](rkL))
+          val bufI = Array.fill(nq)(new Array[Long](rkL))
+          val cnt = new Array[Int](nq)
           var qi = 0
           while (qi < nq) {
-            if (cid != ids(qi) && probed(qi)) {
-              val l = luts(qi)
-              var acc = 0L
-              var ok = true
-              var s = 0
-              while (ok && s < nSlots) {
-                val pd = l(slots(s))
-                if (pd == Long.MinValue) ok = false else acc += pd
-                s += 1
+            val qid = ids(qi)
+            val l = luts(qi)
+            val pc = if (hasCellsL) qcells(qi) else null
+            var ri = 0
+            while (ri < n) {
+              var pass = cids(ri) != qid
+              if (pass && pc != null) {
+                val cell = rcells(ri)
+                var i = 0
+                pass = false
+                while (!pass && i < pc.length) {
+                  if (pc(i) == cell) pass = true
+                  i += 1
+                }
               }
-              // exact: nano totals stay far below 2^53, so the negated
-              // double preserves long ordering and equality
-              val score = if (ok) -acc.toDouble else Double.NaN
-              insertBounded(bufS(qi), bufI(qi), cnt, qi, score, cid, rerank)
+              if (pass) {
+                var acc = 0L
+                var ok = true
+                var s = ri * mL
+                val e = s + mL
+                while (ok && s < e) {
+                  val pd = l(slots(s))
+                  if (pd == Long.MinValue) ok = false else acc += pd
+                  s += 1
+                }
+                // exact: nano totals stay far below 2^53, so the negated
+                // double preserves long ordering and equality
+                val score = if (ok) -acc.toDouble else Double.NaN
+                insertBounded(bufS(qi), bufI(qi), cnt, qi, score, cids(ri), rkL)
+              }
+              ri += 1
             }
             qi += 1
           }
-        }
-        Iterator.range(0, nq).filter(cnt(_) > 0).map { qi =>
-          (ids(qi), bufS(qi).take(cnt(qi)), bufI(qi).take(cnt(qi)))
+          Iterator.range(0, nq).filter(cnt(_) > 0).map { qi =>
+            (ids(qi), bufS(qi).take(cnt(qi)), bufI(qi).take(cnt(qi)))
+          }
         }
       }
     }.toDF("query_id", "scores", "ids")
