@@ -849,6 +849,15 @@ object SparkEntry {
         shingleK = 2, minJaccard = 0.05)
         .orderBy("id_a", "id_b")),
 
+    // Prefix-filtered exact Jaccard join (AllPairs/PPJoin): rarest-first
+    // canonical order, prefix-token candidates, length filter, exact
+    // intersection count — complete by theorem, no banding probability.
+    "dedup_prefix_jaccard" -> ((s, d) =>
+      Dedup.prefixJaccardPairs(
+        t(s, d, "documents").where(col("doc_id") < 300), "text", "doc_id",
+        minJaccard = 0.8)
+        .orderBy("id_a", "id_b")),
+
     // Sorted-neighborhood candidate pairs (multi-pass SNM family): block by
     // source, order by a 16-char raw text prefix (binary collation — both
     // engines compare UTF-8 bytes; no case folding, which IS
@@ -2446,6 +2455,40 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle(16),
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+
+    "dedup_prefix_jaccard" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |toks AS (
+        | SELECT DISTINCT doc_id AS id, w FROM (
+        |  SELECT doc_id,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM docs WHERE trim(COALESCE(text, '')) <> '')),
+        |wdf AS (SELECT w, COUNT(*) AS df FROM toks GROUP BY 1),
+        |ranked AS (
+        | SELECT t.id, t.w,
+        |  row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.w) AS rn,
+        |  COUNT(*) OVER (PARTITION BY t.id) AS n
+        | FROM toks t JOIN wdf d USING (w)),
+        |pref AS (SELECT id, w, n FROM ranked
+        |         WHERE rn <= n - CEIL(0.8 * n) + 1),
+        |cand AS (
+        | SELECT DISTINCT a.id AS id_a, a.n AS n_a, b.id AS id_b, b.n AS n_b
+        | FROM pref a JOIN pref b USING (w)
+        | WHERE a.id < b.id
+        |   AND LEAST(a.n, b.n) >= 0.8 * GREATEST(a.n, b.n)),
+        |inter AS (
+        | SELECT c.id_a, c.id_b, c.n_a, c.n_b, COUNT(*) AS n_inter
+        | FROM cand c
+        | JOIN toks ta ON ta.id = c.id_a
+        | JOIN toks tb ON tb.id = c.id_b AND tb.w = ta.w
+        | GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b,
+        | CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)
+        |  AS jaccard
+        |FROM inter
+        |WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)
+        |  >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "text_decontaminate" -> decontaminateOracle,
 

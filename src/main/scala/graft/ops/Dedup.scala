@@ -187,6 +187,65 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Prefix-filtered EXACT Jaccard self-join over distinct token sets —
+    * the AllPairs/PPJoin family (public algorithm: Bayardo, Ma &
+    * Srikant, "Scaling Up All Pairs Similarity Search", WWW 2007; Xiao
+    * et al., "Efficient Similarity Joins for Near Duplicate Detection",
+    * WWW 2008): the exact, no-false-negative complement to
+    * [[minhashPairs]] when the threshold is high and misses are
+    * unacceptable (e.g. benchmark decontamination).
+    *
+    * Candidate generation joins docs ONLY on their canonical-order
+    * PREFIX tokens: with tokens sorted rarest-first (global df asc,
+    * token asc), a doc of n tokens exposes its first
+    * `n - ceil(t*n) + 1`; any pair with J >= t must share a prefix
+    * token on BOTH sides (if all >= ceil(t*n) common tokens sat in the
+    * length-(ceil(t*n)-1) suffix, that suffix would be too short), so
+    * completeness is a theorem, not a probability. Scale shape: the
+    * rarest-first order concentrates prefixes on LOW-df tokens, so
+    * join-key fan-out is bounded by construction — the hot-shingle d^2
+    * blow-up [[ngramJaccardPairs]] needs `maxShingleDf` for cannot
+    * occur on high-df keys (they land in suffixes); a length filter
+    * (`least(n) >= t * greatest(n)`) prunes candidates before the
+    * intersection count, and the exact count touches only surviving
+    * pairs' token sets.
+    */
+  def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      "minJaccard must be in (0, 1] — the prefix length derives from it")
+    val toks = graft.core.Graft.spread(df)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(Text.tokens(col(textCol)))).as("w"))
+    val wdf = toks.groupBy("w").agg(count(lit(1)).as("df"))
+    val ranked = toks.join(wdf, "w")
+      .select(col("id"), col("w"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(col("df"), col("w"))).as("rn"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("id")).as("n"))
+    val prefix = ranked
+      .where(col("rn") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
+      .select("id", "w", "n")
+    val cand = prefix.as("a").join(prefix.as("b"), Seq("w"))
+      .where(col("a.id") < col("b.id") &&
+        least(col("a.n"), col("b.n")) >=
+          lit(minJaccard) * greatest(col("a.n"), col("b.n")))
+      .select(col("a.id").as("id_a"), col("a.n").as("n_a"),
+        col("b.id").as("id_b"), col("b.n").as("n_b"))
+      .distinct()
+    val inter = cand
+      .join(toks.select(col("id").as("id_a"), col("w")), Seq("id_a"))
+      .join(toks.select(col("id").as("id_b"), col("w")), Seq("id_b", "w"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Connected components over near-dup pairs: each doc labeled with the
     * minimum id reachable through the pair graph (the canonical
     * representative) — the standard final step of fuzzy dedup: pick one

@@ -98,6 +98,39 @@ class OpsSpec extends SparkSpec {
     assert(got.toSet == Set((1L, 2L)), s"cross-block pair leaked: ${got.toSeq}")
   }
 
+  test("prefix-filtered jaccard join is complete vs the naive all-pairs form") {
+    // real corpus slice: every pair the naive O(n^2) token-set join finds
+    // at tau must come out of the prefix-filtered join too (completeness
+    // is the operator's theorem), and nothing extra
+    val docs100 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where($"doc_id" < 100)
+    val tau = 0.5
+    val toks = docs100.select($"doc_id".as("id"),
+      explode(array_distinct(graft.functions.Text.tokens($"text"))).as("w"))
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("n"))
+    val naive = toks.as("a").join(toks.as("b"), Seq("w"))
+      .where($"a.id" < $"b.id")
+      .groupBy($"a.id".as("id_a"), $"b.id".as("id_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.select($"id".as("id_a"), $"n".as("na")), "id_a")
+      .join(sizes.select($"id".as("id_b"), $"n".as("nb")), "id_b")
+      .where($"i".cast("double") / ($"na" + $"nb" - $"i") >= tau)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.prefixJaccardPairs(docs100, "text", "doc_id", tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty, "fixture produced no pairs — test is vacuous")
+    assert(got == naive,
+      s"missed=${(naive -- got).take(5)} extra=${(got -- naive).take(5)}")
+  }
+
+  test("prefix jaccard: exact dup pairs at 1.0; disjoint docs absent") {
+    val out = Dedup.prefixJaccardPairs(docs, "text", "doc_id", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+    assert(!out.exists(p => p._2 == 4L || p._2 == 5L))
+  }
+
   private lazy val vecs = {
     val base = Array.tabulate(8)(i => 1.0f + i)
     Seq(
