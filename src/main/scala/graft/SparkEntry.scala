@@ -957,6 +957,22 @@ object SparkEntry {
         .orderBy("user_id", "day")
     }),
 
+    // Linear interpolation across spine gaps (vs ts_gapfill's carry-
+    // forward): gap days get the straight line between the surrounding
+    // observations; the leading/trailing edges stay NULL.
+    "ts_interp" -> ((s, d) => {
+      val daily = t(s, d, "events").where(col("user_id") <= 20)
+        .select(col("user_id"),
+          date_trunc("day", Graft.nanosToTimestamp("ts")).cast("date").as("day"),
+          cents(col("value")).as("vc"))
+        .groupBy("user_id", "day")
+        .agg((sum(col("vc")).cast("double") / 100).as("v"))
+      graft.ops.GapFill.dailyInterp(daily, "user_id", "day", "v")
+        .select(col("user_id"), col("day").cast("string").as("day"),
+          col("v_interp"))
+        .orderBy("user_id", "day")
+    }),
+
     // Time-RANGE window frame (vs w5's ROWS frames): per-user trailing
     // 1-day sum/count over the microsecond event timeline. RANGE peers
     // (ts ties) share a frame, so the result is layout-independent.
@@ -2553,6 +2569,40 @@ object SparkEntry {
         | CAST(COUNT(*) AS BIGINT) AS n_passes, MIN(dist) AS min_dist
         |FROM allp GROUP BY 1, 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "ts_interp" ->
+      """WITH daily AS (
+        | SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS v
+        | FROM events WHERE user_id <= 20 GROUP BY 1, 2),
+        |spine AS (
+        | SELECT user_id,
+        |  unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day
+        | FROM (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx
+        |       FROM daily GROUP BY 1)),
+        |j AS (
+        | SELECT s.user_id, s.day, d.v
+        | FROM spine s LEFT JOIN daily d USING (user_id, day)),
+        |f AS (
+        | SELECT user_id, day, v,
+        |  last_value(v IGNORE NULLS) OVER wp AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |   OVER wp AS pd,
+        |  first_value(v IGNORE NULLS) OVER wn AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |   OVER wn AS nd
+        | FROM j
+        | WINDOW wp AS (PARTITION BY user_id ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY user_id ORDER BY day
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, CAST(day AS VARCHAR) AS day,
+        | CASE WHEN v IS NOT NULL THEN v
+        |  WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |  THEN pv + (nv - pv) *
+        |   (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+        | END AS v_interp
+        |FROM f ORDER BY user_id, day""".stripMargin,
 
     "ts_gapfill" ->
       """WITH daily AS (

@@ -39,6 +39,33 @@ class GapFillSpec extends SparkSpec {
       ("b", d("2024-02-10"), Some(7.0), Some(7.0))))
   }
 
+  test("dailyInterp draws the straight line across a gap") {
+    val out = GapFill.dailyInterp(daily, "k", "day", "v")
+      .orderBy("k", "day").select("k", "day", "v_interp")
+      .as[(String, Date, Option[Double])].collect()
+    assert(out.toSeq == Seq(
+      ("a", d("2024-01-01"), Some(10.0)),
+      ("a", d("2024-01-02"), Some(20.0)),
+      ("a", d("2024-01-03"), Some(30.0)),
+      ("a", d("2024-01-04"), Some(40.0)),
+      ("b", d("2024-02-10"), Some(7.0))))
+  }
+
+  test("dailyInterp never extrapolates past the observation edges") {
+    // null-valued observations at the span ends: interior interpolates,
+    // the edges have no surrounding pair and stay NULL
+    val df = Seq(
+      ("a", d("2024-01-01"), None: Option[Double]),
+      ("a", d("2024-01-02"), Some(2.0)),
+      ("a", d("2024-01-04"), Some(6.0)),
+      ("a", d("2024-01-05"), None: Option[Double])
+    ).toDF("k", "day", "v")
+    val out = GapFill.dailyInterp(df, "k", "day", "v")
+      .orderBy("day").select("v_interp")
+      .as[Option[Double]].collect()
+    assert(out.toSeq == Seq(None, Some(2.0), Some(4.0), Some(6.0), None))
+  }
+
   test("leading gap rows before the first observation stay NULL") {
     // min comes from a NULL-valued observation: ffill has nothing to
     // carry until the first non-null value appears.
