@@ -197,4 +197,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TopKAgg"), p.take(1200))
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
+
+  test("ts_interp evaluates both window frames on ONE per-key sort") {
+    // running-last (prev) and reversed-first (next) share the same
+    // (key, date) partitioning+ordering: Spark must plan them as Window
+    // nodes over a single exchange — a second Exchange would mean the
+    // spine shuffles twice per fill at 100 TB
+    val df = SparkEntry.queries("ts_interp")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val windows = "Window".r.findAllIn(p).size
+    assert(windows >= 2, s"expected both fill frames as Window ops: ${p.take(600)}")
+    // the printed tree is outermost-first: every Window sits between the
+    // first and last "Window" occurrence; an Exchange in that span would
+    // mean the frames re-shuffled between passes
+    val span = p.substring(p.indexOf("Window"), p.lastIndexOf("Window"))
+    assert(!span.contains("Exchange"),
+      s"window frames must share one sort, found an Exchange between them: ${p.take(1200)}")
+  }
+
+  test("dedup_prefix_jaccard joins only on prefix tokens — no cartesian, filter pushed") {
+    val p = plan("dedup_prefix_jaccard")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("PushedFilters") && p.contains("LessThan(doc_id,300)"),
+      s"doc_id filter must reach the scan: ${p.take(800)}")
+  }
 }
