@@ -957,6 +957,28 @@ object SparkEntry {
         .orderBy("user_id", "day")
     }),
 
+    // Calendar-correct rolling 7-day totals: ROWS frames only mean
+    // "trailing week" on a DENSE spine (on raw observations, 6 PRECEDING
+    // is 7 observations, not 7 days) — so densify first, then one window
+    // pass. Cents stay integer through the rolling sum (order-free).
+    "ts_rolling" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d, "events").where(col("user_id") <= 20)
+        .select(col("user_id"),
+          date_trunc("day", Graft.nanosToTimestamp("ts")).cast("date").as("day"),
+          cents(col("value")).as("vc"))
+        .groupBy("user_id", "day")
+        .agg(sum(col("vc")).as("vc"))
+      val filled = graft.ops.GapFill.dailySpine(daily, "user_id", "day")
+        .join(daily, Seq("user_id", "day"), "left")
+      val w7 = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+      filled.select(col("user_id"), col("day").cast("string").as("day"),
+          (sum(coalesce(col("vc"), lit(0L))).over(w7).cast("double") / 100)
+            .as("roll_sum"),
+          count(col("vc")).over(w7).as("roll_days"))
+        .orderBy("user_id", "day")
+    }),
+
     // Linear interpolation across spine gaps (vs ts_gapfill's carry-
     // forward): gap days get the straight line between the surrounding
     // observations; the leading/trailing edges stay NULL.
@@ -2569,6 +2591,27 @@ object SparkEntry {
         | CAST(COUNT(*) AS BIGINT) AS n_passes, MIN(dist) AS min_dist
         |FROM allp GROUP BY 1, 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "ts_rolling" ->
+      """WITH daily AS (
+        | SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc
+        | FROM events WHERE user_id <= 20 GROUP BY 1, 2),
+        |spine AS (
+        | SELECT user_id,
+        |  unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day
+        | FROM (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx
+        |       FROM daily GROUP BY 1)),
+        |j AS (
+        | SELECT s.user_id, s.day, d.vc
+        | FROM spine s LEFT JOIN daily d USING (user_id, day))
+        |SELECT user_id, CAST(day AS VARCHAR) AS day,
+        | CAST(SUM(COALESCE(vc, 0)) OVER w AS DOUBLE) / 100 AS roll_sum,
+        | CAST(COUNT(vc) OVER w AS BIGINT) AS roll_days
+        |FROM j
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, day""".stripMargin,
 
     "ts_interp" ->
       """WITH daily AS (
