@@ -1249,6 +1249,40 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // K-fold cross-validation assignment: deterministic hash folds (the
+    // split_train_val discipline generalized), each doc in exactly one
+    // fold; per-fold val/train sizes via one global window over k rows.
+    "split_kfold" -> ((s, d) => {
+      val fold = pmod(StableHash.hash60(col("doc_id").cast("string")), lit(5L))
+      t(s, d, "documents")
+        .select(col("doc_id"), fold.as("fold"))
+        .groupBy("fold").agg(count(lit(1)).as("n_val"))
+        .withColumn("n_train",
+          sum(col("n_val")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy()) - col("n_val"))
+        .orderBy("fold")
+    }),
+
+    // Quantile binning (feature discretization): per-event-type quartile
+    // boundaries (interpolated, R-7 — identical in both engines), each
+    // event assigned its quartile bin, counts per (type, bin).
+    "f11_quantile_bins" -> ((s, d) => {
+      val ev = t(s, d, "events").where(col("value").isNotNull)
+      val q = ev.groupBy("event_type").agg(
+        expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.5)").as("q2"),
+        expr("percentile(value, 0.75)").as("q3"))
+      ev.join(broadcast(q), "event_type")
+        .withColumn("bin",
+          when(col("value") <= col("q1"), 1L)
+            .when(col("value") <= col("q2"), 2L)
+            .when(col("value") <= col("q3"), 3L)
+            .otherwise(4L))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bin")
+    }),
+
     // Inverted index: per-term df / total tf / delta-encoded "gap:tf"
     // posting list, bounded to the 50 highest-df terms (deterministic
     // df-desc/word-asc cut) — the retrieval-index construction pass.
@@ -2861,6 +2895,32 @@ object SparkEntry {
         |  JOIN pref b ON b.doc_id = c.id_b)
         |WHERE jw >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "split_kfold" -> {
+      val h = hash60Sql("CAST(doc_id AS VARCHAR)")
+      s"""WITH a AS (SELECT doc_id, $h % 5 AS fold FROM documents),
+         |c AS (SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_val
+         |      FROM a GROUP BY 1)
+         |SELECT fold, n_val,
+         | CAST(SUM(n_val) OVER () - n_val AS BIGINT) AS n_train
+         |FROM c ORDER BY fold""".stripMargin
+    },
+
+    "f11_quantile_bins" ->
+      """WITH ev AS (
+        | SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |q AS (
+        | SELECT event_type,
+        |  quantile_cont(value, 0.25) AS q1,
+        |  quantile_cont(value, 0.5) AS q2,
+        |  quantile_cont(value, 0.75) AS q3
+        | FROM ev GROUP BY 1)
+        |SELECT ev.event_type,
+        | CAST(CASE WHEN value <= q1 THEN 1 WHEN value <= q2 THEN 2
+        |  WHEN value <= q3 THEN 3 ELSE 4 END AS BIGINT) AS bin,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM ev JOIN q USING (event_type)
+        |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
 
     "split_train_val" -> {
       val h = hash60Sql("CAST(doc_id AS VARCHAR)")
