@@ -403,7 +403,7 @@ object Similarity {
     * has always used for seed centroids). Genuine NaN elements stay —
     * they flow through arithmetic as NaN, as in Catalyst.
     */
-  private def subSlice(v: Seq[Any], sub: Int, dsub: Int): Array[Double] = {
+  private[graft] def subSlice(v: Seq[Any], sub: Int, dsub: Int): Array[Double] = {
     val start = sub * dsub
     if (start >= v.length) Array.emptyDoubleArray
     else {
@@ -427,7 +427,7 @@ object Similarity {
     * otherwise the same in-order `(x-y)^2` left fold, bit-identical
     * IEEE arithmetic.
     */
-  private def l2sqOrNaN(a: Array[Double], b: Array[Double]): Double =
+  private[graft] def l2sqOrNaN(a: Array[Double], b: Array[Double]): Double =
     if (a == null || b == null || a.length != b.length) Double.NaN
     else {
       var s = 0.0
@@ -446,7 +446,7 @@ object Similarity {
     * HALF_UP on `BigDecimal.valueOf` (the double's shortest decimal
     * repr), then the integral double→long cast.
     */
-  private def pdNanoDriver(qsv: Array[Double], cvec: Array[Double]): Long =
+  private[graft] def pdNanoDriver(qsv: Array[Double], cvec: Array[Double]): Long =
     if (qsv == null || cvec == null || qsv.length != cvec.length) Long.MinValue
     else {
       var s = 0.0

@@ -98,6 +98,43 @@ class OpsSpec extends SparkSpec {
     assert(got.toSet == Set((1L, 2L)), s"cross-block pair leaked: ${got.toSeq}")
   }
 
+  test("driver-side PQ LUT arithmetic matches the Catalyst expressions it replaced") {
+    // the sub-slice / l2sq / round(x*1e9)::long chain now runs on the
+    // driver; pin it against the declarative form the oracle replays,
+    // over every degenerate route: normal, ragged, empty, null-element,
+    // NaN-element, huge-magnitude
+    val m = 2; val dsub = 3
+    val fixture: Seq[(Long, Seq[java.lang.Float])] = Seq(
+      1L -> Seq[java.lang.Float](1.0f, 2.0f, 3.0f, 4.0f, 5.0f, 6.0f),
+      2L -> Seq[java.lang.Float](0.5f, -2.5f, 3.25f, -0.125f, 9.5f, 1.5f),
+      3L -> Seq[java.lang.Float](1.0f, 2.0f),                    // ragged
+      4L -> Seq[java.lang.Float](),                              // empty
+      5L -> Seq[java.lang.Float](1.0f, null, 3.0f, 4.0f, 5.0f, 6.0f),
+      6L -> Seq[java.lang.Float](Float.NaN, 2.0f, 3.0f, 4.0f, 5.0f, 6.0f),
+      7L -> Seq[java.lang.Float](1e18f, -1e18f, 0f, 1f, 2f, 3f))
+    val df = fixture.toDF("vid", "emb")
+    val subVecs = transform(sequence(lit(0), lit(m - 1)),
+      i => slice(transform(col("emb"), _.cast("double")), i * dsub + 1, lit(dsub)))
+    val pairs = df.select(col("vid").as("va"), posexplode(subVecs))
+      .toDF("va", "sub", "sva")
+      .join(df.select(col("vid").as("vb"), posexplode(subVecs))
+        .toDF("vb", "subb", "svb"), col("sub") === col("subb"))
+      .select(col("va"), col("vb"), col("sub"),
+        round(graft.functions.Vectors.l2sq(col("sva"), col("svb")) * 1e9)
+          .cast("long").as("pd"))
+      .collect()
+    val byId = fixture.toMap
+    pairs.foreach { r =>
+      val (va, vb, sub) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      val expected = if (r.isNullAt(3)) Long.MinValue else r.getLong(3)
+      val got = Similarity.pdNanoDriver(
+        Similarity.subSlice(byId(va).asInstanceOf[Seq[Any]], sub, dsub),
+        Similarity.subSlice(byId(vb).asInstanceOf[Seq[Any]], sub, dsub))
+      assert(got == expected,
+        s"pd mismatch for ($va, $vb, sub=$sub): driver=$got catalyst=$expected")
+    }
+  }
+
   test("prefix-filtered jaccard join is complete vs the naive all-pairs form") {
     // real corpus slice: every pair the naive O(n^2) token-set join finds
     // at tau must come out of the prefix-filtered join too (completeness
