@@ -42,7 +42,7 @@ object Graph {
       .localCheckpoint(true)
     var rank = nodes.select(col("id"), col("outdeg"),
       lit(1000000000L).as("r_nano"))
-    for (_ <- 1 to iterations) {
+    for (it <- 1 to iterations) {
       val contrib = e
         .join(rank.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), expr("r_nano DIV outdeg").as("c"))
@@ -51,7 +51,11 @@ object Graph {
         .select(col("id"), col("outdeg"),
           expr("150000000L + (85 * coalesce(s_nano, 0L)) DIV 100")
             .as("r_nano"))
-        .localCheckpoint(true)
+      // truncate lineage every few rounds, not every round: an eager
+      // per-iteration checkpoint materializes the full rank state each
+      // time, which costs more than the (bounded, 4-deep) lineage it
+      // would trim — deep runs still plan O(1) per block of rounds
+      if (it % 4 == 0 && it < iterations) rank = rank.localCheckpoint(true)
     }
     rank.select(col("id"), col("r_nano"))
   }
