@@ -995,6 +995,31 @@ object SparkEntry {
         .orderBy("user_id", "day")
     }),
 
+    // Cumulative distinct users per day WITHOUT a windowed
+    // COUNT(DISTINCT) (Spark has none, and the naive day x user
+    // re-aggregation is O(days x users)): each user collapses to their
+    // FIRST day (one hash agg), daily new-user counts densify onto the
+    // event-day spine, and one running sum finishes it.
+    "w7_running_distinct" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val days = t(s, d, "events")
+        .select(date_trunc("day", Graft.nanosToTimestamp("ts"))
+          .cast("date").as("day"))
+        .distinct()
+      val firstSeen = t(s, d, "events")
+        .groupBy("user_id")
+        .agg(min(date_trunc("day", Graft.nanosToTimestamp("ts")).cast("date"))
+          .as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      days.join(firstSeen, Seq("day"), "left")
+        .select(col("day").cast("string").as("day"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          sum(coalesce(col("n_new"), lit(0L))).over(w).as("n_cum"))
+        .orderBy("day")
+    }),
+
     // Time-RANGE window frame (vs w5's ROWS frames): per-user trailing
     // 1-day sum/count over the microsecond event timeline. RANGE peers
     // (ts ties) share a frame, so the result is layout-independent.
@@ -2625,6 +2650,23 @@ object SparkEntry {
         | CAST(COUNT(*) AS BIGINT) AS n_passes, MIN(dist) AS min_dist
         |FROM allp GROUP BY 1, 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "w7_running_distinct" ->
+      """WITH days AS (
+        | SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
+        | FROM events),
+        |fs AS (
+        | SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS day
+        | FROM events GROUP BY 1),
+        |nn AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new
+        |       FROM fs GROUP BY 1)
+        |SELECT CAST(d.day AS VARCHAR) AS day,
+        | COALESCE(n.n_new, 0) AS n_new,
+        | CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS n_cum
+        |FROM days d LEFT JOIN nn n USING (day)
+        |ORDER BY day""".stripMargin,
 
     "ts_rolling" ->
       """WITH daily AS (
