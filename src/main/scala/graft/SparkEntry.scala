@@ -995,6 +995,35 @@ object SparkEntry {
         .orderBy("user_id", "day")
     }),
 
+    // Last-touch attribution: each purchase credits the user's most
+    // recent non-purchase event within a 7-day lookback — one per-user
+    // window pass over the event stream (two IGNORE NULLS lasts on the
+    // same total (us, event_id) order pick fields off the same row), no
+    // conversions x touchpoints self-join.
+    "attr_last_touch" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+        .where(col("ts").isNotNull && col("event_id").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          expr("ts DIV 1000").as("us"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev
+        .withColumn("attr_us",
+          last(when(col("event_type") =!= "purchase", col("us")),
+            ignoreNulls = true).over(w))
+        .withColumn("attr_type",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .withColumn("channel",
+          when(col("attr_us").isNotNull &&
+            col("us") - col("attr_us") <= lit(604800000000L), col("attr_type"))
+            .otherwise(lit("none")))
+        .groupBy("channel").agg(count(lit(1)).as("n_conversions"))
+        .orderBy("channel")
+    }),
+
     // Cumulative distinct users per day WITHOUT a windowed
     // COUNT(DISTINCT) (Spark has none, and the naive day x user
     // re-aggregation is O(days x users)): each user collapses to their
@@ -2650,6 +2679,26 @@ object SparkEntry {
         | CAST(COUNT(*) AS BIGINT) AS n_passes, MIN(dist) AS min_dist
         |FROM allp GROUP BY 1, 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "attr_last_touch" ->
+      """WITH ev AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        | FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+        |a AS (
+        | SELECT user_id, event_id, us, event_type,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN us END
+        |    IGNORE NULLS) OVER w AS attr_us,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |    IGNORE NULLS) OVER w AS attr_type
+        | FROM ev
+        | WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT CASE WHEN attr_us IS NOT NULL
+        |   AND us - attr_us <= 604800000000 THEN attr_type
+        |  ELSE 'none' END AS channel,
+        | CAST(COUNT(*) AS BIGINT) AS n_conversions
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
 
     "w7_running_distinct" ->
       """WITH days AS (
