@@ -482,12 +482,18 @@ object Dedup {
         posexplode(slice(grams, lit(1), greatest(n - (k - 1), lit(0)))))
       .select(col("id"), (col("pos") + 1).cast("long").as("p"),
         col("col").as("gram"))
-    val repeated = windows.groupBy("gram")
-      .agg(count(lit(1)).as("occ"))
-      .where(col("occ") >= 2)
-      .select("gram")
-    val marked = windows.join(repeated, Seq("gram"), "left_semi")
+    // occ >= 2 via ONE count-over-gram window instead of the previous
+    // groupBy + left-semi back-join: that form planned the whole
+    // windows subplan (scan + tokenize + shingle + explode — the
+    // expensive string work) TWICE with no exchange reuse, and shuffled
+    // it twice. One window pass computes it once and shuffles it once;
+    // the hot-gram rows land on one reducer either way (the semi join
+    // hashed them to one partition too), so skew exposure is unchanged.
     import org.apache.spark.sql.expressions.{Window => W}
+    val marked = windows
+      .withColumn("__occ", count(lit(1)).over(W.partitionBy("gram")))
+      .where(col("__occ") >= 2)
+      .drop("__occ")
     val w = W.partitionBy("id").orderBy("p")
     marked
       .withColumn("__prev", lag(col("p"), 1).over(w))
