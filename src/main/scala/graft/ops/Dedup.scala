@@ -138,23 +138,29 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for all pairs within `blockCol` blocks
-    * (relational formulation: explode shingles, self-join on shingle,
-    * count intersections — no array columns cross the shuffle).
+    * — SINGLE-computation relational form: the shingle pipeline (scan,
+    * tokenize, shingle, explode — the expensive string work) is planned
+    * exactly once. The df cap and the per-doc reduced set size are both
+    * count windows over the one exploded frame, and candidate pairs come
+    * from exploding each shingle's (cap-bounded) doc list — never a
+    * self-join, which would re-plan the whole pipeline per side.
     *
-    * Two guard rails make the self-join survive corpus scale:
+    * Two guard rails make pair generation survive corpus scale:
     *
     *  - '''Document-frequency cap''' (`maxShingleDf`): a shingle shared by
-    *    d docs contributes d^2^ joined rows, so one stock phrase in 10^6^
+    *    d docs contributes d^2^ pairs, so one stock phrase in 10^6^
     *    docs would alone produce 10^12^ rows. Shingles whose per-block df
     *    exceeds the cap are dropped from BOTH the intersection and the set
-    *    sizes before the join — the result is exact Jaccard over the
+    *    sizes before pairing — the result is exact Jaccard over the
     *    reduced shingle universe (hot shingles carry ~zero discriminative
     *    signal; dropping them from both sides keeps identical docs at
     *    jaccard 1.0). A doc whose every shingle is hot has an empty
-    *    reduced set and emits no pairs.
+    *    reduced set and emits no pairs. The cap also bounds the
+    *    per-shingle doc list (≤ maxShingleDf structs) that pair
+    *    explosion walks.
     *  - '''Blocking''' (`blockCol`): pairs are only formed inside a block
-    *    (e.g. language, source, LSH bucket), bounding the join the same
-    *    way [[minhashPairs]] bands do. `None` keeps the single-block
+    *    (e.g. language, source, LSH bucket), bounding pair generation the
+    *    same way [[minhashPairs]] bands do. `None` keeps the single-block
     *    whole-corpus semantics.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
@@ -162,25 +168,34 @@ object Dedup {
       blockCol: Option[Column] = None,
       maxShingleDf: Int = 10000): DataFrame = {
     require(maxShingleDf >= 2, "maxShingleDf < 2 would drop every shared shingle")
+    import org.apache.spark.sql.expressions.{Window => W}
     val blk = blockCol.getOrElse(lit(""))
     val sh = graft.core.Graft.spread(df).select(blk.as("blk"),
       col(idCol).as("id"),
       explode(Text.wordShingles(col(textCol), shingleK)).as("sh"))
     // per-block doc frequency (wordShingles is distinct per doc, so
-    // count(*) == #docs carrying the shingle); partial aggregation
-    // combines hot shingles map-side before the wire
-    val rare = sh.groupBy("blk", "sh").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxShingleDf)
-      .select("blk", "sh")
-    val pruned = sh.join(rare, Seq("blk", "sh"), "left_semi")
-    val sizes = pruned.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = pruned.as("a").join(pruned.as("b"), Seq("blk", "sh"))
-      .where(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // count(*) == #docs carrying the shingle), then the per-doc REDUCED
+    // set size — two count windows over the same exploded frame
+    val pruned = sh
+      .withColumn("__df", count(lit(1)).over(W.partitionBy("blk", "sh")))
+      .where(col("__df") <= maxShingleDf)
+      .withColumn("n", count(lit(1)).over(W.partitionBy("blk", "id")))
+    // pairs: explode each shingle's id-sorted doc list — i < j by
+    // construction, so every co-occurrence yields exactly one ordered
+    // pair; `lst` is an aggregated attribute (not a recomputed
+    // expression), so referencing it inside the lambdas is CSE-safe
+    val lst = sort_array(collect_list(struct(col("id"), col("n"))))
+    val grouped = pruned.groupBy("blk", "sh").agg(lst.as("lst"))
+    val pairCol = flatten(transform(col("lst"), (x, i) =>
+      transform(slice(col("lst"), i + lit(2), size(col("lst"))), y =>
+        struct(x.getField("id").as("id_a"), x.getField("n").as("n_a"),
+          y.getField("id").as("id_b"), y.getField("n").as("n_b")))))
+    grouped
+      .select(explode(pairCol).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
       .withColumn("jaccard", col("n_inter").cast("double") /
         (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .where(col("jaccard") >= minJaccard)
