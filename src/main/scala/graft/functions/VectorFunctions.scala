@@ -31,10 +31,11 @@ object Vectors {
     when(na > 0 && nb > 0, d / (na * nb)).otherwise(lit(null).cast("double"))
   }
 
-  /** Squared L2 distance. */
-  def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), _ + _)
+  /** Squared L2 distance — native codegen'd loop (graft.plans.L2Sq),
+    * bit-identical to
+    * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0.0, _+_)`.
+    */
+  def l2sq(a: Column, b: Column): Column = graft.plans.L2Sq(a, b)
 
   /** Deterministic +1/-1 hyperplane components from MD5 of "seed:bit:dim".
     * Precomputed on the driver (tiny: bits*dim bytes) and inlined as literal

@@ -188,6 +188,37 @@ class FunctionsSpec extends SparkSpec {
     assert(got(2).isEmpty && got(3).isEmpty)
   }
 
+  test("native L2Sq matches the declarative fold on every degenerate route") {
+    import org.apache.spark.sql.functions._
+    // pairs: normal, empty-empty (0.0), ragged (null), null-element
+    // (null), NaN element (NaN), huge magnitudes; the declarative twin
+    // is the exact form the oracle replays
+    val rows: Seq[(Seq[java.lang.Float], Seq[java.lang.Float])] = Seq(
+      (Seq[java.lang.Float](1f, 2f, 3f), Seq[java.lang.Float](4f, 6f, 9f)),
+      (Seq[java.lang.Float](), Seq[java.lang.Float]()),
+      (Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](1f)),
+      (Seq[java.lang.Float](1f, null), Seq[java.lang.Float](1f, 2f)),
+      (Seq[java.lang.Float](Float.NaN, 2f), Seq[java.lang.Float](0f, 2f)),
+      (Seq[java.lang.Float](1e19f, -1f), Seq[java.lang.Float](-1e19f, 1f)),
+      (null, Seq[java.lang.Float](1f)))
+    val df = rows.toDF("a", "b")
+    val declarative = aggregate(
+      zip_with(transform($"a", _.cast("double")),
+        transform($"b", _.cast("double")), (x, y) => (x - y) * (x - y)),
+      lit(0.0), _ + _)
+    val got = df.select(
+      graft.functions.Vectors.l2sq($"a", $"b").as("native"),
+      declarative.as("decl")).collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      val n = if (r.isNullAt(0)) null else java.lang.Double.valueOf(r.getDouble(0))
+      val d = if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))
+      val same = (n == null && d == null) ||
+        (n != null && d != null &&
+          java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(d))
+      assert(same, s"row $i: native=$n declarative=$d")
+    }
+  }
+
   test("redactPii replaces emails, IPv4s and phone runs with placeholders") {
     val got = Seq(
       "mail a.b+tag@ex-1.example.co, ip 10.0.42.7, call +1 (415) 555-0100 ok",
