@@ -3556,7 +3556,9 @@ object SparkEntry {
     */
   private val labelCentroidsSql: String =
     """WITH dims AS (
-      | SELECT label, i, CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / COUNT(v) AS m
+      | SELECT label, i,
+      |  CAST(SUM(CAST(round(v * 1e9) AS BIGINT)) AS DOUBLE)
+      |   / COUNT(v) / 1e9 AS m
       | FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
       |        generate_subscripts(embedding, 1) AS i
       |       FROM embeddings)
@@ -3959,8 +3961,8 @@ object SparkEntry {
          |  FROM e CROSS JOIN $prev c) WHERE rn = 1),
          |s$it AS (
          | SELECT a.cell, r.i,
-         |  CAST(SUM(CAST(a.v[r.i] AS DECIMAL(38,12))) AS DOUBLE)
-         |    / COUNT(a.v[r.i]) AS m
+         |  CAST(SUM(CAST(round(a.v[r.i] * 1e9) AS BIGINT)) AS DOUBLE)
+         |    / COUNT(a.v[r.i]) / 1e9 AS m
          | FROM a$it a CROSS JOIN range(1, ${dim + 1}) r(i)
          | GROUP BY a.cell, r.i
          | HAVING COUNT(a.v[r.i]) > 0),
@@ -4214,8 +4216,8 @@ object SparkEntry {
          |   FROM csub c JOIN $prev cb ON cb.sub = c.sub) WHERE rn = 1),
          | s$it AS (
          |  SELECT a.sub, a.j, r.i,
-         |   CAST(SUM(CAST(a.sv[r.i] AS DECIMAL(38,12))) AS DOUBLE)
-         |     / COUNT(a.sv[r.i]) AS mv
+         |   CAST(SUM(CAST(round(a.sv[r.i] * 1e9) AS BIGINT)) AS DOUBLE)
+         |     / COUNT(a.sv[r.i]) / 1e9 AS mv
          |  FROM a$it a CROSS JOIN range(1, ${dsub + 1}) r(i)
          |  GROUP BY a.sub, a.j, r.i
          |  HAVING COUNT(a.sv[r.i]) > 0),

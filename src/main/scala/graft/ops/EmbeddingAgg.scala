@@ -11,9 +11,14 @@ import org.apache.spark.sql.types.DecimalType
   * value), one partial+final hash aggregate per (group, dim), regroup to a
   * position-sorted array — so it scales like any group-by: no per-group
   * vector buffers, no driver collection, dims stream through the shuffle
-  * as scalar rows. Per-dimension means are DECIMAL-exact sums divided
-  * once, making the result independent of partitioning and replayable by
-  * the oracle (same discipline as the trained-IVF centroids).
+  * as scalar rows. Per-dimension means are exact integer-NANO sums
+  * divided once (`covarianceUpper`'s discipline — the proven cross-engine
+  * rounding), making the result independent of partitioning and
+  * replayable by the oracle. A DECIMAL(38,12) sum is NOT tie-safe across
+  * engines: a float like 2^-13 expands to exactly 13 decimal digits
+  * ending in 5, and Spark's double->decimal cast rounds HALF_UP where
+  * DuckDB's rounds half-even — a 1e-12 sum divergence an sf0.1 oracle
+  * sweep caught on real data.
   */
 object EmbeddingAgg {
 
@@ -24,8 +29,8 @@ object EmbeddingAgg {
   def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
     df.select(col(groupCol), posexplode(col(vecCol)))
       .groupBy(col(groupCol), col("pos"))
-      .agg((sum(col("col").cast(DecimalType(38, 12))).cast("double") /
-        count(col("col"))).as("m"))
+      .agg((sum(round(col("col").cast("double") * 1e9).cast("long"))
+        .cast("double") / count(col("col")) / 1e9).as("m"))
       .where(col("m").isNotNull)
       .groupBy(col(groupCol))
       .agg(transform(

@@ -14,24 +14,39 @@ import org.apache.spark.sql.functions._
   * to die at 100 TB. This is instead the classic two-phase distributed
   * prefix sum:
   *
-  *   1. range-repartition by id (contiguous ordered key ranges,
-  *      partition p's ids all precede partition p+1's);
-  *   2. one cheap aggregate computes per-partition token totals — P rows
+  *   1. bucket rows into contiguous id ranges — the bucket is a pure
+  *      function of the id (count of driver-collected quantile
+  *      boundaries below it), so recomputing the frame can never move a
+  *      row between buckets;
+  *   2. one cheap aggregate computes per-bucket token totals — P rows
   *      to the driver, an exclusive prefix scan over P numbers, broadcast
-  *      back as each partition's base offset;
-  *   3. a PARTITION-LOCAL window (partitionBy the range id) adds the
-  *      within-partition running sum to the base.
+  *      back as each bucket's base offset;
+  *   3. a BUCKET-LOCAL window (partitionBy bucket) adds the
+  *      within-bucket running sum to the base.
   *
-  * Every stage is bounded: the widest shuffle is the range exchange of the
-  * rows themselves, the driver holds P longs, and no window ever sees more
-  * than one partition's rows. The result is independent of P (offsets are
-  * a pure function of the id order), which the spec asserts.
+  * Every stage is bounded: the widest shuffle is the bucket exchange of
+  * the rows themselves, the driver holds P longs, and no window ever sees
+  * more than one bucket's rows. The result is independent of P and of
+  * boundary placement (offsets are a pure function of the id order),
+  * which the spec asserts.
   */
 object Packing {
 
   /** Per-row global offsets: input must have a unique orderable `idCol`
     * and a non-negative `nCol` (token count). Adds `tok_offset` (tokens
     * strictly before this row) while preserving existing columns.
+    *
+    * Buckets are a PURE FUNCTION of the id — `#quantile boundaries < id`,
+    * with the boundaries collected once to the driver — never
+    * `spark_partition_id()` over `repartitionByRange`: the range
+    * partitioner's sample seed incorporates the RDD id, so the two
+    * executions this plan needs (totals aggregate, then the final join)
+    * can land rows in DIFFERENT partitions and silently corrupt every
+    * offset after the first moved row. Exhaustive sampling at unit-test
+    * scale masks that; an sf0.1 oracle sweep caught it. Boundary
+    * PLACEMENT only affects balance, never the result (the offsets are a
+    * pure function of the id order — asserted under multiple partition
+    * counts in PropertiesSpec), so approximate quantiles are fine.
     */
   def globalOffsets(df: DataFrame, idCol: String, nCol: String,
       numParts: Int = 0): DataFrame = {
@@ -39,12 +54,19 @@ object Packing {
     val parts =
       if (numParts > 0) numParts
       else sp.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(parts, col(idCol))
-      .withColumn("__pid", spark_partition_id())
-    // phase 1+2: per-partition totals -> driver prefix scan -> broadcast.
-    // The collect is P rows (one long per partition) — bounded driver work
-    // of the same class as a catalog read, NOT data-proportional.
-    val totals = ranged.groupBy("__pid")
+    val probs = (1 until parts).map(_.toDouble / parts).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.select(col(idCol).cast("double").as("__q"))
+        .stat.approxQuantile("__q", probs, 0.001)
+    val bucket = bounds.distinct.sorted.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(idCol).cast("double") > lit(b), 1).otherwise(0)
+    }
+    val bucketed = df.withColumn("__pid", bucket)
+    // phase 1+2: per-bucket totals -> driver prefix scan -> broadcast.
+    // The collect is <= P rows (one long per bucket) — bounded driver
+    // work of the same class as a catalog read, NOT data-proportional.
+    val totals = bucketed.groupBy("__pid")
       .agg(sum(col(nCol).cast("long")).as("__t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val bases = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
@@ -52,10 +74,10 @@ object Packing {
     }.init.zip(totals).map { case ((_, base), (pid, _)) => (pid, base) }
     import sp.implicits._
     val baseDf = bases.toSeq.toDF("__pid", "__base")
-    // phase 3: partition-local running sum + broadcast base join
+    // phase 3: bucket-local running sum + broadcast base join
     val w = Window.partitionBy("__pid").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(broadcast(baseDf), Seq("__pid"))
+    bucketed.join(broadcast(baseDf), Seq("__pid"))
       .withColumn("tok_offset",
         col("__base") + sum(col(nCol).cast("long")).over(w) -
           col(nCol).cast("long"))

@@ -223,8 +223,8 @@ object Similarity {
       val dims = assigned
         .select(col("cell"), posexplode(col("cv")))
         .groupBy(col("cell"), col("pos"))
-        .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
-          .cast("double") / count(col("col"))).as("m"))
+        .agg((sum(round(col("col").cast("double") * 1e9).cast("long"))
+          .cast("double") / count(col("col")) / 1e9).as("m"))
         .where(col("m").isNotNull) // all-null dim (count 0): contributes nothing
         .collect()
         .groupBy(_.getLong(0)) // cell rode through TopKAgg's Long id channel
@@ -512,8 +512,8 @@ object Similarity {
       val dims = assigned
         .select(col("sub"), col("j"), posexplode(col("sv")))
         .groupBy("sub", "j", "pos")
-        .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
-          .cast("double") / count(col("col"))).as("mv"))
+        .agg((sum(round(col("col").cast("double") * 1e9).cast("long"))
+          .cast("double") / count(col("col")) / 1e9).as("mv"))
         .where(col("mv").isNotNull)
         .collect()
         .groupBy(r => (r.getLong(1), r.getInt(0)))
