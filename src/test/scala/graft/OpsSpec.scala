@@ -698,6 +698,31 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan.take(600))
   }
 
+  test("packing offsets survive re-execution and skewed boundary ties") {
+    import graft.ops.Packing
+    // 500 ids bunched so several quantile boundaries coincide
+    // (bounds.distinct path) — and n big enough that one misplaced row
+    // is visible in every later offset. The physical-partition-id
+    // formulation this replaced could partition the totals pass and the
+    // join pass differently (RDD-id-seeded range sampling); bucketing by
+    // a pure function of the id makes the two passes agree by
+    // construction — asserted by executing the SAME frame twice.
+    val rows = (0 until 500)
+      .map(i => (i.toLong / 50 * 1000 + i % 50, (i % 7).toLong + 1))
+      .toDF("id", "n")
+    val df = Packing.globalOffsets(rows, "id", "n", numParts = 16)
+      .select("id", "tok_offset")
+    val first = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val second = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(first.sameElements(second), "offsets changed across executions")
+    val ns = rows.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val serial = ns.scanLeft(0L)(_ + _._2).init.zip(ns)
+      .map { case (off, (id, _)) => id -> off }.toMap
+    first.foreach { case (id, off) =>
+      assert(off == serial(id), s"id=$id off=$off expected=${serial(id)}")
+    }
+  }
+
   test("sharding: stable assignment, full coverage, sharded write round-trips") {
     import graft.ops.Sharding
     val rows = (0L until 500L).map(i => (i, i * 3 % 17)).toDF("id", "sz")
