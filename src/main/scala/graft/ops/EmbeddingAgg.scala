@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Embedding aggregation: per-group mean vectors (class centroids, topic
   * prototypes, user profiles) and nearest-centroid assignment.
