@@ -1024,6 +1024,34 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // First-touch attribution: each purchase credits the EARLIEST
+    // non-purchase event inside the 7-day lookback. The lookback is a
+    // RANGE frame (value bounds — identical peer handling on both
+    // engines); "earliest" is a lexicographic MIN over a zero-padded
+    // (us, event_id, type) encoding, because first_value over a RANGE
+    // frame is tie-ambiguous where two touches share a microsecond.
+    "attr_first_touch" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+        .where(col("ts").isNotNull && col("event_id").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          expr("ts DIV 1000").as("us"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-604800000000L, -1)
+      ev
+        .withColumn("first_touch",
+          min(when(col("event_type") =!= "purchase",
+            concat(lpad(col("us").cast("string"), 20, "0"), lit("|"),
+              lpad(col("event_id").cast("string"), 12, "0"), lit("|"),
+              col("event_type")))).over(w))
+        .where(col("event_type") === "purchase")
+        .withColumn("channel",
+          coalesce(element_at(split(col("first_touch"), "\\|"), 3),
+            lit("none")))
+        .groupBy("channel").agg(count(lit(1)).as("n_conversions"))
+        .orderBy("channel")
+    }),
+
     // Cumulative distinct users per day WITHOUT a windowed
     // COUNT(DISTINCT) (Spark has none, and the naive day x user
     // re-aggregation is O(days x users)): each user collapses to their
@@ -1752,6 +1780,17 @@ object SparkEntry {
       graft.ops.Sampling.groupK(t(s, d, "documents"), "lang", "doc_id",
         k = 20)
         .orderBy("lang", "rank")),
+
+    // Per-source char-budget quota: greedy in stable-hash order, a doc
+    // survives iff the running char total including it stays within the
+    // budget. Exact BIGINT cumsum (never a double) so the oracle replays
+    // the cut point bit-for-bit.
+    "sample_quota_budget" -> ((s, d) =>
+      graft.ops.Sampling.quotaBudget(t(s, d, "documents"),
+        "source", "doc_id", "n_chars", budget = 4000L)
+        .select(col("source"), col("doc_id"),
+          col("n_chars").cast("long").as("cost"), col("cum_cost"))
+        .orderBy("source", "cum_cost")),
 
     // Weighted without-replacement sample (Efraimidis-Spirakis keys over
     // a stable hash + the portable software ln, so selection, rank and
@@ -2700,6 +2739,25 @@ object SparkEntry {
         |FROM a WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY channel""".stripMargin,
 
+    "attr_first_touch" ->
+      """WITH ev AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        | FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+        |a AS (
+        | SELECT user_id, event_id, us, event_type,
+        |  MIN(CASE WHEN event_type <> 'purchase' THEN
+        |    lpad(CAST(us AS VARCHAR), 20, '0') || '|' ||
+        |    lpad(CAST(event_id AS VARCHAR), 12, '0') || '|' || event_type
+        |   END) OVER (PARTITION BY user_id ORDER BY us
+        |     RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+        |   AS first_touch
+        | FROM ev)
+        |SELECT CASE WHEN first_touch IS NULL THEN 'none'
+        |  ELSE split_part(first_touch, '|', 3) END AS channel,
+        | CAST(COUNT(*) AS BIGINT) AS n_conversions
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+
     "w7_running_distinct" ->
       """WITH days AS (
         | SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
@@ -3462,6 +3520,21 @@ object SparkEntry {
          | FROM h)
          |SELECT lang, doc_id, rank FROM r
          |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
+
+    "sample_quota_budget" ->
+      s"""WITH h AS (
+         | SELECT source, doc_id, CAST(n_chars AS BIGINT) AS cost,
+         |  ${hash60Sql("CAST(doc_id AS VARCHAR)", 0)} AS hh
+         | FROM documents),
+         |c AS (
+         | SELECT source, doc_id, cost,
+         |  CAST(SUM(cost) OVER (PARTITION BY source
+         |    ORDER BY hh ASC, doc_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |   AS BIGINT) AS cum_cost
+         | FROM h)
+         |SELECT source, doc_id, cost, cum_cost FROM c
+         |WHERE cum_cost <= 4000 ORDER BY source, cum_cost""".stripMargin,
 
     "text_bigram_lm" ->
       """WITH base AS (

@@ -75,6 +75,37 @@ object Sampling {
       Seq(groupCol), idCol, "__nh", k)
       .select(col(groupCol), col(idCol), col("rank"))
 
+  /** Per-group budget quota (the "at most X tokens per source" cap of
+    * corpus assembly, the batch twin of the streaming per-source admission
+    * cap): within each group, rows are taken in stable-hash order until
+    * the cumulative cost reaches `budget` — a row survives iff the running
+    * cost INCLUDING it is <= budget. Greedy-in-hash-order makes the kept
+    * set a pure function of the data: reproducible across runs, engines
+    * and layouts (never an RNG or a physical row order — growing the
+    * corpus re-decides only from the new rows' hash positions onward).
+    *
+    * Adds `cum_cost` (running cost including the row, exact BIGINT — cost
+    * sums must never be doubles or the oracle diverges on order).
+    *
+    * Shape at scale: one shuffle on the group key, then a group-local
+    * window sort. Groups are sources/domains — bounded cardinality, each
+    * a fraction of the corpus — so the per-group sort is the standard
+    * shape. If one group dominates (a single source holding most of
+    * 100 TB), the same greedy semantics route through the two-phase
+    * bucketed prefix sum of [[Packing.globalOffsets]] applied per group;
+    * the window form is the right default for the common fan-out.
+    */
+  def quotaBudget(df: DataFrame, groupCol: String, idCol: String,
+      costCol: String, budget: Long, seed: Int = 0): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__h", StableHash.hash60(col(idCol), seed))
+      .withColumn("cum_cost", sum(col(costCol).cast("long")).over(w))
+      .where(col("cum_cost") <= budget)
+      .drop("__h")
+  }
+
   /** Domain-mixture resampling rates (the data-mixture rebalancing step of
     * corpus assembly — public method family: DoReMi / The Pile-style
     * domain weighting): given target mixture shares t_s per stratum,

@@ -564,6 +564,40 @@ class OpsSpec extends SparkSpec {
     assert(one.size == 35 && sel(32) == one)
   }
 
+  test("quotaBudget keeps the maximal hash-order prefix within budget") {
+    import graft.ops.Sampling
+    import graft.functions.StableHash
+    val docs = spark.range(300)
+      .select(col("id").as("doc_id"),
+        (col("id") % 4).cast("string").as("source"),
+        (col("id") % 37 + 1).as("n_chars"))
+    val kept = Sampling.quotaBudget(docs, "source", "doc_id", "n_chars",
+        budget = 200L)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3)))
+    // replay the greedy scan per group from the same stable hash order
+    val order = docs
+      .withColumn("__h", StableHash.hash60(col("doc_id"), 0))
+      .collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (src, rows) =>
+        src -> rows.sortBy(r => (r._2, r._3)).map(r => (r._3, r._4))
+      }
+    val expected = order.toSeq.flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.takeWhile { case (_, n) => cum += n; cum <= 200L }
+        .scanLeft((src, -1L, 0L)) { case ((_, _, c), (id, n)) =>
+          (src, id, c + n)
+        }.drop(1)
+    }.toSet
+    assert(kept.toSet == expected, "kept set/cumsums differ from greedy replay")
+    assert(kept.forall(_._3 <= 200L))
+    // layout-independent: same selection under a different partitioning
+    val reparted = Sampling.quotaBudget(docs.repartition(13),
+        "source", "doc_id", "n_chars", budget = 200L)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3))).toSet
+    assert(reparted == kept.toSet)
+  }
+
   test("multi-pass SNM output is the union of its single passes") {
     val d = (0L until 60L).map(i => (i, s"w${i % 7} body${i / 3} tail$i"))
       .toDF("doc_id", "text")
