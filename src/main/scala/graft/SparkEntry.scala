@@ -2001,6 +2001,51 @@ object SparkEntry {
         .select("digest").distinct().orderBy("digest")
     }),
 
+    // Streaming per-key daily gap fill (transformWithState; O(1) state
+    // per key — last day + value): missing days are emitted forward-
+    // filled as observations arrive. With the whole file as one batch
+    // the emitted series equals the batch gap fill exactly, which is
+    // what the oracle replays; batch-boundary independence under
+    // day-aligned splits is spec'd in StreamingSpec.
+    "stream_gapfill" -> ((s, d) => {
+      Graft.tune(s)
+      val prev = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val ev = graft.streaming.StreamingIngest
+          .parquetStream(s, d, schema, globFilter = Some("events.parquet"))
+          .where(col("ts").isNotNull && col("user_id").isNotNull &&
+            col("value").isNotNull && col("user_id") <= 20)
+          .select(col("user_id").cast("long"),
+            datediff(date_trunc("day", Graft.nanosToTimestamp("ts"))
+              .cast("date"), lit("1970-01-01").cast("date")).cast("int"),
+            cents(col("value")))
+          .as[(Long, Int, Long)]
+        val filled = graft.streaming.GapFillStream.gapFillStream(ev)
+          .toDF("user_id", "day_i", "cents", "filled")
+        graft.streaming.StreamingIngest
+          .runAvailableNow(s, filled, "stream_gapfill_mem",
+            outputMode = "append")
+          .select(col("user_id"),
+            date_add(lit("1970-01-01").cast("date"), col("day_i"))
+              .cast("string").as("day"),
+            (col("cents").cast("double") / 100).as("v_ffill"),
+            col("filled"))
+          .orderBy("user_id", "day")
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset(
+            "spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }),
+
     // Multimodal: synthetic media + metadata extraction (decode stays
     // stubbed; plumbing is real — see graft.ops.Multimodal).
     "mm_media_meta" -> ((s, d) => {
@@ -2849,6 +2894,30 @@ object SparkEntry {
         | last_value(v IGNORE NULLS) OVER (
         |   PARTITION BY user_id ORDER BY day
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+        |FROM j ORDER BY user_id, day""".stripMargin,
+
+    "stream_gapfill" ->
+      """WITH daily AS (
+        | SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        | FROM events
+        | WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |   AND value IS NOT NULL AND user_id <= 20
+        | GROUP BY 1, 2),
+        |spine AS (
+        | SELECT user_id,
+        |  unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day
+        | FROM (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx
+        |       FROM daily GROUP BY 1)),
+        |j AS (
+        | SELECT s.user_id, s.day, d.c
+        | FROM spine s LEFT JOIN daily d USING (user_id, day))
+        |SELECT user_id, CAST(day AS VARCHAR) AS day,
+        | CAST(last_value(c IGNORE NULLS) OVER (
+        |   PARTITION BY user_id ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  / 100 AS v_ffill,
+        | (c IS NULL) AS filled
         |FROM j ORDER BY user_id, day""".stripMargin,
 
     "w6_time_range" ->

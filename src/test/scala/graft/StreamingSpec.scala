@@ -136,6 +136,64 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == 4)
   }
 
+  test("streaming gap fill equals batch gap fill, independent of day-aligned batch splits") {
+    import graft.streaming.GapFillStream
+    // (user, epoch-day, cents): gaps inside each user's span; day 13
+    // split across two rows (summed within its batch)
+    val rows = Seq(
+      (1L, 10, 100L), (1L, 13, 40L), (1L, 13, 60L), (1L, 14, 7L),
+      (2L, 11, 5L), (2L, 15, 9L),
+      (3L, 12, 3L) // single-day user: no fills
+    )
+    def run(files: Seq[Seq[(Long, Int, Long)]]): Seq[(Long, Int, Long, Boolean)] = {
+      val dir = Files.createTempDirectory("graft_sgf").toString
+      files.zipWithIndex.foreach { case (part, i) =>
+        part.toDF("user_id", "day", "cents").coalesce(1)
+          .write.mode("append").parquet(s"$dir/f=$i")
+      }
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val schema = spark.read.parquet(dir).schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .select("user_id", "day", "cents").as[(Long, Int, Long)]
+        StreamingIngest.runAvailableNow(spark,
+            GapFillStream.gapFillStream(stream).toDF("user_id", "day", "cents", "filled"),
+            s"sgf_${files.size}", outputMode = "append")
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+          .toSeq.sorted
+      } finally {
+        prev match {
+          case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }
+    val expected = Seq(
+      (1L, 10, 100L, false), (1L, 11, 100L, true), (1L, 12, 100L, true),
+      (1L, 13, 100L, false), (1L, 14, 7L, false),
+      (2L, 11, 5L, false), (2L, 12, 5L, true), (2L, 13, 5L, true),
+      (2L, 14, 5L, true), (2L, 15, 9L, false),
+      (3L, 12, 3L, false))
+    val oneBatch = run(Seq(rows))
+    assert(oneBatch == expected)
+    // day-aligned split: days 10-12 then 13-15 — state carries the fill
+    // value across the batch boundary
+    val split = run(Seq(rows.filter(_._2 <= 12), rows.filter(_._2 > 12)))
+    assert(split == expected)
+    // batch twin agrees: dailyGapFill over the same per-day sums
+    val daily = rows.toDF("user_id", "day", "c")
+      .groupBy("user_id", "day").agg(sum("c").as("c"))
+    val batch = graft.ops.GapFill.dailyGapFill(daily, "user_id", "day", "c")
+      .select(col("user_id"), col("day"), col("c_ffill"), col("c").isNull.as("filled"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq.sorted
+    assert(batch == expected)
+  }
+
   test("transformWithState per-source cap admits at most N docs per key across batches") {
     import graft.streaming.CapPerKey
     val dir = Files.createTempDirectory("graft_cap").toString
