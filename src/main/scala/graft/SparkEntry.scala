@@ -1536,6 +1536,17 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")),
 
+    // SemDeDup semantic dedup: Lloyd-trained k-means cells bound the
+    // quadratic cosine search (sum |cell|^2, never n^2); within each cell
+    // a vector is dropped iff some lower-id cellmate is >= threshold
+    // cosine. Threshold 0.38 is demo level for these near-random
+    // synthetic vectors (production uses ~0.95); training, assignment,
+    // and the prune all replay in the oracle.
+    "dedup_semantic" -> ((s, d) =>
+      Dedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        nCells = 16, iters = 2, threshold = 0.38)
+        .orderBy("vec_id")),
+
     // IVF with Lloyd-TRAINED centroids (2 iterations from the prefix-
     // sample init): assignment + decimal-exact per-dimension means are
     // bit-reproducible, so even the TRAINING is oracle-replayed (the
@@ -1738,6 +1749,22 @@ object SparkEntry {
     "text_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramLmScores(t(s, d, "documents")).orderBy("doc_id")),
 
+    // CCNet-style head/middle/tail quality partition: exact tercile
+    // cutoffs of the unigram-LM scores (scalar aggregate + broadcast,
+    // never a global ntile), assignment map-side.
+    "text_ppl_buckets" -> ((s, d) =>
+      TextAnalysis.pplBuckets(t(s, d, "documents")).orderBy("doc_id")),
+
+    // Gopher-style quality gate: per-rule boolean flags + the composite
+    // keep verdict (thresholds tuned to split this synthetic corpus;
+    // production uses the paper's 50..100k / 0.18 defaults).
+    "text_quality_gate" -> ((s, d) =>
+      TextAnalysis.qualityGate(t(s, d, "documents"),
+        minTokens = 30, maxTokens = 80, maxPunctRatio = 0.2,
+        minStopwordRatio = 0.05, maxDupLineFrac = 0.3,
+        maxTopBigramFrac = 0.05)
+        .orderBy("doc_id")),
+
     // Deterministic stratified sampling: per-source keep rates decided by
     // a stable id hash — reproducible across engines/partitionings, and
     // consistent (the same doc samples in everywhere).
@@ -1763,6 +1790,21 @@ object SparkEntry {
         .select(col("source"), col("n_orig"), col("rate_ppm"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"))
         .orderBy("source")
+    }),
+
+    // Temperature-reweighted language balancing (α = 1/2): target share
+    // ∝ n^α; at max retention the rate is sqrt(n_min/n_s) — every step
+    // IEEE exactly-rounded, so the ppm thresholds replay bit-for-bit.
+    "sample_temperature" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val rates = graft.ops.Sampling.temperatureRates(docs, "lang", alpha = 0.5)
+      val kept = graft.ops.Sampling
+        .temperatureSample(docs, "lang", "doc_id", alpha = 0.5)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_orig"), col("rate_ppm"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("lang")
     }),
 
     // Exactly-k uniform sample as the k smallest id hashes: a bounded
@@ -3248,6 +3290,9 @@ object SparkEntry {
 
     "text_repetition" -> repetitionOracle,
 
+    "text_quality_gate" -> qualityGateOracle(minTokens = 30, maxTokens = 80,
+      maxPunct = 0.2, minStop = 0.05, maxDupLine = 0.3, maxTopBigram = 0.05),
+
     // Same oracle verbatim: the relational operator is contractually
     // output-identical to the HOF one (RepetitionRelationalSpec).
     "text_repetition_rel" -> repetitionOracle,
@@ -3328,6 +3373,8 @@ object SparkEntry {
         |ORDER BY n_nationkey""".stripMargin,
 
     "dedup_embedding" -> embeddingNearDupOracle,
+
+    "dedup_semantic" -> semanticDedupOracle(),
 
     "sim_lsh_topk" -> lshTopkOracle,
 
@@ -3536,6 +3583,26 @@ object SparkEntry {
          |ORDER BY source""".stripMargin
     },
 
+    "sample_temperature" -> {
+      val h = hash60Sql("CAST(doc_id AS VARCHAR)", 0)
+      s"""WITH cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_orig
+         |            FROM documents GROUP BY lang),
+         |wd AS (SELECT lang, n_orig, sqrt(CAST(n_orig AS DOUBLE)) AS dd FROM cnt),
+         |m AS (SELECT MIN(dd) AS mm FROM wd),
+         |rates AS (
+         | SELECT lang, n_orig,
+         |  CAST(floor(mm / dd * 1000000.0) AS BIGINT) AS rate_ppm
+         | FROM wd CROSS JOIN m),
+         |kept AS (
+         | SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+         | FROM documents d JOIN rates r USING (lang)
+         | WHERE ($h % 1000000) < r.rate_ppm
+         | GROUP BY d.lang)
+         |SELECT lang, n_orig, rate_ppm, COALESCE(n_kept, 0) AS n_kept
+         |FROM rates LEFT JOIN kept USING (lang)
+         |ORDER BY lang""".stripMargin
+    },
+
     "sample_stratified" -> {
       val h = hash60Sql("CAST(doc_id AS VARCHAR)", 0)
       s"""SELECT doc_id, source FROM documents
@@ -3654,7 +3721,37 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
         | a.lsum / CAST(a.n_tokens AS DOUBLE) AS lm_score
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Same LM chain as text_unigram_lm, then exact R-7 tercile cuts
+    // (quantile_cont == Spark percentile) and the head/middle/tail CASE
+    // on bit-identical doubles.
+    "text_ppl_buckets" ->
+      """WITH toks AS (
+        | SELECT doc_id, w FROM (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE trim(text) <> '') WHERE w <> ''),
+        |vocab AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab),
+        |model AS (
+        | SELECT w, ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS lp
+        | FROM vocab, tot),
+        |doctok AS (SELECT doc_id, w, COUNT(*) AS k FROM toks GROUP BY doc_id, w),
+        |terms AS (
+        | SELECT dt.doc_id, dt.w, dt.k, CAST(dt.k AS DOUBLE) * m.lp AS term
+        | FROM doctok dt JOIN model m USING (w)),
+        |scored AS (
+        | SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+        |  list_sum(list(term ORDER BY w)) / CAST(SUM(k) AS DOUBLE) AS lm_score
+        | FROM terms GROUP BY doc_id),
+        |cuts AS (
+        | SELECT quantile_cont(lm_score, CAST(1 AS DOUBLE)/3) AS c_lo,
+        |  quantile_cont(lm_score, CAST(2 AS DOUBLE)/3) AS c_hi FROM scored)
+        |SELECT s.doc_id, s.n_tokens, s.lm_score,
+        | CASE WHEN s.lm_score >= c.c_hi THEN 'head'
+        |      WHEN s.lm_score >= c.c_lo THEN 'middle'
+        |      ELSE 'tail' END AS bucket
+        |FROM scored s, cuts c ORDER BY s.doc_id""".stripMargin
   )
 
   // ---- generated oracles (shared hash/shingle SQL building blocks) --------
@@ -3721,6 +3818,69 @@ object SparkEntry {
     * docs): the DuckDB replay is necessarily relational, which is exactly
     * what makes one oracle serve both engine forms.
     */
+  /** Replays `TextAnalysis.qualityGate`: the profile chain's token /
+    * punct / stopword stats (same CTE shapes as `textProfileOracle`, no
+    * language argmax) + the repetition chain on RAW text (no planted
+    * duplication), then the threshold CASE per rule. Ratio thresholds
+    * compare 6-dp-rounded values on both engines.
+    */
+  private def qualityGateOracle(minTokens: Long, maxTokens: Long,
+      maxPunct: Double, minStop: Double, maxDupLine: Double,
+      maxTopBigram: Double): String = {
+    val inList = Text.stopwords.values.flatten.toSeq
+      .map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""WITH words AS (
+       | SELECT doc_id, w, i FROM (
+       |  SELECT doc_id,
+       |   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+       |   generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS i
+       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '')),
+       |ws AS (
+       | SELECT doc_id, COUNT(*) AS n_tokens,
+       |  SUM(CASE WHEN w IN $inList THEN 1 ELSE 0 END) AS h_all
+       | FROM words GROUP BY doc_id),
+       |cs AS (
+       | SELECT doc_id, length(COALESCE(text, '')) AS n_chars,
+       |  len(regexp_extract_all(COALESCE(text, ''), '[.,;:!?''"()\\[\\]{}]')) AS n_punct
+       | FROM documents),
+       |lines AS (
+       | SELECT doc_id, trim(l) AS line
+       | FROM documents, unnest(string_split(COALESCE(text, ''), chr(10))) AS u(l)
+       | WHERE trim(l) <> ''),
+       |lc AS (SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY doc_id, line),
+       |la AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS nl,
+       |        CAST(COUNT(*) AS DOUBLE) AS nd
+       |       FROM lc GROUP BY doc_id),
+       |bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS bi
+       |       FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+       |bgc AS (SELECT doc_id, bi, COUNT(*) AS c FROM bg GROUP BY doc_id, bi),
+       |bga AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS nb,
+       |        CAST(MAX(c) AS DOUBLE) AS maxc FROM bgc GROUP BY doc_id),
+       |sig AS (
+       | SELECT c.doc_id,
+       |  CAST(COALESCE(w.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CASE WHEN c.n_chars > 0
+       |       THEN ROUND(CAST(c.n_punct AS DOUBLE) / c.n_chars, 6) ELSE 0.0 END AS punct_ratio,
+       |  CASE WHEN COALESCE(w.n_tokens, 0) > 0
+       |       THEN ROUND(CAST(w.h_all AS DOUBLE) / w.n_tokens, 6) ELSE 0.0 END AS stopword_ratio,
+       |  COALESCE((la.nl - la.nd) / la.nl, 0.0) AS dup_line_frac,
+       |  COALESCE(bga.maxc / bga.nb, 0.0) AS top_bigram_frac
+       | FROM cs c LEFT JOIN ws w USING (doc_id)
+       |  LEFT JOIN la ON la.doc_id = c.doc_id
+       |  LEFT JOIN bga ON bga.doc_id = c.doc_id)
+       |SELECT doc_id, n_tokens,
+       | (n_tokens >= $minTokens AND n_tokens <= $maxTokens) AS ok_length,
+       | (punct_ratio <= $maxPunct) AS ok_punct,
+       | (stopword_ratio >= $minStop) AS ok_stopwords,
+       | (dup_line_frac <= $maxDupLine) AS ok_dup_lines,
+       | (top_bigram_frac <= $maxTopBigram) AS ok_bigram,
+       | (n_tokens >= $minTokens AND n_tokens <= $maxTokens
+       |  AND punct_ratio <= $maxPunct AND stopword_ratio >= $minStop
+       |  AND dup_line_frac <= $maxDupLine
+       |  AND top_bigram_frac <= $maxTopBigram) AS keep
+       |FROM sig ORDER BY doc_id""".stripMargin
+  }
+
   private val repetitionOracle: String =
     """WITH base AS (
       | SELECT doc_id,
@@ -4091,8 +4251,14 @@ object SparkEntry {
     * are what make cross-engine bit-equality of TRAINED centroids (and
     * hence identical final assignments) possible.
     */
-  private def ivfTrainedOracle(nCells: Int = 16, nProbe: Int = 2,
-      iters: Int = 2, dim: Int = 64): String = {
+  /** Shared WITH-prefix (no leading `WITH`): embeddings as DOUBLE lists
+    * (`e`) + the Lloyd-trained centroid chain — `c0` prefix seed, `iters`
+    * unrolled assign/decimal-mean rounds — ending in CTE `c{iters}`.
+    * Callers append their own CTEs; the chain replays
+    * `Similarity.trainedCentroids` bit-for-bit.
+    */
+  private def trainedCentroidChainSql(nCells: Int, iters: Int,
+      dim: Int): String = {
     val iterCtes = (1 to iters).map { it =>
       val prev = s"c${it - 1}"
       s"""a$it AS (
@@ -4114,12 +4280,17 @@ object SparkEntry {
          | SELECT p.cell, p.cv FROM $prev p
          | WHERE p.cell NOT IN (SELECT DISTINCT cell FROM s$it))""".stripMargin
     }.mkString(",\n")
-    val fin = s"c$iters"
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |c0 AS (
        | SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
        | FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $nCells)),
-       |$iterCtes,
+       |$iterCtes""".stripMargin
+  }
+
+  private def ivfTrainedOracle(nCells: Int = 16, nProbe: Int = 2,
+      iters: Int = 2, dim: Int = 64): String = {
+    val fin = s"c$iters"
+    s"""WITH ${trainedCentroidChainSql(nCells, iters, dim)},
        |corpus AS (SELECT vec_id AS corpus_id, v AS cv FROM e),
        |cassign AS (
        | SELECT corpus_id, cv, cell FROM (
@@ -4145,6 +4316,33 @@ object SparkEntry {
        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
        | FROM scored)
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Replays `Dedup.semanticDedup` end to end: the trained-centroid
+    * chain, full-corpus nearest-cell assignment (NULL distances sort
+    * last, so degenerate vectors take the smallest cell — matching
+    * `assignNearest`), and the within-cell lower-id near-dup semi join.
+    * cosineSql is the TOTAL in-order fold, bit-equal to the engine's
+    * DotProduct, so the `>= threshold` cut is exact on both sides.
+    */
+  private def semanticDedupOracle(nCells: Int = 16, iters: Int = 2,
+      dim: Int = 64, threshold: Double = 0.38): String = {
+    val fin = s"c$iters"
+    s"""WITH ${trainedCentroidChainSql(nCells, iters, dim)},
+       |cassign AS (
+       | SELECT vec_id, v, cell FROM (
+       |  SELECT e.vec_id, e.v, ct.cell,
+       |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${distSql("e.v", "ct.cv")} ASC, ct.cell ASC) AS rn
+       |  FROM e CROSS JOIN $fin ct) WHERE rn = 1),
+       |drops AS (
+       | SELECT DISTINCT b.vec_id
+       | FROM cassign a JOIN cassign b
+       |   ON a.cell = b.cell AND a.vec_id < b.vec_id
+       | WHERE ${cosineSql("a.v", "b.v")} >= $threshold)
+       |SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS kept
+       |FROM cassign c LEFT JOIN drops d ON c.vec_id = d.vec_id
+       |ORDER BY c.vec_id""".stripMargin
   }
 
   /** Replays the WHOLE sq8 path: amax -> scale -> tinyint codes (the

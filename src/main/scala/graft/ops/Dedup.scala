@@ -525,4 +525,61 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"),
         col("n_windows"))
   }
+
+  /** SemDeDup-style semantic dedup (public algorithm: Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): k-means-cluster the embedding
+    * space, then prune near-duplicates by EXACT cosine WITHIN each
+    * cluster — the clustering is what bounds the quadratic pair search
+    * to sum(|cell|^2) instead of n^2. Reuses the two verified stages:
+    * [[Similarity.trainedCentroids]] (Lloyd iterations, decimal-exact
+    * means, prefix-seeded — the whole chain replays in the oracle) and
+    * [[EmbeddingAgg.assignNearest]] (broadcast centroids, map-side
+    * scoring, bounded top-1 finisher).
+    *
+    * Drop rule: a vector is dropped iff SOME lower-id vector in its cell
+    * has cosine >= `threshold` with it — the order-free parallel variant
+    * (one semi-join decides every row independently; no sequential
+    * greedy scan). The witness may itself be dropped, so this retains a
+    * subset of what a sequential greedy pass would keep — deterministic,
+    * and pessimistic only within a near-dup clique. Degenerate vectors
+    * (null / zero norm) have null cosine to everything and are always
+    * kept.
+    *
+    * Scale shape: the contract is the paper's — nCells grows with the
+    * corpus so |cell| ~ n/nCells stays bounded (the paper uses ~0.1%
+    * clusters-to-docs); the within-cell join is then a cell-keyed
+    * self-join with bounded fan-out, never all-pairs. Centroids live on
+    * the driver (nCells x dim) and broadcast; the corpus streams through
+    * assignment map-side.
+    *
+    * Output: one row per input vector — (idCol, cell, kept).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, iters: Int = 2,
+      threshold: Double = 0.95): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val e = df.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("embedding"))
+    val cents = Similarity.trainedCentroids(e, nCells, iters)
+      .map { case (c, v) => (c, Option(v).map(_.toSeq).orNull) }
+      .toDF("cent_id", "centv")
+    val assigned = EmbeddingAgg.assignNearest(
+        e, "vec_id", "embedding", cents, "cent_id", "centv")
+      .select(col("vec_id"), col("nearest").as("cell"))
+    val withVec = e.join(assigned, Seq("vec_id"))
+    val l = withVec.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val r = withVec.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    val drops = l.join(r, Seq("cell"))
+      .where(col("id_a") < col("id_b") &&
+        Vectors.cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned
+      .join(drops.withColumn("__drop", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id").as(idCol), col("cell"),
+        col("__drop").isNull.as("kept"))
+  }
 }

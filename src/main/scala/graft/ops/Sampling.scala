@@ -147,6 +147,45 @@ object Sampling {
       .where(bucket(idCol, seed) < col("rate_ppm"))
       .drop("n_orig", "rate_ppm")
 
+  /** Temperature-reweighted stratum balancing (public method: the
+    * α-smoothed multilingual sampling rule of Devlin et al. 2019 (mBERT)
+    * and Conneau et al. 2020 (XLM-R), α typically 0.3–0.7): target share
+    * of stratum s ∝ n_s^α — flattening the head, boosting the tail.
+    * Realized at maximum retention the rate collapses to
+    * `rate_s = min_u(n_u^(1-α)) / n_s^(1-α)`: the smallest stratum keeps
+    * 100% and a stratum k× larger keeps k^(α-1), with NO cross-stratum
+    * share normalization (the Σ n^α cancels) — so at α = 1/2 every step
+    * (sqrt, division, min, floor) is an IEEE exactly-rounded op and the
+    * ppm thresholds are bit-identical on any engine. Other α go through
+    * `pow`, which engines round differently in the last ulp — fine for
+    * sampling quality, but only α = 1/2 is oracle-exact by construction.
+    */
+  def temperatureRates(df: DataFrame, stratumCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n_orig"))
+    val dCol =
+      if (alpha == 0.5) sqrt(col("n_orig").cast("double"))
+      else pow(col("n_orig").cast("double"), lit(1.0 - alpha))
+    val withD = counts.withColumn("__d", dCol)
+    val m = withD.agg(min(col("__d")).as("__m"))
+    withD.crossJoin(broadcast(m))
+      .select(col(stratumCol), col("n_orig"),
+        floor(col("__m") / col("__d") * lit(1000000.0)).as("rate_ppm"))
+  }
+
+  /** The resampled rows: map-side id-hash membership against the
+    * broadcast [[temperatureRates]] thresholds (same consistency property
+    * as [[mixture]]: a doc kept at some rate stays kept at every higher
+    * rate, so raising α only ever adds rows).
+    */
+  def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
+      alpha: Double = 0.5, seed: Int = 0): DataFrame =
+    df.join(broadcast(temperatureRates(df, stratumCol, alpha)),
+        Seq(stratumCol))
+      .where(bucket(idCol, seed) < col("rate_ppm"))
+      .drop("n_orig", "rate_ppm")
+
   /** ln(2) as the decimal literal both engines parse to the same double. */
   val LN2: Double = 0.6931471805599453
 

@@ -189,6 +189,75 @@ object TextAnalysis {
         (col("lsum") / col("n_tokens").cast("double")).as("lm_score"))
   }
 
+  /** Gopher-style document quality gate (public rule family: Rae et al.
+    * 2021, "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", Table A1 document filters; C4 and RefinedWeb use
+    * close variants): every rule is an explicit boolean flag and `keep`
+    * is their conjunction, so a pipeline can filter AND audit why a doc
+    * fell out (per-rule drop rates are one groupBy away — the thing a
+    * bare boolean filter can't answer at 100 TB).
+    *
+    * Composes the two verified signal passes — [[profile]]
+    * (length / punct / stopword ratios, map-side) and
+    * [[repetitionSignalsRelational]] (dup-line and top-bigram mass, the
+    * huge-document-safe relational form) — joined once on the doc key;
+    * the gate itself adds no further shuffle. Ratio thresholds compare
+    * against the profile's 6-dp-rounded ratios (the exact values the
+    * oracle replays). Same `doc_id` contract as [[profile]].
+    */
+  def qualityGate(docs: DataFrame, textCol: String = "text",
+      minTokens: Long = 50, maxTokens: Long = 100000,
+      maxPunctRatio: Double = 0.2, minStopwordRatio: Double = 0.02,
+      maxDupLineFrac: Double = 0.3,
+      maxTopBigramFrac: Double = 0.18): DataFrame = {
+    val p = profile(docs, textCol)
+      .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
+        col("stopword_ratio"))
+    val rep = repetitionSignalsRelational(docs, textCol)
+      .select(col("doc_id"), col("dup_line_frac"), col("top_bigram_frac"))
+    val okLen = col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens
+    val okPunct = col("punct_ratio") <= maxPunctRatio
+    val okStop = col("stopword_ratio") >= minStopwordRatio
+    val okDup = col("dup_line_frac") <= maxDupLineFrac
+    val okBigram = col("top_bigram_frac") <= maxTopBigramFrac
+    p.join(rep, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        okLen.as("ok_length"), okPunct.as("ok_punct"),
+        okStop.as("ok_stopwords"), okDup.as("ok_dup_lines"),
+        okBigram.as("ok_bigram"),
+        (okLen && okPunct && okStop && okDup && okBigram).as("keep"))
+  }
+
+  /** CCNet-style perplexity partition (public method: Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", arXiv:1911.00359 §4.3): score each document under the
+    * corpus's OWN unigram LM ([[unigramLmScores]]) and split into
+    * head / middle / tail terciles of the score distribution — the
+    * standard quality gate before mixing web text into training data.
+    *
+    * Scale shape: the cutoffs are the two exact R-7 tercile quantiles of
+    * `lm_score` (one scalar aggregate, broadcast back) and assignment is
+    * a map-side comparison — never a global `ntile`, which would funnel
+    * the corpus through a single window partition. Higher mean log-prob
+    * = lower perplexity = `head`. Docs with zero tokens have no score
+    * and are excluded (the contract the oracle mirrors). Quantile
+    * interpolation and the comparisons run on bit-identical doubles on
+    * both engines (DuckDB `quantile_cont` is the same R-7 estimator).
+    */
+  def pplBuckets(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val scored = unigramLmScores(docs, textCol, idCol)
+      .where(col("n_tokens") > 0)
+    val cuts = scored.agg(
+      expr("percentile(lm_score, CAST(1 AS DOUBLE)/3)").as("c_lo"),
+      expr("percentile(lm_score, CAST(2 AS DOUBLE)/3)").as("c_hi"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("n_tokens"), col("lm_score"),
+        when(col("lm_score") >= col("c_hi"), "head")
+          .when(col("lm_score") >= col("c_lo"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Bigram-LM fluency score: mean log P(w_i | w_{i-1}) under the corpus's
     * own conditional bigram model — the next step up from
     * [[unigramLmScores]] (word-salad text keeps plausible unigrams but

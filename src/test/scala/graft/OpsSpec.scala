@@ -487,6 +487,32 @@ class OpsSpec extends SparkSpec {
     assert(recall4 > recall1 || recall1 == 1.0) // and at 8 bits it really does
   }
 
+  test("semantic dedup: drop rule matches a brute within-cell recompute") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val res = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      nCells = 8, iters = 1, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(res.length == emb.count()) // exactly one verdict per vector
+    val cellOf = res.map(x => x._1 -> x._2).toMap
+    // brute truth, no clustering shortcut: every lower-id pair's cosine
+    val e = emb.select($"vec_id".as("id"), $"embedding".as("v"))
+    val droppedTruth = e.as("a").crossJoin(e.as("b"))
+      .where($"a.id" < $"b.id")
+      .select($"a.id".as("ia"), $"b.id".as("ib"),
+        graft.functions.Vectors.cosine($"a.v", $"b.v").as("c"))
+      .collect()
+      .filter(r => !r.isNullAt(2) && r.getDouble(2) >= 0.35)
+      .filter(r => cellOf(r.getLong(0)) == cellOf(r.getLong(1)))
+      .map(_.getLong(1)).toSet
+    res.foreach { case (id, _, kept) =>
+      assert(kept == !droppedTruth(id), s"vec $id")
+    }
+    assert(droppedTruth.nonEmpty) // the drop path really ran
+    // consequence: the kept set has no within-cell near-dup pair left
+    val keptSet = res.filter(_._3).map(_._1).toSet
+    assert(droppedTruth.intersect(keptSet).isEmpty)
+  }
+
   test("language-ID accuracy against the labeled documents table") {
     val docsReal = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val scored = docsReal.select($"lang",
@@ -1066,6 +1092,80 @@ class OpsSpec extends SparkSpec {
       .where(pmod(graft.functions.StableHash.hash60($"id".cast("string"), 0),
         lit(1000000L)) < 250000L).count()
     assert(kept.getOrElse("c", 0L) == expectC && expectC > 0)
+  }
+
+  test("temperatureRates: smallest stratum keeps all; k-fold stratum keeps k^(alpha-1)") {
+    import graft.ops.Sampling
+    val rows = (1 to 400).map(i => (i.toLong, "big")) ++
+      (401 to 500).map(i => (i.toLong, "small"))
+    val df = rows.toDF("id", "s")
+    val rates = Sampling.temperatureRates(df, "s", alpha = 0.5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rates("small") == ((100L, 1000000L)))
+    // 4x the rows -> keep sqrt(1/4) = exactly half
+    assert(rates("big") == ((400L, 500000L)))
+    // uniform strata degenerate to keep-everything
+    val uni = Sampling.temperatureRates(
+      (1 to 60).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "s"), "s")
+      .collect()
+    assert(uni.forall(_.getLong(2) == 1000000L))
+    // kept rows replay the independent hash-threshold check
+    val kept = Sampling.temperatureSample(df, "s", "id", alpha = 0.5)
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expectBig = df.where($"s" === "big")
+      .where(pmod(graft.functions.StableHash.hash60($"id".cast("string"), 0),
+        lit(1000000L)) < 500000L).count()
+    assert(kept("small") == 100L && kept("big") == expectBig && expectBig > 0)
+  }
+
+  test("qualityGate: each rule fires on its planted doc; keep is the conjunction") {
+    import graft.ops.TextAnalysis
+    // 60 distinct words with a stopword every 5th position: passes every
+    // default rule (length 50..100k, punct, stopwords, dup lines, bigram)
+    val good = (0 until 60)
+      .map(i => if (i % 5 == 4) "the" else s"word$i").mkString(" ")
+    val short = "hello world"
+    val loopy = Array.fill(40)("spam ham").mkString(" ") // one bigram is ~all mass
+    val dupLines = Seq("the cat sat and", "the cat sat and",
+      "the cat sat and", "a different tail line").mkString("\n")
+    val puncty = (0 until 60)
+      .map(i => if (i % 5 == 4) "the" else s"w$i...!!...").mkString(" ")
+    val docs = Seq(
+      (1L, good), (2L, short), (3L, loopy), (4L, dupLines), (5L, puncty)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityGate(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))).toMap
+    // (ok_length, ok_punct, ok_stopwords, ok_dup_lines, ok_bigram, keep)
+    assert(got(1L) == ((true, true, true, true, true, true)))
+    assert(!got(2L)._1 && !got(2L)._6)      // too short
+    assert(!got(3L)._5 && !got(3L)._6)      // one bigram dominates
+    assert(!got(4L)._4 && !got(4L)._6)      // duplicated lines
+    assert(!got(5L)._2 && !got(5L)._6)      // punctuation-heavy
+    got.values.foreach { case (a, b, c, d, e, keep) =>
+      assert(keep == (a && b && c && d && e))
+    }
+  }
+
+  test("pplBuckets: tercile partition is exhaustive and ordered by score") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val res = graft.ops.TextAnalysis.pplBuckets(docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+    val scoredDocs = graft.ops.TextAnalysis.unigramLmScores(docs)
+      .where($"n_tokens" > 0).count()
+    assert(res.length == scoredDocs) // every scored doc gets one bucket
+    val byBucket = res.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // terciles: sizes within 1 of each other is NOT guaranteed by the
+    // cutoff form (ties/interpolation), but the ordering invariant is:
+    // every head score >= every middle score >= every tail score
+    assert(byBucket("head").min >= byBucket("middle").max)
+    assert(byBucket("middle").min >= byBucket("tail").max)
+    // and the split is roughly even on real data
+    assert(byBucket.values.forall(v =>
+      v.length > res.length / 5 && v.length < res.length / 2))
   }
 
   test("rootPaths resolves explicit and implicit roots at any depth") {

@@ -222,4 +222,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("LessThan(doc_id,300)"),
       s"doc_id filter must reach the scan: ${p.take(800)}")
   }
+
+  test("dedup_semantic: centroid assignment broadcasts; pair join keys on the cell") {
+    // the corpus must never shuffle for assignment (centroids broadcast,
+    // nearest-cell is map-side + bounded top-1), and candidate pairs must
+    // come from a cell-keyed equi-join — a nested-loop/cartesian here is
+    // the n² failure mode the clustering exists to prevent
+    val p = finalPlan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroids must broadcast: ${p.take(800)}")
+    assert(p.contains("TopKAgg"), s"bounded top-1 finisher expected: ${p.take(800)}")
+  }
+
+  test("sample_temperature and ppl buckets broadcast their scalar sides") {
+    // rate table / tercile cuts are one-to-few rows: the corpus side must
+    // join them via broadcast, never an exchange on the stratum key
+    val pt = finalPlan("sample_temperature")
+    assert(pt.contains("BroadcastHashJoin") || pt.contains("BroadcastNestedLoopJoin"),
+      pt.take(800))
+    val pb = finalPlan("text_ppl_buckets")
+    assert(pb.contains("BroadcastNestedLoopJoin") || pb.contains("BroadcastHashJoin"),
+      pb.take(800))
+  }
 }
