@@ -1583,6 +1583,19 @@ object SparkEntry {
         Graft.spread(t(s, d, "embeddings")), "embedding", dim = 64)
         .orderBy("i", "j")),
 
+    // Per-label centroid-distance outliers (p95 cutoff broadcast back):
+    // flags vectors far from their own class prototype — mislabeled or
+    // anomalous rows — without any global sort. The verdict is coalesced
+    // to a NON-NULL boolean (null dist stays as the degenerate marker):
+    // nullable booleans round-trip differently through the two engines'
+    // pandas conversions (None vs NaN), a compare-harness trap.
+    "emb_outliers" -> ((s, d) =>
+      graft.ops.EmbeddingAgg.centroidOutliers(
+        Graft.spread(t(s, d, "embeddings")), "vec_id", "embedding", "label")
+        .withColumn("dist", round(col("dist"), 6))
+        .withColumn("is_outlier", coalesce(col("is_outlier"), lit(false)))
+        .orderBy("vec_id")),
+
     // Nearest-centroid assignment (classify every vector against the
     // label prototypes): centroids broadcast, corpus scored map-side,
     // bounded top-1 finisher.
@@ -3472,6 +3485,18 @@ object SparkEntry {
          | FROM scored)
          |SELECT vec_id, nearest, ROUND(dist, 6) AS dist
          |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
+
+    "emb_outliers" -> {
+      s"""$labelCentroidsSql,
+         |d AS (
+         | SELECT e.vec_id, e.label,
+         |  ${distSql("e.embedding::DOUBLE[]", "c.centroid")} AS dist
+         | FROM embeddings e JOIN cents c USING (label)),
+         |cut AS (SELECT quantile_cont(dist, 0.95) AS cutoff FROM d)
+         |SELECT vec_id, label, ROUND(dist, 6) AS dist,
+         | COALESCE(dist > cutoff, FALSE) AS is_outlier
+         |FROM d CROSS JOIN cut ORDER BY vec_id""".stripMargin
     },
 
     "sim_ivf_trained_topk" -> ivfTrainedOracle(),

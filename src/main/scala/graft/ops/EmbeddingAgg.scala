@@ -115,6 +115,31 @@ object EmbeddingAgg {
     if (lead >= 0 && v(lead) < 0) v.map(-_) else v
   }
 
+  /** Per-group centroid-distance outliers (embedding-space data
+    * cleaning: a vector far from its own group's prototype is mislabeled
+    * or anomalous — the standard filter before using labels as training
+    * signal). `dist` is L2 to the group's [[groupCentroids]] mean; the
+    * cutoff is the exact R-7 `q`-quantile of the non-null distances (one
+    * scalar aggregate broadcast back — no global sort or ntile).
+    * Degenerate vectors (null / ragged against the centroid) get a null
+    * dist and a null verdict; rows whose group has no centroid (all
+    * degenerate, or null group key) drop out via the inner join — both
+    * engines agree on all three routes. Centroids are one row per group
+    * and broadcast; the corpus streams through map-side.
+    */
+  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, q: Double = 0.95): DataFrame = {
+    val cents = groupCentroids(df, groupCol, vecCol)
+    val dists = df.join(broadcast(cents), Seq(groupCol))
+      .select(col(idCol), col(groupCol),
+        sqrt(graft.functions.Vectors.l2sq(col(vecCol), col("centroid")))
+          .as("dist"))
+    val cut = dists.agg(expr(s"percentile(dist, $q)").as("cutoff"))
+    dists.crossJoin(broadcast(cut))
+      .select(col(idCol), col(groupCol), col("dist"),
+        (col("dist") > col("cutoff")).as("is_outlier"))
+  }
+
   def assignNearest(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centKeyCol: String,
       centVecCol: String): DataFrame = {

@@ -1094,6 +1094,26 @@ class OpsSpec extends SparkSpec {
     assert(kept.getOrElse("c", 0L) == expectC && expectC > 0)
   }
 
+  test("centroidOutliers flags the planted far vector; degenerate rows get null verdicts") {
+    import graft.ops.EmbeddingAgg
+    val rows: Seq[(Long, Int, Array[Float])] =
+      (1 to 20).map(i => (i.toLong, 0, Array(0.001f * i, 0f))) ++
+        Seq((99L, 0, Array(100f, 100f)),          // far from the centroid
+          (100L, 0, null: Array[Float]))          // degenerate
+    val got = EmbeddingAgg.centroidOutliers(
+      rows.toDF("vec_id", "label", "embedding"),
+      "vec_id", "embedding", "label", q = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getBoolean(3)))).toMap
+    assert(got(99L).contains(true))   // planted outlier caught
+    // mid-cluster row passes (vec 1 may legitimately flag: the planted
+    // point drags the centroid, leaving vec 1 farthest of the near pack)
+    assert(got(10L).contains(false))
+    assert(got(100L).isEmpty)         // null vector -> null verdict
+    // q=0.9 over 21 finite distances: only the top ~2 may flag
+    assert(got.values.count(_.contains(true)) <= 3)
+  }
+
   test("temperatureRates: smallest stratum keeps all; k-fold stratum keeps k^(alpha-1)") {
     import graft.ops.Sampling
     val rows = (1 to 400).map(i => (i.toLong, "big")) ++
