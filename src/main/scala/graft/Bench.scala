@@ -53,7 +53,8 @@ object Bench {
     "dedup_passages" -> 4,    // positional k-gram span dedup (data-bound)
     "graph_pagerank" -> 2048,  // iterative graph: per-round barrier amortizes
     "text_bm25_topk" -> 512,  // ranked retrieval (index amortized)
-    "sim_pq_topk" -> 1024)     // PQ ANN (codebook/encode amortized)
+    "sim_pq_topk" -> 1024,     // PQ ANN (codebook/encode amortized)
+    "dedup_semantic" -> 8)     // SemDeDup (centroid training amortized)
 
   /** r copies of every row, tagged 0..r-1: one scan, spread across all
     * cores FIRST (the single-row-group test files scan as one partition —
@@ -228,6 +229,27 @@ object Bench {
           codebookSize = 16, rerank = 40)
           .withColumn("cosine", round(col("cosine"), 6))
           .orderBy("query_id", "rank")
+
+      case "dedup_semantic" =>
+        // Centroids train once (resident-index amortization, like the PQ
+        // codebook); the N instances fuse at assignment + the per-cell
+        // prune kernel — rep-disjoint vec_ids, kernel grouped on a
+        // (rep, cell) composite so instances never cross. Same
+        // assignCells/pruneCells internals as Dedup.semanticDedup.
+        import s.implicits._
+        val e0 = t("embeddings")
+          .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+        val cents = Similarity.trainedCentroids(e0, nCells = 16, iters = 2)
+          .map { case (c, v) => (c, Option(v).map(_.toSeq).orNull) }
+          .toDF("cent_id", "centv")
+        val rep = replicate(e0, r)
+          .select((col("vec_id") * r + col("__rep")).as("vec_id"),
+            col("embedding"))
+        Dedup.assignCells(rep, cents, "vec_id", "embedding")
+          .withColumn("cell",
+            col("cell") + pmod(col("vec_id"), lit(r.toLong)) * 1000L)
+          .transform(Dedup.pruneCells(_, 0.38))
+          .orderBy("vec_id")
     }
   }
 

@@ -565,21 +565,88 @@ object Dedup {
     val cents = Similarity.trainedCentroids(e, nCells, iters)
       .map { case (c, v) => (c, Option(v).map(_.toSeq).orNull) }
       .toDF("cent_id", "centv")
-    val assigned = EmbeddingAgg.assignNearest(
-        e, "vec_id", "embedding", cents, "cent_id", "centv")
-      .select(col("vec_id"), col("nearest").as("cell"))
-    val withVec = e.join(assigned, Seq("vec_id"))
-    val l = withVec.select(col("cell"), col("vec_id").as("id_a"),
-      col("embedding").as("va"))
-    val r = withVec.select(col("cell"), col("vec_id").as("id_b"),
-      col("embedding").as("vb"))
-    val drops = l.join(r, Seq("cell"))
-      .where(col("id_a") < col("id_b") &&
-        Vectors.cosine(col("va"), col("vb")) >= threshold)
-      .select(col("id_b").as("vec_id")).distinct()
+    assignCells(e, cents, "vec_id", "embedding")
+      .transform(pruneCells(_, threshold))
+      .withColumnRenamed("vec_id", idCol)
+  }
+
+  /** Nearest-cell assignment that carries the vector THROUGH the bounded
+    * top-1 aggregate (as a functionally-dependent group key — no
+    * join-back re-shuffle): one broadcast cross join + one partial+final
+    * aggregate. Vectors come out double-cast with any null-element vector
+    * collapsed to a null array — a null element nulls every cosine the
+    * vector touches anyway (DotProduct semantics), so the collapse loses
+    * nothing and gives [[pruneCells]] a clean `Array[Double]` encoding.
+    * Degenerate vectors rank all-null and take the smallest cell, same as
+    * `EmbeddingAgg.assignNearest`.
+    */
+  private[graft] def assignCells(e: DataFrame, cents: DataFrame,
+      idC: String, vecC: String): DataFrame = {
+    val clean = when(col(vecC).isNull || exists(col(vecC), _.isNull),
+        lit(null).cast("array<double>"))
+      .otherwise(Vectors.asDouble(col(vecC)))
+    val scored = e.select(col(idC), clean.as("__v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("negdist", -sqrt(Vectors.l2sq(col("__v"), col("centv"))))
+    TopK.perGroupTopK(scored, Seq(idC, "__v"), "cent_id", "negdist", 1)
+      .select(col(idC), col("__v"), col("cent_id").as("cell"))
+  }
+
+  /** The within-cell lower-id near-dup prune as a per-cell kernel:
+    * `groupByKey(cell).flatMapGroups`, rows sorted by id, each row
+    * checked against its lower-id cellmates with an early-exit double
+    * loop — ONE shuffle on the cell key and zero pair-row
+    * materialization (the |cell|² candidate pairs exist only as loop
+    * iterations, which is how production SemDeDup runs its clusters).
+    * The kernel's cosine replays [[Vectors.cosine]] bit-for-bit: per-pair
+    * left-to-right double folds for dot and both norms, `d / (sa * sb)`,
+    * NaN (-> kept) for null/ragged/zero-norm routes — so the verdicts
+    * are oracle-exact. Memory contract is SemDeDup's own: a cell's
+    * vectors fit one task (nCells scales with the corpus).
+    */
+  private[graft] def pruneCells(assigned: DataFrame,
+      threshold: Double): DataFrame = {
+    val sp = assigned.sparkSession
+    import sp.implicits._
     assigned
-      .join(drops.withColumn("__drop", lit(true)), Seq("vec_id"), "left")
-      .select(col("vec_id").as(idCol), col("cell"),
-        col("__drop").isNull.as("kept"))
+      .select(col("cell").cast("long"), col(assigned.columns.head).as("id"),
+        col("__v"))
+      .as[(Long, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell: Long, it: Iterator[(Long, Long, Array[Double])]) =>
+        val rows = it.toArray.sortBy(_._2)
+        val n = rows.length
+        val kept = Array.fill(n)(true)
+        var i = 1
+        while (i < n) {
+          val vi = rows(i)._3
+          var j = 0
+          var dropped = false
+          while (j < i && !dropped) {
+            if (cosineExact(rows(j)._3, vi) >= threshold) dropped = true
+            j += 1
+          }
+          kept(i) = !dropped
+          i += 1
+        }
+        rows.indices.iterator.map(k => (rows(k)._2, cell, kept(k)))
+      }
+      .toDF("vec_id", "cell", "kept")
+  }
+
+  /** Scalar twin of [[Vectors.cosine]] over double arrays: identical op
+    * order (left-to-right folds, d / (sqrt(aa) * sqrt(bb))), NaN for the
+    * null / ragged / zero-norm routes where the Column form yields null.
+    */
+  private def cosineExact(a: Array[Double], b: Array[Double]): Double = {
+    if (a == null || b == null || a.length != b.length) return Double.NaN
+    var d = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < a.length) {
+      d += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i)
+      i += 1
+    }
+    val na = math.sqrt(aa); val nb = math.sqrt(bb)
+    if (na > 0 && nb > 0) d / (na * nb) else Double.NaN
   }
 }

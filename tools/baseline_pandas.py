@@ -30,7 +30,7 @@ REPS = {  # keep in sync with graft.Bench.headline
     "q1_agg": 16, "j1_multiway_join": 8, "w1_window": 2048, "a8_pivot": 32,
     "dedup_exact": 256, "dedup_minhash": 8, "text_profile": 8,
     "sim_brute_topk": 8192, "dedup_passages": 4, "graph_pagerank": 2048,
-    "text_bm25_topk": 512, "sim_pq_topk": 1024,
+    "text_bm25_topk": 512, "sim_pq_topk": 1024, "dedup_semantic": 8,
 }
 
 
@@ -271,13 +271,46 @@ def sim_pq():
     return compute
 
 
+def dedup_semantic():
+    """SemDeDup: 16 trained k-means cells bound the pairwise cosine search;
+    drop any vector with a lower-id >=0.38-cosine cellmate. Training in the
+    factory (Bench's fused runs share one trained index); compute does
+    assignment + within-cell prune, the per-instance work."""
+    e = pd.read_parquet(f"{sf}/embeddings.parquet")
+    clean = e[e.embedding.notna()]
+    mat = np.stack(clean.embedding.to_numpy()).astype(np.float64)
+    cents = mat[:16].copy()
+    for _ in range(2):
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        cell = d.argmin(1)
+        for c in range(16):
+            if (cell == c).any():
+                cents[c] = mat[cell == c].mean(0)
+    def compute():
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        cell = d.argmin(1)
+        norms = np.linalg.norm(mat, axis=1)
+        dropped = 0
+        for c in range(16):
+            idx = np.where(cell == c)[0]
+            if len(idx) < 2:
+                continue
+            sub = mat[idx]
+            cos = (sub @ sub.T) / np.outer(norms[idx], norms[idx])
+            hit = np.triu(cos >= 0.38, k=1)   # (lower id, higher id) pairs
+            dropped += int((hit.any(axis=0)).sum())
+        return dropped
+    return compute
+
+
 WORKLOADS = [
     ("q1_agg", q1_agg), ("j1_multiway_join", j1_join),
     ("w1_window", w1_window), ("a8_pivot", a8_pivot),
     ("dedup_exact", dedup_exact), ("dedup_minhash", dedup_minhash),
     ("text_profile", text_profile), ("sim_brute_topk", sim_brute),
     ("dedup_passages", dedup_passages), ("graph_pagerank", graph_pagerank),
-    ("text_bm25_topk", text_bm25), ("sim_pq_topk", sim_pq)]
+    ("text_bm25_topk", text_bm25), ("sim_pq_topk", sim_pq),
+    ("dedup_semantic", dedup_semantic)]
 
 print(f"{'workload':24s} {'single':>8s} {'amortized':>10s}  (N)")
 tot_s = tot_a = 0.0
