@@ -53,8 +53,8 @@ object Bench {
     "dedup_passages" -> 4,    // positional k-gram span dedup (data-bound)
     "graph_pagerank" -> 2048,  // iterative graph: per-round barrier amortizes
     "text_bm25_topk" -> 512,  // ranked retrieval (index amortized)
-    "sim_pq_topk" -> 1024,     // PQ ANN (codebook/encode amortized)
-    "dedup_semantic" -> 8)     // SemDeDup (centroid training amortized)
+    "sim_pq_topk" -> 4096,     // PQ ANN (codebook/encode amortized)
+    "dedup_semantic" -> 256)   // SemDeDup (centroid training amortized)
 
   /** r copies of every row, tagged 0..r-1: one scan, spread across all
     * cores FIRST (the single-row-group test files scan as one partition —
@@ -236,12 +236,9 @@ object Bench {
         // prune kernel — rep-disjoint vec_ids, kernel grouped on a
         // (rep, cell) composite so instances never cross. Same
         // assignCells/pruneCells internals as Dedup.semanticDedup.
-        import s.implicits._
         val e0 = t("embeddings")
           .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
         val cents = Similarity.trainedCentroids(e0, nCells = 16, iters = 2)
-          .map { case (c, v) => (c, Option(v).map(_.toSeq).orNull) }
-          .toDF("cent_id", "centv")
         val rep = replicate(e0, r)
           .select((col("vec_id") * r + col("__rep")).as("vec_id"),
             col("embedding"))

@@ -563,33 +563,56 @@ object Dedup {
     val e = df.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).as("embedding"))
     val cents = Similarity.trainedCentroids(e, nCells, iters)
-      .map { case (c, v) => (c, Option(v).map(_.toSeq).orNull) }
-      .toDF("cent_id", "centv")
     assignCells(e, cents, "vec_id", "embedding")
       .transform(pruneCells(_, threshold))
       .withColumnRenamed("vec_id", idCol)
   }
 
-  /** Nearest-cell assignment that carries the vector THROUGH the bounded
-    * top-1 aggregate (as a functionally-dependent group key — no
-    * join-back re-shuffle): one broadcast cross join + one partial+final
-    * aggregate. Vectors come out double-cast with any null-element vector
-    * collapsed to a null array — a null element nulls every cosine the
-    * vector touches anyway (DotProduct semantics), so the collapse loses
-    * nothing and gives [[pruneCells]] a clean `Array[Double]` encoding.
-    * Degenerate vectors rank all-null and take the smallest cell, same as
-    * `EmbeddingAgg.assignNearest`.
+  /** Nearest-cell assignment as a narrow per-row argmin over the
+    * driver-resident centroids (they come out of `trainedCentroids` as a
+    * Seq — re-shipping them through a cross join + top-1 aggregate would
+    * hash every row's full vector as a group key and shuffle the corpus
+    * twice). Zero shuffles: the map pipelines into whatever consumes the
+    * cell key next (for [[pruneCells]], the one exchange on `cell`).
+    * The loop replays the top-1 contract bit for bit: distance is
+    * `sqrt` of [[Similarity.l2sqOrNaN]]'s in-order fold (the scalar twin
+    * of `Vectors.l2sq` / the oracle's `distSql`), strict `<` over cells
+    * ascending = "dist ASC, cell ASC" tie-breaking, and NaN (null vector,
+    * null element, ragged, null centroid) never wins — so degenerate
+    * vectors keep the smallest cell, same as `EmbeddingAgg.assignNearest`.
+    * Vectors come out double-cast with any null-element vector collapsed
+    * to a null array — a null element nulls every cosine the vector
+    * touches anyway (DotProduct semantics), so the collapse loses nothing
+    * and gives [[pruneCells]] a clean `Array[Double]` encoding.
     */
-  private[graft] def assignCells(e: DataFrame, cents: DataFrame,
+  private[graft] def assignCells(e: DataFrame, cents: Seq[(Int, Array[Double])],
       idC: String, vecC: String): DataFrame = {
+    val sp = e.sparkSession
+    import sp.implicits._
+    val sorted = cents.sortBy(_._1)
+    val cellIds = sorted.map(_._1.toLong).toArray
+    val cvs = sorted.map(_._2).toArray
     val clean = when(col(vecC).isNull || exists(col(vecC), _.isNull),
         lit(null).cast("array<double>"))
       .otherwise(Vectors.asDouble(col(vecC)))
-    val scored = e.select(col(idC), clean.as("__v"))
-      .crossJoin(broadcast(cents))
-      .withColumn("negdist", -sqrt(Vectors.l2sq(col("__v"), col("centv"))))
-    TopK.perGroupTopK(scored, Seq(idC, "__v"), "cent_id", "negdist", 1)
-      .select(col(idC), col("__v"), col("cent_id").as("cell"))
+    e.select(col(idC).cast("long"), clean.as("__v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          var bestCell = cellIds(0)
+          var best = Double.NaN
+          var c = 0
+          while (c < cvs.length) {
+            val d = math.sqrt(Similarity.l2sqOrNaN(v, cvs(c)))
+            if (!d.isNaN && (best.isNaN || d < best)) {
+              best = d; bestCell = cellIds(c)
+            }
+            c += 1
+          }
+          (id, v, bestCell)
+        }
+      }
+      .toDF(idC, "__v", "cell")
   }
 
   /** The within-cell lower-id near-dup prune as a per-cell kernel:

@@ -223,16 +223,21 @@ class PlanShapeSpec extends SparkSpec {
       s"doc_id filter must reach the scan: ${p.take(800)}")
   }
 
-  test("dedup_semantic: centroid assignment broadcasts; pair join keys on the cell") {
-    // the corpus must never shuffle for assignment (centroids broadcast,
-    // nearest-cell is map-side + bounded top-1), and candidate pairs must
-    // come from a cell-keyed equi-join — a nested-loop/cartesian here is
-    // the n² failure mode the clustering exists to prevent
+  test("dedup_semantic: assignment is map-side; the only exchange keys on the cell") {
+    // the corpus must never shuffle for assignment — centroids are
+    // driver-resident and nearest-cell is a narrow per-row argmin
+    // (MapPartitions), so no join of any kind appears before the one
+    // cell-keyed exchange that feeds the per-cell prune kernel. A
+    // cartesian/nested-loop here is the n² failure mode the clustering
+    // exists to prevent; a second corpus exchange is the re-shuffle the
+    // argmin rewrite removed.
     val p = finalPlan("dedup_semantic")
-    assert(!p.contains("CartesianProduct"), p.take(800))
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      s"centroids must broadcast: ${p.take(800)}")
-    assert(p.contains("TopKAgg"), s"bounded top-1 finisher expected: ${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      p.take(800))
+    assert(p.contains("MapPartitions"), s"narrow argmin expected: ${p.take(800)}")
+    val corpusExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(corpusExchanges == 1,
+      s"exactly one cell-keyed exchange expected, got $corpusExchanges: ${p.take(800)}")
   }
 
   test("sample_temperature and ppl buckets broadcast their scalar sides") {
