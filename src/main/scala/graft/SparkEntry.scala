@@ -1077,6 +1077,32 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // Per-key exponential time-decay feature (EWMA, alpha = 1/2) as an
+    // integer-exact weighted sum: lag j carries weight 2^-(j+1), so the
+    // cents value times 2^(19-j) accumulates in plain BIGINT arithmetic
+    // both engines replay exactly, and ONE mirrored IEEE division
+    // (by 2^20 * 100) descales at the end — no running float product, no
+    // transcendentals. The tail beyond 20 lags weighs < 2^-21 and is
+    // truncated by design: state is one window pass with 20 lags over
+    // the (us, event_id) total order — O(1) per row, partition-local per
+    // user, so the plan is a single per-key sort at any scale.
+    "w8_ewma" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+        .where(col("ts").isNotNull && col("event_id").isNotNull &&
+          col("user_id") <= 30)
+        .select(col("user_id"), col("event_id"),
+          expr("ts DIV 1000").as("us"), cents(col("value")).as("vc"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val weighted = (coalesce(col("vc"), lit(0L)) * lit(1L << 19)) +:
+        (1 until 20).map { j =>
+          coalesce(lag(col("vc"), j).over(w), lit(0L)) * lit(1L << (19 - j))
+        }
+      ev.select(col("user_id"), col("event_id"),
+          (weighted.reduce(_ + _).cast("double") / 104857600.0).as("ewma"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Time-RANGE window frame (vs w5's ROWS frames): per-user trailing
     // 1-day sum/count over the microsecond event timeline. RANGE peers
     // (ts ties) share a frame, so the result is layout-independent.
@@ -1408,6 +1434,51 @@ object SparkEntry {
       .select(expr("n_chars DIV 50").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
       .orderBy("bucket")),
+
+    // Character-histogram quality signals (gibberish / repetitiveness
+    // detection), computed map-side per doc: the codepoint array sorts
+    // once, then ONE fold over the sorted runs yields n, distinct count,
+    // max run, and sum of squared run lengths — integer arithmetic end to
+    // end; Simpson diversity (1 - sum p_c^2) and top-char fraction each
+    // take a single mirrored double division. Simpson carries the same
+    // concentration signal as char entropy without entropy's log, which
+    // would not replay bit-exact across libm implementations. No explode,
+    // no shuffle: the whole profile is a projection, so it pipelines into
+    // the scan at any scale (same single-stage family as text_profile).
+    "text_char_diversity" -> ((s, d) => {
+      // the length guard matters: Spark's sequence(1, 0) is the
+      // DESCENDING [1, 0] (not empty like DuckDB's range(1, 1)), so an
+      // unguarded fold fabricates phantom ''-chars on empty text
+      val fold = expr(
+        """CASE WHEN length(text) > 0 THEN aggregate(
+          |  array_sort(transform(sequence(1, length(text)),
+          |    i -> substring(text, i, 1))),
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
+          |    'ss', 0L, 'k', 0L, 'mx', 0L),
+          |  (a, c) -> CASE
+          |    WHEN a.prev IS NULL THEN named_struct('prev', c, 'run', 1L,
+          |      'ss', a.ss, 'k', a.k, 'mx', a.mx)
+          |    WHEN c = a.prev THEN named_struct('prev', a.prev,
+          |      'run', a.run + 1L, 'ss', a.ss, 'k', a.k, 'mx', a.mx)
+          |    ELSE named_struct('prev', c, 'run', 1L,
+          |      'ss', a.ss + a.run * a.run, 'k', a.k + 1L,
+          |      'mx', greatest(a.mx, a.run)) END,
+          |  a -> CASE WHEN a.prev IS NULL
+          |    THEN CAST(NULL AS STRUCT<ss: BIGINT, k: BIGINT, mx: BIGINT>)
+          |    ELSE named_struct('ss', a.ss + a.run * a.run, 'k', a.k + 1L,
+          |      'mx', greatest(a.mx, a.run)) END) END""".stripMargin)
+      t(s, d, "documents")
+        .select(col("doc_id"), fold.as("f"),
+          length(col("text")).cast("long").as("n"))
+        .select(col("doc_id"),
+          col("n").as("n_chars"),
+          col("f.k").as("distinct_chars"),
+          (col("f.mx").cast("double") / col("n").cast("double"))
+            .as("top_frac"),
+          (lit(1.0) - col("f.ss").cast("double") /
+            (col("n") * col("n")).cast("double")).as("simpson"))
+        .orderBy("doc_id")
+    }),
 
     // Training-data text cleaning (URL/email strip, whitespace collapse).
     "text_clean" -> ((s, d) => t(s, d, "documents")
@@ -2875,6 +2946,25 @@ object SparkEntry {
         |FROM days d LEFT JOIN nn n USING (day)
         |ORDER BY day""".stripMargin,
 
+    "w8_ewma" -> {
+      // Same 20-term BIGINT weighted sum the engine builds: lag j in
+      // cents times 2^(19-j), descaled once by 2^20 * 100.
+      val terms = (s"COALESCE(vc, 0) * ${1L << 19}" +:
+        (1 until 20).map(j =>
+          s"COALESCE(lag(vc, $j) OVER w, 0) * ${1L << (19 - j)}"))
+        .mkString(" + ")
+      s"""WITH ev AS (
+         | SELECT user_id, event_id, epoch_us(ts) AS us,
+         |  ${centsSql("value")} AS vc
+         | FROM events
+         | WHERE ts IS NOT NULL AND event_id IS NOT NULL AND user_id <= 30)
+         |SELECT user_id, event_id,
+         | CAST($terms AS DOUBLE) / 104857600.0 AS ewma
+         |FROM ev
+         |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+         |ORDER BY user_id, event_id""".stripMargin
+    },
+
     "ts_rolling" ->
       """WITH daily AS (
         | SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -3211,6 +3301,31 @@ object SparkEntry {
     "text_histogram" ->
       """SELECT n_chars // 50 AS bucket, COUNT(*) AS n_docs
         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // Relational twin of the sorted-run fold: per-codepoint counts via
+    // unnest, then integer aggregates; the two divisions and the 1.0 -
+    // subtraction mirror the engine's exact expression order. length()
+    // counts codepoints in both engines; SUM(n*n) is HUGEINT -> BIGINT.
+    "text_char_diversity" ->
+      """WITH chars AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(range(1, length(text) + 1),
+        |    i -> substring(text, i, 1))) AS c
+        | FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |cnt AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM chars GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS k,
+        |         MAX(n) AS mx, CAST(SUM(n * n) AS BIGINT) AS ss
+        |        FROM cnt GROUP BY 1)
+        |SELECT d.doc_id,
+        | CASE WHEN d.text IS NULL THEN NULL
+        |  ELSE CAST(length(d.text) AS BIGINT) END AS n_chars,
+        | a.k AS distinct_chars,
+        | CAST(a.mx AS DOUBLE) / CAST(length(d.text) AS DOUBLE) AS top_frac,
+        | 1.0 - CAST(a.ss AS DOUBLE) /
+        |  CAST(length(d.text) * length(d.text) AS DOUBLE) AS simpson
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "text_bm25_topk" ->
       """WITH q AS (SELECT CAST(qid AS BIGINT) AS query_id, word FROM (VALUES

@@ -64,7 +64,7 @@ class PlanShapeSpec extends SparkSpec {
     // (text_vocab_coverage's vocab pass runs eagerly at build time — the
     // SCORING plan asserted here has the vocab folded in as literals.)
     for (q <- Seq("text_repetition", "text_chunks", "text_pii_redact",
-        "text_vocab_coverage", "text_strip_accents")) {
+        "text_vocab_coverage", "text_strip_accents", "text_char_diversity")) {
       val p = plan(q)
       assert(!p.contains("Join"), s"$q plan contains a join: ${p.take(400)}")
       assert(!p.contains("HashAggregate"),
@@ -95,6 +95,16 @@ class PlanShapeSpec extends SparkSpec {
     assert("\\bWindow\\b".r.findAllIn(p).size == 1,
       s"expected a single Window operator: ${p.take(800)}")
     assert("Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size == 1, p.take(800))
+  }
+
+  test("w8_ewma evaluates all 19 lags over one sorted window pass") {
+    // the 20-term weighted sum must not multiply exchanges or sorts: one
+    // hash exchange on user_id, one Window operator carrying every lag
+    val p = plan("w8_ewma")
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1,
+      s"expected a single Window operator: ${p.take(800)}")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      p.take(800))
   }
 
   test("a16_cube is one Expand + one aggregate exchange (no per-set scans)") {
