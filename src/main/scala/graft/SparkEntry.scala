@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Graft
-import graft.functions.{Cleaning, Norm, StableHash, Text, Vectors}
+import graft.functions.{Cleaning, Norm, StableHash, Text, Urls, Vectors}
 import graft.metrics.StaffingMetrics
 import graft.ops.{Dedup, Multimodal, Regression, Similarity, Sketches, TextAnalysis}
 import graft.quality.DataQuality
@@ -46,6 +46,21 @@ object SparkEntry {
       write(out)
       out
     })
+
+  /** Deterministic messy URL per document — mixed-case scheme/host, ccTLD
+    * rows, default and explicit ports, tracking params, fragments,
+    * trailing slashes. Input battery for the url_* entries; the oracle
+    * rebuilds it with the same CASE arms.
+    */
+  private def messyUrl(id: Column, lang: Column, source: Column): Column =
+    concat(
+      lit("HTTPS://WWW."), upper(coalesce(source, lit("s"))),
+      when(id % 3 === 0, lit(".CO.UK")).otherwise(lit(".COM")),
+      when(id % 5 === 0, lit(":443"))
+        .when(id % 5 === 1, lit(":8080")).otherwise(lit("")),
+      lit("/Docs/"), coalesce(lang, lit("xx")), lit("/"), id.cast("string"),
+      when(id % 2 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&id="), id.cast("string"), lit("&ref=rss#frag"))
 
   /** Exact decimal sum of a 2-dp double column, surfaced as DOUBLE. */
   private def dsum2(c: Column): Column =
@@ -1489,6 +1504,66 @@ object SparkEntry {
             coalesce(col("source"), lit("")), lit("@mail.test  NOW")))
           .as("cleaned"))
       .orderBy("doc_id")),
+
+    // URL parse battery over a deterministic messy URL per document
+    // (mixed-case scheme/host, ccTLD rows, default + explicit ports,
+    // tracking params, fragments, trailing slashes). Pure map-side
+    // projection — the oracle replays every RE2-safe regex verbatim.
+    "url_parse" -> ((s, d) => {
+      val u = messyUrl(col("doc_id"), col("lang"), col("source"))
+      t(s, d, "documents")
+        .select(col("doc_id"), u.as("url"))
+        .select(col("doc_id"), col("url"),
+          Urls.urlScheme(col("url")).as("scheme"),
+          Urls.urlHost(col("url")).as("host"),
+          Urls.registeredDomain(Urls.urlHost(col("url"))).as("domain"),
+          Urls.urlPath(col("url")).as("path"),
+          Urls.canonicalizeUrl(col("url")).as("canonical"))
+        .orderBy("doc_id")
+    }),
+
+    // Domain-level corpus stats (the RefinedWeb/C4 domain-filtering
+    // aggregation): docs, languages, and chars per registered domain.
+    // One hash aggregate after a map-side parse.
+    "url_domain_stats" -> ((s, d) => {
+      val u = messyUrl(col("doc_id"), col("lang"), col("source"))
+      t(s, d, "documents")
+        .select(Urls.registeredDomain(Urls.urlHost(u)).as("domain"),
+          col("lang"), col("n_chars"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("n_docs").desc, col("domain").asc)
+    }),
+
+    // Crawl-level URL dedup: raw variants (case, default port, tracking
+    // params, trailing slash, fragment) collapse to one canonical form;
+    // keep the first-seen doc per canonical URL. groupBy(canonical) is the
+    // whole shuffle — dedup work is proportional to distinct URLs.
+    "url_crawl_dedup" -> ((s, d) => {
+      val id = col("doc_id")
+      val kid = id % 50
+      val u = concat(
+        when(id % 2 === 0, lit("HTTPS://WWW.")).otherwise(lit("https://www.")),
+        lit("site"),
+        when(kid % 3 === 0, lit(".example.CO.UK")).otherwise(lit(".example.COM")),
+        when(kid % 5 === 1, lit(":8080"))
+          .when(id % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/Page/"), kid.cast("string"),
+        when(id % 2 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_campaign=c"), id.cast("string"),
+        lit("&item="), kid.cast("string"), lit("#s"), id.cast("string"))
+      t(s, d, "documents")
+        .select(id.as("doc_id"), u.as("url"))
+        .select(col("doc_id"), col("url"),
+          Urls.canonicalizeUrl(col("url")).as("canonical"))
+        .groupBy("canonical")
+        .agg(min(col("doc_id")).as("keep_doc"),
+          count(lit(1)).as("n_raw"),
+          countDistinct(col("url")).as("n_raw_distinct"))
+        .orderBy("canonical")
+    }),
 
     // Corpus vocabulary: top-100 non-stopword terms by frequency.
     "text_vocab" -> ((s, d) => {
@@ -3403,6 +3478,41 @@ object SparkEntry {
         | '\s+', ' ', 'g'))) AS cleaned
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "url_parse" ->
+      s"""WITH raw AS (SELECT doc_id, ${messyUrlSql("doc_id")} AS url
+         | FROM documents),
+         |${urlPartsSql}
+         |SELECT doc_id, url, scheme, host, ${domainSql("host", "labels")} AS domain,
+         | rawpath AS path, ${canonicalSql} AS canonical
+         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "url_domain_stats" ->
+      s"""WITH raw AS (SELECT doc_id, lang, n_chars,
+         |  ${messyUrlSql("doc_id")} AS url FROM documents),
+         |${urlPartsSql}
+         |SELECT ${domainSql("host", "labels")} AS domain,
+         | COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+         | CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM k GROUP BY 1 ORDER BY n_docs DESC, domain ASC""".stripMargin,
+
+    "url_crawl_dedup" ->
+      s"""WITH raw AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END
+         |   || 'site'
+         |   || CASE WHEN (doc_id % 50) % 3 = 0 THEN '.example.CO.UK'
+         |           ELSE '.example.COM' END
+         |   || CASE WHEN (doc_id % 50) % 5 = 1 THEN ':8080'
+         |           WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+         |   || '/Page/' || (doc_id % 50)
+         |   || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+         |   || '?utm_campaign=c' || doc_id
+         |   || '&item=' || (doc_id % 50) || '#s' || doc_id AS url
+         | FROM documents),
+         |${urlPartsSql}
+         |SELECT ${canonicalSql} AS canonical, MIN(doc_id) AS keep_doc,
+         | COUNT(*) AS n_raw, COUNT(DISTINCT url) AS n_raw_distinct
+         |FROM k GROUP BY 1 ORDER BY canonical""".stripMargin,
+
     "text_vocab" -> {
       val stop = Text.stopwords.values.flatten.toSeq
         .map(w => s"'$w'").mkString("(", ", ", ")")
@@ -3945,6 +4055,67 @@ object SparkEntry {
       |cents AS (
       | SELECT label, list(m ORDER BY i) AS centroid
       | FROM dims WHERE m IS NOT NULL GROUP BY label)""".stripMargin
+
+  /** DuckDB replay of the [[messyUrl]] construction (url_parse /
+    * url_domain_stats input).
+    */
+  private def messyUrlSql(id: String): String =
+    s"""'HTTPS://WWW.' || upper(COALESCE(source, 's')) ||
+       |  CASE WHEN $id % 3 = 0 THEN '.CO.UK' ELSE '.COM' END ||
+       |  CASE WHEN $id % 5 = 0 THEN ':443'
+       |       WHEN $id % 5 = 1 THEN ':8080' ELSE '' END ||
+       |  '/Docs/' || COALESCE(lang, 'xx') || '/' || $id ||
+       |  CASE WHEN $id % 2 = 0 THEN '/' ELSE '' END ||
+       |  '?utm_source=feed&id=' || $id || '&ref=rss#frag'""".stripMargin
+
+  /** CTE chain replaying [[Urls]] part extraction over a `raw(url, ...)`
+    * CTE: p adds scheme/host/port/rawpath/q, k adds the canonical path,
+    * kept query params, and host labels. Every regex is the verbatim
+    * RE2-safe pattern from UrlFunctions.scala.
+    */
+  private val urlPartsSql: String =
+    """p AS (SELECT raw.*,
+      |  NULLIF(lower(regexp_extract(url,
+      |    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '') AS scheme,
+      |  NULLIF(regexp_replace(lower(regexp_extract(url,
+      |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)),
+      |    '\.$', ''), '') AS host,
+      |  regexp_extract(url,
+      |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:([0-9]+)', 1) AS port,
+      |  regexp_extract(url,
+      |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+      |  regexp_extract(url, '\?([^#]*)', 1) AS q
+      | FROM raw),
+      |k AS (SELECT p.*, regexp_replace(rawpath, '/+$', '') AS cpath,
+      |  list_filter(string_split(q, '&'), x ->
+      |    NOT regexp_matches(x,
+      |      '^(utm_[A-Za-z0-9]*|fbclid|gclid|msclkid|ref)=') AND x <> '')
+      |    AS kept,
+      |  string_split(host, '.') AS labels
+      | FROM p)""".stripMargin
+
+  /** DuckDB replay of [[Urls.registeredDomain]] over pre-split labels. */
+  private def domainSql(host: String, labels: String): String =
+    s"""CASE WHEN $host IS NULL THEN NULL
+       |  WHEN regexp_matches($host, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$')
+       |    THEN $host
+       |  WHEN len($labels) >= 3 AND length($labels[-1]) = 2
+       |    AND $labels[-2] IN ('co','com','net','org','gov','ac','edu')
+       |    THEN $labels[-3] || '.' || $labels[-2] || '.' || $labels[-1]
+       |  WHEN len($labels) >= 2 THEN $labels[-2] || '.' || $labels[-1]
+       |  ELSE $host END""".stripMargin
+
+  /** DuckDB replay of [[Urls.canonicalizeUrl]] over the k CTE columns. */
+  private val canonicalSql: String =
+    """CASE WHEN scheme IS NULL OR host IS NULL THEN NULL ELSE
+      |  scheme || '://' || host ||
+      |  CASE WHEN port <> '' AND NOT ((scheme = 'https' AND port = '443')
+      |    OR (scheme = 'http' AND port = '80'))
+      |    THEN ':' || port ELSE '' END ||
+      |  cpath ||
+      |  CASE WHEN len(kept) > 0
+      |    THEN '?' || array_to_string(kept, '&') ELSE '' END
+      |END""".stripMargin
 
   /** DuckDB SQL for StableHash.hash60(expr, seed). */
   private def hash60Sql(expr: String, seed: Int): String =
