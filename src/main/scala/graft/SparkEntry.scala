@@ -1673,6 +1673,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // k-NN majority-vote pseudo-labeling: every 25th vector plays the
+    // unlabeled query batch, the rest the labeled corpus; prediction =
+    // most common label among the 10 exact-cosine nearest (ties to the
+    // smallest label). True label joined back for accuracy inspection.
+    "sim_knn_classify" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.where(col("vec_id") % 25 === 0)
+      val labeled = emb.where(col("vec_id") % 25 =!= 0)
+      Similarity.knnClassify(labeled, queries, k = 10)
+        .join(queries.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), Seq("query_id"))
+        .orderBy("query_id")
+    }),
+
     // Embedding near-dup pairs: banded-LSH-bucketed (2 hash tables of 8
     // hyperplanes), candidates cosine-verified once (threshold 0.2 — demo
     // level for random vectors; production dedup uses ~0.95).
@@ -3605,6 +3619,33 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         |            label AS true_label
+         |           FROM embeddings WHERE vec_id % 25 = 0),
+         | c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv, label
+         |       FROM embeddings WHERE vec_id % 25 <> 0),
+         | scored AS (
+         |  SELECT q.query_id, c.corpus_id, c.label,
+         |   ${cosineSql("q.qv", "c.cv")} AS cosine
+         |  FROM c CROSS JOIN q),
+         | ranked AS (
+         |  SELECT query_id, corpus_id, label,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id
+         |     ORDER BY cosine DESC, corpus_id ASC) AS rank
+         |  FROM scored),
+         | votes AS (
+         |  SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+         |  FROM ranked WHERE rank <= 10 GROUP BY query_id, label),
+         | best AS (
+         |  SELECT query_id, label AS pred_label, n_votes,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id
+         |     ORDER BY n_votes DESC, label ASC NULLS LAST) AS rn
+         |  FROM votes)
+         |SELECT b.query_id, b.pred_label, b.n_votes, q.true_label
+         |FROM best b JOIN q USING (query_id)
+         |WHERE rn = 1 ORDER BY query_id""".stripMargin,
 
     "s1_csv_glob_scan" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation

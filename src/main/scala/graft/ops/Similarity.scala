@@ -762,6 +762,38 @@ object Similarity {
   /** LSH-bucketed approximate top-k: candidates restricted to query buckets
     * (multi-probe over Hamming-1 neighbors when probes > 1).
     */
+  /** k-NN majority-vote classification (pseudo-labeling): each query
+    * vector takes the most common label among its k exact-cosine nearest
+    * labeled neighbors. Votes tie-break to the smallest label (nulls
+    * last), so the prediction is deterministic.
+    *
+    * Shape at 100 TB: the neighbor search is [[bruteForceTopK]]'s
+    * map-side kernel (queries must be a bounded set — pseudo-labeling
+    * batches, not the whole corpus); the label lookup joins the
+    * Q×k neighbor frame (broadcast) against the labeled corpus, and the
+    * vote argmax windows over ≤ k rows per query. Nothing
+    * corpus-proportional crosses a shuffle.
+    *
+    * Output: (query_id, pred_label, n_votes).
+    */
+  def knnClassify(labeled: DataFrame, queries: DataFrame, k: Int,
+      labelCol: String = "label"): DataFrame = {
+    val nn = bruteForceTopK(labeled, queries, k)
+    val votes = nn
+      .join(labeled.select(col("vec_id").as("corpus_id"), col(labelCol)),
+        Seq("corpus_id"))
+      .groupBy(col("query_id"), col(labelCol))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col(labelCol).asc_nulls_last)
+    votes
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col(labelCol).as("pred_label"),
+        col("n_votes"))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       bits: Int = 8, probes: Int = 3): DataFrame = {
     val bucket = Vectors.lshBucket(col("embedding"), bits, dim)

@@ -1264,4 +1264,28 @@ class OpsSpec extends SparkSpec {
       (4L, 1L, 5L, 5L, 1L),   // first "v w x y z"
       (4L, 9L, 13L, 5L, 1L))) // second copy, separate island (gap > k)
   }
+
+  test("knnClassify votes the planted cluster label; ties go to the smaller label") {
+    // Two tight clusters on orthogonal axes. Query 100 sits on the
+    // cluster-0 axis; query 101 is equidistant between the axes and sees
+    // a 2-2 vote split at k=4 -> tie breaks to label 0.
+    val labeled: Seq[(Long, Int, Array[Float])] =
+      Seq((1L, 0, Array(1f, 0.00f)), (2L, 0, Array(1f, 0.01f)),
+        (3L, 1, Array(0.00f, 1f)), (4L, 1, Array(0.01f, 1f)))
+    val queries: Seq[(Long, Int, Array[Float])] =
+      Seq((100L, -1, Array(1f, 0.005f)), (101L, -1, Array(1f, 1f)))
+    val got = Similarity.knnClassify(
+      labeled.toDF("vec_id", "label", "embedding"),
+      queries.toDF("vec_id", "label", "embedding"), k = 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got(100L) == (0, 2L)) // both cluster-0 members closest, 2 votes
+    assert(got(101L) == (0, 2L)) // 2-2 split, smaller label wins
+    // k=1: query 100's single nearest neighbor is vec 2 (label 0)
+    val one = Similarity.knnClassify(
+      labeled.toDF("vec_id", "label", "embedding"),
+      queries.toDF("vec_id", "label", "embedding").where(col("vec_id") === 100),
+      k = 1).collect()
+    assert(one.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((100L, 0, 1L)))
+  }
 }
