@@ -1150,6 +1150,19 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Robust (median/MAD) anomaly detection per event type: the
+    // heavy-tail-safe twin of f10_zscore. percentile + the same double
+    // expression tree both engines; MAD=0 groups and NULL values never
+    // flag.
+    "ts_anomaly_mad" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      graft.ops.Anomaly.madOutliers(ev, Seq("event_type"), "value",
+        cutoff = 3.0)
+        .select("event_id", "event_type", "value", "med", "mad", "robust_z")
+        .orderBy("event_type", "event_id")
+    }),
+
     // Order-independent table content checksum (replication / migration
     // verification): bit_xor of stable row hashes + row count per table.
     // XOR is commutative-associative, so any partitioning agrees; doubles
@@ -3178,6 +3191,23 @@ object SparkEntry {
         |FROM lineitem l JOIN st USING (l_returnflag)
         |WHERE l.l_orderkey <= 2000
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+
+    "ts_anomaly_mad" ->
+      """WITH meds AS (
+        | SELECT event_type, quantile_cont(value, 0.5) AS med
+        | FROM events GROUP BY 1),
+        |d AS (
+        | SELECT e.event_id, e.event_type, e.value, m.med
+        | FROM events e JOIN meds m USING (event_type)),
+        |mads AS (
+        | SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        | FROM d GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.value, d.med, s.mad,
+        | (d.value - d.med) / (1.4826 * s.mad) AS robust_z
+        |FROM d JOIN mads s USING (event_type)
+        |WHERE s.mad > 0
+        |  AND abs((d.value - d.med) / (1.4826 * s.mad)) > 3.0
+        |ORDER BY event_type, event_id""".stripMargin,
 
     "q_table_checksum" -> {
       def ckSql(name: String, table: String, key: String) =

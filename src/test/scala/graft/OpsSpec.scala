@@ -1288,4 +1288,32 @@ class OpsSpec extends SparkSpec {
     assert(one.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
       Seq((100L, 0, 1L)))
   }
+
+  test("madOutliers: planted spike flags; constant series and nulls never do") {
+    import graft.ops.Anomaly
+    // key a: tight series 10±1 with one 100 spike. key b: constant
+    // (MAD=0). key c: a null value amid a tight series.
+    val rows: Seq[(Long, String, java.lang.Double)] =
+      (1L to 9L).map(i => (i, "a", java.lang.Double.valueOf(9.5 + (i % 3)))) ++
+        Seq((10L, "a", java.lang.Double.valueOf(100.0))) ++
+        (11L to 15L).map(i => (i, "b", java.lang.Double.valueOf(7.0))) ++
+        (16L to 20L).map(i => (i, "c",
+          if (i == 18L) null else java.lang.Double.valueOf(5.0 + (i % 2))))
+    val got = Anomaly.madOutliers(
+      rows.toDF("event_id", "event_type", "value"),
+      Seq("event_type"), "value", cutoff = 3.5)
+      .select("event_id").as[Long].collect().toSet
+    assert(got == Set(10L))
+
+    // Robustness: magnifying the spike 100x changes nothing about the
+    // flagged set (a mean/stddev z-score would swallow its own outlier).
+    val magnified = rows.map { case (id, k, v) =>
+      (id, k, if (id == 10L) java.lang.Double.valueOf(10000.0) else v)
+    }
+    val got2 = Anomaly.madOutliers(
+      magnified.toDF("event_id", "event_type", "value"),
+      Seq("event_type"), "value", cutoff = 3.5)
+      .select("event_id").as[Long].collect().toSet
+    assert(got2 == Set(10L))
+  }
 }
