@@ -873,6 +873,24 @@ object SparkEntry {
         minJaccard = 0.8)
         .orderBy("id_a", "id_b")),
 
+    // Winnowed document fingerprints (MOSS): per-window rightmost-min of
+    // the ordered 2-gram hash sequence, via the packed-key window MIN both
+    // engines replay bit-for-bit. Every non-empty doc fingerprints.
+    "dedup_winnow_fp" -> ((s, d) =>
+      graft.ops.Winnow.fingerprints(
+        t(s, d, "documents"), "text", "doc_id", shingleK = 2, window = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "fp_pos", "fp")),
+
+    // Contamination screen over winnowed fingerprints: doc pairs sharing
+    // >= 3 distinct fingerprint hashes. Pair generation explodes each
+    // fingerprint's df-capped doc list — the text pipeline plans once.
+    "dedup_winnow" -> ((s, d) =>
+      graft.ops.Winnow.sharedPairs(
+        t(s, d, "documents"), "text", "doc_id", shingleK = 2, window = 4,
+        minShared = 3, maxFpDf = 10000)
+        .orderBy("id_a", "id_b")),
+
     // Sorted-neighborhood candidate pairs (multi-pass SNM family): block by
     // source, order by a 16-char raw text prefix (binary collation — both
     // engines compare UTF-8 bytes; no case folding, which IS
@@ -2888,6 +2906,24 @@ object SparkEntry {
 
     "dedup_minhash" -> minhashOracle,
 
+    "dedup_winnow_fp" ->
+      (s"""WITH $winnowCtes
+        |SELECT doc_id, fp, fp_pos FROM fps
+        |ORDER BY doc_id, fp_pos, fp""".stripMargin),
+
+    "dedup_winnow" ->
+      (s"""WITH $winnowCtes,
+        |dfp AS (SELECT DISTINCT doc_id, fp FROM fps),
+        |capped AS (
+        | SELECT doc_id, fp FROM (
+        |  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS fdf FROM dfp)
+        | WHERE fdf <= 10000)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(count(*) AS BIGINT) AS n_shared
+        |FROM capped a JOIN capped b ON b.fp = a.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY id_a, id_b""".stripMargin),
+
     "dedup_group_minhash" -> groupMinhashOracle,
 
     "dedup_simhash" -> simhashOracle(16),
@@ -4417,6 +4453,44 @@ object SparkEntry {
       | FROM documents
       | WHERE trim(text) <> ''
       |  AND len(string_split_regex(trim(lower(text)), '\s+')) < 3)""".stripMargin
+
+  /** Winnowing CTE chain (k=2 grams, window=4) mirroring
+    * [[graft.ops.Winnow.fingerprints]]: ordered bigrams with 1-based
+    * positions (short docs -> one whole-text gram), packed
+    * `h32 * 2^31 + (2^31-1-pos)` keys, frame-bounded window MIN, and the
+    * full-window-or-pos-1 start filter. Integer-exact end to end.
+    */
+  private def winnowCtes: String =
+    s"""words AS (
+       | SELECT doc_id, w, i FROM (
+       |  SELECT doc_id,
+       |   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+       |   generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS i
+       |  FROM documents WHERE trim(text) <> '')),
+       |grams AS (
+       | SELECT a.doc_id, CAST(a.i AS BIGINT) AS pos, a.w || ' ' || b.w AS gram
+       | FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+       | UNION ALL
+       | SELECT doc_id, CAST(1 AS BIGINT) AS pos,
+       |  regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS gram
+       | FROM documents
+       | WHERE trim(text) <> ''
+       |  AND len(string_split_regex(trim(lower(text)), '\\s+')) < 2),
+       |keys AS (
+       | SELECT doc_id, pos,
+       |  ((${hash60Sql("gram")} >> 28) * 2147483648 + (2147483647 - pos)) AS key
+       | FROM grams),
+       |wm AS (
+       | SELECT doc_id, pos,
+       |  min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+       |  count(*) OVER (PARTITION BY doc_id) AS n
+       | FROM keys),
+       |fps AS (
+       | SELECT DISTINCT doc_id,
+       |  (wmin >> 31) AS fp,
+       |  2147483647 - (wmin & 2147483647) AS fp_pos
+       | FROM wm WHERE pos <= n - 3 OR pos = 1)""".stripMargin
 
   private def minhashOracle: String = {
     val p = Dedup.MinhashP

@@ -1289,6 +1289,42 @@ class OpsSpec extends SparkSpec {
       Seq((100L, 0, 1L)))
   }
 
+  test("winnow: shared-run guarantee, short/empty docs, df cap") {
+    import graft.ops.Winnow
+    // Guarantee: with k=2, w=4 any shared token run of >= w+k-1 = 5 tokens
+    // must yield a shared fingerprint. Docs 1 and 2 share an 8-token run
+    // embedded in otherwise-disjoint text; doc 3 is unrelated.
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq(
+      (1L, s"xx1 yy1 $shared zz1 qq1"),
+      (2L, s"aa2 bb2 cc2 $shared dd2"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "solo"), // < k tokens: one whole-text gram, one fingerprint
+      (5L, "  ")    // empty after trim: no fingerprints
+    ).toDF("doc_id", "text")
+    val fps = Winnow.fingerprints(docs, "text", "doc_id", 2, 4)
+    val byDoc = fps.groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(byDoc(4L) == 1L && !byDoc.contains(5L))
+    // density: every non-empty doc fingerprints, far fewer than its grams
+    assert(byDoc(1L) >= 1 && byDoc(1L) < 11)
+
+    val pairs = Winnow.sharedPairs(docs, "text", "doc_id", 2, 4,
+      minShared = 1, maxFpDf = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+
+    // df cap: a fingerprint present in all three copies of the same text
+    // is dropped when maxFpDf < 3 -> no pairs at all
+    val trip = Seq((1L, shared), (2L, shared), (3L, shared))
+      .toDF("doc_id", "text")
+    assert(Winnow.sharedPairs(trip, "text", "doc_id", 2, 4,
+      minShared = 1, maxFpDf = 2).isEmpty)
+    // and with the cap open, all three pairs appear
+    assert(Winnow.sharedPairs(trip, "text", "doc_id", 2, 4,
+      minShared = 1, maxFpDf = 3).count() == 3L)
+  }
+
   test("madOutliers: planted spike flags; constant series and nulls never do") {
     import graft.ops.Anomaly
     // key a: tight series 10±1 with one 100 spike. key b: constant
