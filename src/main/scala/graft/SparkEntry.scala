@@ -1886,6 +1886,7 @@ object SparkEntry {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val ev = graft.streaming.StreamingIngest
         .parquetStream(s, d, schema, globFilter = Some("events.parquet"))
+        .transform(Graft.tsToNanos)
         .withColumn("ts_ts", Graft.nanosToTimestamp("ts"))
       val agg = ev
         .withWatermark("ts_ts", "2 hours")
@@ -2086,6 +2087,7 @@ object SparkEntry {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val ev = graft.streaming.StreamingIngest
         .parquetStream(s, d, schema, globFilter = Some("events.parquet"))
+        .transform(Graft.tsToNanos)
         .withColumn("ts", Graft.nanosToTimestamp("ts"))
       val planted = ev.union(ev)
       val ded = graft.streaming.StreamingIngest
@@ -2144,6 +2146,7 @@ object SparkEntry {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val ev = graft.streaming.StreamingIngest
         .parquetStream(s, d, schema, globFilter = Some("events.parquet"))
+        .transform(Graft.tsToNanos)
         .where(col("user_id") <= 200 && col("event_type").isin(steps: _*))
         .select(col("user_id"), expr("ts DIV 1000").as("ts"), col("event_type"))
       val agg = ev.groupBy("user_id")
@@ -2169,6 +2172,7 @@ object SparkEntry {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       def src(tpe: String, a: String) = graft.streaming.StreamingIngest
         .parquetStream(s, d, schema, globFilter = Some("events.parquet"))
+        .transform(Graft.tsToNanos)
         .where(col("event_type") === tpe && col("user_id") <= 100)
         .select(col("user_id").as(s"${a}_user"),
           Graft.nanosToTimestamp("ts").as(s"${a}_ts"),
@@ -2264,6 +2268,7 @@ object SparkEntry {
         val schema = s.read.parquet(s"$d/events.parquet").schema
         val ev = graft.streaming.StreamingIngest
           .parquetStream(s, d, schema, globFilter = Some("events.parquet"))
+          .transform(Graft.tsToNanos)
           .where(col("ts").isNotNull && col("user_id").isNotNull &&
             col("value").isNotNull && col("user_id") <= 20)
           .select(col("user_id").cast("long"),

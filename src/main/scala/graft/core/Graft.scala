@@ -42,10 +42,30 @@ object Graft {
   def nanosToTimestamp(colName: String): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.expr(s"timestamp_micros($colName DIV 1000)")
 
+  /** Restore the events-table contract — `ts` is epoch-NANOS BIGINT — no
+    * matter how the parquet encodes it. Older driver data wrote
+    * TIMESTAMP(NANOS), which the vanilla reader surfaces as long via
+    * `nanosAsLong`; newer data writes timestamp[us], which Spark reads as
+    * TIMESTAMP_NTZ. Every downstream plan (and the DuckDB oracle's
+    * `epoch_us(ts)` twin arithmetic) is written against the nanos-long
+    * shape, so normalize at the source instead of branching per query.
+    * Session timezone is pinned to UTC in [[tune]], so the NTZ→instant
+    * cast is the identity the oracle sees.
+    */
+  def tsToNanos(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts") match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType ||
+          f.dataType == org.apache.spark.sql.types.TimestampType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "unix_micros(cast(ts as timestamp)) * 1000"))
+      case _ => df
+    }
+
   /** Read one of the driver's parquet tables from a scale-factor dir. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     tune(spark)
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    tsToNanos(spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
   /** Spread a DataFrame across all cores before a CPU-heavy map stage.

@@ -14,7 +14,7 @@ class CorpusSignalsSpec extends SparkSpec {
     val rows = SparkEntry.queries("w8_ewma")(spark, sf).collect()
     assert(rows.nonEmpty)
     // reference: replay events per user in (us, event_id) order
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = core.Graft.tsToNanos(spark.read.parquet(s"$sf/events.parquet"))
       .selectExpr("user_id", "event_id", "ts DIV 1000 AS us",
         "CAST(round(value * 100) AS BIGINT) AS vc")
       .where("ts IS NOT NULL AND event_id IS NOT NULL AND user_id <= 30")
