@@ -1774,6 +1774,24 @@ object SparkEntry {
         Graft.spread(t(s, d, "embeddings")), "embedding", dim = 64)
         .orderBy("i", "j")),
 
+    // PCA projection: the distributed covariance above collects to the
+    // driver (2,080 entries — dim-bounded, never corpus-sized), 30
+    // power-iteration rounds extract the first principal component, and
+    // the corpus projects onto the broadcast direction in one map-side
+    // pass (DotProduct kernel; degenerate vectors -> NULL score). The
+    // oracle replays the iteration as a recursive CTE over the same
+    // ordered folds, so every score lands bit-exact. At 100 TB the only
+    // corpus-scale work is the covariance hash-aggregate + this map pass.
+    "emb_pca_project" -> ((s, d) => {
+      val emb = Graft.spread(t(s, d, "embeddings"))
+      val cov = graft.ops.EmbeddingAgg.covarianceUpper(emb, "embedding", dim = 64)
+      val pc = graft.ops.EmbeddingAgg.pc1(cov, dim = 64)
+      val pcLit = array(pc.map(x => lit(x)): _*)
+      emb.select(col("vec_id"),
+        Vectors.dot(Vectors.asDouble(col("embedding")), pcLit).as("pc1_score"))
+        .orderBy("vec_id")
+    }),
+
     // Per-label centroid-distance outliers (p95 cutoff broadcast back):
     // flags vectors far from their own class prototype — mislabeled or
     // anomalous rows — without any global sort. The verdict is coalesced
@@ -3801,6 +3819,85 @@ object SparkEntry {
         | JOIN mom mi ON mi.i = s.i
         | JOIN mom mj ON mj.i = s.j
         |ORDER BY s.i, s.j""".stripMargin,
+
+    // Replays EmbeddingAgg.pc1 exactly: the covm CTEs are the
+    // emb_covariance oracle verbatim; the recursive CTE mirrors the
+    // driver's power iteration (matrix-vector left folds, left-fold norm,
+    // norm>0 guard keeping the previous vector, first-nonzero sign fix) —
+    // every fold is list-ordered, so the 30th iterate is bit-identical.
+    // The NV expression is spelled out three times because DuckDB lambdas
+    // reject subqueries and correlation only reaches one level deep;
+    // duplication is deterministic so the copies agree bitwise.
+    "emb_pca_project" ->
+      """WITH RECURSIVE clean AS (
+        | SELECT embedding::DOUBLE[] AS v FROM embeddings
+        | WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |  AND len(embedding) = list_aggregate(embedding, 'count')),
+        |nn AS (SELECT COUNT(*) AS n FROM clean),
+        |pairs AS (
+        | SELECT i.i AS i, j.j AS j,
+        |  CAST(ROUND(v[CAST(i.i AS INT) + 1] * v[CAST(j.j AS INT) + 1]
+        |    * 1000000000.0) AS BIGINT) AS p
+        | FROM clean CROSS JOIN range(0, 64) i(i) CROSS JOIN range(0, 64) j(j)
+        | WHERE j.j >= i.i),
+        |sums AS (SELECT i, j, SUM(p) AS s FROM pairs GROUP BY 1, 2),
+        |mom AS (
+        | SELECT t.i AS i,
+        |  SUM(CAST(ROUND(v[CAST(t.i AS INT) + 1] * 1000000000.0) AS BIGINT)) AS sm
+        | FROM clean CROSS JOIN range(0, 64) t(i) GROUP BY 1),
+        |covm AS (
+        | SELECT s.i AS i, s.j AS j,
+        |  CAST(s.s AS DOUBLE) / 1000000000.0 / nn.n
+        |   - (CAST(mi.sm AS DOUBLE) / 1000000000.0 / nn.n)
+        |     * (CAST(mj.sm AS DOUBLE) / 1000000000.0 / nn.n) AS cov
+        | FROM sums s CROSS JOIN nn
+        |  JOIN mom mi ON mi.i = s.i
+        |  JOIN mom mj ON mj.i = s.j),
+        |fullm AS (
+        | SELECT i, j, cov FROM covm
+        | UNION ALL
+        | SELECT j AS i, i AS j, cov FROM covm WHERE i < j),
+        |rows_m AS (SELECT i, list(cov ORDER BY j) AS r FROM fullm GROUP BY i),
+        |mat AS (SELECT list(r ORDER BY i) AS m FROM rows_m),
+        |it(k, v) AS (
+        | SELECT 0 AS k, list_transform(range(0, 64), x -> 1.0 / sqrt(64.0)) AS v
+        | UNION ALL
+        | SELECT it.k + 1,
+        |  CASE WHEN sqrt(list_sum(list_transform(
+        |         list_transform(range(0, 64), ii ->
+        |           list_sum(list_transform(
+        |             list_zip(mat.m[CAST(ii AS INT) + 1], it.v),
+        |             x -> x[1] * x[2]))), x -> x * x))) > 0
+        |       THEN list_transform(
+        |         list_transform(range(0, 64), ii ->
+        |           list_sum(list_transform(
+        |             list_zip(mat.m[CAST(ii AS INT) + 1], it.v),
+        |             x -> x[1] * x[2]))),
+        |         x -> x / sqrt(list_sum(list_transform(
+        |           list_transform(range(0, 64), ii ->
+        |             list_sum(list_transform(
+        |               list_zip(mat.m[CAST(ii AS INT) + 1], it.v),
+        |               x -> x[1] * x[2]))), x -> x * x))))
+        |       ELSE it.v END
+        | FROM it, mat WHERE it.k < 30),
+        |fin AS (SELECT v FROM it WHERE k = 30),
+        |lead AS (
+        | SELECT min(r.ii) AS li FROM range(0, 64) r(ii), fin
+        | WHERE fin.v[CAST(r.ii AS INT) + 1] <> 0.0),
+        |pcv AS (
+        | SELECT CASE WHEN lead.li IS NOT NULL
+        |         AND fin.v[CAST(lead.li AS INT) + 1] < 0
+        |        THEN list_transform(fin.v, x -> -x) ELSE fin.v END AS pc
+        | FROM fin CROSS JOIN lead)
+        |SELECT ev.vec_id,
+        | (CASE WHEN len(ev.v) = len(pcv.pc)
+        |   AND len(ev.v) = list_aggregate(ev.v, 'count')
+        |   AND len(pcv.pc) = list_aggregate(pcv.pc, 'count')
+        |  THEN list_sum(list_transform(list_zip(ev.v, pcv.pc), x -> x[1] * x[2]))
+        |  END) AS pc1_score
+        |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) ev
+        | CROSS JOIN pcv
+        |ORDER BY vec_id""".stripMargin,
 
     "emb_label_centroids" ->
       (labelCentroidsSql +

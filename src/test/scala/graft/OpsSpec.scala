@@ -310,6 +310,44 @@ class OpsSpec extends SparkSpec {
     assert(pc(pc.indexWhere(_ != 0.0)) > 0)
   }
 
+  test("pc1 projection ranks points by their planted-direction coordinate") {
+    import graft.ops.EmbeddingAgg
+    val dim = 8
+    val rows = (0 until 100).map { t =>
+      val scale = (t % 11) - 5.0
+      val v = Array.tabulate(dim)(i =>
+        if (i == 0 || i == 1) scale / math.sqrt(2.0) else 0.0)
+      (t.toLong, v.map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val cov = EmbeddingAgg.covarianceUpper(rows, "embedding", dim)
+    val pc = EmbeddingAgg.pc1(cov, dim)
+    val pcLit = array(pc.map(x => lit(x)): _*)
+    val scores = rows.select(col("vec_id"),
+        graft.functions.Vectors.dot(
+          graft.functions.Vectors.asDouble(col("embedding")), pcLit)
+          .as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // projection must be monotone in the planted coordinate: score of a
+    // point at scale k is ~k (pc aligned with d), so ordering by score
+    // equals ordering by (t % 11)
+    (0 until 100).foreach { t =>
+      val k = (t % 11) - 5.0
+      assert(math.abs(scores(t.toLong) - k) < 0.01,
+        s"vec $t: score ${scores(t.toLong)} vs planted $k")
+    }
+    // degenerate rows -> NULL score (null vec, ragged, null element)
+    val bad = Seq[(Long, Seq[java.lang.Float])](
+      (900L, null),
+      (901L, Seq[java.lang.Float](1f, 2f)),
+      (902L, Seq.tabulate[java.lang.Float](dim)(i => if (i == 3) null else 1f))
+    ).toDF("vec_id", "embedding")
+    val badScores = bad.select(col("vec_id"),
+        graft.functions.Vectors.dot(
+          graft.functions.Vectors.asDouble(col("embedding")), pcLit).as("s"))
+      .collect()
+    badScores.foreach(r => assert(r.isNullAt(1), s"vec ${r.getLong(0)}"))
+  }
+
   test("TopKAggStr matches the row_number window form (string ids, ties, nulls)") {
     import org.apache.spark.sql.expressions.Window
     // engineered score ties force the string tie-break; planted nulls
