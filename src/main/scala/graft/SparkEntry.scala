@@ -439,6 +439,23 @@ object SparkEntry {
         UniqueRatio("event_id", 1.0)))
     }),
 
+    // Distribution drift monitor: PSI of `value` per event_type between
+    // the first and second half of the stream (split at the exact median
+    // event_id — small integers, so the R-7 interpolation is exact on
+    // both engines). Reference-slice deciles bucket both slices; see
+    // DataQuality.psiDrift for the replay discipline.
+    "dq_psi_drift" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .where(col("event_id").isNotNull && col("value").isNotNull)
+      val med = ev.agg(
+        expr("percentile(cast(event_id as double), 0.5)").as("med"))
+      val tagged = ev.crossJoin(broadcast(med))
+        .select(col("event_type"), col("value"),
+          (col("event_id").cast("double") <= col("med")).as("is_ref"))
+      DataQuality.psiDrift(tagged, "event_type", "value", "is_ref")
+        .orderBy("event_type")
+    }),
+
     // A5 per-column completeness profile (load_nursing_home_data.py:20-36).
     "a5_completeness" -> ((s, d) => {
       val ev = t(s, d, "events").select(
@@ -3793,6 +3810,54 @@ object SparkEntry {
         |  (CASE WHEN n > 0 THEN CAST(c_uni AS DOUBLE) / n
         |   ELSE 0.0 END) >= 1.0 FROM s)
         |ORDER BY check_name, target""".stripMargin,
+
+    // Mirrors DataQuality.psiDrift: same median split, same reference
+    // deciles (quantile_cont == Spark percentile, both R-7), same
+    // count(bounds < value) bucket, eps-floored shares, ln on identical
+    // doubles, and the bucket-ordered list fold for the final sum. A key
+    // with no current rows divides by zero inside the masked branch
+    // (NULL here, NaN in Spark) — the CASE masks both to a NULL psi.
+    "dq_psi_drift" ->
+      """WITH ev AS (
+        | SELECT event_type, value, event_id FROM events
+        | WHERE event_id IS NOT NULL AND value IS NOT NULL),
+        |med AS (
+        | SELECT quantile_cont(CAST(event_id AS DOUBLE), 0.5) AS med FROM ev),
+        |tagged AS (
+        | SELECT event_type, value,
+        |  CAST(event_id AS DOUBLE) <= med.med AS is_ref
+        | FROM ev, med),
+        |bounds AS (
+        | SELECT event_type,
+        |  quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+        |                        0.6, 0.7, 0.8, 0.9]) AS bounds
+        | FROM tagged WHERE is_ref GROUP BY event_type),
+        |bucketed AS (
+        | SELECT t.event_type, t.is_ref,
+        |  len(list_filter(b.bounds, x -> t.value > x)) AS bucket
+        | FROM tagged t JOIN bounds b USING (event_type)),
+        |counts AS (
+        | SELECT event_type, bucket,
+        |  CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+        |  CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cc
+        | FROM bucketed GROUP BY 1, 2),
+        |totals AS (
+        | SELECT event_type, CAST(SUM(cr) AS BIGINT) AS nr,
+        |  CAST(SUM(cc) AS BIGINT) AS nc
+        | FROM counts GROUP BY 1),
+        |terms AS (
+        | SELECT c.event_type, c.bucket, t.nr, t.nc,
+        |  (GREATEST(CAST(c.cr AS DOUBLE) / CAST(t.nr AS DOUBLE), 1e-6)
+        |   - GREATEST(CAST(c.cc AS DOUBLE) / CAST(t.nc AS DOUBLE), 1e-6))
+        |  * ln(GREATEST(CAST(c.cr AS DOUBLE) / CAST(t.nr AS DOUBLE), 1e-6)
+        |     / GREATEST(CAST(c.cc AS DOUBLE) / CAST(t.nc AS DOUBLE), 1e-6))
+        |  AS term
+        | FROM counts c JOIN totals t USING (event_type))
+        |SELECT event_type,
+        | CAST(MAX(nr) AS BIGINT) AS n_ref, CAST(MAX(nc) AS BIGINT) AS n_cur,
+        | CASE WHEN MAX(nc) > 0
+        |      THEN list_sum(list(term ORDER BY bucket)) END AS psi
+        |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "emb_covariance" ->
       """WITH clean AS (

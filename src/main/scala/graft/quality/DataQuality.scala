@@ -1,6 +1,6 @@
 package graft.quality
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-quality operators, mirroring the reference's runtime checks (they
@@ -71,5 +71,56 @@ object DataQuality {
     ).toDF("table_name", "natural_key", "duplicate_groups", "status", "sample_json")
       .withColumn("created_at", current_timestamp()) // build.py:23
     (audit, dups)
+  }
+
+  /** Population Stability Index per key group — the standard drift
+    * monitor between a reference and a current slice of a metric column
+    * (banking/ML-ops folklore; see e.g. Siddiqi, "Credit Risk
+    * Scorecards", ch. 10). Buckets are the REFERENCE slice's per-key
+    * `nBuckets`-quantiles (exact R-7 percentile, the discipline
+    * a11_percentiles proved cross-engine); each row lands in
+    * `count(bounds < value)`; shares are eps-floored so empty buckets
+    * contribute a finite penalty instead of infinity; and
+    * PSI = sum_b (p_b - q_b) * ln(p_b / q_b) with the ln from
+    * [[graft.plans.MathLn]] (bit-matches DuckDB) and the 10-term sum
+    * folded in bucket order (collect_list + sort_array + aggregate, the
+    * unigram-LM discipline) so it replays exactly.
+    *
+    * Scale shape: one groupBy for the per-key bounds (k×(nBuckets-1)
+    * doubles, broadcast back), one map-side bucket assignment, one
+    * (key, bucket) hash aggregate — the corpus crosses the wire once.
+    * Keys with an empty current slice get a NULL psi (n_cur = 0 marks
+    * why); NULL keys drop at the bounds join on both engines.
+    */
+  def psiDrift(df: DataFrame, keyCol: String, valueCol: String,
+      isRefCol: String, nBuckets: Int = 10, eps: Double = 1e-6): DataFrame = {
+    val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val bounds = df.where(col(isRefCol))
+      .groupBy(keyCol)
+      .agg(expr(s"percentile($valueCol, array(${qs.mkString(",")}))")
+        .as("bounds"))
+    val bucketed = df.join(broadcast(bounds), Seq(keyCol))
+      .select(col(keyCol), col(isRefCol).as("is_ref"),
+        size(filter(col("bounds"), b => col(valueCol) > b)).as("bucket"))
+    val counts = bucketed.groupBy(col(keyCol), col("bucket"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc"))
+    val totals = counts.groupBy(keyCol)
+      .agg(sum("cr").as("nr"), sum("cc").as("nc"))
+    def share(c: Column, n: Column): Column =
+      greatest(c.cast("double") / n.cast("double"), lit(eps))
+    val terms = counts.join(broadcast(totals), Seq(keyCol))
+      .select(col(keyCol), col("bucket"), col("nr"), col("nc"),
+        ((share(col("cr"), col("nr")) - share(col("cc"), col("nc"))) *
+          graft.plans.MathLn(
+            share(col("cr"), col("nr")) / share(col("cc"), col("nc"))))
+          .as("term"))
+    terms.groupBy(keyCol)
+      .agg(max("nr").as("n_ref"), max("nc").as("n_cur"),
+        aggregate(
+          sort_array(collect_list(struct(col("bucket"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("psi_raw"))
+      .select(col(keyCol), col("n_ref"), col("n_cur"),
+        when(col("n_cur") > 0, col("psi_raw")).as("psi"))
   }
 }
