@@ -1713,6 +1713,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Radius search: all corpus neighbors of the 5 probe vectors with
+    // cosine >= 0.1 (threshold retrieval — the "everything this similar"
+    // complement of top-k). Broadcast queries, map-side kernel, no
+    // shuffle; output is the match set only.
+    "sim_range_search" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.rangeSearch(emb, emb.where(col("vec_id") < 5), tau = 0.1)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "corpus_id")
+    }),
+
     // Brute-force cosine top-k (exact ANN baseline).
     "sim_brute_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -3710,6 +3721,18 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_lang_summary" -> textLangSummaryOracle,
+
+    "sim_range_search" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         | c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+         |       FROM embeddings)
+         |SELECT q.query_id, c.corpus_id,
+         | ROUND(${cosineSql("q.qv", "c.cv")}, 6) AS cosine
+         |FROM c CROSS JOIN q
+         |WHERE c.corpus_id <> q.query_id
+         | AND ${cosineSql("q.qv", "c.cv")} >= 0.1
+         |ORDER BY query_id, corpus_id""".stripMargin,
 
     "sim_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

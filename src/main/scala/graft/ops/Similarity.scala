@@ -27,6 +27,30 @@ import graft.functions.Vectors
   */
 object Similarity {
 
+  /** Radius query: every (query, corpus) pair with cosine >= `tau` — the
+    * threshold complement of top-k retrieval (near-duplicate sweeps and
+    * contamination checks want "everything this similar", not a fixed k).
+    *
+    * Declarative on purpose: the query side broadcasts, scoring is a
+    * map-side [[graft.functions.Vectors.cosine]] (DotProduct kernel,
+    * zero-norm/null/ragged -> NULL, dropped by the threshold filter), and
+    * the only data leaving the scan is the matches themselves — at 100 TB
+    * the output is |matches|, never |corpus| x Q. No shuffle at all:
+    * broadcast join + filter runs in one whole-stage-codegen'd pass.
+    */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame,
+      tau: Double): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      graft.functions.Vectors.asDouble(col("embedding")).as("qv")))
+    corpus.select(col("vec_id").as("corpus_id"),
+        graft.functions.Vectors.asDouble(col("embedding")).as("cv"))
+      .crossJoin(q)
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        graft.functions.Vectors.cosine(col("qv"), col("cv")).as("cosine"))
+      .where(col("cosine") >= tau)
+  }
+
   /** Exact cosine top-k for each query vector. `queries` must be small
     * (driver-known ids or a sampled set) — it is collected and broadcast
     * as a primitive matrix.

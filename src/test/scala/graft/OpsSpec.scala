@@ -310,6 +310,33 @@ class OpsSpec extends SparkSpec {
     assert(pc(pc.indexWhere(_ != 0.0)) > 0)
   }
 
+  test("rangeSearch returns exactly the pairs past the threshold") {
+    import graft.ops.Similarity
+    // planted geometry on 4 dims: q0=(1,0,0,0); c1 aligned (cos 1),
+    // c2 at 60 degrees (cos .5), c3 orthogonal (cos 0), c4 opposite
+    // (cos -1), c5 zero-norm (NULL, dropped), c6 ragged (dropped)
+    val rows = Seq[(Long, Seq[java.lang.Float])](
+      (0L, Seq[java.lang.Float](1f, 0f, 0f, 0f)),
+      (1L, Seq[java.lang.Float](2f, 0f, 0f, 0f)),
+      (2L, Seq[java.lang.Float](0.5f, 0.8660254f, 0f, 0f)),
+      (3L, Seq[java.lang.Float](0f, 1f, 0f, 0f)),
+      (4L, Seq[java.lang.Float](-1f, 0f, 0f, 0f)),
+      (5L, Seq[java.lang.Float](0f, 0f, 0f, 0f)),
+      (6L, Seq[java.lang.Float](1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.rangeSearch(rows, rows.where(col("vec_id") === 0L),
+        tau = 0.4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set(1L, 2L), s"got $out")
+    assert(out(1L) == 1.0)
+    assert(math.abs(out(2L) - 0.5) < 1e-6)
+    // threshold is inclusive: tau exactly at a pair's cosine keeps it
+    val incl = Similarity.rangeSearch(rows,
+        rows.where(col("vec_id") === 0L), tau = 1.0)
+      .collect().map(_.getLong(1)).toSet
+    assert(incl == Set(1L))
+  }
+
   test("pc1 projection ranks points by their planted-direction coordinate") {
     import graft.ops.EmbeddingAgg
     val dim = 8

@@ -260,4 +260,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(pb.contains("BroadcastNestedLoopJoin") || pb.contains("BroadcastHashJoin"),
       pb.take(800))
   }
+
+  test("rangeSearch is one shuffle-free broadcast pass over the corpus") {
+    // the radius query's 100 TB contract: queries broadcast, scoring and
+    // threshold run inside the scan stage, nothing leaves but matches —
+    // the only exchange in the corpus entry is the final presentation sort
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Graft.table(spark, sf, "embeddings")
+    val df = graft.ops.Similarity.rangeSearch(
+      emb, emb.where(col("vec_id") < 5), tau = 0.1)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("ShuffleExchange"), p.take(800))
+  }
 }
