@@ -881,6 +881,16 @@ object SparkEntry {
         shingleK = 2, minJaccard = 0.05)
         .orderBy("id_a", "id_b")),
 
+    // Asymmetric containment pairs — |A∩B|/|A| per direction — the
+    // quote/boilerplate subsumption detector Jaccard misses when one
+    // side dwarfs the other. Same single-computation shingle pipeline
+    // and scale rails as dedup_ngram_jaccard.
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(
+        t(s, d, "documents").where(col("doc_id") < 300), "text", "doc_id",
+        shingleK = 2, minContainment = 0.4)
+        .orderBy("id_a", "id_b")),
+
     // Prefix-filtered exact Jaccard join (AllPairs/PPJoin): rarest-first
     // canonical order, prefix-token candidates, length filter, exact
     // intersection count — complete by theorem, no banding probability.
@@ -2980,6 +2990,7 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle(16),
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_containment" -> containmentOracle,
 
     "dedup_prefix_jaccard" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
@@ -4762,6 +4773,41 @@ object SparkEntry {
       | JOIN sizes sa ON sa.id = id_a
       | JOIN sizes sb ON sb.id = id_b
       |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.05
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Same shingle universe as [[ngramJaccardOracle]], containment
+    * arithmetic per direction (n_a >= 1 by construction, so the
+    * divisions are total).
+    */
+  private def containmentOracle: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+      |words AS (
+      | SELECT doc_id, w, i FROM (
+      |  SELECT doc_id,
+      |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+      |   generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS i
+      |  FROM docs WHERE trim(text) <> '')),
+      |shingles AS (
+      | SELECT DISTINCT a.doc_id AS id, a.w || ' ' || b.w AS sh
+      | FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      | UNION
+      | SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS sh
+      | FROM docs
+      | WHERE trim(text) <> ''
+      |  AND len(string_split_regex(trim(lower(text)), '\s+')) < 2),
+      |sizes AS (SELECT id, COUNT(*) AS n FROM shingles GROUP BY id),
+      |inter AS (
+      | SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS n_inter
+      | FROM shingles x JOIN shingles y ON x.sh = y.sh AND x.id < y.id
+      | GROUP BY x.id, y.id)
+      |SELECT id_a, id_b,
+      | CAST(n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS c_ab,
+      | CAST(n_inter AS DOUBLE) / CAST(sb.n AS DOUBLE) AS c_ba
+      |FROM inter
+      | JOIN sizes sa ON sa.id = id_a
+      | JOIN sizes sb ON sb.id = id_b
+      |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.4
+      |   OR CAST(n_inter AS DOUBLE) / CAST(sb.n AS DOUBLE) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
   /** Replays decontamination: distinct 3-shingles per side (with the

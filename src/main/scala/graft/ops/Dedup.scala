@@ -166,7 +166,43 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int, minJaccard: Double,
       blockCol: Option[Column] = None,
-      maxShingleDf: Int = 10000): DataFrame = {
+      maxShingleDf: Int = 10000): DataFrame =
+    shinglePairCounts(df, textCol, idCol, shingleK, blockCol, maxShingleDf)
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+
+  /** Asymmetric n-gram containment — C(A,B) = |A∩B| / |A| — the
+    * quote/boilerplate subsumption detector: a short doc fully quoted
+    * inside a long one scores containment ~1.0 where Jaccard stays tiny
+    * (the union is dominated by the long side). One row per unordered
+    * pair carrying BOTH directions; a pair survives when either
+    * direction reaches `minContainment`. Shares
+    * [[ngramJaccardPairs]]'s single-computation pipeline and both of its
+    * scale rails (per-block shingle df cap, optional blocking), and the
+    * reduced-universe semantics under the cap are identical.
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int, minContainment: Double,
+      blockCol: Option[Column] = None,
+      maxShingleDf: Int = 10000): DataFrame =
+    shinglePairCounts(df, textCol, idCol, shingleK, blockCol, maxShingleDf)
+      .withColumn("c_ab", col("n_inter").cast("double") /
+        col("n_a").cast("double"))
+      .withColumn("c_ba", col("n_inter").cast("double") /
+        col("n_b").cast("double"))
+      .where(col("c_ab") >= minContainment || col("c_ba") >= minContainment)
+      .select("id_a", "id_b", "c_ab", "c_ba")
+
+  /** Shared tail of the exact-shingle pair family: ordered candidate
+    * pairs with reduced-set sizes and exact intersection counts —
+    * (id_a, id_b, n_a, n_b, n_inter). See [[ngramJaccardPairs]] for the
+    * single-computation / df-cap / blocking contract.
+    */
+  private def shinglePairCounts(df: DataFrame, textCol: String,
+      idCol: String, shingleK: Int, blockCol: Option[Column],
+      maxShingleDf: Int): DataFrame = {
     require(maxShingleDf >= 2, "maxShingleDf < 2 would drop every shared shingle")
     import org.apache.spark.sql.expressions.{Window => W}
     val blk = blockCol.getOrElse(lit(""))
@@ -196,10 +232,6 @@ object Dedup {
         col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
       .groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("n_inter"))
-      .withColumn("jaccard", col("n_inter").cast("double") /
-        (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
-      .where(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** Prefix-filtered EXACT Jaccard self-join over distinct token sets —

@@ -310,6 +310,27 @@ class OpsSpec extends SparkSpec {
     assert(pc(pc.indexWhere(_ != 0.0)) > 0)
   }
 
+  test("containmentPairs flags a quoted doc that Jaccard misses") {
+    import graft.ops.Dedup
+    // doc 1 = 4 words (3 bigram shingles), fully quoted inside doc 2's 20
+    // words: containment(1 in 2) = 1.0 while jaccard = 3/19 ~ 0.16
+    val quoted = "alpha beta gamma delta"
+    val long = quoted + " " + (1 to 16).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, quoted), (2L, long), (3L, "unrelated text entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "text", "doc_id",
+        shingleK = 2, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set((1L, 2L)), s"got $out")
+    assert(out((1L, 2L))._1 == 1.0) // all of doc 1's shingles in doc 2
+    assert(out((1L, 2L))._2 == 3.0 / 19.0)
+    // the same pair is far below a 0.9 jaccard bar
+    val j = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleK = 2, minJaccard = 0.9)
+    assert(j.count() == 0)
+  }
+
   test("rangeSearch returns exactly the pairs past the threshold") {
     import graft.ops.Similarity
     // planted geometry on 4 dims: q0=(1,0,0,0); c1 aligned (cos 1),
