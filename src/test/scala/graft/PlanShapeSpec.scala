@@ -261,6 +261,26 @@ class PlanShapeSpec extends SparkSpec {
       pb.take(800))
   }
 
+  test("dq_psi_drift broadcasts bounds/totals; corpus aggregates map-side") {
+    // the drift monitor's 100 TB contract: the corpus crosses the wire
+    // only through the (key, bucket) hash aggregate with a map-side
+    // partial; the decile bounds and the per-key totals join back as
+    // broadcasts, never a key-shuffled sort-merge
+    val p = finalPlan("dq_psi_drift")
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+    assert(p.contains("partial_sum"), p.take(800))
+  }
+
+  test("emb_covariance reduces products map-side before the (i,j) exchange") {
+    // dim^2/2 running sums combine inside each scan partition
+    // (partial_sum precedes the hash exchange), and the moment joins are
+    // broadcasts — the corpus itself never shuffles
+    val p = finalPlan("emb_covariance")
+    assert(p.contains("partial_sum"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("rangeSearch is one shuffle-free broadcast pass over the corpus") {
     // the radius query's 100 TB contract: queries broadcast, scoring and
     // threshold run inside the scan stage, nothing leaves but matches —
