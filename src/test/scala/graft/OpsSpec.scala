@@ -310,6 +310,50 @@ class OpsSpec extends SparkSpec {
     assert(pc(pc.indexWhere(_ != 0.0)) > 0)
   }
 
+  test("shingle pair family matches brute force on a seeded random corpus") {
+    import graft.ops.Dedup
+    // 40 docs over a 6-word vocab (seeded): dense shingle collisions
+    // exercise every pair route; planted single-word / whitespace-only
+    // docs exercise the short-doc and empty routes
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (0 until 40).map { i =>
+      val n = 1 + rnd.nextInt(8)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } :+ (98L, "   ") :+ (99L, "solo")
+    val df = docs.toDF("doc_id", "text")
+    def shingleSet(t: String): Set[String] = {
+      val ws = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (ws.isEmpty) Set.empty
+      else if (ws.length < 2) Set(ws.mkString(" "))
+      else ws.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val ids = docs.map(_._1)
+    def pairs = for {
+      a <- ids; b <- ids if a < b
+      sa = sets(a); sb = sets(b)
+      inter = (sa & sb).size if inter > 0
+    } yield (a, b, sa.size, sb.size, inter)
+    val expJ = pairs.flatMap { case (a, b, na, nb, i) =>
+      val j = i.toDouble / (na + nb - i).toDouble
+      if (j >= 0.3) Some((a, b) -> j) else None
+    }.toMap
+    val gotJ = Dedup.ngramJaccardPairs(df, "text", "doc_id",
+        shingleK = 2, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(gotJ == expJ, s"jaccard: got ${gotJ.size}, want ${expJ.size}")
+    val expC = pairs.flatMap { case (a, b, na, nb, i) =>
+      val (cab, cba) = (i.toDouble / na.toDouble, i.toDouble / nb.toDouble)
+      if (cab >= 0.5 || cba >= 0.5) Some((a, b) -> ((cab, cba))) else None
+    }.toMap
+    val gotC = Dedup.containmentPairs(df, "text", "doc_id",
+        shingleK = 2, minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(gotC == expC, s"containment: got ${gotC.size}, want ${expC.size}")
+  }
+
   test("containmentPairs flags a quoted doc that Jaccard misses") {
     import graft.ops.Dedup
     // doc 1 = 4 words (3 bigram shingles), fully quoted inside doc 2's 20
