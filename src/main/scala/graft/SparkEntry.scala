@@ -991,6 +991,30 @@ object SparkEntry {
         .orderBy("item_a", "item_b")
     }),
 
+    // First-order Markov transition matrix over per-user event
+    // sequences: P(next = dst | cur = src) with exact n/n_src division.
+    // One window pass on the (user_id) exchange (lead over the fully
+    // deterministic (ts, event_id, event_type) order), one (src, dst)
+    // hash aggregate, row totals joined back by broadcast — the
+    // sequence-model counterpart of mine_pairs' co-occurrence support.
+    "mine_transitions" -> ((s, d) => {
+      val ev = t(s, d, "events").where(col("user_id").isNotNull &&
+        col("ts").isNotNull && col("event_type").isNotNull &&
+        col("event_id").isNotNull)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"), col("event_type"))
+      val trans = ev
+        .withColumn("dst", lead(col("event_type"), 1).over(w))
+        .where(col("dst").isNotNull)
+        .groupBy(col("event_type").as("src"), col("dst"))
+        .agg(count(lit(1)).as("n"))
+      val tot = trans.groupBy("src").agg(sum(col("n")).as("n_src"))
+      trans.join(broadcast(tot), Seq("src"))
+        .select(col("src"), col("dst"), col("n"),
+          (col("n").cast("double") / col("n_src").cast("double")).as("p"))
+        .orderBy("src", "dst")
+    }),
+
     // Duplicated-passage detection (substring-level dedup): maximal token
     // spans whose every 5-gram window occurs >= 2 times corpus-wide —
     // the relational form of suffix-based span dedup (vs the doc-level
@@ -3378,6 +3402,27 @@ object SparkEntry {
         | ON a.user_id = b.user_id AND a.event_type < b.event_type
         |GROUP BY 1, 2 HAVING COUNT(*) >= 10
         |ORDER BY item_a, item_b""".stripMargin,
+
+    // Same (ts, event_id, event_type) total order — ts is a timestamp
+    // here and epoch nanos on the Spark side, a monotone equivalence.
+    "mine_transitions" ->
+      """WITH ev AS (
+        | SELECT user_id, ts, event_id, event_type FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  AND event_type IS NOT NULL AND event_id IS NOT NULL),
+        |seq AS (
+        | SELECT event_type AS src,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id, event_type) AS dst
+        | FROM ev),
+        |trans AS (
+        | SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS n_src
+        |        FROM trans GROUP BY 1)
+        |SELECT src, dst, n, CAST(n AS DOUBLE) / CAST(n_src AS DOUBLE) AS p
+        |FROM trans JOIN tot USING (src)
+        |ORDER BY src, dst""".stripMargin,
 
     "hier_closure" ->
       """WITH RECURSIVE e AS (

@@ -310,6 +310,27 @@ class OpsSpec extends SparkSpec {
     assert(pc(pc.indexWhere(_ != 0.0)) > 0)
   }
 
+  test("mine_transitions counts planted sequences with exact probabilities") {
+    // user 1: v,c,v,c,v -> v->c x2, c->v x2; user 2: v,p -> v->p x1
+    // P(c|v) = 2/3, P(p|v) = 1/3, P(v|c) = 1
+    val dir = java.nio.file.Files.createTempDirectory("graft_trans").toString
+    import spark.implicits._
+    Seq(
+      (1L, 1L, 1L, "view", 1.0, "{}"), (2L, 2L, 1L, "click", 1.0, "{}"),
+      (3L, 3L, 1L, "view", 1.0, "{}"), (4L, 4L, 1L, "click", 1.0, "{}"),
+      (5L, 5L, 1L, "view", 1.0, "{}"),
+      (6L, 1L, 2L, "view", 1.0, "{}"), (7L, 2L, 2L, "purchase", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("mine_transitions")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      ("view", "click") -> ((2L, 2.0 / 3.0)),
+      ("view", "purchase") -> ((1L, 1.0 / 3.0)),
+      ("click", "view") -> ((2L, 1.0))), s"got $out")
+  }
+
   test("shingle pair family matches brute force on a seeded random corpus") {
     import graft.ops.Dedup
     // 40 docs over a 6-word vocab (seeded): dense shingle collisions
