@@ -1854,6 +1854,24 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Two-component PCA map: Hotelling deflation (C - λ v vᵀ) after the
+    // first power iteration yields the second component; the corpus
+    // projects onto both broadcast directions in the same map-side pass.
+    // The oracle replays BOTH iterations (two recursive CTEs) plus the
+    // Rayleigh quotient and deflation arithmetic, ordered-fold for
+    // ordered-fold.
+    "emb_pca_top2" -> ((s, d) => {
+      val emb = Graft.spread(t(s, d, "embeddings"))
+      val cov = graft.ops.EmbeddingAgg.covarianceUpper(emb, "embedding", dim = 64)
+      val pcs = graft.ops.EmbeddingAgg.pcTop(cov, dim = 64, k = 2)
+      val p1 = array(pcs(0)._1.map(x => lit(x)): _*)
+      val p2 = array(pcs(1)._1.map(x => lit(x)): _*)
+      emb.select(col("vec_id"),
+        Vectors.dot(Vectors.asDouble(col("embedding")), p1).as("pc1_score"),
+        Vectors.dot(Vectors.asDouble(col("embedding")), p2).as("pc2_score"))
+        .orderBy("vec_id")
+    }),
+
     // Per-label centroid-distance outliers (p95 cutoff broadcast back):
     // flags vectors far from their own class prototype — mislabeled or
     // anomalous rows — without any global sort. The verdict is coalesced
@@ -3015,6 +3033,7 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_containment" -> containmentOracle,
+    "emb_pca_top2" -> pcaTop2Oracle,
 
     "dedup_prefix_jaccard" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
@@ -4819,6 +4838,115 @@ object SparkEntry {
       | JOIN sizes sb ON sb.id = id_b
       |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.05
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** One 30-round power-iteration chain over the matrix CTE `mat`
+    * (column `m`, one row): recursive CTE + first-nonzero sign fix,
+    * mirroring EmbeddingAgg.powerIterate fold for fold. The NV
+    * expression is spelled three times — DuckDB lambdas reject
+    * subqueries and correlation reaches one level deep, so the
+    * duplicated copies (deterministic, bitwise identical) stand in for
+    * a binding.
+    */
+  private def powerIterSql(mat: String, it: String, fin: String,
+      lead: String, pcv: String, pc: String): String = {
+    val nv = "list_transform(range(0, 64), ii -> list_sum(list_transform(" +
+      s"list_zip($mat.m[CAST(ii AS INT) + 1], $it.v), x -> x[1] * x[2])))"
+    s"""$it(k, v) AS (
+       | SELECT 0 AS k, list_transform(range(0, 64), x -> 1.0 / sqrt(64.0)) AS v
+       | UNION ALL
+       | SELECT $it.k + 1,
+       |  CASE WHEN sqrt(list_sum(list_transform($nv, x -> x * x))) > 0
+       |       THEN list_transform($nv,
+       |         x -> x / sqrt(list_sum(list_transform($nv, x -> x * x))))
+       |       ELSE $it.v END
+       | FROM $it, $mat WHERE $it.k < 30),
+       |$fin AS (SELECT v FROM $it WHERE k = 30),
+       |$lead AS (
+       | SELECT min(r.ii) AS li FROM range(0, 64) r(ii), $fin
+       | WHERE $fin.v[CAST(r.ii AS INT) + 1] <> 0.0),
+       |$pcv AS MATERIALIZED (
+       | SELECT CASE WHEN $lead.li IS NOT NULL
+       |         AND $fin.v[CAST($lead.li AS INT) + 1] < 0
+       |        THEN list_transform($fin.v, x -> -x) ELSE $fin.v END AS $pc
+       | FROM $fin CROSS JOIN $lead)""".stripMargin
+  }
+
+  /** The emb_covariance CTE chain up to the full-matrix `mat` row. */
+  private val covMatSql: String =
+    """clean AS (
+      | SELECT embedding::DOUBLE[] AS v FROM embeddings
+      | WHERE embedding IS NOT NULL AND len(embedding) = 64
+      |  AND len(embedding) = list_aggregate(embedding, 'count')),
+      |nn AS (SELECT COUNT(*) AS n FROM clean),
+      |pairs AS (
+      | SELECT i.i AS i, j.j AS j,
+      |  CAST(ROUND(v[CAST(i.i AS INT) + 1] * v[CAST(j.j AS INT) + 1]
+      |    * 1000000000.0) AS BIGINT) AS p
+      | FROM clean CROSS JOIN range(0, 64) i(i) CROSS JOIN range(0, 64) j(j)
+      | WHERE j.j >= i.i),
+      |sums AS (SELECT i, j, SUM(p) AS s FROM pairs GROUP BY 1, 2),
+      |mom AS (
+      | SELECT t.i AS i,
+      |  SUM(CAST(ROUND(v[CAST(t.i AS INT) + 1] * 1000000000.0) AS BIGINT)) AS sm
+      | FROM clean CROSS JOIN range(0, 64) t(i) GROUP BY 1),
+      |covm AS (
+      | SELECT s.i AS i, s.j AS j,
+      |  CAST(s.s AS DOUBLE) / 1000000000.0 / nn.n
+      |   - (CAST(mi.sm AS DOUBLE) / 1000000000.0 / nn.n)
+      |     * (CAST(mj.sm AS DOUBLE) / 1000000000.0 / nn.n) AS cov
+      | FROM sums s CROSS JOIN nn
+      |  JOIN mom mi ON mi.i = s.i
+      |  JOIN mom mj ON mj.i = s.j),
+      |fullm AS (
+      | SELECT i, j, cov FROM covm
+      | UNION ALL
+      | SELECT j AS i, i AS j, cov FROM covm WHERE i < j),
+      |rows_m AS (SELECT i, list(cov ORDER BY j) AS r FROM fullm GROUP BY i),
+      |mat AS MATERIALIZED (SELECT list(r ORDER BY i) AS m FROM rows_m)""".stripMargin
+
+  /** Replays EmbeddingAgg.pcTop(k=2): pc1 chain, Rayleigh quotient
+    * λ = pcᵀ(M pc) (both folds ascending), Hotelling deflation
+    * m2 = m - λ·(pc_i·pc_j), second chain over m2, projections on both.
+    * The intermediate CTEs are MATERIALIZED — DuckDB inlines CTEs by
+    * default, and re-deriving the whole first chain inside every
+    * second-chain iteration turns a 1-second query into 5+ minutes
+    * (measured 314 s plain vs 1.1 s materialized, identical results).
+    */
+  private def pcaTop2Oracle: String =
+    s"""WITH RECURSIVE $covMatSql,
+       |${powerIterSql("mat", "it", "fin", "lead", "pcv", "pc")},
+       |mv AS MATERIALIZED (
+       | SELECT list_transform(range(0, 64), i ->
+       |   list_sum(list_transform(
+       |     list_zip(mat.m[CAST(i AS INT) + 1], pcv.pc),
+       |     x -> x[1] * x[2]))) AS mv
+       | FROM mat, pcv),
+       |lam AS MATERIALIZED (
+       | SELECT list_sum(list_transform(list_zip(pcv.pc, mv.mv),
+       |   x -> x[1] * x[2])) AS l
+       | FROM pcv, mv),
+       |mat2 AS MATERIALIZED (
+       | SELECT list_transform(range(0, 64), i ->
+       |   list_transform(range(0, 64), j ->
+       |     mat.m[CAST(i AS INT) + 1][CAST(j AS INT) + 1]
+       |      - lam.l * (pcv.pc[CAST(i AS INT) + 1]
+       |                 * pcv.pc[CAST(j AS INT) + 1]))) AS m
+       | FROM mat, pcv, lam),
+       |${powerIterSql("mat2", "it2", "fin2", "lead2", "pcv2", "pc2")}
+       |SELECT ev.vec_id,
+       | (CASE WHEN len(ev.v) = len(pcv.pc)
+       |   AND len(ev.v) = list_aggregate(ev.v, 'count')
+       |   AND len(pcv.pc) = list_aggregate(pcv.pc, 'count')
+       |  THEN list_sum(list_transform(list_zip(ev.v, pcv.pc), x -> x[1] * x[2]))
+       |  END) AS pc1_score,
+       | (CASE WHEN len(ev.v) = len(pcv2.pc2)
+       |   AND len(ev.v) = list_aggregate(ev.v, 'count')
+       |   AND len(pcv2.pc2) = list_aggregate(pcv2.pc2, 'count')
+       |  THEN list_sum(list_transform(list_zip(ev.v, pcv2.pc2), x -> x[1] * x[2]))
+       |  END) AS pc2_score
+       |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) ev
+       | CROSS JOIN pcv CROSS JOIN pcv2
+       |ORDER BY vec_id""".stripMargin
 
   /** Same shingle universe as [[ngramJaccardOracle]], containment
     * arithmetic per direction (n_a >= 1 by construction, so the

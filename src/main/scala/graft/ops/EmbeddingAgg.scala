@@ -92,7 +92,37 @@ object EmbeddingAgg {
     * v <- normalize(C v) from the uniform start, and sign-fixes so the
     * first non-zero coordinate is positive (deterministic orientation).
     */
-  def pc1(cov: DataFrame, dim: Int, iters: Int = 30): Array[Double] = {
+  def pc1(cov: DataFrame, dim: Int, iters: Int = 30): Array[Double] =
+    powerIterate(loadSymmetric(cov, dim), dim, iters)
+
+  /** Top-k principal components by power iteration + Hotelling deflation:
+    * after each component, C <- C - λ v vᵀ with λ the Rayleigh quotient
+    * vᵀ(Cv), both computed with the same ascending-index left folds the
+    * recursive-CTE oracle replays (every double lands bit-identical).
+    * Returns (component, eigenvalue) pairs, dominant first. Deflation is
+    * driver-side dim×dim arithmetic — the corpus only ever feeds the one
+    * distributed covariance pass.
+    */
+  def pcTop(cov: DataFrame, dim: Int, k: Int,
+      iters: Int = 30): Seq[(Array[Double], Double)] = {
+    var m = loadSymmetric(cov, dim)
+    (0 until k).map { _ =>
+      val v = powerIterate(m, dim, iters)
+      val mv = Array.tabulate(dim) { i =>
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += m(i)(j) * v(j); j += 1 }
+        s
+      }
+      var lam = 0.0
+      var i = 0
+      while (i < dim) { lam += v(i) * mv(i); i += 1 }
+      m = Array.tabulate(dim, dim)((i, j) => m(i)(j) - lam * (v(i) * v(j)))
+      (v, lam)
+    }
+  }
+
+  private def loadSymmetric(cov: DataFrame, dim: Int): Array[Array[Double]] = {
     val m = Array.ofDim[Double](dim, dim)
     cov.select(col("i").cast("int"), col("j").cast("int"), col("cov"))
       .collect().foreach { r =>
@@ -100,6 +130,11 @@ object EmbeddingAgg {
         m(i)(j) = c
         m(j)(i) = c
       }
+    m
+  }
+
+  private def powerIterate(m: Array[Array[Double]], dim: Int,
+      iters: Int): Array[Double] = {
     var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     for (_ <- 0 until iters) {
       val nv = Array.tabulate(dim) { i =>

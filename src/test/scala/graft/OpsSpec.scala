@@ -423,6 +423,36 @@ class OpsSpec extends SparkSpec {
     assert(incl == Set(1L))
   }
 
+  test("pcTop recovers two planted directions, orthogonal, variance-ordered") {
+    import graft.ops.EmbeddingAgg
+    val dim = 8
+    // strong spread along axis 0, weaker along axis 1, tiny noise on 2
+    val rows = (0 until 400).map { t =>
+      val s0 = ((t % 21) - 10.0) * 2.0
+      val s1 = ((t / 21 % 11) - 5.0) * 0.5
+      val noise = ((t % 7) - 3.0) * 0.001
+      val v = Array.tabulate(dim) {
+        case 0 => s0
+        case 1 => s1
+        case 2 => noise
+        case _ => 0.0
+      }
+      Tuple1(v.map(_.toFloat))
+    }.toDF("embedding")
+    val cov = EmbeddingAgg.covarianceUpper(rows, "embedding", dim)
+    val pcs = EmbeddingAgg.pcTop(cov, dim, k = 2)
+    val (v1, l1) = pcs(0)
+    val (v2, l2) = pcs(1)
+    assert(l1 > l2 && l2 > 0, s"eigenvalues not ordered: $l1, $l2")
+    assert(math.abs(v1(0)) > 0.999, s"pc1 off axis 0: ${v1.mkString(",")}")
+    assert(math.abs(v2(1)) > 0.999, s"pc2 off axis 1: ${v2.mkString(",")}")
+    val ortho = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(ortho) < 1e-9, s"components not orthogonal: $ortho")
+    // pcTop's first component is exactly pc1 (same matrix, same loop)
+    val p1 = EmbeddingAgg.pc1(cov, dim)
+    assert(v1.sameElements(p1))
+  }
+
   test("pc1 projection ranks points by their planted-direction coordinate") {
     import graft.ops.EmbeddingAgg
     val dim = 8
