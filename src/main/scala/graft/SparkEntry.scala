@@ -1045,6 +1045,38 @@ object SparkEntry {
     // "trailing week" on a DENSE spine (on raw observations, 6 PRECEDING
     // is 7 observations, not 7 days) — so densify first, then one window
     // pass. Cents stay integer through the rolling sum (order-free).
+    // Rolling 7-observation median per user (robust smoothing — the
+    // outlier-proof twin of ts_rolling's trailing sum): exact R-7
+    // percentile over a ROWS frame on the deterministic (ts, event_id)
+    // order. One window pass on the user exchange.
+    "ts_rolling_median" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"), col("value")).rowsBetween(-6, 0)
+      t(s, d, "events")
+        .where(col("user_id") <= 50 && col("ts").isNotNull &&
+          col("event_id").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          expr("percentile(value, 0.5)")
+            .over(w).as("roll_median"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Winsorization: clip value at the per-type exact [p05, p95] band
+    // (the standard outlier clamp before feature scaling). Cuts are a
+    // k-row aggregate broadcast back; the clamp is map-side.
+    "f12_winsorize" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .where(col("value").isNotNull && col("event_id").isNotNull)
+      val cuts = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.05)").as("lo"),
+          expr("percentile(value, 0.95)").as("hi"))
+      ev.join(broadcast(cuts), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          least(greatest(col("value"), col("lo")), col("hi")).as("value_wins"))
+        .orderBy("event_id")
+    }),
+
     "ts_rolling" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val daily = t(s, d, "events").where(col("user_id") <= 20)
@@ -3207,6 +3239,28 @@ object SparkEntry {
          |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
          |ORDER BY user_id, event_id""".stripMargin
     },
+
+    "ts_rolling_median" ->
+      """SELECT user_id, event_id,
+        | quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id, value
+        |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_median
+        |FROM events
+        |WHERE user_id <= 50 AND ts IS NOT NULL AND event_id IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "f12_winsorize" ->
+      """WITH ev AS (
+        | SELECT event_id, event_type, value FROM events
+        | WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        |cuts AS (
+        | SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |  quantile_cont(value, 0.95) AS hi
+        | FROM ev GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        | LEAST(GREATEST(e.value, c.lo), c.hi) AS value_wins
+        |FROM ev e JOIN cuts c USING (event_type)
+        |ORDER BY event_id""".stripMargin,
 
     "ts_rolling" ->
       """WITH daily AS (
