@@ -961,6 +961,28 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Keep-list materialization over the near-dup clusters: the
+    // alternating-star component label IS the cluster's min id, so the
+    // canonical representative is the label itself — one size aggregate
+    // and a component-keyed join produce the per-doc keep verdict a
+    // dedup pipeline actually applies.
+    "dedup_representatives" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.sortedNeighborhood(docs, "doc_id",
+        coalesce(substring(col("text"), 1, 16), lit("")), col("source"),
+        window = 3)
+        .select("id_a", "id_b")
+      val comp = Dedup.clusterNearDups(docs.select(col("doc_id").as("id")),
+        pairs, "id", maxIters = 25)
+      val sizes = comp.groupBy("component")
+        .agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, Seq("component"))
+        .select(col("id"), col("component"),
+          (col("id") === col("component")).as("is_kept"),
+          col("cluster_size"))
+        .orderBy("id")
+    }),
+
     // Partitioned table layout: write partitioned by source, read back
     // with a partition filter — the scan must prune to ONE directory
     // (partition pruning is the file-level analogue of predicate
@@ -3461,6 +3483,31 @@ object SparkEntry {
         | SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r)
         |SELECT id, MIN(r) AS component FROM reach GROUP BY id
         |ORDER BY id""".stripMargin,
+
+    "dedup_representatives" ->
+      """WITH RECURSIVE keyed AS (
+        | SELECT source AS block, COALESCE(substr(text, 1, 16), '') AS skey,
+        |  doc_id AS id
+        | FROM documents),
+        |lagged AS (
+        | SELECT block, id, LAG(id, 1) OVER w AS p1, LAG(id, 2) OVER w AS p2
+        | FROM keyed WINDOW w AS (PARTITION BY block ORDER BY skey, id)),
+        |edges0 AS (
+        | SELECT p1 AS a, id AS b FROM lagged WHERE p1 IS NOT NULL
+        | UNION ALL SELECT p2, id FROM lagged WHERE p2 IS NOT NULL),
+        |edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+        |reach AS (
+        | SELECT doc_id AS id, doc_id AS r FROM documents
+        | UNION
+        | SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        |sizes AS (
+        | SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        | FROM comp GROUP BY 1)
+        |SELECT c.id, c.component, c.id = c.component AS is_kept,
+        | s.cluster_size
+        |FROM comp c JOIN sizes s USING (component)
+        |ORDER BY c.id""".stripMargin,
 
     "s8_partitioned_scan" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
