@@ -1317,6 +1317,17 @@ object SparkEntry {
       graft.ops.Graph.pageRank(edges, iterations = 2).orderBy("id")
     }),
 
+    // Per-node triangle counts on the same deterministic graph — the
+    // clustering-coefficient numerator (see Graph.triangleCounts).
+    "graph_triangles" -> ((s, d) => {
+      val base = t(s, d, "part").where(col("p_partkey") <= 1000)
+      val edges = base.select(col("p_partkey").as("src"),
+        expr("(p_partkey * 31 + 7) % 1000").as("dst"))
+        .unionByName(base.select(col("p_partkey").as("src"),
+          expr("(p_partkey * 17 + 3) % 1000").as("dst")))
+      graft.ops.Graph.triangleCounts(edges).orderBy("id")
+    }),
+
     // Hierarchy closure (recursive-CTE semantics via iterative joins with
     // checkpointed lineage): a deterministic 4-ary forest derived from
     // part keys (parent = id DIV 4), flattened to root/depth/path per
@@ -3440,6 +3451,32 @@ object SparkEntry {
         "concat_ws('|', s_suppkey, s_name, s_nationkey, CAST(round(s_acctbal * 100) AS BIGINT))")}
          |ORDER BY table_name""".stripMargin
     },
+
+    "graph_triangles" ->
+      """WITH raw AS (
+        | SELECT p_partkey AS src, (p_partkey * 31 + 7) % 1000 AS dst
+        | FROM part WHERE p_partkey <= 1000
+        | UNION ALL
+        | SELECT p_partkey, (p_partkey * 17 + 3) % 1000
+        | FROM part WHERE p_partkey <= 1000),
+        |e AS (
+        | SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        | FROM raw WHERE src <> dst AND src IS NOT NULL AND dst IS NOT NULL),
+        |tri AS (
+        | SELECT ab.a AS x, ab.b AS y, bc.b AS z
+        | FROM e ab JOIN e bc ON bc.a = ab.b
+        |  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
+        |pern AS (
+        | SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT x AS id FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri) GROUP BY 1),
+        |nodes AS (
+        | SELECT DISTINCT src AS id FROM raw WHERE src IS NOT NULL
+        | UNION SELECT dst FROM raw WHERE dst IS NOT NULL)
+        |SELECT n.id, COALESCE(p.n, 0) AS n_triangles
+        |FROM nodes n LEFT JOIN pern p USING (id)
+        |ORDER BY id""".stripMargin,
 
     "graph_pagerank" ->
       """WITH e AS (

@@ -26,6 +26,39 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Per-node triangle counts over an undirected edge table — the
+    * clustering-coefficient numerator (community/spam structure signal).
+    *
+    * Canonical a<b edge orientation makes every triangle x<y<z appear in
+    * exactly one wedge join: edges(x,y) ⋈ edges(y,z) closed by
+    * edges(x,z). Counts are exact integers, so the SQL replay is
+    * trivially bit-equal. Isolated-from-triangles nodes report 0 via the
+    * node-spine left join.
+    *
+    * Shape at scale: two shuffle joins keyed on node ids plus one
+    * explode + hash aggregate; wedge generation is the classic
+    * high-degree hotspot — AQE skew-join splits it here, and the
+    * production upgrade (order by degree instead of id, which bounds
+    * wedges by arboricity) composes without changing the output.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val tri = e.as("ab").join(e.as("bc"), col("ab.b") === col("bc.a"))
+      .select(col("ab.a").as("x"), col("ab.b").as("y"), col("bc.b").as("z"))
+      .join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n"))
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .where(col("id").isNotNull).distinct()
+    nodes.join(perNode, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n"), lit(0L)).as("n_triangles"))
+  }
+
   /** `iterations` rounds of integer PageRank; returns (id, r_nano). */
   def pageRankNano(edges: DataFrame, iterations: Int): DataFrame = {
     // Edges are hash-partitioned on src ONCE; every iteration's rank

@@ -310,6 +310,22 @@ class OpsSpec extends SparkSpec {
     assert(pc(pc.indexWhere(_ != 0.0)) > 0)
   }
 
+  test("triangleCounts on a planted graph, robust to dup/reversed edges") {
+    import graft.ops.Graph
+    // triangle {1,2,3}; square {4,5,6,7} with diagonal 4-6 (two
+    // triangles sharing edge 4-6); pendant edge 8-9; self loop 5-5;
+    // duplicate and reversed edges must not inflate counts
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (1L, 2L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (7L, 4L), (4L, 6L), (6L, 4L),
+      (8L, 9L), (5L, 5L)
+    ).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 2L, 5L -> 1L, 6L -> 2L, 7L -> 1L, 8L -> 0L, 9L -> 0L), s"$got")
+  }
+
   test("mine_transitions counts planted sequences with exact probabilities") {
     // user 1: v,c,v,c,v -> v->c x2, c->v x2; user 2: v,p -> v->p x1
     // P(c|v) = 2/3, P(p|v) = 1/3, P(v|c) = 1
