@@ -1831,6 +1831,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Hard-negative mining: per probe vector, the 10 most-similar
+    // corpus vectors with a DIFFERENT label — the batch step that turns
+    // a labeled corpus into contrastive training pairs.
+    "sim_hard_negatives" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.hardNegatives(emb, emb.where(col("vec_id") < 5), k = 10)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // k-NN majority-vote pseudo-labeling: every 25th vector plays the
     // unlabeled query batch, the rest the labeled corpus; prediction =
     // most common label among the 10 exact-cosine nearest (ties to the
@@ -3934,6 +3944,27 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_lang_summary" -> textLangSummaryOracle,
+
+    "sim_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         |            label AS q_label
+         |           FROM embeddings WHERE vec_id < 5),
+         | c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv,
+         |        label AS c_label
+         |       FROM embeddings),
+         | scored AS (
+         |  SELECT q.query_id, c.corpus_id,
+         |   ${cosineSql("q.qv", "c.cv")} AS cosine
+         |  FROM c CROSS JOIN q
+         |  WHERE c.corpus_id <> q.query_id
+         |   AND c.c_label IS DISTINCT FROM q.q_label)
+         |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
+         |FROM (
+         |  SELECT query_id, corpus_id, cosine,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id
+         |     ORDER BY cosine DESC, corpus_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "sim_range_search" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -818,6 +818,32 @@ object Similarity {
         col("n_votes"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the k
+    * most-similar corpus vectors carrying a DIFFERENT label (null-safe —
+    * an unknown label counts as different from any known one, and two
+    * unknowns are treated as the same and excluded). The classic
+    * batch-mining step that turns a labeled embedding corpus into
+    * high-signal negative pairs. Broadcast queries, map-side scoring,
+    * bounded per-query top-k buffers — same scale shape as [[lshTopK]].
+    */
+  def hardNegatives(labeled: DataFrame, queries: DataFrame, k: Int,
+      labelCol: String = "label"): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), col(labelCol).as("q_label"),
+      Vectors.norm2(col("embedding")).as("qn")))
+    val c = graft.core.Graft.spread(labeled)
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"),
+        col(labelCol).as("c_label"), Vectors.norm2(col("embedding")).as("cn"))
+    val scored = c.crossJoin(q)
+      .where(col("corpus_id") =!= col("query_id") &&
+        !(col("c_label") <=> col("q_label")))
+      .withColumn("cosine",
+        when(col("qn") > 0 && col("cn") > 0,
+          Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .otherwise(lit(null).cast("double")))
+    TopK.perGroupTopK(scored, Seq("query_id"), "corpus_id", "cosine", k)
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       bits: Int = 8, probes: Int = 3): DataFrame = {
     val bucket = Vectors.lshBucket(col("embedding"), bits, dim)

@@ -310,6 +310,24 @@ class OpsSpec extends SparkSpec {
     assert(pc(pc.indexWhere(_ != 0.0)) > 0)
   }
 
+  test("hardNegatives excludes same-label neighbors, null labels differ") {
+    import graft.ops.Similarity
+    // query 0 (label 0): vec 1 is nearly identical but SAME label ->
+    // excluded; vec 2 close with label 1 -> top negative; vec 3 null
+    // label -> different from 0, included; vec 4 far, label 1
+    val rows = Seq[(Long, Seq[java.lang.Float], java.lang.Integer)](
+      (0L, Seq[java.lang.Float](1f, 0f, 0f, 0f), 0),
+      (1L, Seq[java.lang.Float](0.99f, 0.1f, 0f, 0f), 0),
+      (2L, Seq[java.lang.Float](0.9f, 0.2f, 0f, 0f), 1),
+      (3L, Seq[java.lang.Float](0.8f, 0.3f, 0f, 0f), null),
+      (4L, Seq[java.lang.Float](0f, 1f, 0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(rows,
+        rows.where(col("vec_id") === 0L), k = 3)
+      .collect().map(_.getLong(1))
+    assert(got.toSeq == Seq(2L, 3L, 4L), s"got ${got.toSeq}")
+  }
+
   test("triangleCounts on a planted graph, robust to dup/reversed edges") {
     import graft.ops.Graph
     // triangle {1,2,3}; square {4,5,6,7} with diagonal 4-6 (two
