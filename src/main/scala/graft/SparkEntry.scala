@@ -983,6 +983,27 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Dedup run report: the cluster-size profile of the near-dup
+    // components — clusters per size, docs they hold, and docs a
+    // keep-one-representative pass would drop. Exact integers end to end
+    // (two count aggregates over the component labels), so the recursive
+    // reachability oracle replays it bit-for-bit.
+    "dedup_cluster_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.sortedNeighborhood(docs, "doc_id",
+        coalesce(substring(col("text"), 1, 16), lit("")), col("source"),
+        window = 3)
+        .select("id_a", "id_b")
+      Dedup.clusterNearDups(docs.select(col("doc_id").as("id")), pairs,
+        "id", maxIters = 25)
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          ((col("cluster_size") - 1) * col("n_clusters")).as("n_dropped"))
+        .orderBy("cluster_size")
+    }),
+
     // Partitioned table layout: write partitioned by source, read back
     // with a partition filter — the scan must prune to ONE directory
     // (partition pruning is the file-level analogue of predicate
@@ -1326,6 +1347,20 @@ object SparkEntry {
         .unionByName(base.select(col("p_partkey").as("src"),
           expr("(p_partkey * 17 + 3) % 1000").as("dst")))
       graft.ops.Graph.triangleCounts(edges).orderBy("id")
+    }),
+
+    // Link prediction on the same graph: neighbor-Jaccard over
+    // non-adjacent distance-2 pairs, top-50 by exact integer-nano
+    // coefficient (ties by pair id) — see Graph.jaccardLinks.
+    "graph_jaccard_links" -> ((s, d) => {
+      val base = t(s, d, "part").where(col("p_partkey") <= 1000)
+      val edges = base.select(col("p_partkey").as("src"),
+        expr("(p_partkey * 31 + 7) % 1000").as("dst"))
+        .unionByName(base.select(col("p_partkey").as("src"),
+          expr("(p_partkey * 17 + 3) % 1000").as("dst")))
+      graft.ops.Graph.jaccardLinks(edges)
+        .orderBy(col("jacc_nano").desc, col("id_a"), col("id_b")).limit(50)
+        .orderBy("id_a", "id_b")
     }),
 
     // Hierarchy closure (recursive-CTE semantics via iterative joins with
@@ -3556,6 +3591,32 @@ object SparkEntry {
         |FROM comp c JOIN sizes s USING (component)
         |ORDER BY c.id""".stripMargin,
 
+    "dedup_cluster_stats" ->
+      """WITH RECURSIVE keyed AS (
+        | SELECT source AS block, COALESCE(substr(text, 1, 16), '') AS skey,
+        |  doc_id AS id
+        | FROM documents),
+        |lagged AS (
+        | SELECT block, id, LAG(id, 1) OVER w AS p1, LAG(id, 2) OVER w AS p2
+        | FROM keyed WINDOW w AS (PARTITION BY block ORDER BY skey, id)),
+        |edges0 AS (
+        | SELECT p1 AS a, id AS b FROM lagged WHERE p1 IS NOT NULL
+        | UNION ALL SELECT p2, id FROM lagged WHERE p2 IS NOT NULL),
+        |edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+        |reach AS (
+        | SELECT doc_id AS id, doc_id AS r FROM documents
+        | UNION
+        | SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        |sizes AS (
+        | SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        | FROM comp GROUP BY 1)
+        |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        | cluster_size * CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | (cluster_size - 1) * CAST(COUNT(*) AS BIGINT) AS n_dropped
+        |FROM sizes GROUP BY cluster_size
+        |ORDER BY cluster_size""".stripMargin,
+
     "s8_partitioned_scan" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE source = 'src3' ORDER BY doc_id""".stripMargin,
@@ -3590,6 +3651,41 @@ object SparkEntry {
         |SELECT src, dst, n, CAST(n AS DOUBLE) / CAST(n_src AS DOUBLE) AS p
         |FROM trans JOIN tot USING (src)
         |ORDER BY src, dst""".stripMargin,
+
+    "graph_jaccard_links" ->
+      """WITH base AS (
+        | SELECT p_partkey AS src, (p_partkey * 31 + 7) % 1000 AS dst
+        | FROM part WHERE p_partkey <= 1000
+        | UNION ALL
+        | SELECT p_partkey, (p_partkey * 17 + 3) % 1000
+        | FROM part WHERE p_partkey <= 1000),
+        |e AS (
+        | SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        | FROM base
+        | WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+        |adj AS (SELECT a AS id, b AS nb FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM adj GROUP BY id),
+        |com AS (
+        | SELECT u.id AS id_a, v.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+        | FROM adj u JOIN adj v ON u.nb = v.nb AND u.id < v.id
+        | GROUP BY 1, 2),
+        |cand AS (
+        | SELECT c.* FROM com c
+        | WHERE NOT EXISTS (SELECT 1 FROM e
+        |                   WHERE e.a = c.id_a AND e.b = c.id_b)),
+        |scored AS (
+        | SELECT cand.id_a, cand.id_b, cand.n_common,
+        |  da.deg AS deg_a, db.deg AS deg_b,
+        |  (cand.n_common * 1000000000) // (da.deg + db.deg - cand.n_common)
+        |    AS jacc_nano
+        | FROM cand
+        |  JOIN deg da ON da.id = cand.id_a
+        |  JOIN deg db ON db.id = cand.id_b),
+        |top AS (
+        | SELECT * FROM scored ORDER BY jacc_nano DESC, id_a, id_b LIMIT 50)
+        |SELECT * FROM top ORDER BY id_a, id_b""".stripMargin,
 
     "hier_closure" ->
       """WITH RECURSIVE e AS (

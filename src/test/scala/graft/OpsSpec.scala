@@ -344,6 +344,23 @@ class OpsSpec extends SparkSpec {
       4L -> 2L, 5L -> 1L, 6L -> 2L, 7L -> 1L, 8L -> 0L, 9L -> 0L), s"$got")
   }
 
+  test("jaccardLinks scores non-adjacent distance-2 pairs, skips edges") {
+    import graft.ops.Graph
+    // path-ish graph: edges 1-2, 1-3, 2-3, 3-4 (+ noise: dup, reversed,
+    // self loop). Non-adjacent pairs sharing a neighbor: (1,4) via 3 and
+    // (2,4) via 3 — both jaccard 1/2. Adjacent pairs must not appear.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 1L), (4L, 4L)
+    ).toDF("src", "dst")
+    val got = Graph.jaccardLinks(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // deg: 1->2, 2->2, 3->3, 4->1
+    assert(got == Map(
+      (1L, 4L) -> ((1L, 2L, 1L, 500000000L)),
+      (2L, 4L) -> ((1L, 2L, 1L, 500000000L))), s"$got")
+  }
+
   test("mine_transitions counts planted sequences with exact probabilities") {
     // user 1: v,c,v,c,v -> v->c x2, c->v x2; user 2: v,p -> v->p x1
     // P(c|v) = 2/3, P(p|v) = 1/3, P(v|c) = 1
