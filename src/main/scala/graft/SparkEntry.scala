@@ -2220,6 +2220,28 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Distribution matching against a REFERENCE dataset (the data-driven
+    // twin of sample_mixture's explicit target map): resample the whole
+    // corpus so its length-bucket profile matches the English docs'
+    // profile. Membership is exact rational arithmetic — accept iff
+    // hash(id) mod (m*·n_b) < n*·m_b with (n*, m*) the binding bucket —
+    // so kept counts replay bit-for-bit.
+    "sample_match_dist" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("n_chars").isNotNull)
+        .withColumn("bucket", expr("n_chars DIV 100"))
+      val ref = docs.where(col("lang") === "en")
+      val kept = graft.ops.Sampling
+        .matchDistribution(docs, ref, "bucket", "doc_id")
+        .groupBy("bucket").agg(count(lit(1)).as("n_after"))
+      val src = docs.groupBy("bucket").agg(count(lit(1)).as("n_src"))
+      val rf = ref.groupBy("bucket").agg(count(lit(1)).as("n_ref"))
+      src.join(rf, Seq("bucket"), "left").join(kept, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_src"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"))
+        .orderBy("bucket")
+    }),
+
     // Exactly-k uniform sample as the k smallest id hashes: a bounded
     // top-k (TakeOrderedAndProject), never a global sort.
     "sample_uniform_k" -> ((s, d) =>
@@ -4488,6 +4510,33 @@ object SparkEntry {
          |SELECT lang, n_orig, rate_ppm, COALESCE(n_kept, 0) AS n_kept
          |FROM rates LEFT JOIN kept USING (lang)
          |ORDER BY lang""".stripMargin
+    },
+
+    "sample_match_dist" -> {
+      val h = hash60Sql("CAST(doc_id AS VARCHAR)", 0)
+      s"""WITH src AS (
+         | SELECT doc_id, lang, n_chars // 100 AS bucket FROM documents
+         | WHERE n_chars IS NOT NULL),
+         |cnt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_src
+         |        FROM src GROUP BY 1),
+         |ref AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_ref
+         |        FROM src WHERE lang = 'en' GROUP BY 1),
+         |j AS (SELECT c.bucket, c.n_src, r.n_ref
+         |      FROM cnt c JOIN ref r USING (bucket)),
+         |binding AS (
+         | SELECT n_src AS c_num, n_ref AS c_den FROM j
+         | ORDER BY CAST(n_src AS DOUBLE) / n_ref ASC, bucket ASC LIMIT 1),
+         |kept AS (
+         | SELECT s.bucket FROM src s JOIN j USING (bucket)
+         |  CROSS JOIN binding b
+         | WHERE ($h) % (b.c_den * j.n_src) < b.c_num * j.n_ref),
+         |ka AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_after
+         |       FROM kept GROUP BY 1)
+         |SELECT c.bucket, c.n_src, COALESCE(r.n_ref, 0) AS n_ref,
+         | COALESCE(ka.n_after, 0) AS n_after
+         |FROM cnt c LEFT JOIN ref r USING (bucket)
+         | LEFT JOIN ka USING (bucket)
+         |ORDER BY bucket""".stripMargin
     },
 
     "sample_stratified" -> {

@@ -147,6 +147,49 @@ object Sampling {
       .where(bucket(idCol, seed) < col("rate_ppm"))
       .drop("n_orig", "rate_ppm")
 
+  /** Rejection-sample `df` so its distribution over `bucketCol` matches a
+    * REFERENCE dataset's distribution (the data-driven twin of
+    * [[mixture]]'s explicit target map — the curation step that reshapes
+    * a raw corpus to a curated subset's length / domain / language
+    * profile before training).
+    *
+    * Semantics: with source counts n_b and reference counts m_b, the
+    * largest achievable matched sample keeps c·m_b rows of bucket b where
+    * c = min_b(n_b / m_b) — the binding bucket keeps 100%. Membership is
+    * EXACT RATIONAL arithmetic: row accepted iff
+    * `hash(id) mod (m* · n_b) < n* · m_b` with (n*, m*) the binding
+    * bucket's counts — p_b = (n*·m_b)/(m*·n_b) = c·m_b/n_b with no float
+    * rate anywhere, so the kept set replays bit-for-bit in SQL. The
+    * binding bucket itself is chosen by one IEEE division n_b/m_b
+    * (identical single op on any engine; ties by bucket value). Buckets
+    * absent from the reference have target share 0 and drop entirely;
+    * buckets absent from the source stay empty (a sampler cannot invent
+    * rows), so the match is exact over the shared support.
+    *
+    * The BIGINT products bound the per-bucket counts at ~3·10^9 each
+    * (beyond that, pre-reduce the fraction by its gcd driver-side).
+    *
+    * Shape at scale: one count aggregate per side (map-side partial),
+    * a broadcast-sized per-bucket table, a one-row binding frame, then a
+    * map-side filter — the corpus itself never shuffles.
+    */
+  def matchDistribution(df: DataFrame, ref: DataFrame, bucketCol: String,
+      idCol: String, seed: Int = 0): DataFrame = {
+    val src = df.groupBy(bucketCol).agg(count(lit(1)).as("__n_src"))
+    val tgt = ref.groupBy(bucketCol).agg(count(lit(1)).as("__n_ref"))
+    val joined = src.join(tgt, Seq(bucketCol))
+    val binding = joined
+      .orderBy((col("__n_src").cast("double") / col("__n_ref")).asc,
+        col(bucketCol).asc)
+      .limit(1)
+      .select(col("__n_src").as("__c_num"), col("__n_ref").as("__c_den"))
+    df.join(broadcast(joined), Seq(bucketCol))
+      .crossJoin(broadcast(binding))
+      .where(pmod(StableHash.hash60(col(idCol), seed),
+        col("__c_den") * col("__n_src")) < col("__c_num") * col("__n_ref"))
+      .drop("__n_src", "__n_ref", "__c_num", "__c_den")
+  }
+
   /** Temperature-reweighted stratum balancing (public method: the
     * α-smoothed multilingual sampling rule of Devlin et al. 2019 (mBERT)
     * and Conneau et al. 2020 (XLM-R), α typically 0.3–0.7): target share

@@ -856,6 +856,38 @@ class OpsSpec extends SparkSpec {
     assert(reparted == kept.toSet)
   }
 
+  test("matchDistribution: binding bucket keeps all, off-ref drops, exact rule") {
+    import graft.ops.Sampling
+    import graft.functions.StableHash
+    // source: A=8 rows, B=4, C=3; reference: A=2, B=2 (C absent).
+    // ratios n/m: A=4, B=2 -> B binds (keeps 100%); A accepts iff
+    // h mod (2*8) < 4*2 (p=1/2); C has target share 0 and drops.
+    val src = (
+      (0L until 8L).map(i => (i, "A")) ++
+      (100L until 104L).map(i => (i, "B")) ++
+      (200L until 203L).map(i => (i, "C"))).toDF("doc_id", "bucket")
+    val ref = Seq((0L, "A"), (1L, "A"), (2L, "B"), (3L, "B"))
+      .toDF("doc_id", "bucket")
+    val kept = Sampling.matchDistribution(src, ref, "bucket", "doc_id")
+      .select("bucket", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kept.filter(_._1 == "B").map(_._2) ==
+      (100L until 104L).toSet, s"binding bucket must keep all: $kept")
+    assert(!kept.exists(_._1 == "C"), s"off-reference bucket must drop: $kept")
+    // replay the exact rational rule for bucket A from the same hash
+    val hs = src.where($"bucket" === "A")
+      .select($"doc_id", pmod(StableHash.hash60($"doc_id", 0), lit(16L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectA = hs.filter(_._2 < 8L).keySet
+    assert(kept.filter(_._1 == "A").map(_._2) == expectA)
+    // layout-independent
+    val reparted = Sampling
+      .matchDistribution(src.repartition(7), ref, "bucket", "doc_id")
+      .select("bucket", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(reparted == kept)
+  }
+
   test("multi-pass SNM output is the union of its single passes") {
     val d = (0L until 60L).map(i => (i, s"w${i % 7} body${i / 3} tail$i"))
       .toDF("doc_id", "text")
