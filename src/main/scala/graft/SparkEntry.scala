@@ -1876,6 +1876,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Diverse retrieval: Maximal Marginal Relevance over each probe's
+    // top-20 brute-force pool — 8 greedy picks balancing query relevance
+    // against max similarity to already-picked docs (λ = 0.5). All
+    // comparisons happen in exact integer nanos, so the whole greedy
+    // chain (picks, ties, scores) replays as an unrolled SQL chain.
+    "sim_mmr_select" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.mmrSelect(emb, emb.where(col("vec_id") < 3),
+        poolK = 20, k = 8)
+        .orderBy("query_id", "pick")
+    }),
+
     // k-NN majority-vote pseudo-labeling: every 25th vector plays the
     // unlabeled query batch, the rest the labeled corpus; prediction =
     // most common label among the 10 exact-cosine nearest (ties to the
@@ -4096,6 +4108,8 @@ object SparkEntry {
          | AND ${cosineSql("q.qv", "c.cv")} >= 0.1
          |ORDER BY query_id, corpus_id""".stripMargin,
 
+    "sim_mmr_select" -> mmrSelectOracle,
+
     "sim_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
          |           FROM embeddings WHERE vec_id < 5),
@@ -4703,6 +4717,69 @@ object SparkEntry {
     * the NULL result for degenerate rows (masking a possibly-wrong but
     * never-erroring THEN value).
     */
+  /** Unrolled SQL replay of [[graft.ops.Similarity.mmrSelect]] (poolK =
+    * 20, k = 8, λ = 50%): the candidate pool and its pairwise
+    * similarities land in exact integer nanos, then each greedy step is
+    * one (scored, pick, sel) CTE triple. Every step CTE is MATERIALIZED —
+    * DuckDB's default CTE inlining would otherwise re-derive the entire
+    * upstream chain inside each of the 8 steps (the emb_pca_top2 trap).
+    * The penalty MAX is a one-level correlated subquery (DuckDB's
+    * correlation depth limit).
+    */
+  private def mmrSelectOracle: String = {
+    val steps = (2 to 8).map { i =>
+      val p = i - 1
+      s"""scored$i AS MATERIALIZED (
+         | SELECT c.query_id, c.corpus_id,
+         |  50 * c.simq_nano - 50 * (
+         |    SELECT MAX(p.s) FROM pair p JOIN sel$p ch
+         |     ON ch.query_id = p.query_id AND ch.corpus_id = p.ib
+         |    WHERE p.query_id = c.query_id AND p.ia = c.corpus_id)
+         |   AS score_nano
+         | FROM cand c
+         | WHERE NOT EXISTS (SELECT 1 FROM sel$p ch
+         |   WHERE ch.query_id = c.query_id AND ch.corpus_id = c.corpus_id)),
+         |pick$i AS MATERIALIZED (
+         | SELECT query_id, CAST($i AS BIGINT) AS pick, corpus_id, score_nano
+         | FROM (SELECT query_id, corpus_id, score_nano,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id
+         |     ORDER BY score_nano DESC, corpus_id ASC) AS rn FROM scored$i)
+         | WHERE rn = 1),
+         |sel$i AS MATERIALIZED (
+         | SELECT * FROM sel$p UNION ALL SELECT * FROM pick$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cand AS MATERIALIZED (
+       | SELECT query_id, corpus_id, cv,
+       |  CAST(ROUND(cosine * 1000000000.0) AS BIGINT) AS simq_nano
+       | FROM (
+       |  SELECT q.query_id, c.corpus_id, c.cv,
+       |   ${cosineSql("q.qv", "c.cv")} AS cosine,
+       |   ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |     ORDER BY ${cosineSql("q.qv", "c.cv")} DESC, c.corpus_id ASC) AS rn
+       |  FROM (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+       |        FROM embeddings) c
+       |   CROSS JOIN (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |               FROM embeddings WHERE vec_id < 3) q
+       |  WHERE c.corpus_id <> q.query_id)
+       | WHERE rn <= 20 AND cosine IS NOT NULL),
+       |pair AS MATERIALIZED (
+       | SELECT a.query_id, a.corpus_id AS ia, b.corpus_id AS ib,
+       |  CAST(ROUND(${cosineSql("a.cv", "b.cv")} * 1000000000.0) AS BIGINT)
+       |   AS s
+       | FROM cand a JOIN cand b
+       |  ON a.query_id = b.query_id AND a.corpus_id <> b.corpus_id),
+       |sel1 AS MATERIALIZED (
+       | SELECT query_id, CAST(1 AS BIGINT) AS pick, corpus_id,
+       |  CAST(50 * simq_nano AS BIGINT) AS score_nano
+       | FROM (SELECT query_id, corpus_id, simq_nano,
+       |   ROW_NUMBER() OVER (PARTITION BY query_id
+       |     ORDER BY simq_nano DESC, corpus_id ASC) AS rn FROM cand)
+       | WHERE rn = 1),
+       |$steps
+       |SELECT query_id, pick, corpus_id, score_nano FROM sel8
+       |ORDER BY query_id, pick""".stripMargin
+  }
+
   private def dotSql(a: String, b: String): String =
     s"(CASE WHEN len($a) = len($b) AND len($a) = list_aggregate($a, 'count')" +
       s" AND len($b) = list_aggregate($b, 'count')" +

@@ -844,6 +844,110 @@ object Similarity {
     TopK.perGroupTopK(scored, Seq("query_id"), "corpus_id", "cosine", k)
   }
 
+  /** Maximal-Marginal-Relevance diverse top-k (Carbonell & Goldstein
+    * 1998): greedily pick `k` docs from each query's `poolK`-candidate
+    * pool, each pick maximizing
+    * `lam·sim(q, d) − (1 − lam)·max_{c ∈ picked} sim(d, c)` — the
+    * de-redundancy step between retrieval and context assembly (a pool
+    * full of near-identical top hits collapses to one representative
+    * plus genuinely different docs).
+    *
+    * The greedy chain is sequential BY DEFINITION, so exactness is
+    * engineered instead of parallelism: similarities enter the argmax as
+    * integer nanos (`round(cos · 1e9)`, [[pdNanoDriver]]'s HALF_UP
+    * discipline) and the score is `lamPct·simq − (100−lamPct)·penalty` in
+    * exact BIGINT — every pick, tie (score desc, id asc) and emitted
+    * score replays bit-for-bit as an unrolled SQL chain.
+    *
+    * Shape at scale: candidate generation is [[bruteForceTopK]]'s
+    * map-side kernel (no corpus shuffle); candidate vectors ride back on
+    * one broadcast join; then only Q · poolK rows — never the corpus —
+    * reach the per-query greedy, which is O(poolK²·k) on bounded, tiny
+    * groups. Pool pairs are scored inside the group with the same
+    * left-to-right dot/norm arithmetic as the kernel (pool vectors are
+    * all finite-scored against the query, hence same length and positive
+    * norm, so pairwise cosines are always finite).
+    */
+  def mmrSelect(corpus: DataFrame, queries: DataFrame, poolK: Int, k: Int,
+      lamPct: Int = 50): DataFrame = {
+    require(lamPct >= 0 && lamPct <= 100, "lamPct must be in [0, 100]")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val lam = lamPct.toLong
+    val cands = bruteForceTopK(corpus, queries, poolK)
+      .where(col("cosine").isNotNull && !isnan(col("cosine")))
+      .select(col("query_id"), col("corpus_id"), col("cosine"))
+    corpus
+      .select(col("vec_id").cast("long").as("corpus_id"),
+        Vectors.asDouble(col("embedding")).as("cv"))
+      .join(broadcast(cands), Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("cv"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Seq[Double])]) =>
+        val entries = it.toArray
+        val n = entries.length
+        val ids = entries.map(_._2)
+        val simq = entries.map(e => cosNano(e._3))
+        val vecs = entries.map(_._4.toArray)
+        val pairN = Array.tabulate(n, n) { (i, j) =>
+          if (i == j) 0L
+          else {
+            val a = vecs(i); val b = vecs(j)
+            var d = 0.0; var x = 0
+            while (x < a.length) { d += a(x) * b(x); x += 1 }
+            cosNano(d / (norm2(a) * norm2(b)))
+          }
+        }
+        val chosen = collection.mutable.ArrayBuffer.empty[Int]
+        val excluded = new Array[Boolean](n)
+        val out = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var pick = 1
+        var done = false
+        while (pick <= k && !done) {
+          var bi = -1; var bs = 0L
+          var i = 0
+          while (i < n) {
+            if (!excluded(i)) {
+              var pen = 0L
+              if (chosen.nonEmpty) {
+                pen = Long.MinValue
+                chosen.foreach { c =>
+                  if (pairN(i)(c) > pen) pen = pairN(i)(c)
+                }
+              }
+              val s = lam * simq(i) - (100L - lam) * pen
+              if (bi < 0 || s > bs || (s == bs && ids(i) < ids(bi))) {
+                bi = i; bs = s
+              }
+            }
+            i += 1
+          }
+          if (bi < 0) done = true
+          else {
+            out += ((qid, pick.toLong, ids(bi), bs))
+            chosen += bi
+            var j = 0
+            while (j < n) {
+              if (ids(j) == ids(bi)) excluded(j) = true
+              j += 1
+            }
+            pick += 1
+          }
+        }
+        out.iterator
+      }
+      .toDF("query_id", "pick", "corpus_id", "score_nano")
+  }
+
+  /** `round(cos * 1e9)` as exact integer nanos — the finite-path twin of
+    * [[pdNanoDriver]]: Catalyst Round's HALF_UP on the double's shortest
+    * decimal repr, matching SQL `CAST(ROUND(x * 1e9) AS BIGINT)`.
+    */
+  private def cosNano(x: Double): Long =
+    java.math.BigDecimal.valueOf(x * 1e9)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       bits: Int = 8, probes: Int = 3): DataFrame = {
     val bucket = Vectors.lshBucket(col("embedding"), bits, dim)

@@ -328,6 +328,24 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(2L, 3L, 4L), s"got ${got.toSeq}")
   }
 
+  test("mmrSelect demotes the redundant near-dup below the diverse doc") {
+    // unit vectors: 10 and 11 identical (pair sim 1.0), 12 rotated into
+    // the third axis (pair sim to 10 = 0.81); all score 0.9 vs the query.
+    // Plain top-3 is (10, 11, 12); MMR at λ=0.5 must pick the diverse 12
+    // second and push the dup 11 last with a negative marginal score.
+    val b = math.sqrt(0.19)
+    val corpus = Seq(
+      (10L, Seq(0.9, b, 0.0)), (11L, Seq(0.9, b, 0.0)),
+      (12L, Seq(0.9, 0.0, b))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((0L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(corpus, queries, poolK = 3, k = 3)
+      .orderBy("pick")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).toSeq == Seq(10L, 12L, 11L), got.toSeq.toString)
+    assert(got(1)._3 > 0L && got(2)._3 < 0L, "marginal scores: " + got.toSeq)
+  }
+
   test("triangleCounts on a planted graph, robust to dup/reversed edges") {
     import graft.ops.Graph
     // triangle {1,2,3}; square {4,5,6,7} with diagonal 4-6 (two
