@@ -456,6 +456,33 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Label-agreement audit: Cohen's kappa between each doc's DECLARED
+    // language tag and the engine's stopword-based language prediction —
+    // the metadata-vs-content consistency check run before trusting
+    // either label source. Observed/expected agreement from exact
+    // integer counts and marginal products; the three mirrored double
+    // divisions happen last.
+    "dq_label_agreement" -> ((s, d) => {
+      val pred = TextAnalysis.profile(t(s, d, "documents"))
+        .select(col("doc_id"), col("lang_pred"))
+      val pairs = t(s, d, "documents")
+        .select(col("doc_id"), coalesce(col("lang"), lit("~")).as("a"))
+        .join(pred, Seq("doc_id"))
+        .select(col("a"), col("lang_pred").as("b"))
+      val tot = pairs.agg(count(lit(1)).as("n_total"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"))
+      val ra = pairs.groupBy("a").agg(count(lit(1)).as("na"))
+      val cb = pairs.groupBy("b").agg(count(lit(1)).as("nb"))
+      val num = ra.join(cb, col("a") === col("b"))
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("pe_num"))
+      tot.crossJoin(num)
+        .withColumn("po", col("n_agree").cast("double") / col("n_total"))
+        .withColumn("pe", col("pe_num").cast("double") /
+          col("n_total") / col("n_total"))
+        .select(col("n_total"), col("n_agree"), col("po"), col("pe"),
+          ((col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
+    }),
+
     // A5 per-column completeness profile (load_nursing_home_data.py:20-36).
     "a5_completeness" -> ((s, d) => {
       val ev = t(s, d, "events").select(
@@ -890,6 +917,17 @@ object SparkEntry {
         t(s, d, "documents").where(col("doc_id") < 300), "text", "doc_id",
         shingleK = 2, minContainment = 0.4)
         .orderBy("id_a", "id_b")),
+
+    // Threshold-calibration sweep for the near-dup cutoff: pair and doc
+    // counts an exact-Jaccard pass would flag at each candidate
+    // threshold, decided by the exact integer predicate
+    // 100·inter >= t·union — the report a pipeline reads before
+    // committing a dedup threshold.
+    "dedup_threshold_sweep" -> ((s, d) =>
+      Dedup.jaccardThresholdSweep(
+        t(s, d, "documents").where(col("doc_id") < 300), "text", "doc_id",
+        shingleK = 2, thresholdsPct = Seq(5L, 10L, 25L, 50L, 75L, 90L, 100L))
+        .orderBy("t_pct")),
 
     // Prefix-filtered exact Jaccard join (AllPairs/PPJoin): rarest-first
     // canonical order, prefix-token candidates, length filter, exact
@@ -1347,6 +1385,21 @@ object SparkEntry {
         .unionByName(base.select(col("p_partkey").as("src"),
           expr("(p_partkey * 17 + 3) % 1000").as("dst")))
       graft.ops.Graph.triangleCounts(edges).orderBy("id")
+    }),
+
+    // Personalized PageRank on the same graph: teleport restricted to
+    // the seed nodes (ids < 10), two exact nano-integer iterations —
+    // graph-proximity-to-a-trusted-subset scoring, replayed in SQL.
+    "graph_ppr" -> ((s, d) => {
+      val base = t(s, d, "part").where(col("p_partkey") <= 1000)
+      val edges = base.select(col("p_partkey").as("src"),
+        expr("(p_partkey * 31 + 7) % 1000").as("dst"))
+        .unionByName(base.select(col("p_partkey").as("src"),
+          expr("(p_partkey * 17 + 3) % 1000").as("dst")))
+      val seeds = base.where(col("p_partkey") < 10)
+        .select(col("p_partkey").as("id"))
+      graft.ops.Graph.personalizedPageRank(edges, seeds, iterations = 2)
+        .orderBy("id")
     }),
 
     // Link prediction on the same graph: neighbor-Jaccard over
@@ -1948,6 +2001,22 @@ object SparkEntry {
           col("centroid")(0).as("c0"), col("centroid")(1).as("c1"),
           col("centroid")(2).as("c2"), col("centroid")(3).as("c3"))
         .orderBy("label")),
+
+    // Per-dimension embedding health profile (dead / degenerate / NaN-ish
+    // dimension detection before training): positions present, non-null
+    // count, decimal-nano-exact mean, min and max per dimension. One
+    // posexplode + hash aggregate; output is bounded by the
+    // dimensionality, never the corpus.
+    "emb_dim_stats" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(posexplode(Vectors.asDouble(col("embedding")))
+          .as(Seq("i", "v")))
+        .groupBy(col("i").cast("long").as("i"))
+        .agg(count(lit(1)).as("n_pos"), count(col("v")).as("n"),
+          (sum(expr("CAST(round(v * 1e9) AS BIGINT)")).cast("double") /
+            count(col("v")) / lit(1.0e9)).as("mean"),
+          min("v").as("mn"), max("v").as("mx"))
+        .orderBy("i")),
 
     // Covariance of the embedding distribution (PCA input): upper-
     // triangle entries, nano-exact product sums so every double replays
@@ -3177,6 +3246,7 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_containment" -> containmentOracle,
+    "dedup_threshold_sweep" -> thresholdSweepOracle,
     "emb_pca_top2" -> pcaTop2Oracle,
 
     "dedup_prefix_jaccard" ->
@@ -3686,6 +3756,38 @@ object SparkEntry {
         |FROM trans JOIN tot USING (src)
         |ORDER BY src, dst""".stripMargin,
 
+    "graph_ppr" ->
+      """WITH e AS (
+        | SELECT p_partkey AS src, (p_partkey * 31 + 7) % 1000 AS dst
+        | FROM part WHERE p_partkey <= 1000
+        | UNION ALL
+        | SELECT p_partkey, (p_partkey * 17 + 3) % 1000
+        | FROM part WHERE p_partkey <= 1000),
+        |nodes AS (SELECT DISTINCT id FROM
+        | (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+        |           FROM e GROUP BY src),
+        |r0 AS (SELECT id, CASE WHEN id < 10
+        |         THEN CAST(1000000000 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS r
+        |       FROM nodes),
+        |s1 AS (SELECT e.dst AS id, CAST(SUM(r0.r // o.outdeg) AS BIGINT) AS s
+        |       FROM e JOIN r0 ON r0.id = e.src JOIN outdeg o ON o.src = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n.id, CASE WHEN n.id < 10
+        |         THEN 150000000 ELSE 0 END
+        |         + (85 * COALESCE(s1.s, 0)) // 100 AS r
+        |       FROM nodes n LEFT JOIN s1 USING (id)),
+        |s2 AS (SELECT e.dst AS id, CAST(SUM(r1.r // o.outdeg) AS BIGINT) AS s
+        |       FROM e JOIN r1 ON r1.id = e.src JOIN outdeg o ON o.src = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n.id, CASE WHEN n.id < 10
+        |         THEN 150000000 ELSE 0 END
+        |         + (85 * COALESCE(s2.s, 0)) // 100 AS r
+        |       FROM nodes n LEFT JOIN s2 USING (id))
+        |SELECT id, CAST(r AS DOUBLE) / 1000000000.0 AS ppr
+        |FROM r2 ORDER BY id""".stripMargin,
+
     "graph_jaccard_links" ->
       """WITH base AS (
         | SELECT p_partkey AS src, (p_partkey * 31 + 7) % 1000 AS dst
@@ -4075,6 +4177,8 @@ object SparkEntry {
 
     "text_lang_summary" -> textLangSummaryOracle,
 
+    "dq_label_agreement" -> labelAgreementOracle,
+
     "sim_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
          |            label AS q_label
@@ -4257,6 +4361,17 @@ object SparkEntry {
         | CASE WHEN MAX(nc) > 0
         |      THEN list_sum(list(term ORDER BY bucket)) END AS psi
         |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "emb_dim_stats" ->
+      """SELECT i, CAST(COUNT(*) AS BIGINT) AS n_pos,
+        | CAST(COUNT(v) AS BIGINT) AS n,
+        | CAST(SUM(CAST(round(v * 1e9) AS BIGINT)) AS DOUBLE)
+        |   / COUNT(v) / 1e9 AS mean,
+        | MIN(v) AS mn, MAX(v) AS mx
+        |FROM (SELECT unnest(embedding::DOUBLE[]) AS v,
+        |       CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i
+        |      FROM embeddings)
+        |GROUP BY i ORDER BY i""".stripMargin,
 
     "emb_covariance" ->
       """WITH clean AS (
@@ -5339,6 +5454,51 @@ object SparkEntry {
        | CROSS JOIN pcv CROSS JOIN pcv2
        |ORDER BY vec_id""".stripMargin
 
+  /** Same shingle universe and pair counts as [[ngramJaccardOracle]];
+    * per-threshold survivors decided by the exact integer predicate
+    * `100·inter >= t·union`, then pair / distinct-doc counts per
+    * threshold (zero-coalesced so every requested threshold reports).
+    */
+  private def thresholdSweepOracle: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+      |words AS (
+      | SELECT doc_id, w, i FROM (
+      |  SELECT doc_id,
+      |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+      |   generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS i
+      |  FROM docs WHERE trim(text) <> '')),
+      |shingles AS (
+      | SELECT DISTINCT a.doc_id AS id, a.w || ' ' || b.w AS sh
+      | FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      | UNION
+      | SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS sh
+      | FROM docs
+      | WHERE trim(text) <> ''
+      |  AND len(string_split_regex(trim(lower(text)), '\s+')) < 2),
+      |sizes AS (SELECT id, COUNT(*) AS n FROM shingles GROUP BY id),
+      |inter AS (
+      | SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS n_inter
+      | FROM shingles x JOIN shingles y ON x.sh = y.sh AND x.id < y.id
+      | GROUP BY x.id, y.id),
+      |pairs AS (
+      | SELECT id_a, id_b, n_inter, sa.n AS n_a, sb.n AS n_b
+      | FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b),
+      |th AS (SELECT CAST(t AS BIGINT) AS t_pct
+      |       FROM (VALUES (5), (10), (25), (50), (75), (90), (100)) v(t)),
+      |surv AS (
+      | SELECT th.t_pct, p.id_a, p.id_b FROM pairs p CROSS JOIN th
+      | WHERE p.n_inter * 100 >= th.t_pct * (p.n_a + p.n_b - p.n_inter)),
+      |np AS (SELECT t_pct, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |       FROM surv GROUP BY 1),
+      |nd AS (SELECT t_pct, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs
+      |       FROM (SELECT t_pct, id_a AS id FROM surv
+      |             UNION ALL SELECT t_pct, id_b FROM surv)
+      |       GROUP BY 1)
+      |SELECT th.t_pct, COALESCE(np.n_pairs, 0) AS n_pairs,
+      | COALESCE(nd.n_docs, 0) AS n_docs
+      |FROM th LEFT JOIN np USING (t_pct) LEFT JOIN nd USING (t_pct)
+      |ORDER BY t_pct""".stripMargin
+
   /** Same shingle universe as [[ngramJaccardOracle]], containment
     * arithmetic per direction (n_a >= 1 by construction, so the
     * divisions are total).
@@ -6032,4 +6192,31 @@ object SparkEntry {
        | CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_quality
        |FROM profile GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
   }
+
+  /** Cohen's kappa between the declared `lang` tag and the profile
+    * chain's `lang_pred`: exact integer agreement and marginal-product
+    * counts; the double divisions (po, pe, kappa) mirror the engine's
+    * op order exactly, so even the floats replay bit-for-bit.
+    */
+  private def labelAgreementOracle: String =
+    s"""WITH profile AS (${textProfileOracle.replace("ORDER BY doc_id", "")}),
+       |pairs AS (
+       | SELECT COALESCE(d.lang, '~') AS a, p.lang_pred AS b
+       | FROM documents d JOIN profile p USING (doc_id)),
+       |tot AS (
+       | SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       |  CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+       | FROM pairs),
+       |ra AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS na FROM pairs GROUP BY a),
+       |cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nb FROM pairs GROUP BY b),
+       |num AS (
+       | SELECT CAST(COALESCE(SUM(na * nb), 0) AS BIGINT) AS pe_num
+       | FROM ra JOIN cb ON ra.a = cb.b)
+       |SELECT t.n_total, t.n_agree,
+       | CAST(t.n_agree AS DOUBLE) / t.n_total AS po,
+       | CAST(n.pe_num AS DOUBLE) / t.n_total / t.n_total AS pe,
+       | ((CAST(t.n_agree AS DOUBLE) / t.n_total)
+       |   - (CAST(n.pe_num AS DOUBLE) / t.n_total / t.n_total))
+       |  / (1.0 - (CAST(n.pe_num AS DOUBLE) / t.n_total / t.n_total)) AS kappa
+       |FROM tot t CROSS JOIN num n""".stripMargin
 }

@@ -195,6 +195,44 @@ object Dedup {
       .where(col("c_ab") >= minContainment || col("c_ba") >= minContainment)
       .select("id_a", "id_b", "c_ab", "c_ba")
 
+  /** Threshold-calibration report for near-dup cutoffs: for each
+    * candidate threshold t (in integer percent), how many pairs and how
+    * many distinct docs an exact n-gram-Jaccard pass at that cutoff
+    * would flag — the sweep a pipeline runs BEFORE committing a dedup
+    * threshold. Membership is the exact integer predicate
+    * `100·|A∩B| >= t·|A∪B|` (never a float compare), so every count
+    * replays bit-for-bit.
+    *
+    * Shares [[shinglePairCounts]]'s single-computation pipeline and both
+    * scale rails (df cap, blocking). The threshold table is broadcast
+    * and tiny; the two report aggregates each consume the candidate-pair
+    * frame — in a production sweep at 100 TB the pairs would be
+    * materialized once (they are the artifact a dedup run writes anyway)
+    * rather than recomputed per consumer.
+    */
+  def jaccardThresholdSweep(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int, thresholdsPct: Seq[Long],
+      blockCol: Option[Column] = None,
+      maxShingleDf: Int = 10000): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val pairs = shinglePairCounts(df, textCol, idCol, shingleK, blockCol,
+      maxShingleDf)
+    val th = broadcast(thresholdsPct.toDF("t_pct"))
+    val surv = pairs.crossJoin(th)
+      .where(col("n_inter") * lit(100L) >=
+        col("t_pct") * (col("n_a") + col("n_b") - col("n_inter")))
+      .select("t_pct", "id_a", "id_b")
+    val np = surv.groupBy("t_pct").agg(count(lit(1)).as("n_pairs"))
+    val nd = surv.select(col("t_pct"),
+        explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+      .groupBy("t_pct").agg(count(lit(1)).as("n_docs"))
+    th.join(np, Seq("t_pct"), "left").join(nd, Seq("t_pct"), "left")
+      .select(col("t_pct"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
   /** Shared tail of the exact-shingle pair family: ordered candidate
     * pairs with reduced-set sizes and exact intersection counts —
     * (id_a, id_b, n_a, n_b, n_inter). See [[ngramJaccardPairs]] for the

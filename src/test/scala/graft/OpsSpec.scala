@@ -379,6 +379,27 @@ class OpsSpec extends SparkSpec {
       (2L, 4L) -> ((1L, 2L, 1L, 500000000L))), s"$got")
   }
 
+  test("personalizedPageRank: teleport lands only on seeds, exact nanos") {
+    import graft.ops.Graph
+    // 1 -> 2 -> 1 cycle plus 3 -> 1; seed {1}. Hand-computed two exact
+    // integer iterations: r2(1) = 0.15 + 0.85*0.85, r2(2) = 0.85*0.15,
+    // r2(3) = 0 (never seeded, no inflow).
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val got = Graph.personalizedPageRankNano(edges, seeds, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 872500000L, 2L -> 127500000L, 3L -> 0L), s"$got")
+  }
+
+  test("jaccardThresholdSweep: exact-dup pair survives 100%, counts monotone") {
+    val out = Dedup.jaccardThresholdSweep(docs, "text", "doc_id",
+        shingleK = 2, thresholdsPct = Seq(25L, 50L, 100L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(100L) == ((1L, 2L)), s"only the exact dup at 100%: $out")
+    assert(out(25L)._1 >= out(50L)._1 && out(50L)._1 >= out(100L)._1)
+    assert(out(25L)._2 >= out(50L)._2 && out(50L)._2 >= out(100L)._2)
+  }
+
   test("mine_transitions counts planted sequences with exact probabilities") {
     // user 1: v,c,v,c,v -> v->c x2, c->v x2; user 2: v,p -> v->p x1
     // P(c|v) = 2/3, P(p|v) = 1/3, P(v|c) = 1
