@@ -281,6 +281,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("sim_mmr_select attaches candidate vectors by broadcast, no SMJ") {
+    // the MMR 100 TB contract: the corpus is touched only by the
+    // brute-force kernel and one broadcast join pulling the Q*poolK
+    // candidate vectors — the greedy stage never sees a corpus-sized
+    // shuffle, and no join may degrade to sort-merge
+    val p = finalPlan("sim_mmr_select")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("sample_match_dist: accept rule runs map-side off broadcast counts") {
+    // distribution matching at 100 TB: per-bucket counts and the one-row
+    // binding fraction broadcast to the corpus filter; the corpus itself
+    // never shuffles through a sort-merge join
+    val p = finalPlan("sample_match_dist")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("rangeSearch is one shuffle-free broadcast pass over the corpus") {
     // the radius query's 100 TB contract: queries broadcast, scoring and
     // threshold run inside the scan stage, nothing leaves but matches —
