@@ -1679,6 +1679,27 @@ object SparkEntry {
         .orderBy(col("weight").desc, col("a").asc, col("b").asc).limit(20)
         .orderBy("a", "b")),
 
+    // Per-doc uniqueness score (novelty / memorization-risk signal): the
+    // share of each doc's distinct bigram shingles that occur NOWHERE
+    // else in the corpus (df = 1). One shingle explode, a df count
+    // window keyed on the shingle (the shinglePairCounts discipline),
+    // one per-doc aggregate — exact integer counts, one final division.
+    "text_uniqueness" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val docs = Graft.spread(t(s, d, "documents"))
+        .where(col("text").isNotNull && trim(col("text")) =!= "")
+      val sh = docs.select(col("doc_id"),
+        explode(Text.wordShingles(col("text"), 2)).as("sh"))
+        .withColumn("df", count(lit(1)).over(W.partitionBy("sh")))
+      sh.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+          (col("n_unique").cast("double") / col("n_shingles"))
+            .as("uniqueness"))
+        .orderBy("doc_id")
+    }),
+
     // Doc-length histogram (fixed-width integer buckets).
     "text_histogram" -> ((s, d) => t(s, d, "documents")
       .select(expr("n_chars DIV 50").as("bucket"))
@@ -3247,6 +3268,31 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_containment" -> containmentOracle,
     "dedup_threshold_sweep" -> thresholdSweepOracle,
+
+    "text_uniqueness" ->
+      """WITH docs AS (
+        | SELECT doc_id, text FROM documents
+        | WHERE text IS NOT NULL AND trim(text) <> ''),
+        |words AS (
+        | SELECT doc_id, w, i FROM (
+        |  SELECT doc_id,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+        |   generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS i
+        |  FROM docs)),
+        |shingles AS (
+        | SELECT DISTINCT a.doc_id AS id, a.w || ' ' || b.w AS sh
+        | FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        | UNION
+        | SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS sh
+        | FROM docs
+        | WHERE len(string_split_regex(trim(lower(text)), '\s+')) < 2),
+        |dfreq AS (SELECT sh, COUNT(*) AS df FROM shingles GROUP BY sh)
+        |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        | CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        | CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        |   AS uniqueness
+        |FROM shingles JOIN dfreq USING (sh)
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
     "emb_pca_top2" -> pcaTop2Oracle,
 
     "dedup_prefix_jaccard" ->
