@@ -1607,6 +1607,29 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // Group-aware holdout split (leakage control): the split is decided
+    // by a stable hash of the GROUP key (the user), so ALL of an
+    // entity's events land in one split — correlated rows never
+    // straddle train/val, which per-row hashing cannot guarantee.
+    // Output: per-split user/event counts plus the structural leakage
+    // audit (max distinct splits any user touches — 1 by construction,
+    // and the audit PROVES it rather than assuming it).
+    "split_group_holdout" -> ((s, d) => {
+      val bucket = pmod(StableHash.hash60(col("user_id").cast("string")),
+        lit(100L))
+      val tagged = t(s, d, "events").where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          when(bucket < 80, "train").otherwise("val").as("split"))
+      val mx = tagged.groupBy("user_id")
+        .agg(countDistinct(col("split")).as("nsp"))
+        .agg(max(col("nsp")).as("max_splits_per_user"))
+      tagged.groupBy("split")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(mx))
+        .orderBy("split")
+    }),
+
     // K-fold cross-validation assignment: deterministic hash folds (the
     // split_train_val discipline generalized), each doc in exactly one
     // fold; per-fold val/train sizes via one global window over k rows.
@@ -3974,6 +3997,24 @@ object SparkEntry {
          |SELECT fold, n_val,
          | CAST(SUM(n_val) OVER () - n_val AS BIGINT) AS n_train
          |FROM c ORDER BY fold""".stripMargin
+    },
+
+    "split_group_holdout" -> {
+      val h = hash60Sql("CAST(user_id AS VARCHAR)")
+      s"""WITH ev AS (
+         | SELECT user_id, event_id,
+         |  CASE WHEN ($h % 100) < 80 THEN 'train' ELSE 'val' END AS split
+         | FROM events WHERE user_id IS NOT NULL),
+         |per AS (
+         | SELECT split, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events
+         | FROM ev GROUP BY split),
+         |aud AS (
+         | SELECT CAST(MAX(nsp) AS BIGINT) AS max_splits_per_user FROM
+         |  (SELECT user_id, COUNT(DISTINCT split) AS nsp
+         |   FROM ev GROUP BY user_id))
+         |SELECT p.split, p.n_users, p.n_events, a.max_splits_per_user
+         |FROM per p CROSS JOIN aud a ORDER BY split""".stripMargin
     },
 
     "f11_quantile_bins" ->
