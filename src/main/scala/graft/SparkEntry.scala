@@ -983,6 +983,51 @@ object SparkEntry {
         window = 3)
         .orderBy("id_a", "id_b")),
 
+    // MinHash calibration report: per SNM candidate pair, the 16-slot
+    // signature-agreement estimate NEXT TO the exact 3-gram Jaccard it
+    // estimates — the est-vs-truth audit run before trusting LSH banding
+    // thresholds. Agreement and set counts are exact integers; the two
+    // mirrored divisions happen last (union 0 -> NULL exact, both
+    // engines).
+    "dedup_minhash_calibration" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.sortedNeighborhood(docs, "doc_id",
+        coalesce(substring(col("text"), 1, 16), lit("")), col("source"),
+        window = 3).select("id_a", "id_b")
+      val sigs = Dedup.minhashSignatures(docs, "text", "doc_id",
+        numHashes = 16, shingleK = 3)
+      val agree = pairs
+        .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sa")),
+          Seq("id_a"))
+        .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sb")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1L, 0L))," +
+            " 0L, (acc, v) -> acc + v)").as("n_agree"))
+      val sh = docs.where(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"), explode(Text.wordShingles(col("text"), 3))
+          .as("sh"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = pairs
+        .join(sh.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+        .join(sh.withColumnRenamed("doc_id", "id_b"), Seq("id_b", "sh"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+      agree
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")),
+          Seq("id_a"), "left")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")),
+          Seq("id_b"), "left")
+        .join(inter, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("n_agree"),
+          coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+        .withColumn("est", col("n_agree").cast("double") / lit(16.0))
+        .withColumn("exact_jaccard", col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Connected components over candidate pairs (the fuzzy-dedup cluster
     // collapse): sorted-neighborhood pairs chain consecutive docs inside a
     // block, so whole blocks form single chain components — the diameter
@@ -3265,6 +3310,7 @@ object SparkEntry {
         |ORDER BY 1, 2, 3""".stripMargin,
 
     "dedup_minhash" -> minhashOracle,
+    "dedup_minhash_calibration" -> minhashCalibrationOracle,
 
     "dedup_winnow_fp" ->
       (s"""WITH $winnowCtes
@@ -5363,6 +5409,63 @@ object SparkEntry {
        | $mins
        |FROM documents d LEFT JOIN shingles s ON s.doc_id = d.doc_id
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Replays [[graft.ops.Dedup.minhashSignatures]] at 16 hashes over the
+    * SNM candidate pairs, next to the exact 3-gram Jaccard from the same
+    * shingle universe — agreement and set counts in exact integers, the
+    * two divisions last.
+    */
+  private def minhashCalibrationOracle: String = {
+    val p = Dedup.MinhashP
+    val sigCols = (0 until 16).map { j =>
+      val (a, b) = Dedup.minhashCoeffs(j)
+      s"COALESCE(MIN((($a * (${hash60Sql("s.sh")} % $p)) + $b) % $p), " +
+        s"${Long.MaxValue}) AS h$j"
+    }.mkString(",\n ")
+    val agreeSum = (0 until 16).map(j =>
+      s"CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $shingleCtes,
+       |sig AS (
+       | SELECT d.doc_id,
+       |  $sigCols
+       | FROM documents d LEFT JOIN shingles s ON s.doc_id = d.doc_id
+       | GROUP BY d.doc_id),
+       |keyed AS (
+       | SELECT source AS block, COALESCE(substr(text, 1, 16), '') AS skey,
+       |  doc_id AS id
+       | FROM documents),
+       |lagged AS (
+       | SELECT block, id, LAG(id, 1) OVER w AS p1, LAG(id, 2) OVER w AS p2
+       | FROM keyed WINDOW w AS (PARTITION BY block ORDER BY skey, id)),
+       |prs AS (
+       | SELECT p1 AS id_a, id AS id_b FROM lagged WHERE p1 IS NOT NULL
+       | UNION ALL
+       | SELECT p2, id FROM lagged WHERE p2 IS NOT NULL),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+       |          FROM shingles GROUP BY doc_id),
+       |inter AS (
+       | SELECT pr.id_a, pr.id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+       | FROM prs pr
+       |  JOIN shingles x ON x.doc_id = pr.id_a
+       |  JOIN shingles y ON y.doc_id = pr.id_b AND y.sh = x.sh
+       | GROUP BY pr.id_a, pr.id_b),
+       |rep AS (
+       | SELECT pr.id_a, pr.id_b,
+       |  CAST($agreeSum AS BIGINT) AS n_agree,
+       |  COALESCE(za.n, 0) AS n_a, COALESCE(zb.n, 0) AS n_b,
+       |  COALESCE(i.n_inter, 0) AS n_inter
+       | FROM prs pr
+       |  JOIN sig sa ON sa.doc_id = pr.id_a
+       |  JOIN sig sb ON sb.doc_id = pr.id_b
+       |  LEFT JOIN sizes za ON za.doc_id = pr.id_a
+       |  LEFT JOIN sizes zb ON zb.doc_id = pr.id_b
+       |  LEFT JOIN inter i ON i.id_a = pr.id_a AND i.id_b = pr.id_b)
+       |SELECT id_a, id_b, n_agree, n_a, n_b, n_inter,
+       | CAST(n_agree AS DOUBLE) / 16.0 AS est,
+       | CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)
+       |   AS exact_jaccard
+       |FROM rep ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Group-level signature: min over a source's docs of each doc's min =
