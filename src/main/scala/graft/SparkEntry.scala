@@ -598,6 +598,23 @@ object SparkEntry {
       .select("gid", "l_returnflag", "l_linestatus", "n", "sum_qty")
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
 
+    // Arbitrary GROUPING SETS (the general form cube/rollup specialize):
+    // per-type totals, per-cohort totals and the grand total in ONE
+    // Expand + aggregate pass — through the spark.sql surface, since
+    // grouping sets are a SQL-level construct.
+    "a19_grouping_sets" -> ((s, d) => {
+      t(s, d, "events")
+        .select(col("event_type"),
+          (col("user_id") % 3).cast("long").as("cohort"))
+        .createOrReplaceTempView("gs_events")
+      s.sql(
+        """SELECT grouping_id() AS gid, event_type, cohort,
+          | count(1) AS n
+          |FROM gs_events
+          |GROUP BY GROUPING SETS ((event_type), (cohort), ())
+          |ORDER BY gid, event_type, cohort""".stripMargin)
+    }),
+
     // Unpivot (wide->long melt) — the inverse of a8's pivot. Compiles to a
     // map-side Expand (each input row fans out to 4 output rows, no join,
     // no shuffle before the final sort). Values are copied verbatim, so
@@ -2995,6 +3012,15 @@ object SparkEntry {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "a19_grouping_sets" ->
+      """WITH b AS (
+        | SELECT event_type, CAST(user_id % 3 AS BIGINT) AS cohort
+        | FROM events)
+        |SELECT GROUPING(event_type) * 2 + GROUPING(cohort) AS gid,
+        | event_type, cohort, COUNT(*) AS n
+        |FROM b GROUP BY GROUPING SETS ((event_type), (cohort), ())
+        |ORDER BY gid, event_type, cohort""".stripMargin,
 
     "a17_unpivot" ->
       """WITH src AS (SELECT * FROM lineitem WHERE l_orderkey <= 500)
