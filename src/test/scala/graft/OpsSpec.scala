@@ -346,6 +346,50 @@ class OpsSpec extends SparkSpec {
     assert(got(1)._3 > 0L && got(2)._3 < 0L, "marginal scores: " + got.toSeq)
   }
 
+  test("mmrSelect matches an independent greedy replay on a seeded corpus") {
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 30L).map(i =>
+      (i, Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val got = Similarity
+      .mmrSelect(corpus, corpus.where($"vec_id" < 2), poolK = 10, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // independent replay: same nano rounding and left-to-right folds,
+    // but straight Scala collections instead of the kernel
+    def nano(x: Double) = java.math.BigDecimal.valueOf(x * 1e9)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val vmap = vecs.toMap
+    val expected = (0L until 2L).flatMap { q =>
+      val cands = vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vmap(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10)
+      var chosen = Vector.empty[Long]
+      var out = Vector.empty[(Long, Long, Long, Long)]
+      for (pick <- 1 to 5) {
+        val scored = cands.filterNot(c => chosen.contains(c._1))
+          .map { case (id, c) =>
+            val pen = if (chosen.isEmpty) 0L
+              else chosen.map(ch => nano(cos(vmap(id), vmap(ch)))).max
+            (id, 50L * nano(c) - 50L * pen)
+          }
+        if (scored.nonEmpty) {
+          val (bid, bs) = scored.minBy { case (id, sc) => (-sc, id) }
+          out :+= ((q, pick.toLong, bid, bs))
+          chosen :+= bid
+        }
+      }
+      out
+    }.sortBy(t => (t._1, t._2))
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
   test("triangleCounts on a planted graph, robust to dup/reversed edges") {
     import graft.ops.Graph
     // triangle {1,2,3}; square {4,5,6,7} with diagonal 4-6 (two
