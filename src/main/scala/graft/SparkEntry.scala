@@ -2349,6 +2349,13 @@ object SparkEntry {
     "text_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramLmScores(t(s, d, "documents")).orderBy("doc_id")),
 
+    // DSIR importance weights: hashed n-gram log-likelihood ratio of the
+    // English slice (target) vs the whole corpus (raw) — integer-nano
+    // weights, bit-replayable (arXiv:2302.03169).
+    "text_dsir_weights" -> ((s, d) =>
+      TextAnalysis.dsirWeights(t(s, d, "documents"),
+        targetPred = col("lang") === "en").orderBy("doc_id")),
+
     // CCNet-style head/middle/tail quality partition: exact tercile
     // cutoffs of the unigram-LM scores (scalar aggregate + broadcast,
     // never a global ntile), assignment map-side.
@@ -4921,6 +4928,52 @@ object SparkEntry {
         | FROM terms GROUP BY doc_id)
         |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
         | a.lsum / CAST(a.n_bigrams AS DOUBLE) AS lm_score
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Replays dsirWeights exactly: same tokenize/bigram chain as the LM
+    // oracles, hash60-mod bucketing, add-1 smoothed bucket LMs with the
+    // division-then-ln shape the Spark side computes, ONE nano-round per
+    // bucket (CAST(ROUND AS BIGINT) == Spark round+cast, the pdNano
+    // discipline) — then all-integer per-doc sums, order-free.
+    "text_dsir_weights" ->
+      """WITH base AS (
+        | SELECT doc_id, COALESCE(lang = 'en', FALSE) AS tgt,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    w -> w <> '') AS ts
+        | FROM documents WHERE trim(text) <> ''),
+        |feats AS (
+        | SELECT doc_id, tgt, unnest(ts) AS f FROM base
+        | UNION ALL
+        | SELECT doc_id, tgt, ts[i] || ' ' || ts[i + 1] AS f
+        | FROM base, UNNEST(range(1, len(ts))) AS t(i)),
+        |fb AS (
+        | SELECT doc_id, tgt,
+        |  CAST(('0x' || substr(md5(f), 1, 15)) AS BIGINT) % 128 AS b
+        | FROM feats),
+        |bt AS (
+        | SELECT b, COUNT(*) AS cr,
+        |  COUNT(*) FILTER (WHERE tgt) AS ct
+        | FROM fb GROUP BY b),
+        |spine AS (
+        | SELECT i AS b, COALESCE(cr, 0) AS cr, COALESCE(ct, 0) AS ct
+        | FROM UNNEST(range(128)) AS s(i) LEFT JOIN bt ON bt.b = s.i),
+        |tot AS (
+        | SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt
+        | FROM spine),
+        |model AS (
+        | SELECT b,
+        |  CAST(ROUND((ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 128 AS DOUBLE))
+        |    - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 128 AS DOUBLE)))
+        |   * 1e9) AS BIGINT) AS lr_nano
+        | FROM spine, tot),
+        |dk AS (SELECT doc_id, b, COUNT(*) AS k FROM fb GROUP BY 1, 2),
+        |agg AS (
+        | SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_features,
+        |  CAST(SUM(k * lr_nano) AS BIGINT) AS logw_nanos
+        | FROM dk JOIN model USING (b) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_features, 0) AS n_features,
+        | COALESCE(a.logw_nanos, 0) AS logw_nanos
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 

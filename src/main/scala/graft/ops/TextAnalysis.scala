@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.Text
+import graft.functions.{StableHash, Text}
 
 /** Corpus-level text analysis: one narrow (shuffle-free) pass deriving
   * language, quality, token counts, and fingerprint per document. All
@@ -428,5 +428,78 @@ object TextAnalysis {
                 .cast("string"),
               lit(":"), x.getField("tf").cast("string"))),
           ",").as("postings"))
+  }
+
+  /** DSIR-style importance weights: score every document by how much more
+    * likely its hashed n-gram features are under a TARGET slice of the
+    * corpus than under the raw corpus — the data-selection signal from
+    * "Data Selection for Language Models via Importance Resampling"
+    * (Xie et al., 2023, arXiv:2302.03169). Select top-weight docs (or
+    * Gumbel-sample on the weights) to shift a pretraining mixture toward
+    * the target domain without a trained classifier.
+    *
+    * Features are unigrams + bigrams hashed into `buckets` buckets
+    * ([[graft.functions.StableHash.hash60]], engine-portable); both
+    * bucket LMs use add-1 smoothing over the bucket vocabulary. The
+    * per-bucket log-likelihood ratio is nano-rounded ONCE to an exact
+    * BIGINT, so per-doc sums are order-free integer arithmetic — the
+    * whole chain replays bit-exact in SQL.
+    *
+    * Output: (idCol, n_features, logw_nanos) — `logw_nanos` is
+    * `sum_f count_f * round(1e9 * (ln p_target(b_f) - ln p_raw(b_f)))`;
+    * featureless (empty/null text) docs score 0.
+    *
+    * Shape at scale: feature extraction is map-side (token zip, no
+    * positional self-join); the model is a hash aggregate onto at most
+    * `buckets` rows — broadcast back; the only data-sized exchange is
+    * the (doc, bucket) combine, map-side-partial and uniform by
+    * construction (hash buckets). Nothing driver-sized anywhere.
+    */
+  def dsirWeights(docs: DataFrame, targetPred: Column,
+      textCol: String = "text", idCol: String = "doc_id",
+      buckets: Int = 128): DataFrame = {
+    val ts0 = filter(Text.tokens(col(textCol)), w => w =!= "")
+    val base = graft.core.Graft.spread(docs)
+      .select(col(idCol), coalesce(targetPred, lit(false)).as("__tgt"),
+        ts0.as("ts"))
+    val n1 = size(col("ts")) - 1
+    val bi = when(size(col("ts")) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(col("ts"), lit(1), n1), slice(col("ts"), lit(2), n1),
+        (a, b) => concat(a, lit(" "), b)))
+    val feats = base
+      .select(col(idCol), col("__tgt"), explode(concat(col("ts"), bi)).as("f"))
+      .select(col(idCol), col("__tgt"),
+        pmod(StableHash.hash60(col("f")), lit(buckets.toLong)).as("b"))
+    // Bucket model: <= `buckets` rows; spine keeps smoothing defined on
+    // buckets no feature hashed into.
+    val bt = feats.groupBy("b")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
+    val spine = docs.sparkSession.range(buckets.toLong)
+      .select(col("id").as("b"))
+    val filled = spine.join(bt, Seq("b"), "left")
+      .select(col("b"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+    val tot = filled.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+    val model = filled.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round((graft.plans.MathLn(
+            (col("ct") + 1).cast("double") /
+              (col("tt") + lit(buckets.toLong)).cast("double")) -
+          graft.plans.MathLn(
+            (col("cr") + 1).cast("double") /
+              (col("tr") + lit(buckets.toLong)).cast("double"))) * 1e9)
+          .cast("long").as("lr_nano"))
+    val dk = feats.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("k"))
+    val perDoc = dk.join(broadcast(model), Seq("b"))
+      .groupBy(idCol)
+      .agg(sum(col("k")).as("n_features"),
+        sum(col("k") * col("lr_nano")).as("logw_nanos"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_features"), lit(0L)).as("n_features"),
+        coalesce(col("logw_nanos"), lit(0L)).as("logw_nanos"))
   }
 }

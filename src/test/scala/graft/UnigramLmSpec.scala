@@ -97,4 +97,36 @@ class UnigramLmSpec extends SparkSpec {
     val k = Sampling.uniformK(docs, "id", 37).count()
     assert(k == 37)
   }
+
+  test("DSIR weights rank target-like docs above off-target docs") {
+    // target slice speaks "alpha beta"; the raw remainder speaks
+    // "gamma delta". A target-exclusive feature has ct == cr, so its
+    // log-ratio is ln((Tr+B)/(Tt+B)) > 0; an off-target feature's ct = 0
+    // pulls its ratio down — target-like docs must outscore off-target.
+    val corpus = ((0L until 20L).map(i => (i, "alpha beta alpha", true)) ++
+      (20L until 60L).map(i => (i, "gamma delta gamma", false)) ++
+      Seq((60L, "", false), (61L, null.asInstanceOf[String], false)))
+      .toDF("doc_id", "text", "is_tgt")
+    val w = TextAnalysis.dsirWeights(corpus, col("is_tgt"))
+      .orderBy("doc_id").collect()
+    val byId = w.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 3 unigrams + 2 bigrams per 3-token doc
+    assert(byId(0L) == byId(19L) && byId(0L)._1 == 5L)
+    assert(byId(0L)._2 > byId(20L)._2,
+      s"target doc ${byId(0L)} must outweigh off-target ${byId(20L)}")
+    assert(byId(0L)._2 > 0L && byId(20L)._2 < 0L)
+    // featureless docs: zero features, zero weight (non-null)
+    assert(byId(60L) == ((0L, 0L)) && byId(61L) == ((0L, 0L)))
+  }
+
+  test("DSIR weights are layout-independent and all-integer stable") {
+    val docs = (0L until 300L).map(i =>
+      (i, s"tok${i % 23} tok${i % 7} shared words here", i % 5 == 0))
+      .toDF("doc_id", "text", "is_tgt")
+    val a = TextAnalysis.dsirWeights(docs.repartition(1), col("is_tgt"))
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.dsirWeights(docs.repartition(13), col("is_tgt"))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
 }
