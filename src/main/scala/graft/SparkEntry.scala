@@ -1478,6 +1478,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Community detection on the same graph: 3 synchronous rounds of
+    // deterministic (min-tie-break) label propagation — finer-grained
+    // than connected components; the oracle replays round-by-round.
+    "graph_label_prop" -> ((s, d) => {
+      val base = t(s, d, "part").where(col("p_partkey") <= 1000)
+      val edges = base.select(col("p_partkey").as("src"),
+        expr("(p_partkey * 31 + 7) % 1000").as("dst"))
+        .unionByName(base.select(col("p_partkey").as("src"),
+          expr("(p_partkey * 17 + 3) % 1000").as("dst")))
+      graft.ops.Graph.labelPropagation(edges, rounds = 3).orderBy("id")
+    }),
+
     // Hierarchy closure (recursive-CTE semantics via iterative joins with
     // checkpointed lineage): a deterministic 4-ary forest derived from
     // part keys (parent = id DIV 4), flattened to root/depth/path per
@@ -3970,6 +3982,45 @@ object SparkEntry {
         |top AS (
         | SELECT * FROM scored ORDER BY jacc_nano DESC, id_a, id_b LIMIT 50)
         |SELECT * FROM top ORDER BY id_a, id_b""".stripMargin,
+
+    // Replays labelPropagation round-by-round: synchronous min-tie-break
+    // updates are pure functions of the previous round, so three chained
+    // (freq -> argmax) CTE pairs reproduce the engine bit-exactly.
+    "graph_label_prop" ->
+      """WITH raw AS (
+        | SELECT p_partkey AS src, (p_partkey * 31 + 7) % 1000 AS dst
+        | FROM part WHERE p_partkey <= 1000
+        | UNION ALL
+        | SELECT p_partkey, (p_partkey * 17 + 3) % 1000
+        | FROM part WHERE p_partkey <= 1000),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM raw WHERE src <> dst),
+        |adj AS (SELECT a AS id, b AS nb FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |l0 AS (SELECT DISTINCT id, id AS label FROM adj),
+        |f1 AS (SELECT adj.id, l.label, COUNT(*) AS cnt
+        |       FROM adj JOIN l0 l ON l.id = adj.nb GROUP BY adj.id, l.label),
+        |l1 AS (SELECT id, label FROM (
+        |        SELECT id, label, ROW_NUMBER() OVER
+        |          (PARTITION BY id ORDER BY cnt DESC, label) AS rn FROM f1)
+        |       WHERE rn = 1),
+        |f2 AS (SELECT adj.id, l.label, COUNT(*) AS cnt
+        |       FROM adj JOIN l1 l ON l.id = adj.nb GROUP BY adj.id, l.label),
+        |l2 AS (SELECT id, label FROM (
+        |        SELECT id, label, ROW_NUMBER() OVER
+        |          (PARTITION BY id ORDER BY cnt DESC, label) AS rn FROM f2)
+        |       WHERE rn = 1),
+        |f3 AS (SELECT adj.id, l.label, COUNT(*) AS cnt
+        |       FROM adj JOIN l2 l ON l.id = adj.nb GROUP BY adj.id, l.label),
+        |l3 AS (SELECT id, label FROM (
+        |        SELECT id, label, ROW_NUMBER() OVER
+        |          (PARTITION BY id ORDER BY cnt DESC, label) AS rn FROM f3)
+        |       WHERE rn = 1),
+        |spine AS (SELECT DISTINCT id FROM
+        | (SELECT src AS id FROM raw UNION ALL SELECT dst FROM raw))
+        |SELECT s.id, COALESCE(l3.label, s.id) AS label
+        |FROM spine s LEFT JOIN l3 ON l3.id = s.id
+        |ORDER BY s.id""".stripMargin,
 
     "hier_closure" ->
       """WITH RECURSIVE e AS (

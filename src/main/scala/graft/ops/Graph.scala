@@ -193,4 +193,55 @@ object Graph {
     personalizedPageRankNano(edges, seeds, iterations)
       .select(col("id"),
         (col("r_nano").cast("double") / 1000000000.0).as("ppr"))
+
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan et
+    * al. 2007) with a deterministic tie-break: every node starts labeled
+    * with its own id; each round it adopts the most frequent label among
+    * its neighbors, ties broken by the smallest label. Unlike the
+    * classic asynchronous/randomized formulation, the synchronous
+    * min-tie-break update is a pure function of the previous round, so
+    * the whole run is bit-reproducible on any engine and partitioning —
+    * and replayable round-by-round in SQL, which is exactly what the
+    * corpus oracle does. Domain/topic clustering over link or near-dup
+    * graphs where connected components are too coarse (they merge
+    * everything bridge-connected) is the pipeline use.
+    *
+    * Returns one row per node (including isolated nodes, which keep
+    * their own label): (id, label).
+    *
+    * Shape at scale: adjacency is materialized once, hash-partitioned on
+    * the neighbor key the per-round join probes; each round is ONE
+    * shuffle join (labels onto neighbors — labels are the small,
+    * one-row-per-node side) plus a two-level hash aggregate
+    * ((id,label) count, then per-id argmax via min(struct)). Lineage is
+    * truncated every 4 rounds ([[pageRankNano]]'s cadence). High-degree
+    * hubs are the usual hotspot; AQE skew-join handles them, and the
+    * label frequency count is map-side-combinable by construction.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val adj = e.select(col("a").as("id"), col("b").as("nb"))
+      .unionByName(e.select(col("b").as("id"), col("a").as("nb")))
+      .repartition(col("nb")).localCheckpoint(true)
+    var labels = adj.select(col("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    for (it <- 1 to rounds) {
+      val freq = adj
+        .join(labels.withColumnRenamed("id", "nb"), Seq("nb"))
+        .groupBy(col("id"), col("label")).agg(count(lit(1)).as("cnt"))
+      labels = freq.groupBy("id")
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
+          .as("m"))
+        .select(col("id"), col("m.l").as("label"))
+      if (it % 4 == 0 && it < rounds) labels = labels.localCheckpoint(true)
+    }
+    val spine = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .where(col("id").isNotNull).distinct()
+    spine.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
 }

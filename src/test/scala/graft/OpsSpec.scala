@@ -435,6 +435,28 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(1L -> 872500000L, 2L -> 127500000L, 3L -> 0L), s"$got")
   }
 
+  test("labelPropagation: two bridged triangles settle into two communities") {
+    import graft.ops.Graph
+    // triangles {1,2,3} and {4,5,6} joined by bridge 3-4; node 7 has
+    // only a self loop (no real neighbors -> keeps its own label).
+    // Hand-traced 3 synchronous min-tie-break rounds: left triangle
+    // converges to label 1, right to label 3 (the bridge keeps pulling
+    // 4's side toward the smaller ids). Dup/reversed edges are no-ops.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L),
+      (3L, 4L), (7L, 7L)
+    ).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L, 7L -> 7L), s"$got")
+    // synchronous update = layout-independent
+    val again = Graph.labelPropagation(edges.repartition(7), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("jaccardThresholdSweep: exact-dup pair survives 100%, counts monotone") {
     val out = Dedup.jaccardThresholdSweep(docs, "text", "doc_id",
         shingleK = 2, thresholdsPct = Seq(25L, 50L, 100L))
