@@ -1575,6 +1575,16 @@ object SparkEntry {
       graft.ops.Funnel.counts(st, "user_id").orderBy("step_no")
     }),
 
+    // Daily cohort retention matrix on the sparse purchase slice (the
+    // dense all-events log collapses to one cohort): cohort = exact
+    // 1-day epoch-nano period of first purchase; cells = distinct users
+    // purchasing again N days later, share as truncating integer nanos.
+    "cohort_retention" -> ((s, d) =>
+      graft.ops.Cohort.retention(
+        t(s, d, "events").where(col("event_type") === "purchase"),
+        "user_id", "ts", periodNanos = 86400L * 1000000000L)
+        .orderBy("cohort_period", "period_offset")),
+
     // Batch CDC merge (SCD-1 upsert): every 10th order gets two conflicting
     // update versions (seq 1 and 2); the argmax dedup must pick seq 2, the
     // anti-join keeps everything else. Single double-add keeps the updated
@@ -3317,6 +3327,26 @@ object SparkEntry {
         |UNION ALL SELECT CAST(2 AS INTEGER), 'step2_click', (SELECT COUNT(*) FROM s2)
         |UNION ALL SELECT CAST(3 AS INTEGER), 'step3_purchase', (SELECT COUNT(*) FROM s3)
         |ORDER BY step_no""".stripMargin,
+
+    // All-integer replay of Cohort.retention: epoch_us*1000 == the
+    // engine's nano ts, truncating // == Spark DIV (all values positive).
+    "cohort_retention" ->
+      """WITH act AS (
+        | SELECT DISTINCT user_id AS e,
+        |  (epoch_us(ts) * 1000) // 86400000000000 AS pd
+        | FROM events WHERE event_type = 'purchase'
+        |   AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |coh AS (SELECT e, MIN(pd) AS c0 FROM act GROUP BY e),
+        |sizes AS (SELECT c0, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        |          FROM coh GROUP BY c0),
+        |m AS (SELECT c.c0 AS cohort_period, a.pd - c.c0 AS period_offset,
+        |        CAST(COUNT(*) AS BIGINT) AS n_active
+        |      FROM act a JOIN coh c ON c.e = a.e GROUP BY 1, 2)
+        |SELECT m.cohort_period, m.period_offset, m.n_active, s.cohort_size,
+        | CAST((m.n_active * 1000000000) // s.cohort_size AS BIGINT)
+        |   AS retention_nano
+        |FROM m JOIN sizes s ON s.c0 = m.cohort_period
+        |ORDER BY cohort_period, period_offset""".stripMargin,
 
     "upsert_merge" -> upsertMergeSql,
 

@@ -153,4 +153,28 @@ class FunnelUpsertSpec extends SparkSpec {
       assert(j.count() == 3000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("cohort retention: hand-traced matrix, nulls dropped, exact shares") {
+    import graft.ops.Cohort
+    // periodNanos = 10: A active periods {0,1,3}, B {0,2}, C {1};
+    // cohorts A,B -> 0 (size 2), C -> 1 (size 1). Duplicate activity in
+    // a period must not double-count; null user/ts rows drop.
+    val ev = Seq(
+      (Some(1L), Some(1L)), (Some(1L), Some(12L)), (Some(1L), Some(35L)),
+      (Some(1L), Some(13L)), // dup period for A
+      (Some(2L), Some(5L)), (Some(2L), Some(25L)),
+      (Some(3L), Some(15L)),
+      (None, Some(9L)), (Some(9L), None)
+    ).toDF("user_id", "ts")
+    val got = Cohort.retention(ev, "user_id", "ts", periodNanos = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      (0L, 0L) -> ((2L, 2L, 1000000000L)),
+      (0L, 1L) -> ((1L, 2L, 500000000L)),
+      (0L, 2L) -> ((1L, 2L, 500000000L)),
+      (0L, 3L) -> ((1L, 2L, 500000000L)),
+      (1L, 0L) -> ((1L, 1L, 1000000000L))), s"$got")
+  }
 }
