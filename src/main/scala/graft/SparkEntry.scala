@@ -1585,6 +1585,26 @@ object SparkEntry {
         "user_id", "ts", periodNanos = 86400L * 1000000000L)
         .orderBy("cohort_period", "period_offset")),
 
+    // Row-level snapshot diff (CDC change feed from plain tables): two
+    // deterministic versions of orders — rows only-in-old (removed),
+    // only-in-new (added), and value-edited rows with their per-column
+    // change mask. Single double-add keeps the edited price
+    // bit-deterministic (Upsert.snapshotDiff).
+    "dq_snapshot_diff" -> ((s, d) => {
+      val base = t(s, d, "orders").where(col("o_orderkey") <= 6000)
+      val oldSnap = base.where(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val newSnap = base.where(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 11 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      graft.ops.Upsert.snapshotDiff(oldSnap, newSnap,
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // Batch CDC merge (SCD-1 upsert): every 10th order gets two conflicting
     // update versions (seq 1 and 2); the argmax dedup must pick seq 2, the
     // anti-join keeps everything else. Single double-add keeps the updated
@@ -3347,6 +3367,39 @@ object SparkEntry {
         |   AS retention_nano
         |FROM m JOIN sizes s ON s.c0 = m.cohort_period
         |ORDER BY cohort_period, period_offset""".stripMargin,
+
+    // Replays snapshotDiff: same version derivations, FULL OUTER JOIN on
+    // the key, IS DISTINCT FROM per value column, name-sorted change mask.
+    "dq_snapshot_diff" ->
+      """WITH o AS (
+        | SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp
+        | FROM orders WHERE o_orderkey <= 6000 AND o_orderkey % 7 <> 0),
+        |n AS (
+        | SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS st,
+        |  CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+        |       ELSE o_totalprice END AS tp
+        | FROM orders WHERE o_orderkey <= 6000 AND o_orderkey % 5 <> 0),
+        |j AS (
+        | SELECT COALESCE(o.k, n.k) AS o_orderkey,
+        |  o.k IS NOT NULL AS in_old, n.k IS NOT NULL AS in_new,
+        |  o.st IS DISTINCT FROM n.st AS d_st,
+        |  o.tp IS DISTINCT FROM n.tp AS d_tp
+        | FROM o FULL OUTER JOIN n ON n.k = o.k)
+        |SELECT o_orderkey,
+        | CASE WHEN NOT in_old THEN 'added'
+        |      WHEN NOT in_new THEN 'removed'
+        |      ELSE 'changed' END AS change,
+        | CASE WHEN in_old AND in_new
+        |      THEN CAST(d_st AS BIGINT) + CAST(d_tp AS BIGINT)
+        |      ELSE 0 END AS n_cols_changed,
+        | CASE WHEN in_old AND in_new THEN
+        |   ltrim(CASE WHEN d_st THEN ',o_orderstatus' ELSE '' END ||
+        |         CASE WHEN d_tp THEN ',o_totalprice' ELSE '' END, ',')
+        |  ELSE '' END AS changed_cols
+        |FROM j
+        |WHERE NOT (in_old AND in_new) OR d_st OR d_tp
+        |ORDER BY o_orderkey""".stripMargin,
 
     "upsert_merge" -> upsertMergeSql,
 

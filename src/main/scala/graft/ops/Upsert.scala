@@ -78,4 +78,50 @@ object Upsert {
         Seq(col("valid_from"), col("valid_to"), col("version_no"),
           col("is_current")): _*)
   }
+
+  /** Row-level diff between two snapshots of a keyed table — the change
+    * feed a data-versioning layer (Delta/Iceberg CDF style) would emit,
+    * derived from plain tables: one row per key that was `added`,
+    * `removed`, or `changed`, with the per-column change mask
+    * (`changed_cols`, name-sorted csv) and its size. Unchanged keys are
+    * dropped, so the output is |delta|-sized, not |table|-sized.
+    *
+    * Comparison is null-safe per column (`IS DISTINCT FROM` semantics);
+    * a key present in both sides with every value column null-safely
+    * equal produces nothing.
+    *
+    * Shape at scale: ONE full-outer shuffle join on the key columns —
+    * both sides hash-partition the same way, and if the snapshots are
+    * written bucketed by key ([[graft.ingest.Bucketed]]) the exchange
+    * disappears entirely. The change mask is a map-side expression over
+    * the joined row; nothing aggregates, so the plan is skew-immune
+    * except for pathological duplicate keys (keyed snapshots are
+    * dedup'd upstream by contract).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty,
+      "snapshotDiff needs key and value columns")
+    val o = oldSnap.select((keyCols ++ valueCols).map(col): _*)
+      .withColumn("__in_old", lit(true))
+    val n = newSnap.select((keyCols ++ valueCols).map(col): _*)
+      .withColumn("__in_new", lit(true))
+    val renamedO = valueCols.foldLeft(o)((d, c) =>
+      d.withColumnRenamed(c, s"__old_$c"))
+    val renamedN = valueCols.foldLeft(n)((d, c) =>
+      d.withColumnRenamed(c, s"__new_$c"))
+    val joined = renamedO.join(renamedN, keyCols, "full_outer")
+    val diffs = valueCols.sorted.map(c =>
+      when(!(col(s"__old_$c") <=> col(s"__new_$c")), lit(c)))
+    val mask = array_compact(array(diffs: _*))
+    joined.select(keyCols.map(col) ++ Seq(
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .otherwise(lit("changed")).as("change"),
+        when(col("__in_old").isNotNull && col("__in_new").isNotNull,
+          size(mask)).otherwise(lit(0)).cast("long").as("n_cols_changed"),
+        when(col("__in_old").isNotNull && col("__in_new").isNotNull,
+          array_join(mask, ",")).otherwise(lit("")).as("changed_cols")): _*)
+      .where(col("change") =!= "changed" || col("n_cols_changed") > 0)
+  }
 }

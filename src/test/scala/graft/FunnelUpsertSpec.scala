@@ -154,6 +154,28 @@ class FunnelUpsertSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("snapshotDiff: added/removed/changed with null-safe masks; equal rows drop") {
+    val oldSnap = Seq(
+      (1L, Some("a"), Some(1.0)), (2L, Some("b"), None),
+      (3L, Some("c"), Some(3.0)), (4L, Some("d"), Some(4.0))
+    ).toDF("k", "st", "tp")
+    val newSnap = Seq(
+      (2L, Some("b"), None),            // null-safely equal -> dropped
+      (3L, Some("cx"), Some(3.0)),      // st changed
+      (4L, Some("d"), Some(5.0)),       // tp changed
+      (5L, Option.empty[String], Some(5.5)) // added (null value col ok)
+    ).toDF("k", "st", "tp")
+    val got = Upsert.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("st", "tp"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got == Map(
+      1L -> (("removed", 0L, "")),
+      3L -> (("changed", 1L, "st")),
+      4L -> (("changed", 1L, "tp")),
+      5L -> (("added", 0L, ""))), s"$got")
+  }
+
   test("cohort retention: hand-traced matrix, nulls dropped, exact shares") {
     import graft.ops.Cohort
     // periodNanos = 10: A active periods {0,1,3}, B {0,2}, C {1};
