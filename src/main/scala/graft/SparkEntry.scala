@@ -483,6 +483,45 @@ object SparkEntry {
           ((col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
     }),
 
+    // Referential-integrity audit over three FK edges, two deliberately
+    // corrupted (every 97th order's custkey pushed out of range; a
+    // deterministic slice of lineitem suppkeys negated) and one left
+    // clean as the passing control. One report row per FK.
+    "dq_ref_integrity" -> ((s, d) => {
+      val ordFk = t(s, d, "orders").select(
+        when(col("o_orderkey") % 97 === 0, col("o_custkey") + 10000000L)
+          .otherwise(col("o_custkey")).as("fk"))
+      val partFk = t(s, d, "lineitem").select(col("l_partkey").as("fk"))
+      val suppFk = t(s, d, "lineitem").select(
+        when((col("l_orderkey") * 7 + col("l_linenumber")) % 89 === 0,
+          -(col("l_suppkey") + 1)).otherwise(col("l_suppkey")).as("fk"))
+      DataQuality.fkOrphans(ordFk, "fk",
+          t(s, d, "customer"), "c_custkey", "orders.custkey->customer")
+        .unionByName(DataQuality.fkOrphans(partFk, "fk",
+          t(s, d, "part"), "p_partkey", "lineitem.partkey->part"))
+        .unionByName(DataQuality.fkOrphans(suppFk, "fk",
+          t(s, d, "supplier"), "s_suppkey", "lineitem.suppkey->supplier"))
+        .orderBy("fk_name")
+    }),
+
+    // Benford first-significant-digit profile of order totals: exact cents
+    // snap, digit from the integer's decimal string, truncating nano
+    // shares against hardcoded log10(1+1/d) expectations (the synthetic
+    // uniform-ish prices will NOT be Benford — the dev_nano column is the
+    // point of the report).
+    "dq_benford" -> ((s, d) =>
+      DataQuality.benfordDigits(t(s, d, "orders"), "o_totalprice")
+        .orderBy("digit")),
+
+    // Functional-dependency audit: customers whose orders carry more than
+    // one distinct priority — i.e. violations of the (false) FD
+    // o_custkey -> o_orderpriority. Single hash aggregate.
+    "dq_fd_check" -> ((s, d) =>
+      DataQuality.fdViolations(t(s, d, "orders"),
+          Seq("o_custkey"), Seq("o_orderpriority"))
+        .where(col("o_custkey").isNotNull)
+        .orderBy("o_custkey")),
+
     // A5 per-column completeness profile (load_nursing_home_data.py:20-36).
     "a5_completeness" -> ((s, d) => {
       val ev = t(s, d, "events").select(
@@ -1134,6 +1173,39 @@ object SparkEntry {
         .orderBy("item_a", "item_b")
     }),
 
+    // Association rules over the same user->event-type baskets as
+    // mine_pairs: every directed rule a=>b with support >= 10, confidence
+    // and lift as truncating integer nanos (support*1e9 DIV n_a and
+    // support*n_baskets*1e9 DIV (n_a*n_b)) — exact, totally ordered, and
+    // bit-replayable without a float anywhere. Item counts and the basket
+    // total ride in on broadcast joins; the pair support is the one real
+    // shuffle.
+    "mine_assoc_rules" -> ((s, d) => {
+      val it = t(s, d, "events").where(col("user_id") <= 500)
+        .select(col("user_id"), col("event_type")).distinct()
+      val items = it.groupBy(col("event_type")).agg(count(lit(1)).as("n_item"))
+      val nb = it.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val pairs = it.as("a").join(it.as("b"), Seq("user_id"))
+        .where(col("a.event_type") =!= col("b.event_type"))
+        .groupBy(col("a.event_type").as("antecedent"),
+          col("b.event_type").as("consequent"))
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= 10)
+      pairs
+        .join(broadcast(items.select(col("event_type").as("antecedent"),
+          col("n_item").as("n_a"))), Seq("antecedent"))
+        .join(broadcast(items.select(col("event_type").as("consequent"),
+          col("n_item").as("n_c"))), Seq("consequent"))
+        .crossJoin(broadcast(nb))
+        .select(col("antecedent"), col("consequent"), col("support"),
+          col("n_a"), col("n_c"),
+          expr("support * 1000000000L DIV n_a").as("conf_nano"),
+          expr("support * n_baskets * 1000000000L DIV (n_a * n_c)")
+            .as("lift_nano"))
+        .orderBy("antecedent", "consequent")
+    }),
+
     // First-order Markov transition matrix over per-user event
     // sequences: P(next = dst | cur = src) with exact n/n_src division.
     // One window pass on the (user_id) exchange (lead over the fully
@@ -1407,6 +1479,20 @@ object SparkEntry {
         .orderBy("event_type", "event_id")
     }),
 
+    // Weekly seasonal profile of event values per type: period position =
+    // (epoch-day) % 7, seasonal mean / global deviation / mean absolute
+    // residual all as truncating integer nanos (Seasonal.profile). The
+    // dense synthetic stream gives every (type, dow) cell mass.
+    "ts_seasonal" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .where(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("event_type"),
+          expr("(ts DIV 86400000000000L) % 7").as("dow"),
+          expr("CAST(round(value * 1e9) AS BIGINT)").as("v_nano"))
+      graft.ops.Seasonal.profile(ev, "event_type", "dow", "v_nano")
+        .orderBy("event_type", "dow")
+    }),
+
     // Order-independent table content checksum (replication / migration
     // verification): bit_xor of stable row hashes + row count per table.
     // XOR is commutative-associative, so any partitioning agrees; doubles
@@ -1488,6 +1574,19 @@ object SparkEntry {
         .unionByName(base.select(col("p_partkey").as("src"),
           expr("(p_partkey * 17 + 3) % 1000").as("dst")))
       graft.ops.Graph.labelPropagation(edges, rounds = 3).orderBy("id")
+    }),
+
+    // Three synchronous 2-core peel rounds over the same derived graph:
+    // per node, surviving-subgraph degree and the non-null in_core
+    // verdict. Fixed round count is part of the contract (the oracle
+    // chains exactly three peel CTE stages).
+    "graph_kcore" -> ((s, d) => {
+      val base = t(s, d, "part").where(col("p_partkey") <= 1000)
+      val edges = base.select(col("p_partkey").as("src"),
+        expr("(p_partkey * 31 + 7) % 1000").as("dst"))
+        .unionByName(base.select(col("p_partkey").as("src"),
+          expr("(p_partkey * 17 + 3) % 1000").as("dst")))
+      graft.ops.Graph.kCore(edges, k = 2, rounds = 3).orderBy("id")
     }),
 
     // Hierarchy closure (recursive-CTE semantics via iterative joins with
@@ -3829,6 +3928,38 @@ object SparkEntry {
         |  AND abs((d.value - d.med) / (1.4826 * s.mad)) > 3.0
         |ORDER BY event_type, event_id""".stripMargin,
 
+    // Floor division (//) on both sides: the Spark op uses the pmod
+    // identity, so negative nano sums agree too.
+    "ts_seasonal" ->
+      """WITH base AS (
+        | SELECT event_type,
+        |  ((epoch_us(ts) * 1000) // 86400000000000) % 7 AS dow,
+        |  CAST(round(value * 1e9) AS BIGINT) AS v_nano
+        | FROM events
+        | WHERE ts IS NOT NULL AND value IS NOT NULL
+        |   AND event_type IS NOT NULL),
+        |seas AS (
+        | SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(v_nano) AS sv
+        | FROM base GROUP BY 1, 2),
+        |gl AS (
+        | SELECT event_type, SUM(v_nano) // COUNT(*) AS global_nano
+        | FROM base GROUP BY 1),
+        |resid AS (
+        | SELECT b.event_type, b.dow,
+        |  SUM(abs(b.v_nano - s.sv // s.n)) // COUNT(*) AS mad_resid_nano
+        | FROM base b JOIN seas s
+        |  ON s.event_type = b.event_type AND s.dow = b.dow
+        | GROUP BY 1, 2)
+        |SELECT s.event_type, s.dow, s.n,
+        | CAST(s.sv // s.n AS BIGINT) AS seasonal_nano,
+        | CAST(s.sv // s.n - g.global_nano AS BIGINT) AS dev_global_nano,
+        | CAST(r.mad_resid_nano AS BIGINT) AS mad_resid_nano
+        |FROM seas s
+        |JOIN gl g ON g.event_type = s.event_type
+        |JOIN resid r ON r.event_type = s.event_type AND r.dow = s.dow
+        |ORDER BY s.event_type, s.dow""".stripMargin,
+
     "q_table_checksum" -> {
       def ckSql(name: String, table: String, key: String) =
         s"""SELECT '$name' AS table_name,
@@ -3999,6 +4130,31 @@ object SparkEntry {
         |FROM trans JOIN tot USING (src)
         |ORDER BY src, dst""".stripMargin,
 
+    "mine_assoc_rules" ->
+      """WITH it AS (
+        | SELECT DISTINCT user_id, event_type FROM events WHERE user_id <= 500),
+        |items AS (
+        | SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_item
+        | FROM it GROUP BY 1),
+        |nb AS (
+        | SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_baskets FROM it),
+        |p AS (
+        | SELECT a.event_type AS antecedent, b.event_type AS consequent,
+        |  CAST(COUNT(*) AS BIGINT) AS support
+        | FROM it a JOIN it b
+        |  ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        | GROUP BY 1, 2 HAVING COUNT(*) >= 10)
+        |SELECT antecedent, consequent, support,
+        | ia.n_item AS n_a, ic.n_item AS n_c,
+        | support * 1000000000 // ia.n_item AS conf_nano,
+        | support * nb.n_baskets * 1000000000 // (ia.n_item * ic.n_item)
+        |   AS lift_nano
+        |FROM p
+        |JOIN items ia ON ia.event_type = p.antecedent
+        |JOIN items ic ON ic.event_type = p.consequent
+        |CROSS JOIN nb
+        |ORDER BY antecedent, consequent""".stripMargin,
+
     "graph_ppr" ->
       """WITH e AS (
         | SELECT p_partkey AS src, (p_partkey * 31 + 7) % 1000 AS dst
@@ -4103,6 +4259,43 @@ object SparkEntry {
         | (SELECT src AS id FROM raw UNION ALL SELECT dst FROM raw))
         |SELECT s.id, COALESCE(l3.label, s.id) AS label
         |FROM spine s LEFT JOIN l3 ON l3.id = s.id
+        |ORDER BY s.id""".stripMargin,
+
+    "graph_kcore" ->
+      """WITH raw AS (
+        | SELECT p_partkey AS src, (p_partkey * 31 + 7) % 1000 AS dst
+        | FROM part WHERE p_partkey <= 1000
+        | UNION ALL
+        | SELECT p_partkey, (p_partkey * 17 + 3) % 1000
+        | FROM part WHERE p_partkey <= 1000),
+        |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |       FROM raw WHERE src <> dst),
+        |d1 AS (SELECT id, COUNT(*) AS deg FROM
+        |        (SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0)
+        |       GROUP BY 1),
+        |k1 AS (SELECT id FROM d1 WHERE deg >= 2),
+        |e1 AS (SELECT a, b FROM e0
+        |       WHERE a IN (SELECT id FROM k1) AND b IN (SELECT id FROM k1)),
+        |d2 AS (SELECT id, COUNT(*) AS deg FROM
+        |        (SELECT a AS id FROM e1 UNION ALL SELECT b FROM e1)
+        |       GROUP BY 1),
+        |k2 AS (SELECT id FROM d2 WHERE deg >= 2),
+        |e2 AS (SELECT a, b FROM e1
+        |       WHERE a IN (SELECT id FROM k2) AND b IN (SELECT id FROM k2)),
+        |d3 AS (SELECT id, COUNT(*) AS deg FROM
+        |        (SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2)
+        |       GROUP BY 1),
+        |k3 AS (SELECT id FROM d3 WHERE deg >= 2),
+        |e3 AS (SELECT a, b FROM e2
+        |       WHERE a IN (SELECT id FROM k3) AND b IN (SELECT id FROM k3)),
+        |dF AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        |        (SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3)
+        |       GROUP BY 1),
+        |spine AS (SELECT DISTINCT id FROM
+        | (SELECT src AS id FROM raw UNION ALL SELECT dst FROM raw))
+        |SELECT s.id, COALESCE(dF.deg, 0) AS deg_end,
+        | COALESCE(dF.deg, 0) >= 2 AS in_core
+        |FROM spine s LEFT JOIN dF ON dF.id = s.id
         |ORDER BY s.id""".stripMargin,
 
     "hier_closure" ->
@@ -4478,6 +4671,66 @@ object SparkEntry {
     "text_lang_summary" -> textLangSummaryOracle,
 
     "dq_label_agreement" -> labelAgreementOracle,
+
+    "dq_ref_integrity" -> {
+      def fk(name: String, childSql: String, parentSql: String): String =
+        s"""SELECT '$name' AS fk_name,
+           | CAST(COUNT(*) AS BIGINT) AS child_rows,
+           | CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS orphan_rows,
+           | CAST(COUNT(DISTINCT CASE WHEN p.k IS NULL THEN c.fk END) AS BIGINT)
+           |   AS orphan_keys,
+           | CAST(MIN(CASE WHEN p.k IS NULL THEN c.fk END) AS VARCHAR)
+           |   AS min_orphan_key
+           |FROM (SELECT fk FROM ($childSql) WHERE fk IS NOT NULL) c
+           |LEFT JOIN (SELECT DISTINCT k FROM ($parentSql)
+           |           WHERE k IS NOT NULL) p ON p.k = c.fk""".stripMargin
+      (fk("orders.custkey->customer",
+        """SELECT CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 10000000
+          | ELSE o_custkey END AS fk FROM orders""".stripMargin,
+        "SELECT c_custkey AS k FROM customer") +
+        "\nUNION ALL\n" +
+        fk("lineitem.partkey->part",
+          "SELECT l_partkey AS fk FROM lineitem",
+          "SELECT p_partkey AS k FROM part") +
+        "\nUNION ALL\n" +
+        fk("lineitem.suppkey->supplier",
+          """SELECT CASE WHEN (l_orderkey * 7 + l_linenumber) % 89 = 0
+            | THEN -(l_suppkey + 1) ELSE l_suppkey END AS fk
+            |FROM lineitem""".stripMargin,
+          "SELECT s_suppkey AS k FROM supplier") +
+        "\nORDER BY fk_name")
+    },
+
+    "dq_benford" ->
+      """WITH v AS (
+        | SELECT CAST(round(abs(o_totalprice) * 100) AS BIGINT) AS u
+        | FROM orders),
+        |c AS (
+        | SELECT CAST(substr(CAST(u AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        | FROM v WHERE u >= 1 GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+        |spine AS (SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), CAST(301029996 AS BIGINT)), (2, 176091259),
+        | (3, 124938737), (4, 96910013), (5, 79181246), (6, 66946790),
+        | (7, 57991947), (8, 51152522), (9, 45757491))
+        | AS t(digit, expected_nano))
+        |SELECT s.digit, COALESCE(c.n, 0) AS n,
+        | CAST(COALESCE(c.n, 0) * 1000000000 // tot.total AS BIGINT)
+        |   AS share_nano,
+        | s.expected_nano,
+        | CAST(abs(COALESCE(c.n, 0) * 1000000000 // tot.total
+        |   - s.expected_nano) AS BIGINT) AS dev_nano
+        |FROM spine s LEFT JOIN c ON c.digit = s.digit CROSS JOIN tot
+        |ORDER BY s.digit""".stripMargin,
+
+    "dq_fd_check" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        | CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_variants
+        |FROM orders WHERE o_custkey IS NOT NULL
+        |GROUP BY 1 HAVING COUNT(DISTINCT o_orderpriority) > 1
+        |ORDER BY o_custkey""".stripMargin,
 
     "sim_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,

@@ -218,6 +218,47 @@ object Graph {
     * hubs are the usual hotspot; AQE skew-join handles them, and the
     * label frequency count is map-side-combinable by construction.
     */
+  /** `rounds` synchronous peel iterations toward the k-core: each round
+    * computes degrees over the surviving subgraph and drops every node
+    * with degree < k (classic iterative k-core; with enough rounds this
+    * is exactly the k-core, with fewer it is the deterministic partial
+    * peel — rounds is part of the contract so the SQL replay chains the
+    * same number of CTE stages). Returns every original node with its
+    * degree in the surviving subgraph (0 once peeled) and the non-null
+    * `in_core` verdict `deg_end >= k`.
+    *
+    * Shape at scale: per round, one union + hash aggregate for degrees
+    * and two semi-join-shaped filters keyed on node id; lineage is cut
+    * by periodic localCheckpoint so round N plans O(1) work
+    * ([[pageRankNano]]'s discipline). Everything is exact integers.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val e0 = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    var e = e0.localCheckpoint(true)
+    for (it <- 1 to rounds) {
+      val deg = e.select(col("a").as("id"))
+        .unionByName(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select("id")
+      e = e.join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+      if (it % 2 == 0 && it < rounds) e = e.localCheckpoint(true)
+    }
+    val degEnd = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val spine = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .where(col("id").isNotNull).distinct()
+    spine.join(degEnd, Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg_end"))
+      .withColumn("in_core", col("deg_end") >= k)
+  }
+
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))

@@ -123,4 +123,98 @@ object DataQuality {
       .select(col(keyCol), col("n_ref"), col("n_cur"),
         when(col("n_cur") > 0, col("psi_raw")).as("psi"))
   }
+
+  /** Referential-integrity (foreign-key orphan) audit: one report row per
+    * checked FK — non-null child rows, rows whose key has no match in the
+    * parent, distinct orphan keys, and the smallest orphan key as a
+    * deterministic bounded witness (NULL when the FK holds). NULL child
+    * keys are skipped, matching SQL FK semantics (a NULL FK is not a
+    * violation).
+    *
+    * Shape at scale: the parent side reduces to its distinct key column
+    * before the join (map-side combine), so the probe is key-against-key —
+    * broadcast when the parent is a dim, shuffle hash join otherwise; the
+    * verdict is a single map-side-partial aggregate over the joined frame.
+    * One job per FK; no row data is collected.
+    */
+  def fkOrphans(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, fkName: String): DataFrame = {
+    val pk = parent.select(col(parentKey).as(childKey))
+      .where(col(childKey).isNotNull).distinct()
+      .withColumn("__hit", lit(1))
+    child.where(col(childKey).isNotNull)
+      .select(col(childKey)).join(pk, Seq(childKey), "left")
+      .agg(
+        count(lit(1)).as("child_rows"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("orphan_rows"),
+        count_distinct(when(col("__hit").isNull, col(childKey)))
+          .as("orphan_keys"),
+        // min in the key's native type, cast AFTER: a lexicographic
+        // string-min diverges from numeric min on mixed digit lengths
+        min(when(col("__hit").isNull, col(childKey))).cast("string")
+          .as("min_orphan_key"))
+      .select(lit(fkName).as("fk_name"), col("child_rows"),
+        col("orphan_rows"), col("orphan_keys"), col("min_orphan_key"))
+  }
+
+  /** Benford first-significant-digit profile of a positive numeric column —
+    * the classic fabricated-data / unit-drift smell test. Values snap to
+    * exact hundredth units first (`round(|x|*100)` as BIGINT — the corpus
+    * cents discipline, cross-engine bit-stable), which leaves the first
+    * significant digit of anything >= 0.01 unchanged; zeros drop out. The
+    * digit comes from the integer's decimal string, shares and deviations
+    * are truncating integer nanos against hardcoded round(log10(1+1/d)*1e9)
+    * expectations, and a 9-row digit spine guarantees every digit reports
+    * even at count 0.
+    *
+    * Shape at scale: one map-side-partial hash aggregate to 9 groups, then
+    * arithmetic against a broadcast 9-row spine — no wide shuffle anywhere.
+    */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // round(log10(1 + 1/d) * 1e9) for d = 1..9
+    val expected = Seq(1L -> 301029996L, 2L -> 176091259L, 3L -> 124938737L,
+      4L -> 96910013L, 5L -> 79181246L, 6L -> 66946790L, 7L -> 57991947L,
+      8L -> 51152522L, 9L -> 45757491L)
+    val spine = expected.toDF("digit", "expected_nano")
+    val counts = df
+      .select(round(abs(col(valueCol)) * 100).cast("long").as("u"))
+      .where(col("u") >= 1)
+      .select(substring(col("u").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("total"))
+    spine.join(counts, Seq("digit"), "left").crossJoin(broadcast(total))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        expr("coalesce(n, 0L) * 1000000000L DIV total").as("share_nano"),
+        col("expected_nano"))
+      .withColumn("dev_nano", abs(col("share_nano") - col("expected_nano")))
+  }
+
+  /** Functional-dependency audit: determinant values that map to MORE than
+    * one distinct dependent combination — i.e. violations of the FD
+    * determinant -> dependent (schema-normalization / merge-corruption
+    * check). Reports each violating determinant with its row count and the
+    * number of distinct dependent variants; an empty result means the FD
+    * holds. Dependent NULLs count as one variant only when a dependent
+    * column is non-null somewhere in the struct (count-distinct semantics
+    * over the packed struct, identical in the SQL replay).
+    *
+    * Shape at scale: a single hash aggregate keyed on the determinant with
+    * map-side partials; no join, no window.
+    */
+  def fdViolations(df: DataFrame, determinant: Seq[String],
+      dependent: Seq[String]): DataFrame = {
+    // Single dependent column stays bare so count_distinct skips NULLs the
+    // way SQL COUNT(DISTINCT x) does; a multi-column dependent packs into a
+    // struct, where a NULL member still forms a (counted) variant — the SQL
+    // row-value replay agrees, but the two shapes differ on NULLs.
+    val dep = if (dependent.sizeIs == 1) col(dependent.head)
+      else struct(dependent.map(col): _*)
+    df.groupBy(determinant.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(dep).as("n_variants"))
+      .where(col("n_variants") > 1)
+  }
 }
