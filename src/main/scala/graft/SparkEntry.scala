@@ -1408,6 +1408,50 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // Time-decay multi-touch attribution: every purchase credits ALL
+    // non-purchase touches in its 7-day lookback, weighted 2^-(full days
+    // back) — weight_nano = 1e9 >> d is exact, the per-conversion
+    // normalization is truncating integer division, and channel credit is
+    // a SUM of those integers (order-free, bit-replayable). The
+    // touch-to-conversion pairing reuses the bucketed range join (one
+    // day-bucket explode instead of a per-user cross product), so hot
+    // users never quadratically explode at scale. Conversions with no
+    // touch in window credit 'none' with their full 1e9.
+    "attr_time_decay" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .where(col("ts").isNotNull && col("event_id").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          expr("ts DIV 1000").as("us"), col("event_type"))
+      val touches = ev.where(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("us").as("t_us"),
+          col("event_type").as("t_type"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_eid"),
+          col("us").as("p_us"),
+          (col("us") - 604800000000L).as("start_us"),
+          (col("us") - 1).as("end_us"))
+      val pairs = graft.ops.RangeJoin.bucketedRangeJoin(
+          touches, purch, Seq("user_id"), "t_us", "start_us", "end_us",
+          bucket = 86400000000L)
+        .withColumn("d", expr("(p_us - t_us) DIV 86400000000L"))
+        .withColumn("w_nano",
+          expr("1000000000L DIV shiftleft(1L, CAST(d AS INT))"))
+      val tot = pairs.groupBy("user_id", "p_eid")
+        .agg(sum("w_nano").as("tw"))
+      val credited = pairs.join(tot, Seq("user_id", "p_eid"))
+        .select(col("t_type").as("channel"),
+          expr("w_nano * 1000000000L DIV tw").as("credit"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_touches"), sum("credit").as("credit_nano"))
+      val none = purch
+        .join(pairs.select("user_id", "p_eid").distinct(),
+          Seq("user_id", "p_eid"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("none").as("channel"), lit(0L).as("n_touches"),
+          (col("n") * 1000000000L).as("credit_nano"))
+      credited.unionByName(none).orderBy("channel")
+    }),
+
     // Per-key exponential time-decay feature (EWMA, alpha = 1/2) as an
     // integer-exact weighted sum: lag j carries weight 2^-(j+1), so the
     // cents value times 2^(19-j) accumulates in plain BIGINT arithmetic
@@ -1587,6 +1631,74 @@ object SparkEntry {
         .unionByName(base.select(col("p_partkey").as("src"),
           expr("(p_partkey * 17 + 3) % 1000").as("dst")))
       graft.ops.Graph.kCore(edges, k = 2, rounds = 3).orderBy("id")
+    }),
+
+    // Multi-source BFS over the same derived graph: hop distance from the
+    // seed set {id < 10} within 4 synchronous rounds, -1 = unreached.
+    // The oracle replays it as a depth-bounded recursive walk with a min
+    // aggregate (identical by induction on rounds).
+    "graph_bfs" -> ((s, d) => {
+      val base = t(s, d, "part").where(col("p_partkey") <= 1000)
+      val edges = base.select(col("p_partkey").as("src"),
+        expr("(p_partkey * 31 + 7) % 1000").as("dst"))
+        .unionByName(base.select(col("p_partkey").as("src"),
+          expr("(p_partkey * 17 + 3) % 1000").as("dst")))
+      val seeds = base.where(col("p_partkey") < 10)
+        .select(col("p_partkey").as("id"))
+      graft.ops.Graph.bfsDistances(edges, seeds, rounds = 4).orderBy("id")
+    }),
+
+    // Pairwise Jensen-Shannon divergence between per-source unigram
+    // distributions — the corpus-mixing distance report (which sources
+    // are stylistically close / far). The vocabulary is projected to the
+    // global top-200 terms (deterministic (count DESC, word) rank), which
+    // bounds per-pair state; the log terms are doubles folded in word
+    // order via the PSI discipline (sort_array fold == list ORDER BY),
+    // so the float sum replays bit-for-bit. At corpus scale the top-V
+    // selection swaps to the bounded TopKAgg — same contract.
+    "text_js_divergence" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = t(s, d, "documents")
+        .where(col("text").isNotNull && trim(col("text")) =!= "" &&
+          col("source").isNotNull)
+        .select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .where(col("w") =!= "")
+      val vocab = words.groupBy("w").agg(count(lit(1)).as("n"))
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("n").desc, col("w"))))
+        .where(col("rn") <= 200).select("w")
+      val sc = words.join(broadcast(vocab), Seq("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val grid = words.select("source").distinct().crossJoin(broadcast(vocab))
+      val cnt = grid.join(sc, Seq("source", "w"), "left")
+        .select(col("source"), col("w"), coalesce(col("c"), lit(0L)).as("c"))
+      val tot = cnt.groupBy("source").agg(sum("c").as("n"))
+      val cn = cnt.join(broadcast(tot), Seq("source")).where(col("n") > 0)
+      val j = cn.select(col("source").as("source_a"), col("w"),
+          col("c").as("ca"), col("n").as("n_a"))
+        .join(cn.select(col("source").as("source_b"), col("w"),
+          col("c").as("cb"), col("n").as("n_b")), Seq("w"))
+        .where(col("source_a") < col("source_b"))
+        .withColumn("p", col("ca").cast("double") / col("n_a").cast("double"))
+        .withColumn("q", col("cb").cast("double") / col("n_b").cast("double"))
+        .withColumn("term",
+          when(col("p") > 0, lit(0.5) * col("p") *
+            graft.plans.MathLn(col("p") / ((col("p") + col("q")) / lit(2.0))))
+            .otherwise(lit(0.0)) +
+          when(col("q") > 0, lit(0.5) * col("q") *
+            graft.plans.MathLn(col("q") / ((col("p") + col("q")) / lit(2.0))))
+            .otherwise(lit(0.0)))
+      // 200-term double sums can drift a ulp between engines even in a
+      // fixed fold order; surfacing integer nanos absorbs it (the corpus
+      // discipline for any cross-engine float reduction this wide).
+      j.groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("w"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("js_raw"))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          expr("CAST(round(js_raw * 1e9) AS BIGINT)").as("js_nano"))
+        .orderBy("source_a", "source_b")
     }),
 
     // Hierarchy closure (recursive-CTE semantics via iterative joins with
@@ -3728,6 +3840,85 @@ object SparkEntry {
         |FROM a WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY channel""".stripMargin,
 
+    "attr_time_decay" ->
+      """WITH ev AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        | FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+        |touches AS (
+        | SELECT user_id, us AS t_us, event_type AS t_type
+        | FROM ev WHERE event_type <> 'purchase'),
+        |purch AS (
+        | SELECT user_id, event_id AS p_eid, us AS p_us FROM ev
+        | WHERE event_type = 'purchase'),
+        |pairs AS (
+        | SELECT p.user_id, p.p_eid, t.t_type,
+        |  (p.p_us - t.t_us) // 86400000000 AS d
+        | FROM purch p JOIN touches t ON t.user_id = p.user_id
+        |  AND t.t_us BETWEEN p.p_us - 604800000000 AND p.p_us - 1),
+        |w AS (
+        | SELECT user_id, p_eid, t_type,
+        |  1000000000 // (CAST(1 AS BIGINT) << CAST(d AS INT)) AS w_nano
+        | FROM pairs),
+        |tot AS (
+        | SELECT user_id, p_eid, CAST(SUM(w_nano) AS BIGINT) AS tw
+        | FROM w GROUP BY 1, 2),
+        |cr AS (
+        | SELECT w.t_type AS channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(SUM(w.w_nano * 1000000000 // t.tw) AS BIGINT) AS credit_nano
+        | FROM w JOIN tot t ON t.user_id = w.user_id AND t.p_eid = w.p_eid
+        | GROUP BY 1),
+        |noatt AS (
+        | SELECT 'none' AS channel, CAST(0 AS BIGINT) AS n_touches,
+        |  CAST(COUNT(*) * 1000000000 AS BIGINT) AS credit_nano
+        | FROM purch p WHERE NOT EXISTS (
+        |  SELECT 1 FROM pairs x
+        |  WHERE x.user_id = p.user_id AND x.p_eid = p.p_eid))
+        |SELECT * FROM cr
+        |UNION ALL SELECT * FROM noatt
+        |ORDER BY channel""".stripMargin,
+
+    "text_js_divergence" ->
+      """WITH words AS (
+        | SELECT source,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        | FROM documents
+        | WHERE text IS NOT NULL AND trim(text) <> ''
+        |   AND source IS NOT NULL),
+        |ww AS (SELECT source, w FROM words WHERE w <> ''),
+        |gc AS (SELECT w, COUNT(*) AS n FROM ww GROUP BY 1),
+        |vocab AS (SELECT w FROM (
+        |  SELECT w, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rn FROM gc)
+        | WHERE rn <= 200),
+        |sc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM ww WHERE w IN (SELECT w FROM vocab) GROUP BY 1, 2),
+        |grid AS (SELECT s.source, v.w
+        |         FROM (SELECT DISTINCT source FROM ww) s CROSS JOIN vocab v),
+        |cnt AS (SELECT g.source, g.w, COALESCE(sc.c, 0) AS c
+        |        FROM grid g
+        |        LEFT JOIN sc ON sc.source = g.source AND sc.w = g.w),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+        |        FROM cnt GROUP BY 1),
+        |cn AS (SELECT c.source, c.w, c.c, t.n FROM cnt c
+        |       JOIN tot t ON t.source = c.source WHERE t.n > 0),
+        |j AS (
+        | SELECT x.source AS source_a, y.source AS source_b,
+        |  x.n AS n_a, y.n AS n_b, x.w,
+        |  CAST(x.c AS DOUBLE) / CAST(x.n AS DOUBLE) AS p,
+        |  CAST(y.c AS DOUBLE) / CAST(y.n AS DOUBLE) AS q
+        | FROM cn x JOIN cn y ON y.w = x.w AND x.source < y.source),
+        |terms AS (
+        | SELECT source_a, source_b, n_a, n_b, w,
+        |  (CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2))
+        |        ELSE 0.0 END)
+        |  + (CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2))
+        |         ELSE 0.0 END) AS term
+        | FROM j)
+        |SELECT source_a, source_b, n_a, n_b,
+        | CAST(round(list_sum(list(term ORDER BY w)) * 1e9) AS BIGINT)
+        |   AS js_nano
+        |FROM terms GROUP BY 1, 2, 3, 4
+        |ORDER BY source_a, source_b""".stripMargin,
+
     "w7_running_distinct" ->
       """WITH days AS (
         | SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
@@ -4296,6 +4487,33 @@ object SparkEntry {
         |SELECT s.id, COALESCE(dF.deg, 0) AS deg_end,
         | COALESCE(dF.deg, 0) >= 2 AS in_core
         |FROM spine s LEFT JOIN dF ON dF.id = s.id
+        |ORDER BY s.id""".stripMargin,
+
+    // adj is MATERIALIZED: a recursive member re-derives every upstream
+    // CTE per iteration otherwise (the emb_pca trap).
+    "graph_bfs" ->
+      """WITH RECURSIVE raw AS (
+        | SELECT p_partkey AS src, (p_partkey * 31 + 7) % 1000 AS dst
+        | FROM part WHERE p_partkey <= 1000
+        | UNION ALL
+        | SELECT p_partkey, (p_partkey * 17 + 3) % 1000
+        | FROM part WHERE p_partkey <= 1000),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM raw WHERE src <> dst),
+        |adj AS MATERIALIZED (SELECT a AS id, b AS nb FROM e
+        |       UNION ALL SELECT b, a FROM e),
+        |seeds AS (SELECT DISTINCT p_partkey AS id FROM part
+        |          WHERE p_partkey < 10),
+        |walk(id, d) AS (
+        | SELECT id, CAST(0 AS BIGINT) FROM seeds
+        | UNION
+        | SELECT a.nb, w.d + 1 FROM walk w JOIN adj a ON a.id = w.id
+        | WHERE w.d < 4),
+        |dist AS (SELECT id, MIN(d) AS dist FROM walk GROUP BY 1),
+        |spine AS (SELECT DISTINCT id FROM
+        | (SELECT src AS id FROM raw UNION ALL SELECT dst FROM raw))
+        |SELECT s.id, COALESCE(dist.dist, -1) AS dist
+        |FROM spine s LEFT JOIN dist ON dist.id = s.id
         |ORDER BY s.id""".stripMargin,
 
     "hier_closure" ->

@@ -232,6 +232,42 @@ object Graph {
     * by periodic localCheckpoint so round N plans O(1) work
     * ([[pageRankNano]]'s discipline). Everything is exact integers.
     */
+  /** Multi-source BFS: `rounds` synchronous min-plus iterations from the
+    * seed set over the undirected graph; returns every node with its hop
+    * distance to the nearest seed, or -1 if unreached within `rounds`
+    * (fixed round count is the contract — the SQL replay bounds its
+    * recursive walk at the same depth, and min-over-walks ==
+    * synchronous-iteration by induction). Exact integers throughout.
+    *
+    * Shape at scale: the adjacency is repartitioned on the join key once
+    * and checkpointed; each round is one join frontier-to-adjacency plus
+    * a min-combine hash aggregate (map-side partials). Frontier dedup is
+    * implicit in the min aggregate, so hub fan-in never amplifies rows
+    * past one per (node, round).
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val adj = e.select(col("a").as("id"), col("b").as("nb"))
+      .unionByName(e.select(col("b").as("id"), col("a").as("nb")))
+      .repartition(col("nb")).localCheckpoint(true)
+    var dist = seeds.select(col("id")).where(col("id").isNotNull).distinct()
+      .withColumn("dist", lit(0L))
+    for (it <- 1 to rounds) {
+      val cand = adj.join(dist.withColumnRenamed("id", "nb"), Seq("nb"))
+        .select(col("id"), (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(cand).groupBy("id").agg(min("dist").as("dist"))
+      if (it % 2 == 0 && it < rounds) dist = dist.localCheckpoint(true)
+    }
+    val spine = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .where(col("id").isNotNull).distinct()
+    spine.join(dist, Seq("id"), "left")
+      .select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+  }
+
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val e0 = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))

@@ -82,6 +82,19 @@ class QualityAndMiningSpec extends SparkSpec {
     assert(out.forall(_.getAs[Any]("in_core") != null))
   }
 
+  test("bfsDistances: exact hop counts, -1 beyond the round horizon, multi-seed min") {
+    // path 1-2-3-4-5-6 plus seed 9 adjacent to 5
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (9L, 5L))
+      .toDF("src", "dst")
+    val one = Graph.bfsDistances(edges, Seq(1L).toDF("id"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> -1L, 6L -> -1L, 9L -> -1L))
+    val two = Graph.bfsDistances(edges, Seq(1L, 9L).toDF("id"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two(5L) == 1L && two(6L) == 2L && two(4L) == 2L) // min over seeds
+  }
+
   test("seasonal profile: per-position means, global dev, MAD, floor on negatives") {
     val rows = Seq(
       ("a", 0L, 10L), ("a", 0L, 20L), ("a", 1L, 30L),
