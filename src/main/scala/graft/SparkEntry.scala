@@ -1537,6 +1537,80 @@ object SparkEntry {
         .orderBy("event_type", "dow")
     }),
 
+    // CUSUM change-point report per event type: running sum of
+    // (value - series mean) in exact integer nanos over the (us,
+    // event_id) total order; the change point is the row maximizing
+    // |cusum| (ties to the smaller event_id via a struct-min argmax, not
+    // a window sort). Integer mean division truncates identically on
+    // both engines (Spark DIV == DuckDB //), so signs agree.
+    "ts_cusum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+        .where(col("ts").isNotNull && col("event_id").isNotNull &&
+          col("value").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          expr("ts DIV 1000").as("us"),
+          expr("CAST(round(value * 1e9) AS BIGINT)").as("v"))
+      val mean = ev.groupBy("event_type")
+        .agg(expr("sum(v) DIV count(1)").as("mean_nano"),
+          count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.join(broadcast(mean), Seq("event_type"))
+        .withColumn("cusum", sum(col("v") - col("mean_nano")).over(w))
+        .groupBy("event_type")
+        .agg(max("n").as("n_rows"),
+          min(struct((-abs(col("cusum"))).as("na"),
+            col("event_id").as("eid"), col("cusum").as("cv"))).as("m"))
+        .select(col("event_type"), col("n_rows"),
+          col("m.eid").as("cp_event_id"), col("m.cv").as("cp_cusum_nano"))
+        .orderBy("event_type")
+    }),
+
+    // Integer autocorrelation at lags 1..3 per event type: values snap to
+    // whole units, residuals center on the floor mean, and
+    // acf_nano = sum(r_t * r_{t+l}) * 1e9 DIV sum(r_t^2) is exact
+    // BIGINT end to end (both engines truncate integer division toward
+    // zero, so negative ACF agrees). Unit snap keeps num*1e9 inside
+    // BIGINT through sf0.1;
+    // beyond that the sums move to DECIMAL(38,0), same plan. Constant
+    // series (den = 0) report NULL.
+    "ts_acf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+        .where(col("ts").isNotNull && col("event_id").isNotNull &&
+          col("value").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          expr("ts DIV 1000").as("us"),
+          expr("CAST(round(value) AS BIGINT)").as("vu"))
+      val mean = ev.groupBy("event_type")
+        .agg(expr("sum(vu) DIV count(1)").as("mu"))
+      val w = Window.partitionBy("event_type").orderBy(col("us"), col("event_id"))
+      val r = ev.join(broadcast(mean), Seq("event_type"))
+        .withColumn("r", col("vu") - col("mu"))
+        .withColumn("r1", lead(col("r"), 1).over(w))
+        .withColumn("r2", lead(col("r"), 2).over(w))
+        .withColumn("r3", lead(col("r"), 3).over(w))
+      r.groupBy("event_type").agg(
+          sum(col("r") * col("r")).as("den"),
+          sum(col("r") * col("r1")).as("num1"), count(col("r1")).as("c1"),
+          sum(col("r") * col("r2")).as("num2"), count(col("r2")).as("c2"),
+          sum(col("r") * col("r3")).as("num3"), count(col("r3")).as("c3"))
+        .select(col("event_type"), col("den"), explode(array(
+          struct(lit(1L).as("lag"), col("num1").as("num"),
+            col("c1").as("n_pairs")),
+          struct(lit(2L).as("lag"), col("num2").as("num"),
+            col("c2").as("n_pairs")),
+          struct(lit(3L).as("lag"), col("num3").as("num"),
+            col("c3").as("n_pairs")))).as("s"))
+        .select(col("event_type"), col("s.lag").as("lag"),
+          col("s.n_pairs").as("n_pairs"),
+          when(col("den") > 0, expr("s.num * 1000000000L DIV den"))
+            .as("acf_nano"))
+        .orderBy("event_type", "lag")
+    }),
+
     // Order-independent table content checksum (replication / migration
     // verification): bit_xor of stable row hashes + row count per table.
     // XOR is commutative-associative, so any partitioning agrees; doubles
@@ -1633,6 +1707,43 @@ object SparkEntry {
       graft.ops.Graph.kCore(edges, k = 2, rounds = 3).orderBy("id")
     }),
 
+    // Community-quality report: Newman modularity of the label-prop
+    // communities over the same graph, per community — contribution
+    // computed EXACTLY as integer nanos ((4m*e_c - deg_c^2)*1e9 DIV
+    // 4m^2, one truncating division per community over pure-integer
+    // counts). Total Q = sum of contributions.
+    "graph_modularity" -> ((s, d) => {
+      val base = t(s, d, "part").where(col("p_partkey") <= 1000)
+      val edges = base.select(col("p_partkey").as("src"),
+        expr("(p_partkey * 31 + 7) % 1000").as("dst"))
+        .unionByName(base.select(col("p_partkey").as("src"),
+          expr("(p_partkey * 17 + 3) % 1000").as("dst")))
+      val labels = graft.ops.Graph.labelPropagation(edges, rounds = 3)
+      val e = edges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .where(col("a").isNotNull && col("b").isNotNull &&
+          col("a") =!= col("b")).distinct()
+      val m = e.agg(count(lit(1)).as("m"))
+      val la = labels.select(col("id").as("a"), col("label").as("la"))
+      val lb = labels.select(col("id").as("b"), col("label").as("lb"))
+      val tagged = e.join(la, Seq("a")).join(lb, Seq("b"))
+      val ein = tagged.where(col("la") === col("lb"))
+        .groupBy(col("la").as("community"))
+        .agg(count(lit(1)).as("e_in"))
+      val degc = tagged.select(col("la").as("community"))
+        .unionByName(tagged.select(col("lb").as("community")))
+        .groupBy("community").agg(count(lit(1)).as("deg_sum"))
+      degc.join(ein, Seq("community"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("community"),
+          coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"),
+          // negative contributions are safe: Spark DIV and DuckDB //
+          // both truncate toward zero (verified on negative operands)
+          expr("(4 * m * coalesce(e_in, 0L) - deg_sum * deg_sum)" +
+            " * 1000000000L DIV (4 * m * m)").as("contrib_nano"))
+        .orderBy("community")
+    }),
+
     // Multi-source BFS over the same derived graph: hop distance from the
     // seed set {id < 10} within 4 synchronous rounds, -1 = unreached.
     // The oracle replays it as a depth-bounded recursive walk with a min
@@ -1710,6 +1821,24 @@ object SparkEntry {
         .select(col("p_partkey").as("id"),
           when(col("p_partkey") > 0, expr("p_partkey DIV 4")).as("parent"))
       graft.ops.Hierarchy.rootPaths(edges).orderBy("id")
+    }),
+
+    // Hierarchy rollup: aggregate a fact value up the closure — per root
+    // of the 4-ary forest (roots = ids < 4 here), subtree size, max
+    // depth, and total retail cents of every descendant. The closure
+    // comes from the same iterative rootPaths walk; the rollup is one
+    // root-keyed hash aggregate over it.
+    "hier_rollup" -> ((s, d) => {
+      val parts = t(s, d, "part").where(col("p_partkey") <= 2000)
+      val edges = parts.select(col("p_partkey").as("id"),
+        when(col("p_partkey") >= 4, expr("p_partkey DIV 4")).as("parent"))
+      graft.ops.Hierarchy.rootPaths(edges)
+        .join(parts.select(col("p_partkey").as("id"),
+          cents(col("p_retailprice")).as("vc")), Seq("id"))
+        .groupBy("root")
+        .agg(count(lit(1)).as("n_nodes"), max("depth").as("max_depth"),
+          sum("vc").as("total_cents"))
+        .orderBy("root")
     }),
 
     // Incremental aggregate maintenance: the lineitem "history" arrives as
@@ -1997,6 +2126,36 @@ object SparkEntry {
           3L -> Seq("vector", "hash", "merge")), k = 10)
         .orderBy("query_id", "rank")),
 
+    // Reciprocal-rank fusion of two retrieval rankers over the same
+    // queries: BM25 top-20 and a term-coverage ranker (distinct query
+    // words matched, doc-id tie-break), fused with exact integer-nano
+    // RRF credits 1e9 DIV (60 + rank) and re-ranked on the bounded
+    // merged set. The hybrid-retrieval staple (lexical + second signal).
+    "rank_fusion_rrf" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq(1L -> Seq("spark", "join", "fast"),
+        2L -> Seq("customer", "query", "slow"),
+        3L -> Seq("vector", "hash", "merge"))
+      val docs = t(s, d, "documents")
+      val bm = TextAnalysis.bm25TopK(docs, qs, k = 20)
+        .select("query_id", "doc_id", "rank")
+      val q = qs.flatMap { case (qid, ts) => ts.map(w => (qid, w)) }
+        .toDF("query_id", "word")
+      val cov = graft.core.Graft.spread(docs)
+        .select(col("doc_id"),
+          explode(graft.functions.Text.tokens(col("text"))).as("word"))
+        .where(col("word") =!= "").distinct()
+        .join(broadcast(q), Seq("word"))
+        .groupBy("query_id", "doc_id")
+        .agg(count_distinct(col("word")).cast("double").as("s"))
+      val covRanked = graft.ops.TopK.perGroupTopK(
+          cov, Seq("query_id"), "doc_id", "s", 20)
+        .select("query_id", "doc_id", "rank")
+      graft.ops.Fusion.rrf(Seq(bm, covRanked), Seq("query_id"), "doc_id",
+          "rank")
+        .orderBy("query_id", "rrf_rank")
+    }),
+
     // BPE inference: a FIXED trained merge list (the model artifact)
     // applied corpus-wide — words split to chars, merges folded in order,
     // all map-side. Output: per-doc subword count + first-10 subwords.
@@ -2275,6 +2434,42 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), k = 10)
         .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Matryoshka truncation audit: recall@10 of brute-force cosine
+    // retrieval when embeddings are truncated to their first 16 of 64
+    // dims (the MRL serving trade-off, Kusupati et al. 2022) against the
+    // full-dim ranking. Both rankings use the exact per-partition kernel;
+    // the report is pure integers (overlap count, truncating nano
+    // recall), so cosine ULPs never surface.
+    "sim_matryoshka_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      def trunc(df: DataFrame) =
+        df.withColumn("embedding", slice(col("embedding"), 1, 16))
+      val full = Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select("query_id", "corpus_id")
+      val cut = Similarity.bruteForceTopK(trunc(emb), trunc(queries), k = 10)
+        .select("query_id", "corpus_id")
+      val overlap = full.join(cut, Seq("query_id", "corpus_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(overlap, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          expr("coalesce(n_overlap, 0L) * 1000000000L DIV 10")
+            .as("recall_nano"))
+        .orderBy("query_id")
+    }),
+
+    // 1-bit binary quantization ANN: sign-bit pack to two 32-bit words
+    // per vector, exact Hamming ranking via xor + popcount — the 1-bit
+    // tier of the quantization ladder (brute / LSH / IVF / SQ8 / PQ /
+    // binary), integer end to end.
+    "sim_binary_hamming_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.binaryHammingTopK(emb, emb.where(col("vec_id") < 5), k = 10)
         .orderBy("query_id", "rank")
     }),
 
@@ -2704,6 +2899,14 @@ object SparkEntry {
       graft.ops.Sampling.groupK(t(s, d, "documents"), "lang", "doc_id",
         k = 20)
         .orderBy("lang", "rank")),
+
+    // Class rebalancing: every source downsampled to the smallest
+    // source's size; smallest stable hashes win, data-derived cut rides
+    // a broadcast one-row min (Sampling.balanceClasses).
+    "sample_balance_classes" -> ((s, d) =>
+      graft.ops.Sampling.balanceClasses(t(s, d, "documents"),
+        "source", "doc_id")
+        .orderBy("source", "rank")),
 
     // Per-source char-budget quota: greedy in stable-hash order, a doc
     // survives iff the running char total including it stays within the
@@ -4119,8 +4322,8 @@ object SparkEntry {
         |  AND abs((d.value - d.med) / (1.4826 * s.mad)) > 3.0
         |ORDER BY event_type, event_id""".stripMargin,
 
-    // Floor division (//) on both sides: the Spark op uses the pmod
-    // identity, so negative nano sums agree too.
+    // Integer division on both sides truncates toward zero (Spark DIV ==
+    // DuckDB //, verified on negative operands), so signs agree too.
     "ts_seasonal" ->
       """WITH base AS (
         | SELECT event_type,
@@ -4150,6 +4353,63 @@ object SparkEntry {
         |JOIN gl g ON g.event_type = s.event_type
         |JOIN resid r ON r.event_type = s.event_type AND r.dow = s.dow
         |ORDER BY s.event_type, s.dow""".stripMargin,
+
+    "ts_cusum" ->
+      """WITH ev AS (
+        | SELECT event_type, event_id, epoch_us(ts) AS us,
+        |  CAST(round(value * 1e9) AS BIGINT) AS v
+        | FROM events
+        | WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |   AND value IS NOT NULL AND event_type IS NOT NULL),
+        |m AS (
+        | SELECT event_type, SUM(v) // COUNT(*) AS mean_nano,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        | FROM ev GROUP BY 1),
+        |cs AS (
+        | SELECT e.event_type, e.event_id, m.n,
+        |  CAST(SUM(e.v - m.mean_nano) OVER (
+        |   PARTITION BY e.event_type ORDER BY e.us, e.event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cusum
+        | FROM ev e JOIN m USING (event_type)),
+        |r AS (
+        | SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |   ORDER BY abs(cusum) DESC, event_id) AS rn FROM cs)
+        |SELECT event_type, n AS n_rows, event_id AS cp_event_id,
+        | cusum AS cp_cusum_nano
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "ts_acf" ->
+      """WITH ev AS (
+        | SELECT event_type, event_id, epoch_us(ts) AS us,
+        |  CAST(round(value) AS BIGINT) AS vu
+        | FROM events
+        | WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |   AND value IS NOT NULL AND event_type IS NOT NULL),
+        |m AS (
+        | SELECT event_type, SUM(vu) // COUNT(*) AS mu FROM ev GROUP BY 1),
+        |r AS (
+        | SELECT e.event_type, (e.vu - m.mu) AS r,
+        |  lead(e.vu - m.mu, 1) OVER w AS r1,
+        |  lead(e.vu - m.mu, 2) OVER w AS r2,
+        |  lead(e.vu - m.mu, 3) OVER w AS r3
+        | FROM ev e JOIN m USING (event_type)
+        | WINDOW w AS (PARTITION BY e.event_type ORDER BY e.us, e.event_id)),
+        |a AS (
+        | SELECT event_type, CAST(SUM(r*r) AS BIGINT) AS den,
+        |  CAST(SUM(r*r1) AS BIGINT) AS num1, CAST(COUNT(r1) AS BIGINT) AS c1,
+        |  CAST(SUM(r*r2) AS BIGINT) AS num2, CAST(COUNT(r2) AS BIGINT) AS c2,
+        |  CAST(SUM(r*r3) AS BIGINT) AS num3, CAST(COUNT(r3) AS BIGINT) AS c3
+        | FROM r GROUP BY 1),
+        |l AS (
+        | SELECT event_type, CAST(1 AS BIGINT) AS lag, num1 AS num,
+        |  c1 AS n_pairs, den FROM a
+        | UNION ALL SELECT event_type, 2, num2, c2, den FROM a
+        | UNION ALL SELECT event_type, 3, num3, c3, den FROM a)
+        |SELECT event_type, lag, n_pairs,
+        | CASE WHEN den > 0
+        |      THEN CAST(num * 1000000000 // den AS BIGINT) END AS acf_nano
+        |FROM l ORDER BY event_type, lag""".stripMargin,
 
     "q_table_checksum" -> {
       def ckSql(name: String, table: String, key: String) =
@@ -4489,6 +4749,58 @@ object SparkEntry {
         |FROM spine s LEFT JOIN dF ON dF.id = s.id
         |ORDER BY s.id""".stripMargin,
 
+    // Replays the label-prop chain (graph_label_prop's CTEs), then the
+    // exact integer modularity aggregation.
+    "graph_modularity" ->
+      """WITH raw AS (
+        | SELECT p_partkey AS src, (p_partkey * 31 + 7) % 1000 AS dst
+        | FROM part WHERE p_partkey <= 1000
+        | UNION ALL
+        | SELECT p_partkey, (p_partkey * 17 + 3) % 1000
+        | FROM part WHERE p_partkey <= 1000),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM raw WHERE src <> dst),
+        |adj AS (SELECT a AS id, b AS nb FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |l0 AS (SELECT DISTINCT id, id AS label FROM adj),
+        |f1 AS (SELECT adj.id, l.label, COUNT(*) AS cnt
+        |       FROM adj JOIN l0 l ON l.id = adj.nb GROUP BY adj.id, l.label),
+        |l1 AS (SELECT id, label FROM (
+        |        SELECT id, label, ROW_NUMBER() OVER
+        |          (PARTITION BY id ORDER BY cnt DESC, label) AS rn FROM f1)
+        |       WHERE rn = 1),
+        |f2 AS (SELECT adj.id, l.label, COUNT(*) AS cnt
+        |       FROM adj JOIN l1 l ON l.id = adj.nb GROUP BY adj.id, l.label),
+        |l2 AS (SELECT id, label FROM (
+        |        SELECT id, label, ROW_NUMBER() OVER
+        |          (PARTITION BY id ORDER BY cnt DESC, label) AS rn FROM f2)
+        |       WHERE rn = 1),
+        |f3 AS (SELECT adj.id, l.label, COUNT(*) AS cnt
+        |       FROM adj JOIN l2 l ON l.id = adj.nb GROUP BY adj.id, l.label),
+        |l3 AS (SELECT id, label FROM (
+        |        SELECT id, label, ROW_NUMBER() OVER
+        |          (PARTITION BY id ORDER BY cnt DESC, label) AS rn FROM f3)
+        |       WHERE rn = 1),
+        |spine AS (SELECT DISTINCT id FROM
+        | (SELECT src AS id FROM raw UNION ALL SELECT dst FROM raw)),
+        |lbl AS (SELECT s.id, COALESCE(l3.label, s.id) AS label
+        |        FROM spine s LEFT JOIN l3 ON l3.id = s.id),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+        |tg AS (SELECT e.a, e.b, la.label AS la, lb.label AS lb
+        |       FROM e JOIN lbl la ON la.id = e.a
+        |       JOIN lbl lb ON lb.id = e.b),
+        |ein AS (SELECT la AS community, CAST(COUNT(*) AS BIGINT) AS e_in
+        |        FROM tg WHERE la = lb GROUP BY 1),
+        |degc AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS deg_sum
+        |         FROM (SELECT la AS community FROM tg
+        |               UNION ALL SELECT lb FROM tg) GROUP BY 1)
+        |SELECT d.community, COALESCE(ein.e_in, 0) AS e_in, d.deg_sum,
+        | CAST((4 * mm.m * COALESCE(ein.e_in, 0) - d.deg_sum * d.deg_sum)
+        |   * 1000000000 // (4 * mm.m * mm.m) AS BIGINT) AS contrib_nano
+        |FROM degc d LEFT JOIN ein ON ein.community = d.community
+        |CROSS JOIN mm
+        |ORDER BY d.community""".stripMargin,
+
     // adj is MATERIALIZED: a recursive member re-derives every upstream
     // CTE per iteration otherwise (the emb_pca trap).
     "graph_bfs" ->
@@ -4531,6 +4843,30 @@ object SparkEntry {
         |WHERE NOT EXISTS (
         | SELECT 1 FROM e p WHERE p.id = w.anc AND p.parent IS NOT NULL)
         |ORDER BY id""".stripMargin,
+
+    "hier_rollup" ->
+      """WITH RECURSIVE e AS (
+        | SELECT p_partkey AS id,
+        |  CASE WHEN p_partkey >= 4 THEN p_partkey // 4 END AS parent
+        | FROM part WHERE p_partkey <= 2000),
+        |walk AS (
+        | SELECT id, id AS anc, CAST(0 AS BIGINT) AS depth FROM e
+        | UNION ALL
+        | SELECT w.id, p.parent, w.depth + 1
+        | FROM walk w JOIN e p ON p.id = w.anc AND p.parent IS NOT NULL),
+        |rp AS (
+        | SELECT id, anc AS root, depth FROM walk w
+        | WHERE NOT EXISTS (
+        |  SELECT 1 FROM e p WHERE p.id = w.anc AND p.parent IS NOT NULL)),
+        |v AS (
+        | SELECT p_partkey AS id,
+        |  CAST(round(p_retailprice * 100) AS BIGINT) AS vc
+        | FROM part WHERE p_partkey <= 2000)
+        |SELECT rp.root, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        | CAST(MAX(rp.depth) AS BIGINT) AS max_depth,
+        | CAST(SUM(v.vc) AS BIGINT) AS total_cents
+        |FROM rp JOIN v ON v.id = rp.id
+        |GROUP BY 1 ORDER BY root""".stripMargin,
 
     "dedup_passages" ->
       """WITH words AS (
@@ -4727,6 +5063,56 @@ object SparkEntry {
         | FROM sc)
         |SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // BM25 scoring CTEs mirror text_bm25_topk (same query battery, rank
+    // cap 20); the coverage ranker and the fused RRF re-rank are exact
+    // integer arithmetic.
+    "rank_fusion_rrf" ->
+      """WITH q AS (SELECT CAST(qid AS BIGINT) AS query_id, word FROM (VALUES
+        |  (1,'spark'),(1,'join'),(1,'fast'),
+        |  (2,'customer'),(2,'query'),(2,'slow'),
+        |  (3,'vector'),(3,'hash'),(3,'merge')) t(qid, word)),
+        |tf AS (
+        | SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        | WHERE word <> '' GROUP BY doc_id, word),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+        |dfs AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+        |        WHERE word IN (SELECT word FROM q) GROUP BY word),
+        |sc AS (
+        | SELECT query_id, doc_id,
+        |  CAST(SUM(CAST(round(
+        |   ln((CAST(st.n AS DOUBLE) - CAST(dfs.df AS DOUBLE) + 0.5) / (CAST(dfs.df AS DOUBLE) + 0.5) + 1.0)
+        |   * ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE)
+        |      + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / (CAST(st.tot AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+        |   * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS score
+        | FROM q JOIN tf USING (word) JOIN dfs USING (word) JOIN dl USING (doc_id) CROSS JOIN st
+        | GROUP BY query_id, doc_id),
+        |r1 AS (SELECT query_id, doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+        | FROM sc QUALIFY rank <= 20),
+        |cov AS (
+        | SELECT query_id, doc_id, COUNT(DISTINCT word) AS nm
+        | FROM (SELECT DISTINCT doc_id, word FROM tf) dw JOIN q USING (word)
+        | GROUP BY 1, 2),
+        |r2 AS (SELECT query_id, doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY nm DESC, doc_id ASC) AS BIGINT) AS rank
+        | FROM cov QUALIFY rank <= 20),
+        |fused AS (
+        | SELECT query_id, doc_id, r1.rank AS rank_1, r2.rank AS rank_2,
+        |  COALESCE(1000000000 // (60 + r1.rank), 0)
+        |   + COALESCE(1000000000 // (60 + r2.rank), 0) AS rrf_nano
+        | FROM r1 FULL OUTER JOIN r2 USING (query_id, doc_id))
+        |SELECT query_id, doc_id, rank_1, rank_2,
+        | CAST(rrf_nano AS BIGINT) AS rrf_nano,
+        | CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |   ORDER BY rrf_nano DESC, doc_id) AS BIGINT) AS rrf_rank
+        |FROM fused QUALIFY rrf_rank <= 10
+        |ORDER BY query_id, rrf_rank""".stripMargin,
 
     "bpe_top_pairs" ->
       """WITH words AS (
@@ -4999,6 +5385,68 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_binary_hamming_topk" ->
+      """WITH clean AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        | WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |  AND len(embedding) = list_aggregate(embedding, 'count')),
+        |el AS (SELECT vec_id, unnest(v) AS x,
+        |        generate_subscripts(v, 1) - 1 AS i FROM clean),
+        |wrd AS (SELECT vec_id,
+        |  CAST(SUM(CASE WHEN i < 32 AND x >= 0 AND NOT isnan(x)
+        |    THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)
+        |    AS BIGINT) AS w0,
+        |  CAST(SUM(CASE WHEN i >= 32 AND x >= 0 AND NOT isnan(x)
+        |    THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END)
+        |    AS BIGINT) AS w1
+        | FROM el GROUP BY 1),
+        |q AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+        |      FROM wrd WHERE vec_id < 5),
+        |sc AS (SELECT q.query_id, c.vec_id AS corpus_id,
+        |  CAST(bit_count(xor(c.w0, q.q0))
+        |    + bit_count(xor(c.w1, q.q1)) AS BIGINT) AS hamming
+        | FROM wrd c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, corpus_id, hamming,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY hamming ASC, corpus_id ASC) AS BIGINT) AS rank
+        | FROM sc)
+        |SELECT query_id, corpus_id, hamming, rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_matryoshka_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         | c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+         |       FROM embeddings),
+         | fr AS (
+         |  SELECT query_id, corpus_id FROM (
+         |   SELECT q.query_id, c.corpus_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${cosineSql("q.qv", "c.cv")} DESC,
+         |      c.corpus_id ASC) AS rank
+         |   FROM c CROSS JOIN q
+         |   WHERE c.corpus_id <> q.query_id)
+         |  WHERE rank <= 10),
+         | qt AS (SELECT query_id, qv[1:16] AS qv FROM q),
+         | ct AS (SELECT corpus_id, cv[1:16] AS cv FROM c),
+         | tr AS (
+         |  SELECT query_id, corpus_id FROM (
+         |   SELECT qt.query_id, ct.corpus_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qt.query_id
+         |      ORDER BY ${cosineSql("qt.qv", "ct.cv")} DESC,
+         |      ct.corpus_id ASC) AS rank
+         |   FROM ct CROSS JOIN qt
+         |   WHERE ct.corpus_id <> qt.query_id)
+         |  WHERE rank <= 10),
+         | ov AS (
+         |  SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+         |  FROM fr f JOIN tr USING (query_id, corpus_id) GROUP BY 1)
+         |SELECT q.query_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+         | CAST(COALESCE(ov.n_overlap, 0) * 1000000000 // 10 AS BIGINT)
+         |   AS recall_nano
+         |FROM q LEFT JOIN ov USING (query_id)
+         |ORDER BY q.query_id""".stripMargin,
 
     "sim_knn_classify" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
@@ -5492,6 +5940,26 @@ object SparkEntry {
          | FROM h)
          |SELECT lang, doc_id, rank FROM r
          |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
+
+    "sample_balance_classes" ->
+      s"""WITH sizes AS (
+         | SELECT source, CAST(COUNT(*) AS BIGINT) AS class_size
+         | FROM documents GROUP BY 1),
+         |kk AS (SELECT CAST(MIN(class_size) AS BIGINT) AS k_kept FROM sizes),
+         |h AS (
+         | SELECT source, doc_id,
+         |  (${hash60Sql("CAST(doc_id AS VARCHAR)", 0)}
+         |    % 9007199254740992) AS hh
+         | FROM documents),
+         |r AS (
+         | SELECT source, doc_id, CAST(ROW_NUMBER() OVER (
+         |   PARTITION BY source ORDER BY hh ASC, doc_id ASC) AS BIGINT)
+         |   AS rank
+         | FROM h)
+         |SELECT r.source, r.doc_id, r.rank, s.class_size, kk.k_kept
+         |FROM r JOIN sizes s ON s.source = r.source CROSS JOIN kk
+         |WHERE r.rank <= kk.k_kept
+         |ORDER BY r.source, r.rank""".stripMargin,
 
     "sample_quota_budget" ->
       s"""WITH h AS (

@@ -75,6 +75,34 @@ object Sampling {
       Seq(groupCol), idCol, "__nh", k)
       .select(col(groupCol), col(idCol), col("rank"))
 
+  /** Class rebalancing: downsample every class to the size of the
+    * SMALLEST class — the "equalize label distribution" step before
+    * training on skewed data. Within each class the keep-set is the
+    * [[groupK]] discipline (smallest stable hashes win, id tie-break),
+    * but the cut k is DATA-derived (min class size), so it rides in on a
+    * broadcast one-row aggregate instead of a compile-time constant.
+    * Returns kept rows as `(classCol, idCol, rank, class_size, k_kept)`.
+    *
+    * Shape at scale: one count aggregate to class cardinality (tiny),
+    * its min broadcast back, and one per-class window sort for ranks —
+    * classes are label-bounded, the standard per-group-sort shape. With
+    * a static k the bounded-buffer [[TopK.perGroupTopK]] variant
+    * ([[groupK]]) avoids even that sort.
+    */
+  def balanceClasses(df: DataFrame, classCol: String, idCol: String,
+      seed: Int = 0): DataFrame = {
+    val sizes = df.groupBy(classCol).agg(count(lit(1)).as("class_size"))
+    val kRow = sizes.agg(min(col("class_size")).as("k_kept"))
+    val w = Window.partitionBy(classCol)
+      .orderBy((StableHash.hash60(col(idCol), seed) %
+        lit(9007199254740992L)).asc, col(idCol).asc)
+    df.select(col(classCol), col(idCol))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .join(broadcast(sizes), Seq(classCol))
+      .crossJoin(broadcast(kRow))
+      .where(col("rank") <= col("k_kept"))
+  }
+
   /** Per-group budget quota (the "at most X tokens per source" cap of
     * corpus assembly, the batch twin of the streaming per-source admission
     * cap): within each group, rows are taken in stable-hash order until

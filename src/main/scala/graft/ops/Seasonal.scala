@@ -10,11 +10,11 @@ import org.apache.spark.sql.functions._
   * aggregates and a broadcast join, no ordered scan).
   *
   * All comparisons happen in exact integer nanos: values snap to
-  * `round(v*1e9)` BIGINT once, means are FLOOR-division `SUM / COUNT`
-  * (floor, not Spark's truncating DIV, via the pmod identity — so a
-  * negative-valued series still replays bit-for-bit against SQL's
-  * floor-division `//`), and the mean absolute residual re-aggregates
-  * against the broadcast seasonal means.
+  * `round(v*1e9)` BIGINT once, means are truncating-division
+  * `SUM DIV COUNT` (identical to DuckDB's integer `//`, which ALSO
+  * truncates toward zero — verified on negative operands, so a
+  * negative-valued series replays bit-for-bit), and the mean absolute
+  * residual re-aggregates against the broadcast seasonal means.
   * BIGINT bounds: nano sums carry ~9.2e18 headroom, i.e. ~1.8e7 rows per
   * group at |v| <= 500; beyond that move the sums to DECIMAL(38,0) —
   * same plan shape.
@@ -39,10 +39,9 @@ object Seasonal {
     val seas = base.groupBy(keyCol, posCol)
       .agg(count(lit(1)).as("n"), sum(valueNanoCol).as("sv"))
       .select(col(keyCol), col(posCol), col("n"),
-        expr("(sv - pmod(sv, n)) DIV n").as("seasonal_nano"))
+        expr("sv DIV n").as("seasonal_nano"))
     val glob = base.groupBy(keyCol)
-      .agg(expr(s"(sum($valueNanoCol) - pmod(sum($valueNanoCol), count(1)))" +
-        " DIV count(1)").as("global_nano"))
+      .agg(expr(s"sum($valueNanoCol) DIV count(1)").as("global_nano"))
     val resid = base
       .join(broadcast(seas.select(col(keyCol), col(posCol),
         col("seasonal_nano"))), Seq(keyCol, posCol))

@@ -27,6 +27,60 @@ import graft.functions.Vectors
   */
 object Similarity {
 
+  /** Binary-quantized ANN: each clean `dim`-dim vector packs to
+    * `ceil(dim/32)` sign-bit words (bit set iff the coordinate is >= 0,
+    * 32 bits per BIGINT word so no sum ever touches the sign bit), and
+    * retrieval ranks by exact Hamming distance `sum of
+    * bit_count(xor(word_q, word_c))` — the 1-bit tier below SQ8/PQ in
+    * the quantization ladder (Indyk-Motwani sign-random-projection LSH
+    * degenerates to this for identity projections). Everything is exact
+    * BIGINT arithmetic: pack, xor, popcount, rank — no float anywhere,
+    * so the SQL replay is bit-trivial. Degenerate vectors (null, ragged,
+    * null element) drop at index build on both sides.
+    *
+    * Output: `(query_id, corpus_id, hamming, rank)`, rank by hamming
+    * ASC with corpus-id tie-break, self-pairs excluded.
+    *
+    * Shape at scale: the pack is one explode + hash aggregate per side
+    * (index-build cost, storable); scoring joins the tiny query index by
+    * broadcast and finishes through the bounded [[TopK.perGroupTopK]] —
+    * the same map-side + bounded-merge shape as [[bruteForceTopK]], at
+    * 1/64th the bytes per vector.
+    */
+  def binaryHammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int = 64): DataFrame = {
+    val nWords = (dim + 31) / 32
+    def pack(df: DataFrame, idOut: String): DataFrame = {
+      val raw = col("embedding")
+      val words = (0 until nWords).map { w =>
+        sum(when(col("pos") >= w * 32 && col("pos") < (w + 1) * 32 &&
+          col("col") >= 0,
+          expr(s"shiftleft(1L, CAST(pos % 32 AS INT))")).otherwise(0L))
+          .as(s"w$w")
+      }
+      df.where(raw.isNotNull && size(raw) === dim &&
+          !exists(raw, x => x.isNull))
+        .select(col("vec_id").as(idOut), posexplode(raw))
+        .groupBy(idOut).agg(words.head, words.tail: _*)
+    }
+    val qIdx = pack(queries, "query_id")
+    val cIdx = pack(corpus, "corpus_id")
+    val ham = (0 until nWords).map(w =>
+      expr(s"bit_count(c_w$w ^ q_w$w)").cast("long")).reduce(_ + _)
+    val scored = cIdx
+      .select(col("corpus_id") +: (0 until nWords).map(w =>
+        col(s"w$w").as(s"c_w$w")): _*)
+      .crossJoin(broadcast(qIdx.select(col("query_id") +:
+        (0 until nWords).map(w => col(s"w$w").as(s"q_w$w")): _*)))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), ham.as("hamming"))
+    TopK.perGroupTopK(
+        scored.withColumn("__s", -col("hamming").cast("double")),
+        Seq("query_id"), "corpus_id", "__s", k)
+      .select(col("query_id"), col("corpus_id"),
+        (-col("__s")).cast("long").as("hamming"), col("rank"))
+  }
+
   /** Radius query: every (query, corpus) pair with cosine >= `tau` — the
     * threshold complement of top-k retrieval (near-duplicate sweeps and
     * contamination checks want "everything this similar", not a fixed k).

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Graph, Seasonal}
+import graft.ops.{Fusion, Graph, Seasonal}
 import graft.quality.DataQuality
 
 /** Planted-case semantics for the round-6 DQ / graph / seasonal batch:
@@ -95,7 +95,21 @@ class QualityAndMiningSpec extends SparkSpec {
     assert(two(5L) == 1L && two(6L) == 2L && two(4L) == 2L) // min over seeds
   }
 
-  test("seasonal profile: per-position means, global dev, MAD, floor on negatives") {
+  test("rrf fuses overlapping lists with integer credits, NULL for absences") {
+    val l1 = Seq((1L, "A", 1L), (1L, "B", 2L)).toDF("qid", "id", "rank")
+    val l2 = Seq((1L, "B", 1L), (1L, "C", 2L)).toDF("qid", "id", "rank")
+    val out = Fusion.rrf(Seq(l1, l2), Seq("qid"), "id", "rank")
+      .orderBy("rrf_rank").collect()
+    // B: 1e9/61 + 1e9/62; A: 1e9/61; C: 1e9/62 (truncating DIV)
+    assert(out.map(_.getAs[String]("id")).toSeq == Seq("B", "A", "C"))
+    assert(out(0).getAs[Long]("rrf_nano") == 16393442L + 16129032L)
+    assert(out(1).getAs[Long]("rrf_nano") == 16393442L)
+    assert(out(1).getAs[Any]("rank_2") == null) // A absent from list 2
+    assert(out(2).getAs[Any]("rank_1") == null) // C absent from list 1
+    assert(out.map(_.getAs[Long]("rrf_rank")).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("seasonal profile: per-position means, global dev, MAD, truncation on negatives") {
     val rows = Seq(
       ("a", 0L, 10L), ("a", 0L, 20L), ("a", 1L, 30L),
       ("b", 0L, -3L), ("b", 0L, -4L)
@@ -109,8 +123,9 @@ class QualityAndMiningSpec extends SparkSpec {
     assert(a1.getAs[Long]("seasonal_nano") == 30 &&
       a1.getAs[Long]("dev_global_nano") == 10 &&
       a1.getAs[Long]("mad_resid_nano") == 0)
-    // FLOOR division: -7/2 -> -4 (SQL // semantics), not truncate's -3
-    assert(b0.getAs[Long]("seasonal_nano") == -4)
+    // integer division truncates toward zero on BOTH engines (Spark DIV
+    // == DuckDB //, verified on negative operands): -7/2 -> -3
+    assert(b0.getAs[Long]("seasonal_nano") == -3)
     assert(b0.getAs[Long]("dev_global_nano") == 0)
   }
 }
