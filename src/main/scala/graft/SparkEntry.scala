@@ -483,6 +483,21 @@ object SparkEntry {
           ((col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
     }),
 
+    // Data-freshness monitor: per event type, row count, last-seen
+    // microsecond, and the lag behind the freshest type — the staleness
+    // report a pipeline checks before trusting an input. Exact integers.
+    "dq_freshness" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .where(col("ts").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type"), expr("ts DIV 1000").as("us"))
+      val per = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), max("us").as("max_us"))
+      per.crossJoin(broadcast(per.agg(max("max_us").as("g_max"))))
+        .select(col("event_type"), col("n"), col("max_us"),
+          (col("g_max") - col("max_us")).as("lag_us"))
+        .orderBy("event_type")
+    }),
+
     // Referential-integrity audit over three FK edges, two deliberately
     // corrupted (every 97th order's custkey pushed out of range; a
     // deterministic slice of lineitem suppkeys negated) and one left
@@ -1861,6 +1876,26 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Trimmed mean per group: keep values inside the group's [p5, p95]
+    // (R-7 percentile == DuckDB quantile_cont, the f9 discipline), then
+    // an exact integer-cents mean over the kept rows — the robust
+    // central-tendency report that ignores tail garbage.
+    "a20_trimmed_mean" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"))
+      val qs = o.groupBy("o_orderpriority")
+        .agg(expr("percentile(o_totalprice, 0.05)").as("p05"),
+          expr("percentile(o_totalprice, 0.95)").as("p95"))
+      o.join(broadcast(qs), Seq("o_orderpriority"))
+        .where(col("o_totalprice") >= col("p05") &&
+          col("o_totalprice") <= col("p95"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_kept"),
+          expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV count(1)")
+            .as("trimmed_mean_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // IQR outlier filter (Tukey-fence shape, k=0.5 because the synthetic
     // totalprice distribution is short-tailed — k=1.5 selects nothing):
     // quartiles via one aggregate, broadcast back, map-side filter. Spark
@@ -2461,6 +2496,67 @@ object SparkEntry {
           expr("coalesce(n_overlap, 0L) * 1000000000L DIV 10")
             .as("recall_nano"))
         .orderBy("query_id")
+    }),
+
+    // Template-slot mining: per source and token position 0..9, the
+    // positional MODE token and its share — the profile that exposes
+    // templated openings ("Dear customer, ...") in a scraped corpus.
+    // Argmax is a struct-min (count desc, token asc), never a window
+    // over the corpus; shares are truncating integer nanos.
+    "text_template_slots" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .where(col("text").isNotNull && trim(col("text")) =!= "" &&
+          col("source").isNotNull)
+        .select(col("source"),
+          posexplode(split(trim(lower(col("text"))), "\\s+")))
+        .where(col("pos") < 10 && col("col") =!= "")
+        .select(col("source"), col("pos").cast("long").as("pos"),
+          col("col").as("w"))
+      val counts = toks.groupBy("source", "pos", "w")
+        .agg(count(lit(1)).as("n"))
+      val tot = counts.groupBy("source", "pos").agg(sum("n").as("n_tot"))
+      counts.groupBy("source", "pos")
+        .agg(min(struct((-col("n")).as("nn"), col("w").as("tw"),
+          col("n").as("tn"))).as("m"))
+        .join(tot, Seq("source", "pos"))
+        .select(col("source"), col("pos"), col("m.tw").as("top_token"),
+          col("m.tn").as("n"),
+          expr("m.tn * 1000000000L DIV n_tot").as("share_nano"))
+        .orderBy("source", "pos")
+    }),
+
+    // Windowed PMI collocation mining (the word2vec-era co-occurrence
+    // statistic): token pairs within a +-2 position window, canonical
+    // unordered form, PMI = ln(c_pair * N^2 / (P * c_a * c_b)) over
+    // exact integer counts with ONE MathLn + nano rounding per surviving
+    // pair (c_pair >= 5; repeated-word self-pairs count in P but are not
+    // reported). Products are sized to stay in BIGINT through sf0.1.
+    "text_pmi_pairs" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .where(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), "\\s+")))
+        .where(col("col") =!= "")
+        .select(col("doc_id"), col("pos"), col("col").as("w"))
+      val uni = toks.groupBy("w").agg(count(lit(1)).as("cw"))
+      val nTok = toks.agg(count(lit(1)).as("n_tokens"))
+      val grouped = toks.as("a").join(toks.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            (col("b.pos") - col("a.pos")).isin(1, 2))
+        .select(least(col("a.w"), col("b.w")).as("w_a"),
+          greatest(col("a.w"), col("b.w")).as("w_b"))
+        .groupBy("w_a", "w_b").agg(count(lit(1)).as("c_pair"))
+      val pTot = grouped.agg(sum("c_pair").as("p_total"))
+      grouped.where(col("c_pair") >= 5 && col("w_a") =!= col("w_b"))
+        .join(uni.select(col("w").as("w_a"), col("cw").as("c_a")), Seq("w_a"))
+        .join(uni.select(col("w").as("w_b"), col("cw").as("c_b")), Seq("w_b"))
+        .crossJoin(broadcast(nTok)).crossJoin(broadcast(pTot))
+        .select(col("w_a"), col("w_b"), col("c_pair"), col("c_a"), col("c_b"),
+          round(graft.plans.MathLn(
+            (col("c_pair") * col("n_tokens") * col("n_tokens")).cast("double") /
+            (col("p_total") * col("c_a") * col("c_b")).cast("double")) * 1e9)
+            .cast("long").as("pmi_nano"))
+        .orderBy("w_a", "w_b")
     }),
 
     // 1-bit binary quantization ANN: sign-bit pack to two 32-bit words
@@ -5385,6 +5481,88 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "text_template_slots" ->
+      """WITH toks AS (
+        | SELECT source, i, w FROM (
+        |  SELECT source,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+        |   generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1)
+        |     - 1 AS i
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND trim(text) <> ''
+        |    AND source IS NOT NULL)
+        | WHERE i < 10 AND w <> ''),
+        |counts AS (
+        | SELECT source, CAST(i AS BIGINT) AS pos, w,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        | FROM toks GROUP BY 1, 2, 3),
+        |tot AS (SELECT source, pos, CAST(SUM(n) AS BIGINT) AS n_tot
+        |        FROM counts GROUP BY 1, 2),
+        |arg AS (
+        | SELECT source, pos, w AS top_token, n FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source, pos
+        |    ORDER BY n DESC, w ASC) AS rn FROM counts)
+        | WHERE rn = 1)
+        |SELECT a.source, a.pos, a.top_token, a.n,
+        | CAST(a.n * 1000000000 // t.n_tot AS BIGINT) AS share_nano
+        |FROM arg a JOIN tot t ON t.source = a.source AND t.pos = a.pos
+        |ORDER BY a.source, a.pos""".stripMargin,
+
+    "a20_trimmed_mean" ->
+      """WITH qs AS (
+        | SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.05) AS p05,
+        |  quantile_cont(o_totalprice, 0.95) AS p95
+        | FROM orders GROUP BY 1)
+        |SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        | CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+        |   // COUNT(*) AS BIGINT) AS trimmed_mean_cents
+        |FROM orders o JOIN qs ON qs.o_orderpriority = o.o_orderpriority
+        |WHERE o.o_totalprice >= qs.p05 AND o.o_totalprice <= qs.p95
+        |GROUP BY 1 ORDER BY o.o_orderpriority""".stripMargin,
+
+    "text_pmi_pairs" ->
+      """WITH toks AS (
+        | SELECT doc_id, i, w FROM (
+        |  SELECT doc_id,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+        |   generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1)
+        |     - 1 AS i
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        | WHERE w <> ''),
+        |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM toks GROUP BY 1),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks),
+        |grouped AS (
+        | SELECT least(a.w, b.w) AS w_a, greatest(a.w, b.w) AS w_b,
+        |  CAST(COUNT(*) AS BIGINT) AS c_pair
+        | FROM toks a JOIN toks b
+        |  ON b.doc_id = a.doc_id AND b.i - a.i IN (1, 2)
+        | GROUP BY 1, 2),
+        |pt AS (SELECT CAST(SUM(c_pair) AS BIGINT) AS p_total FROM grouped)
+        |SELECT g.w_a, g.w_b, g.c_pair, ua.cw AS c_a, ub.cw AS c_b,
+        | CAST(round(ln(
+        |   CAST(g.c_pair * nt.n_tokens * nt.n_tokens AS DOUBLE)
+        |   / CAST(pt.p_total * ua.cw * ub.cw AS DOUBLE)) * 1e9) AS BIGINT)
+        |   AS pmi_nano
+        |FROM grouped g
+        |JOIN uni ua ON ua.w = g.w_a
+        |JOIN uni ub ON ub.w = g.w_b
+        |CROSS JOIN nt CROSS JOIN pt
+        |WHERE g.c_pair >= 5 AND g.w_a <> g.w_b
+        |ORDER BY g.w_a, g.w_b""".stripMargin,
+
+    "dq_freshness" ->
+      """WITH ev AS (
+        | SELECT event_type, epoch_us(ts) AS us FROM events
+        | WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |per AS (
+        | SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MAX(us) AS BIGINT) AS max_us
+        | FROM ev GROUP BY 1),
+        |g AS (SELECT CAST(MAX(max_us) AS BIGINT) AS g_max FROM per)
+        |SELECT event_type, n, max_us, g.g_max - max_us AS lag_us
+        |FROM per CROSS JOIN g ORDER BY event_type""".stripMargin,
 
     "sim_binary_hamming_topk" ->
       """WITH clean AS (
