@@ -315,4 +315,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
     assert(!p.contains("ShuffleExchange"), p.take(800))
   }
+
+  test("binary-Hamming ANN: broadcast query index, bounded TopK, no Window") {
+    // the 1-bit tier's 100 TB contract: the tiny packed query index
+    // broadcasts against the code scan; ranking is the bounded TopKAgg,
+    // never a per-query window sort over the corpus
+    val p = finalPlan("sim_binary_hamming_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(800))
+    assert("partial_topkagg".r.findFirstIn(p).isDefined, p.take(1200))
+    assert(!p.contains("Window"), p.take(800))
+  }
+
+  test("attr_time_decay pairs touches via day buckets — never a cartesian") {
+    // the range-join contract: (user_id, bucket) equi keys carry the
+    // pairing; a per-user cross product would be the 100 TB killer
+    val p = finalPlan("attr_time_decay")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("rank_fusion_rrf: both rankers finish through bounded TopK") {
+    val p = finalPlan("rank_fusion_rrf")
+    assert("partial_topkagg".r.findAllIn(p).size >= 2,
+      s"both ranked lists must use the bounded finisher: ${p.take(1200)}")
+  }
 }
