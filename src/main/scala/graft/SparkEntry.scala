@@ -973,6 +973,28 @@ object SparkEntry {
     // range). The operator itself is unbounded: its corpus-scale role is
     // exact verification of LSH-bucketed candidates (dedup_minhash /
     // fuzzyDedup), never corpus-wide all-pairs.
+    // Shingle document-frequency histogram: the tuning report behind
+    // every df-capped dedup rail — how many distinct 3-gram shingles
+    // sit at df=1/2/3-10/11-100/>100, and how many postings each band
+    // carries (where the self-join volume lives). Two hash aggregates.
+    "dedup_shingle_df_hist" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .where(col("text").isNotNull && trim(col("text")) =!= "")
+      val sh = Graft.spread(docs)
+        .select(col("doc_id"),
+          explode(graft.functions.Text.wordShingles(col("text"), 3)).as("sh"))
+        .distinct()
+      sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .select(when(col("df") === 1, "df=1")
+          .when(col("df") === 2, "df=2")
+          .when(col("df") <= 10, "df=3-10")
+          .when(col("df") <= 100, "df=11-100")
+          .otherwise("df>100").as("bucket"), col("df"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_shingles"), sum("df").as("n_postings"))
+        .orderBy("bucket")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
         t(s, d, "documents").where(col("doc_id") < 300), "text", "doc_id",
@@ -1219,6 +1241,25 @@ object SparkEntry {
           expr("support * n_baskets * 1000000000L DIV (n_a * n_c)")
             .as("lift_nano"))
         .orderBy("antecedent", "consequent")
+    }),
+
+    // Frequent length-3 event sequences: consecutive per-user trigrams
+    // over the (ts, event_id, event_type) total order, with occurrence
+    // and distinct-user support — the sequence-mining step past
+    // mine_transitions' bigrams. Output bounded by |event types|^3.
+    "mine_trigrams" -> ((s, d) => {
+      val ev = t(s, d, "events").where(col("user_id").isNotNull &&
+        col("ts").isNotNull && col("event_type").isNotNull &&
+        col("event_id").isNotNull)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"), col("event_type"))
+      ev.withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .where(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n_occ"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("e1", "e2", "e3")
     }),
 
     // First-order Markov transition matrix over per-user event
@@ -1668,6 +1709,32 @@ object SparkEntry {
       graft.ops.Graph.triangleCounts(edges).orderBy("id")
     }),
 
+    // Local clustering coefficient per node: 2·triangles/(deg·(deg−1))
+    // as truncating integer nanos over the exact triangle counts and
+    // degrees (NULL below degree 2) — the node-level community-density
+    // signal composing triangleCounts with one degree aggregate.
+    "graph_clustering_coeff" -> ((s, d) => {
+      val base = t(s, d, "part").where(col("p_partkey") <= 1000)
+      val edges = base.select(col("p_partkey").as("src"),
+        expr("(p_partkey * 31 + 7) % 1000").as("dst"))
+        .unionByName(base.select(col("p_partkey").as("src"),
+          expr("(p_partkey * 17 + 3) % 1000").as("dst")))
+      val tri = graft.ops.Graph.triangleCounts(edges)
+      val e = edges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .where(col("a").isNotNull && col("b").isNotNull &&
+          col("a") =!= col("b")).distinct()
+      val deg = e.select(col("a").as("id"))
+        .unionByName(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      tri.join(deg, Seq("id"))
+        .select(col("id"), col("deg"), col("n_triangles"),
+          when(col("deg") >= 2,
+            expr("n_triangles * 2000000000L DIV (deg * (deg - 1))"))
+            .as("coeff_nano"))
+        .orderBy("id")
+    }),
+
     // Personalized PageRank on the same graph: teleport restricted to
     // the seed nodes (ids < 10), two exact nano-integer iterations —
     // graph-proximity-to-a-trusted-subset scoring, replayed in SQL.
@@ -1757,6 +1824,35 @@ object SparkEntry {
           expr("(4 * m * coalesce(e_in, 0L) - deg_sum * deg_sum)" +
             " * 1000000000L DIV (4 * m * m)").as("contrib_nano"))
         .orderBy("community")
+    }),
+
+    // Degree assortativity over a 300-node slice of the derived graph:
+    // with symmetrized directed pairs the Pearson denominator's two
+    // sqrt factors coincide, so r is the EXACT integer rational
+    // (M·Sxy − Sx²)/(M·Sxx − Sx²) — surfaced as truncating nanos, no
+    // float anywhere. The slice keeps num·1e9 inside BIGINT.
+    "graph_assortativity" -> ((s, d) => {
+      val base = t(s, d, "part").where(col("p_partkey") <= 300)
+      val edges = base.select(col("p_partkey").as("src"),
+        expr("(p_partkey * 31 + 7) % 300").as("dst"))
+        .unionByName(base.select(col("p_partkey").as("src"),
+          expr("(p_partkey * 17 + 3) % 300").as("dst")))
+      val e = edges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .where(col("a").isNotNull && col("b").isNotNull &&
+          col("a") =!= col("b")).distinct()
+      val adj = e.select(col("a").as("id"), col("b").as("nb"))
+        .unionByName(e.select(col("b").as("id"), col("a").as("nb")))
+      val deg = adj.groupBy("id").agg(count(lit(1)).as("deg"))
+      val pairs = adj
+        .join(deg.select(col("id"), col("deg").as("dx")), Seq("id"))
+        .join(deg.select(col("id").as("nb"), col("deg").as("dy")), Seq("nb"))
+      pairs.agg(count(lit(1)).as("m2"),
+          sum("dx").as("sx"), sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dx") * col("dy")).as("sxy"))
+        .select(col("m2"), col("sx"), col("sxx"), col("sxy"),
+          expr("(m2 * sxy - sx * sx) * 1000000000L" +
+            " DIV (m2 * sxx - sx * sx)").as("r_nano"))
     }),
 
     // Multi-source BFS over the same derived graph: hop distance from the
@@ -2841,6 +2937,34 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // Streaming windowed top-k: watermarked per-(hour, user) counts
+    // stream through the same AvailableNow harness, then the bounded
+    // TopKAgg finisher ranks the top 3 users per window — the
+    // "trending entities per window" shape with no corpus-wide sort.
+    "stream_window_topk" -> ((s, d) => {
+      Graft.tune(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val ev = graft.streaming.StreamingIngest
+        .parquetStream(s, d, schema, globFilter = Some("events.parquet"))
+        .transform(Graft.tsToNanos)
+        .withColumn("ts_ts", Graft.nanosToTimestamp("ts"))
+        .where(col("user_id").isNotNull)
+      val agg = ev
+        .withWatermark("ts_ts", "2 hours")
+        .groupBy(window(col("ts_ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val res = graft.streaming.StreamingIngest
+        .runAvailableNow(s, agg, "stream_window_topk_mem")
+        .select(col("window.start").cast("string").as("window_start"),
+          col("user_id"), col("n_events"))
+      graft.ops.TopK.perGroupTopK(
+          res.withColumn("__s", col("n_events").cast("double")),
+          Seq("window_start"), "user_id", "__s", 3)
+        .select(col("window_start"), col("user_id"),
+          col("__s").cast("long").as("n_events"), col("rank"))
+        .orderBy("window_start", "rank")
+    }),
+
     // TF-IDF top-3 terms per document (corpus df model + per-doc top-k
     // window on the high-cardinality doc key).
     "text_tfidf" -> ((s, d) =>
@@ -2995,6 +3119,28 @@ object SparkEntry {
       graft.ops.Sampling.groupK(t(s, d, "documents"), "lang", "doc_id",
         k = 20)
         .orderBy("lang", "rank")),
+
+    // Largest-remainder (Hamilton) apportionment of a fixed sample
+    // budget across strata: quota = floor share + one extra for the
+    // largest remainders until the budget is exact. Pure integer
+    // arithmetic — the deterministic stratified-allocation planner.
+    "sample_apportion" -> ((s, d) => {
+      val sizes = t(s, d, "documents").where(col("lang").isNotNull)
+        .groupBy("lang").agg(count(lit(1)).as("n_s"))
+      val tot = sizes.agg(sum("n_s").as("total"))
+      val base = sizes.crossJoin(broadcast(tot))
+        .withColumn("q0", expr("n_s * 100L DIV total"))
+        .withColumn("rem", expr("(n_s * 100L) % total"))
+      val deficit = base.agg((lit(100L) - sum("q0")).as("deficit"))
+      base
+        .withColumn("rr", row_number().over(
+          Window.orderBy(col("rem").desc, col("lang").asc)).cast("long"))
+        .crossJoin(broadcast(deficit))
+        .select(col("lang"), col("n_s"),
+          (col("q0") + when(col("rr") <= col("deficit"), 1L).otherwise(0L))
+            .as("quota"))
+        .orderBy("lang")
+    }),
 
     // Class rebalancing: every source downsampled to the smallest
     // source's size; smallest stable hashes win, data-derived cut rides
@@ -4548,6 +4694,69 @@ object SparkEntry {
         |FROM nodes n LEFT JOIN pern p USING (id)
         |ORDER BY id""".stripMargin,
 
+    "graph_clustering_coeff" ->
+      """WITH raw AS (
+        | SELECT p_partkey AS src, (p_partkey * 31 + 7) % 1000 AS dst
+        | FROM part WHERE p_partkey <= 1000
+        | UNION ALL
+        | SELECT p_partkey, (p_partkey * 17 + 3) % 1000
+        | FROM part WHERE p_partkey <= 1000),
+        |e AS (
+        | SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        | FROM raw WHERE src <> dst AND src IS NOT NULL AND dst IS NOT NULL),
+        |tri AS (
+        | SELECT ab.a AS x, ab.b AS y, bc.b AS z
+        | FROM e ab JOIN e bc ON bc.a = ab.b
+        |  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
+        |pern AS (
+        | SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT x AS id FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri) GROUP BY 1),
+        |nodes AS (
+        | SELECT DISTINCT src AS id FROM raw WHERE src IS NOT NULL
+        | UNION SELECT dst FROM raw WHERE dst IS NOT NULL),
+        |ntri AS (
+        | SELECT n.id, COALESCE(p.n, 0) AS n_triangles
+        | FROM nodes n LEFT JOIN pern p USING (id)),
+        |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        |         (SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY 1)
+        |SELECT t.id, d.deg, t.n_triangles,
+        | CASE WHEN d.deg >= 2 THEN CAST(t.n_triangles * 2000000000
+        |   // (d.deg * (d.deg - 1)) AS BIGINT) END AS coeff_nano
+        |FROM ntri t JOIN deg d ON d.id = t.id
+        |ORDER BY t.id""".stripMargin,
+
+    "dedup_shingle_df_hist" -> {
+      val words =
+        """SELECT doc_id, w, i FROM (
+          | SELECT doc_id,
+          |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+          |  generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS i
+          | FROM documents WHERE trim(text) <> '')""".stripMargin
+      s"""WITH w AS ($words),
+         |s0 AS (
+         | SELECT DISTINCT a.doc_id AS id, a.w || ' ' || b.w || ' ' || c.w AS sh
+         | FROM w a
+         |  JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |  JOIN w c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+         | UNION
+         | SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS sh
+         | FROM documents WHERE trim(text) <> ''
+         |  AND len(string_split_regex(trim(lower(text)), '\\s+')) < 3),
+         |dfs AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df
+         |        FROM s0 GROUP BY 1),
+         |b AS (
+         | SELECT CASE WHEN df = 1 THEN 'df=1' WHEN df = 2 THEN 'df=2'
+         |   WHEN df <= 10 THEN 'df=3-10' WHEN df <= 100 THEN 'df=11-100'
+         |   ELSE 'df>100' END AS bucket, df
+         | FROM dfs)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         | CAST(SUM(df) AS BIGINT) AS n_postings
+         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+
     "graph_pagerank" ->
       """WITH e AS (
         | SELECT p_partkey AS src, (p_partkey * 31 + 7) % 1000 AS dst
@@ -4676,6 +4885,23 @@ object SparkEntry {
         |SELECT src, dst, n, CAST(n AS DOUBLE) / CAST(n_src AS DOUBLE) AS p
         |FROM trans JOIN tot USING (src)
         |ORDER BY src, dst""".stripMargin,
+
+    "mine_trigrams" ->
+      """WITH ev AS (
+        | SELECT user_id, ts, event_id, event_type FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  AND event_type IS NOT NULL AND event_id IS NOT NULL),
+        |seq AS (
+        | SELECT user_id, event_type AS e1,
+        |  lead(event_type, 1) OVER w AS e2,
+        |  lead(event_type, 2) OVER w AS e3
+        | FROM ev
+        | WINDOW w AS (PARTITION BY user_id
+        |   ORDER BY ts, event_id, event_type))
+        |SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY e1, e2, e3""".stripMargin,
 
     "mine_assoc_rules" ->
       """WITH it AS (
@@ -4896,6 +5122,34 @@ object SparkEntry {
         |FROM degc d LEFT JOIN ein ON ein.community = d.community
         |CROSS JOIN mm
         |ORDER BY d.community""".stripMargin,
+
+    "graph_assortativity" ->
+      """WITH raw AS (
+        | SELECT p_partkey AS src, (p_partkey * 31 + 7) % 300 AS dst
+        | FROM part WHERE p_partkey <= 300
+        | UNION ALL
+        | SELECT p_partkey, (p_partkey * 17 + 3) % 300
+        | FROM part WHERE p_partkey <= 300),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM raw WHERE src <> dst),
+        |adj AS (SELECT a AS id, b AS nb FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM adj GROUP BY 1),
+        |pairs AS (
+        | SELECT dx.deg AS dx, dy.deg AS dy
+        | FROM adj JOIN deg dx ON dx.id = adj.id
+        | JOIN deg dy ON dy.id = adj.nb),
+        |agg AS (
+        | SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+        |  CAST(SUM(dx) AS BIGINT) AS sx,
+        |  CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+        |  CAST(SUM(dx * dy) AS BIGINT) AS sxy
+        | FROM pairs)
+        |SELECT m2, sx, sxx, sxy,
+        | CAST((m2 * sxy - sx * sx) * 1000000000
+        |   // (m2 * sxx - sx * sx) AS BIGINT) AS r_nano
+        |FROM agg""".stripMargin,
 
     // adj is MATERIALIZED: a recursive member re-derives every upstream
     // CTE per iteration otherwise (the emb_pca trap).
@@ -5950,6 +6204,18 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
+    "stream_window_topk" ->
+      """WITH c AS (
+        | SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+        |  user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        | FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+        |   PARTITION BY window_start
+        |   ORDER BY n_events DESC, user_id ASC) AS BIGINT) AS rank FROM c)
+        |SELECT window_start, user_id, n_events, rank
+        |FROM r WHERE rank <= 3
+        |ORDER BY window_start, rank""".stripMargin,
+
     "mm_media_meta" ->
       """SELECT doc_id AS media_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -6118,6 +6384,23 @@ object SparkEntry {
          | FROM h)
          |SELECT lang, doc_id, rank FROM r
          |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
+
+    "sample_apportion" ->
+      """WITH sizes AS (
+        | SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_s
+        | FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS total FROM sizes),
+        |base AS (
+        | SELECT lang, n_s,
+        |  CAST(n_s * 100 // tot.total AS BIGINT) AS q0,
+        |  CAST((n_s * 100) % tot.total AS BIGINT) AS rem
+        | FROM sizes CROSS JOIN tot),
+        |d AS (SELECT CAST(100 - SUM(q0) AS BIGINT) AS deficit FROM base),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+        |   ORDER BY rem DESC, lang ASC) AS BIGINT) AS rr FROM base)
+        |SELECT lang, n_s,
+        | q0 + CASE WHEN rr <= d.deficit THEN 1 ELSE 0 END AS quota
+        |FROM r CROSS JOIN d ORDER BY lang""".stripMargin,
 
     "sample_balance_classes" ->
       s"""WITH sizes AS (
