@@ -357,6 +357,31 @@ object SparkEntry {
         .orderBy("user_id", "view_id", "purchase_id")
     }),
 
+    // Interval-overlap join: per user, purchase windows [t, t+1h]
+    // overlapping view windows [t, t+30m] — each overlapping pair kept
+    // exactly once via the overlap-start bucket rule
+    // (RangeJoin.intervalOverlapJoin); exact integer overlap length.
+    "j7_interval_overlap" -> ((s, d) => {
+      val hourUs = 3600L * 1000000L
+      val ev = t(s, d, "events").withColumn("ts_us", expr("ts DIV 1000"))
+      val purch = ev.where(col("event_type") === "purchase" &&
+          col("user_id") <= 300)
+        .select(col("user_id"), col("ts_us").as("p_start"),
+          (col("ts_us") + hourUs).as("p_end"),
+          col("event_id").as("purchase_id"))
+      val views = ev.where(col("event_type") === "view" &&
+          col("user_id") <= 300)
+        .select(col("user_id"), col("ts_us").as("v_start"),
+          (col("ts_us") + hourUs / 2).as("v_end"),
+          col("event_id").as("view_id"))
+      graft.ops.RangeJoin.intervalOverlapJoin(purch, views, Seq("user_id"),
+          "p_start", "p_end", "v_start", "v_end", bucket = hourUs)
+        .select(col("user_id"), col("purchase_id"), col("view_id"),
+          (least(col("p_end"), col("v_end")) -
+            greatest(col("p_start"), col("v_start"))).as("overlap_us"))
+        .orderBy("user_id", "purchase_id", "view_id")
+    }),
+
     // Null-safe equality join (<=>): NULL keys match each other, unlike
     // plain equi-join semantics.
     "j6_null_safe_join" -> ((s, d) => {
@@ -2748,6 +2773,30 @@ object SparkEntry {
           col("centroid")(2).as("c2"), col("centroid")(3).as("c3"))
         .orderBy("label")),
 
+    // Embedding distribution drift: per label, L2 shift between the
+    // decimal-exact centroids of the even and odd vec_id halves — the
+    // embedding-space counterpart of dq_psi_drift. The centroid join is
+    // label-keyed (bounded); the distance is the L2Sq kernel (bit-equal
+    // to the oracle's in-order list fold), nano-rounded.
+    "emb_centroid_drift" -> ((s, d) => {
+      val emb = Graft.spread(t(s, d, "embeddings"))
+        .where(col("label").isNotNull)
+      val ha = emb.where(col("vec_id") % 2 === 0)
+      val hb = emb.where(col("vec_id") % 2 === 1)
+      def cent(df: DataFrame, out: String) =
+        graft.ops.EmbeddingAgg.groupCentroids(df, "label", "embedding")
+          .withColumnRenamed("centroid", out)
+      def cnt(df: DataFrame, out: String) =
+        df.groupBy("label").agg(count(lit(1)).as(out))
+      cent(ha, "cva").join(cent(hb, "cvb"), Seq("label"))
+        .join(cnt(ha, "n_a"), Seq("label"))
+        .join(cnt(hb, "n_b"), Seq("label"))
+        .select(col("label"), col("n_a"), col("n_b"),
+          round(sqrt(graft.plans.L2Sq(col("cva"), col("cvb"))) * 1e9)
+            .cast("long").as("shift_nano"))
+        .orderBy("label")
+    }),
+
     // Per-dimension embedding health profile (dead / degenerate / NaN-ish
     // dimension detection before training): positions present, non-null
     // count, decimal-nano-exact mean, min and max per dimension. One
@@ -3572,6 +3621,22 @@ object SparkEntry {
         |FROM v JOIN w ON v.user_id = w.user_id
         | AND v.ts_us >= w.start_us AND v.ts_us <= w.end_us
         |ORDER BY v.user_id, v.view_id, w.purchase_id""".stripMargin,
+
+    "j7_interval_overlap" ->
+      """WITH p AS (
+        | SELECT user_id, epoch_us(ts) AS p_start,
+        |  epoch_us(ts) + 3600000000 AS p_end, event_id AS purchase_id
+        | FROM events WHERE event_type = 'purchase' AND user_id <= 300),
+        |v AS (
+        | SELECT user_id, epoch_us(ts) AS v_start,
+        |  epoch_us(ts) + 1800000000 AS v_end, event_id AS view_id
+        | FROM events WHERE event_type = 'view' AND user_id <= 300)
+        |SELECT p.user_id, p.purchase_id, v.view_id,
+        | least(p.p_end, v.v_end) - greatest(p.p_start, v.v_start)
+        |   AS overlap_us
+        |FROM p JOIN v ON v.user_id = p.user_id
+        | AND p.p_start <= v.v_end AND v.v_start <= p.p_end
+        |ORDER BY p.user_id, p.purchase_id, v.view_id""".stripMargin,
 
     "j6_null_safe_join" ->
       """WITH n AS (
@@ -6136,6 +6201,34 @@ object SparkEntry {
           | centroid[1] AS c0, centroid[2] AS c1,
           | centroid[3] AS c2, centroid[4] AS c3
           |FROM cents ORDER BY label""".stripMargin),
+
+    "emb_centroid_drift" -> {
+      def half(name: String, par: Int) =
+        s"""d$name AS (
+           | SELECT label, embedding FROM embeddings
+           | WHERE label IS NOT NULL AND vec_id % 2 = $par),
+           |dim$name AS (
+           | SELECT label, i,
+           |  CAST(SUM(CAST(round(v * 1e9) AS BIGINT)) AS DOUBLE)
+           |   / COUNT(v) / 1e9 AS m
+           | FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+           |        generate_subscripts(embedding, 1) AS i
+           |       FROM d$name)
+           | GROUP BY label, i),
+           |c$name AS (
+           | SELECT label, list(m ORDER BY i) AS cv$name
+           | FROM dim$name WHERE m IS NOT NULL GROUP BY label),
+           |n$name AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_$name
+           |           FROM d$name GROUP BY label)""".stripMargin
+      s"""WITH ${half("a", 0)},
+         |${half("b", 1)}
+         |SELECT ca.label, na.n_a, nb.n_b,
+         | CAST(round(${distSql("ca.cva", "cb.cvb")} * 1e9) AS BIGINT)
+         |   AS shift_nano
+         |FROM ca JOIN cb USING (label)
+         |JOIN na USING (label) JOIN nb USING (label)
+         |ORDER BY ca.label""".stripMargin
+    },
 
     "emb_assign_nearest" -> {
       s"""$labelCentroidsSql,

@@ -33,4 +33,34 @@ object RangeJoin {
       .where(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-overlap join: pairs of intervals (per key) whose inclusive
+    * ranges intersect — the interval-interval extension of the point
+    * form above, same bucketize-explode strategy. Both sides explode to
+    * their covering buckets and meet on (key, bucket); the exact overlap
+    * predicate then runs bucket-locally, and each overlapping pair is
+    * kept exactly once — in the bucket containing the overlap START
+    * (`greatest(start_l, start_r) DIV bucket`), so no dedup pass is
+    * needed. Column names must be disjoint across the two sides.
+    *
+    * Shape at scale: explode factor is O(interval length / bucket) per
+    * row; candidates are bucket-local so a hot key never goes
+    * quadratic across distant time ranges — the cross product is
+    * bounded per (key, bucket), which is what a calendar-bucketed
+    * overlap join looks like on any distributed engine.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], lStart: String, lEnd: String,
+      rStart: String, rEnd: String, bucket: Long): DataFrame = {
+    require(bucket > 0, "bucket must be positive")
+    val lb = left.withColumn("__bucket",
+      explode(sequence(expr(s"$lStart DIV $bucket"), expr(s"$lEnd DIV $bucket"))))
+    val rb = right.withColumn("__bucket",
+      explode(sequence(expr(s"$rStart DIV $bucket"), expr(s"$rEnd DIV $bucket"))))
+    lb.join(rb, (keys :+ "__bucket").toIndexedSeq)
+      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .where(col("__bucket") ===
+        expr(s"greatest($lStart, $rStart) DIV $bucket"))
+      .drop("__bucket")
+  }
 }

@@ -95,6 +95,21 @@ class QualityAndMiningSpec extends SparkSpec {
     assert(two(5L) == 1L && two(6L) == 2L && two(4L) == 2L) // min over seeds
   }
 
+  test("intervalOverlapJoin: each overlapping pair exactly once, touch counts, disjoint doesn't") {
+    import graft.ops.RangeJoin
+    // left interval [0, 95] spans many buckets of width 10; right
+    // intervals: contained [30,40], touching at endpoint [95,99],
+    // disjoint [200,210]; wrong-key copy never matches
+    val left = Seq((1L, 0L, 95L, "L1"), (2L, 0L, 95L, "Lx"))
+      .toDF("k", "ls", "le", "lid")
+    val right = Seq((1L, 30L, 40L, "R1"), (1L, 95L, 99L, "R2"),
+      (1L, 200L, 210L, "R3")).toDF("k", "rs", "re", "rid")
+    val out = RangeJoin.intervalOverlapJoin(left, right, Seq("k"),
+        "ls", "le", "rs", "re", bucket = 10L)
+      .select("lid", "rid").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.sorted.toSeq == Seq(("L1", "R1"), ("L1", "R2"))) // exactly once each
+  }
+
   test("rrf fuses overlapping lists with integer credits, NULL for absences") {
     val l1 = Seq((1L, "A", 1L), (1L, "B", 2L)).toDF("qid", "id", "rank")
     val l2 = Seq((1L, "B", 1L), (1L, "C", 2L)).toDF("qid", "id", "rank")
