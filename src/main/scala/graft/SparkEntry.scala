@@ -967,6 +967,27 @@ object SparkEntry {
           col("sig")(2).as("h2"), col("sig")(3).as("h3"))
         .orderBy("doc_id")),
 
+    // LSH band tuning report: per band, multi-member bucket count, the
+    // hottest bucket, candidate pairs Σ s(s−1)/2, and how many docs stay
+    // singleton — the numbers that decide bands×rows before a 100 TB
+    // dedup run. Exact integers off the same banded-bucket frame the
+    // dedup path shuffles.
+    "dedup_minhash_band_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      Dedup.minhashBuckets(docs, "text", "doc_id")
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_multi_buckets"),
+          max("n_members").as("max_bucket"),
+          sum(expr("n_members * (n_members - 1) DIV 2")).as("cand_pairs"),
+          sum("n_members").as("docs_in_multi"))
+        .crossJoin(broadcast(nd))
+        .select(col("band"), col("n_multi_buckets"), col("max_bucket"),
+          col("cand_pairs"),
+          (col("n_docs") - col("docs_in_multi")).as("n_singletons"))
+        .orderBy("band")
+    }),
+
     // Group-level MinHash via the custom typed Aggregator: per-source
     // signature = element-wise min over member docs (partial+final agg;
     // only signatures cross the shuffle).
@@ -2773,6 +2794,21 @@ object SparkEntry {
           col("centroid")(2).as("c2"), col("centroid")(3).as("c3"))
         .orderBy("label")),
 
+    // Vector-norm histogram: unit-wide buckets of the L2 norm over clean
+    // 64-dim vectors (DotProduct kernel == the oracle's in-order fold,
+    // so floor(norm) buckets bit-agree) — the scale-sanity profile run
+    // before cosine math is trusted.
+    "emb_norm_hist" -> ((s, d) => {
+      val raw = col("embedding")
+      val nrm = t(s, d, "embeddings")
+        .where(raw.isNotNull && size(raw) === 64 && !exists(raw, _.isNull))
+        .select(sqrt(graft.plans.DotProduct(raw, raw)).as("nrm"))
+      nrm.groupBy(floor(col("nrm")).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), min("nrm").as("min_norm"),
+          max("nrm").as("max_norm"))
+        .orderBy("bucket")
+    }),
+
     // Embedding distribution drift: per label, L2 shift between the
     // decimal-exact centroids of the even and odd vec_id halves — the
     // embedding-space counterpart of dq_psi_drift. The centroid join is
@@ -3013,6 +3049,15 @@ object SparkEntry {
           col("__s").cast("long").as("n_events"), col("rank"))
         .orderBy("window_start", "rank")
     }),
+
+    // RAKE keyphrase extraction: stopword-free runs scored deg/freq in
+    // truncating integer nanos (TextAnalysis.rakeKeyphrases); phrases
+    // seen at least twice corpus-wide.
+    "text_rake_keyphrases" -> ((s, d) =>
+      TextAnalysis.rakeKeyphrases(t(s, d, "documents"),
+        Seq("a", "an", "the", "of", "to", "and", "in", "on", "is", "for"))
+        .where(col("n_occ") >= 2)
+        .orderBy("phrase")),
 
     // TF-IDF top-3 terms per document (corpus df model + per-doc top-k
     // window on the high-cardinality doc key).
@@ -4160,6 +4205,38 @@ object SparkEntry {
 
     "dedup_minhash" -> minhashOracle,
     "dedup_minhash_calibration" -> minhashCalibrationOracle,
+
+    "dedup_minhash_band_stats" -> {
+      val p = Dedup.MinhashP
+      val mins = (0 until 16).map { j =>
+        val (a, b) = Dedup.minhashCoeffs(j)
+        s"COALESCE(MIN((($a * (${hash60Sql("s.sh")} % $p)) + $b) % $p), ${Long.MaxValue}) AS h$j"
+      }.mkString(",\n ")
+      val bandRows = (0 until 4).map { bd =>
+        val cat = (0 until 4).map(r => s"CAST(h${bd * 4 + r} AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, CAST($bd AS INTEGER) AS band, md5($cat) AS bucket FROM sig"
+      }.mkString("\n UNION ALL ")
+      s"""WITH $shingleCtes,
+         |sig AS (
+         | SELECT d.doc_id,
+         | $mins
+         | FROM documents d LEFT JOIN shingles s ON s.doc_id = d.doc_id
+         | GROUP BY d.doc_id),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |bands AS (
+         | $bandRows),
+         |bk AS (SELECT band, bucket, CAST(COUNT(*) AS BIGINT) AS n_members
+         |       FROM bands GROUP BY 1, 2),
+         |mb AS (SELECT * FROM bk WHERE n_members > 1)
+         |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_multi_buckets,
+         | MAX(n_members) AS max_bucket,
+         | CAST(SUM(n_members * (n_members - 1) // 2) AS BIGINT)
+         |   AS cand_pairs,
+         | nd.n_docs - CAST(SUM(n_members) AS BIGINT) AS n_singletons
+         |FROM mb CROSS JOIN nd GROUP BY band, nd.n_docs
+         |ORDER BY band""".stripMargin
+    },
 
     "dedup_winnow_fp" ->
       (s"""WITH $winnowCtes
@@ -5841,6 +5918,43 @@ object SparkEntry {
         |WHERE o.o_totalprice >= qs.p05 AND o.o_totalprice <= qs.p95
         |GROUP BY 1 ORDER BY o.o_orderpriority""".stripMargin,
 
+    "text_rake_keyphrases" -> {
+      val stop = "('a','an','the','of','to','and','in','on','is','for')"
+      s"""WITH toks AS (
+         | SELECT doc_id, i, w FROM (
+         |  SELECT doc_id,
+         |   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+         |   generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS i
+         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+         | WHERE w <> ''),
+         |mk AS (
+         | SELECT doc_id, i, w,
+         |  SUM(CASE WHEN w IN $stop THEN 1 ELSE 0 END) OVER (
+         |   PARTITION BY doc_id ORDER BY i) AS island
+         | FROM toks),
+         |pt AS (SELECT doc_id, i, w, island FROM mk WHERE w NOT IN $stop),
+         |ph AS (
+         | SELECT doc_id, island, CAST(COUNT(*) AS BIGINT) AS len,
+         |  array_to_string(list(w ORDER BY i), ' ') AS phrase
+         | FROM pt GROUP BY 1, 2),
+         |ws AS (
+         | SELECT w,
+         |  CAST(CAST(SUM(len) AS BIGINT) * 1000000000
+         |   // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS score_nano
+         | FROM pt JOIN ph USING (doc_id, island) GROUP BY w),
+         |psc AS (
+         | SELECT pt.doc_id, pt.island,
+         |  CAST(SUM(ws.score_nano) AS BIGINT) AS score_nano
+         | FROM pt JOIN ws USING (w) GROUP BY 1, 2)
+         |SELECT ph.phrase, ph.len AS n_words,
+         | CAST(COUNT(*) AS BIGINT) AS n_occ, psc.score_nano
+         |FROM ph JOIN psc USING (doc_id, island)
+         |WHERE ph.len >= 2
+         |GROUP BY ph.phrase, ph.len, psc.score_nano
+         |HAVING COUNT(*) >= 2
+         |ORDER BY phrase""".stripMargin
+    },
+
     "text_pmi_pairs" ->
       """WITH toks AS (
         | SELECT doc_id, i, w FROM (
@@ -6201,6 +6315,18 @@ object SparkEntry {
           | centroid[1] AS c0, centroid[2] AS c1,
           | centroid[3] AS c2, centroid[4] AS c3
           |FROM cents ORDER BY label""".stripMargin),
+
+    "emb_norm_hist" -> {
+      s"""WITH clean AS (
+         | SELECT embedding::DOUBLE[] AS v FROM embeddings
+         | WHERE embedding IS NOT NULL AND len(embedding) = 64
+         |  AND len(embedding) = list_aggregate(embedding, 'count')),
+         |nrm AS (SELECT sqrt(${dotSql("v", "v")}) AS nrm FROM clean)
+         |SELECT CAST(floor(nrm) AS BIGINT) AS bucket,
+         | CAST(COUNT(*) AS BIGINT) AS n,
+         | MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+         |FROM nrm GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
 
     "emb_centroid_drift" -> {
       def half(name: String, par: Int) =

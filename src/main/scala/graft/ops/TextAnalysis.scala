@@ -502,4 +502,57 @@ object TextAnalysis {
         coalesce(col("n_features"), lit(0L)).as("n_features"),
         coalesce(col("logw_nanos"), lit(0L)).as("logw_nanos"))
   }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs (gaps-and-islands over the token
+    * stream — island id = running stopword count), a word scores
+    * `deg/freq` where `deg` sums the lengths of every phrase occurrence
+    * containing it and `freq` counts its phrase-token occurrences, and a
+    * phrase scores the sum of its member words' scores. Scores are
+    * truncating integer nanos (`deg*1e9 DIV freq` per word, BIGINT sums
+    * per phrase), so identical phrase texts score identically and the
+    * whole chain replays exactly in SQL — no float enters.
+    *
+    * Returns one row per distinct phrase of >= 2 words: `(phrase,
+    * n_words, n_occ, score_nano)`.
+    *
+    * Shape at scale: one per-doc window pass for islands (partition-local
+    * by doc), one (doc, island) aggregate for phrases, one word-keyed
+    * aggregate for deg/freq, and a broadcast-able word-score join back —
+    * all hash aggregates with map-side partials; nothing all-pairs.
+    */
+  def rakeKeyphrases(docs: DataFrame, stopwords: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.core.Graft.spread(docs)
+      .where(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), posexplode(Text.tokens(col(textCol))))
+      .where(col("col") =!= "")
+      .select(col(idCol), col("pos"), col("col").as("w"))
+    val w = Window.partitionBy(idCol).orderBy(col("pos"))
+    val marked = toks.withColumn("island",
+      sum(when(col("w").isInCollection(stopwords), 1L).otherwise(0L)).over(w))
+    val pt = marked.where(!col("w").isInCollection(stopwords))
+    val phrases = pt.groupBy(col(idCol), col("island"))
+      .agg(count(lit(1)).as("len"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w")), " ").as("phrase"))
+    val wordStats = pt
+      .join(phrases.select(col(idCol), col("island"), col("len")),
+        Seq(idCol, "island"))
+      .groupBy("w")
+      .agg(sum("len").as("deg"), count(lit(1)).as("freq"))
+      .select(col("w"), expr("deg * 1000000000L DIV freq").as("score_nano"))
+    val phraseScores = pt
+      .join(broadcast(wordStats), Seq("w"))
+      .groupBy(col(idCol), col("island"))
+      .agg(sum("score_nano").as("score_nano"))
+    phrases.join(phraseScores, Seq(idCol, "island"))
+      .where(col("len") >= 2)
+      .groupBy("phrase", "len", "score_nano")
+      .agg(count(lit(1)).as("n_occ"))
+      .select(col("phrase"), col("len").as("n_words"), col("n_occ"),
+        col("score_nano"))
+  }
 }
