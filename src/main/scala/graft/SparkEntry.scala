@@ -2038,6 +2038,53 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // 2-D skyline (Pareto frontier, minimize both): parts not dominated
+    // on (p_size, price-cents). One sort, two windows — a RANGE frame
+    // over strictly-smaller sizes and a same-size partition min — no
+    // quadratic dominance join (the oracle replays it as NOT EXISTS).
+    // Equal pairs don't dominate (strict-in-one rule); exact integers.
+    "q_skyline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = t(s, d, "part")
+        .where(col("p_size").isNotNull && col("p_retailprice").isNotNull)
+        .select(col("p_partkey"), col("p_size").cast("long").as("sz"),
+          cents(col("p_retailprice")).as("pc"))
+      val wLt = Window.orderBy(col("sz"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wEq = Window.partitionBy(col("sz"))
+      p.withColumn("m_lt", min(col("pc")).over(wLt))
+        .withColumn("m_eq", min(col("pc")).over(wEq))
+        .where((col("m_lt").isNull || col("m_lt") > col("pc")) &&
+          col("m_eq") === col("pc"))
+        .select(col("p_partkey"), col("sz").as("p_size"),
+          col("pc").as("price_cents"))
+        .orderBy("p_size", "price_cents", "p_partkey")
+    }),
+
+    // Deterministic A/B assignment + sample-ratio-mismatch check: variant
+    // by stable hash (50/50), per-variant user counts and mean order
+    // value in exact cents, plus the SRM deviation |n_a − n_b| in nanos
+    // of the total — the experimentation-platform admission audit.
+    "ab_assign_srm" -> ((s, d) => {
+      val o = t(s, d, "orders").where(col("o_custkey").isNotNull)
+        .select(col("o_custkey"), cents(col("o_totalprice")).as("pc"))
+        .withColumn("variant",
+          when(pmod(StableHash.hash60(col("o_custkey").cast("string")),
+            lit(100L)) < 50, "A").otherwise("B"))
+      val per = o.groupBy("variant")
+        .agg(count_distinct(col("o_custkey")).as("n_users"),
+          count(lit(1)).as("n_orders"),
+          expr("sum(pc) DIV count(1)").as("mean_cents"))
+      val tot = per.agg(sum("n_users").as("nt"),
+        max(when(col("variant") === "A", col("n_users"))).as("na"),
+        max(when(col("variant") === "B", col("n_users"))).as("nb"))
+      per.crossJoin(broadcast(tot))
+        .select(col("variant"), col("n_users"), col("n_orders"),
+          col("mean_cents"),
+          expr("abs(na - nb) * 1000000000L DIV nt").as("srm_dev_nano"))
+        .orderBy("variant")
+    }),
+
     // IQR outlier filter (Tukey-fence shape, k=0.5 because the synthetic
     // totalprice distribution is short-tailed — k=1.5 selects nothing):
     // quartiles via one aggregate, broadcast back, map-side filter. Spark
@@ -5820,6 +5867,38 @@ object SparkEntry {
         |   - s.expected_nano) AS BIGINT) AS dev_nano
         |FROM spine s LEFT JOIN c ON c.digit = s.digit CROSS JOIN tot
         |ORDER BY s.digit""".stripMargin,
+
+    "q_skyline" ->
+      """WITH p AS (
+        | SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |  CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+        | FROM part
+        | WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL)
+        |SELECT p_partkey, p_size, price_cents FROM p x
+        |WHERE NOT EXISTS (
+        | SELECT 1 FROM p y
+        | WHERE y.p_size <= x.p_size AND y.price_cents <= x.price_cents
+        |  AND (y.p_size < x.p_size OR y.price_cents < x.price_cents))
+        |ORDER BY p_size, price_cents, p_partkey""".stripMargin,
+
+    "ab_assign_srm" ->
+      s"""WITH o AS (
+         | SELECT o_custkey,
+         |  CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+         |  CASE WHEN (${hash60Sql("CAST(o_custkey AS VARCHAR)")} % 100) < 50
+         |       THEN 'A' ELSE 'B' END AS variant
+         | FROM orders WHERE o_custkey IS NOT NULL),
+         |per AS (
+         | SELECT variant, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_users,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  CAST(SUM(pc) // COUNT(*) AS BIGINT) AS mean_cents
+         | FROM o GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS nt,
+         | MAX(CASE WHEN variant = 'A' THEN n_users END) AS na,
+         | MAX(CASE WHEN variant = 'B' THEN n_users END) AS nb FROM per)
+         |SELECT variant, n_users, n_orders, mean_cents,
+         | CAST(abs(na - nb) * 1000000000 // nt AS BIGINT) AS srm_dev_nano
+         |FROM per CROSS JOIN tot ORDER BY variant""".stripMargin,
 
     "dq_fd_check" ->
       """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
