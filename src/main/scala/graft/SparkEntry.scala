@@ -508,6 +508,27 @@ object SparkEntry {
           ((col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
     }),
 
+    // Per-column cardinality profile: exact distinct count and distinct
+    // ratio for every events column in ONE aggregate pass (the
+    // key-candidate / join-planning profile next to a5_completeness).
+    "dq_cardinality_profile" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
+        "props")
+      val aggs = count(lit(1)).as("__n") +:
+        cols.map(c => count_distinct(col(c)).as(s"__d_$c"))
+      val wide = ev.agg(aggs.head, aggs.tail: _*)
+      val stacked = cols.map { c =>
+        struct(lit(c).as("column_name"), col("__n").as("n_rows"),
+          col(s"__d_$c").as("n_distinct"))
+      }
+      wide.select(explode(array(stacked: _*)).as("s"))
+        .select(col("s.column_name"), col("s.n_rows"), col("s.n_distinct"),
+          expr("s.n_distinct * 1000000000L DIV s.n_rows")
+            .as("distinct_ratio_nano"))
+        .orderBy("column_name")
+    }),
+
     // Data-freshness monitor: per event type, row count, last-seen
     // microsecond, and the lag behind the freshest type — the staleness
     // report a pipeline checks before trusting an input. Exact integers.
@@ -1667,6 +1688,35 @@ object SparkEntry {
             col("event_id").as("eid"), col("cusum").as("cv"))).as("m"))
         .select(col("event_type"), col("n_rows"),
           col("m.eid").as("cp_event_id"), col("m.cv").as("cp_cusum_nano"))
+        .orderBy("event_type")
+    }),
+
+    // Peak concurrency via the sweep line: each event opens a 30-minute
+    // session; +1/-1 deltas ordered by (t, delta, event_id) — ends sort
+    // before starts at the same instant, so touching sessions never
+    // overcount — and the peak is the max running sum with its earliest
+    // time (struct-min argmax). Exact integers end to end.
+    "ts_concurrency" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+        .where(col("ts").isNotNull && col("event_id").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("event_type"), expr("ts DIV 1000").as("s_us"),
+          col("event_id"))
+      val deltas = ev.select(col("event_type"), col("s_us").as("t"),
+          lit(1L).as("d"), col("event_id"))
+        .unionByName(ev.select(col("event_type"),
+          (col("s_us") + 1800000000L).as("t"), lit(-1L).as("d"),
+          col("event_id")))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("t"), col("d"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.withColumn("run", sum(col("d")).over(w))
+        .groupBy("event_type")
+        .agg(min(struct((-col("run")).as("nr"), col("t").as("pt"),
+          col("event_id").as("pe"))).as("m"))
+        .select(col("event_type"), (-col("m.nr")).as("peak_concurrency"),
+          col("m.pt").as("peak_t_us"))
         .orderBy("event_type")
     }),
 
@@ -4809,6 +4859,46 @@ object SparkEntry {
         |SELECT event_type, n AS n_rows, event_id AS cp_event_id,
         | cusum AS cp_cusum_nano
         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "ts_concurrency" ->
+      """WITH ev AS (
+        | SELECT event_type, epoch_us(ts) AS s_us, event_id FROM events
+        | WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |   AND event_type IS NOT NULL),
+        |del AS (
+        | SELECT event_type, s_us AS t, CAST(1 AS BIGINT) AS d, event_id
+        | FROM ev
+        | UNION ALL
+        | SELECT event_type, s_us + 1800000000, CAST(-1 AS BIGINT), event_id
+        | FROM ev),
+        |r AS (
+        | SELECT event_type, t, event_id,
+        |  CAST(SUM(d) OVER (PARTITION BY event_type
+        |   ORDER BY t, d, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS run
+        | FROM del),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |  ORDER BY run DESC, t, event_id) AS rn FROM r)
+        |SELECT event_type, run AS peak_concurrency, t AS peak_t_us
+        |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "dq_cardinality_profile" -> {
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
+        "props")
+      val ds = cols.map(c =>
+        s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS d_$c").mkString(",\n ")
+      val rows = cols.map(c =>
+        s"""SELECT '$c' AS column_name, n AS n_rows, d_$c AS n_distinct,
+           | CAST(d_$c * 1000000000 // n AS BIGINT) AS distinct_ratio_nano
+           |FROM w""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH w AS (
+         | SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         | $ds
+         | FROM events)
+         |$rows
+         |ORDER BY column_name""".stripMargin
+    },
 
     "ts_acf" ->
       """WITH ev AS (
