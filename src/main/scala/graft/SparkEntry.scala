@@ -2068,6 +2068,35 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Exact weighted median per group: sort by value, running weight
+    // cumsum over a deterministic total order, first row where
+    // 2·cumsum >= total weight — the lower weighted median, a pure
+    // integer rule over quantity-unit weights and price cents (no
+    // interpolation, no float comparison anywhere).
+    "a21_weighted_median" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, d, "lineitem")
+        .where(col("l_extendedprice").isNotNull && col("l_quantity").isNotNull)
+        .select(col("l_returnflag"),
+          cents(col("l_extendedprice")).as("pc"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("wu"),
+          col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("pc"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = li.groupBy("l_returnflag")
+        .agg(sum("wu").as("tw"), count(lit(1)).as("n_rows"))
+      li.withColumn("cw", sum(col("wu")).over(w))
+        .join(broadcast(tot), Seq("l_returnflag"))
+        .where(col("cw") * 2 >= col("tw"))
+        .groupBy("l_returnflag")
+        .agg(max("tw").as("total_weight"), max("n_rows").as("n_rows"),
+          min(struct(col("cw").as("c"), col("pc").as("p"))).as("m"))
+        .select(col("l_returnflag"), col("n_rows"), col("total_weight"),
+          col("m.p").as("wmedian_cents"))
+        .orderBy("l_returnflag")
+    }),
+
     // Trimmed mean per group: keep values inside the group's [p5, p95]
     // (R-7 percentile == DuckDB quantile_cont, the f9 discipline), then
     // an exact integer-cents mean over the kept rows — the robust
@@ -6073,6 +6102,31 @@ object SparkEntry {
         | CAST(a.n * 1000000000 // t.n_tot AS BIGINT) AS share_nano
         |FROM arg a JOIN tot t ON t.source = a.source AND t.pos = a.pos
         |ORDER BY a.source, a.pos""".stripMargin,
+
+    "a21_weighted_median" ->
+      """WITH li AS (
+        | SELECT l_returnflag,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+        |  CAST(round(l_quantity) AS BIGINT) AS wu,
+        |  l_orderkey, l_linenumber
+        | FROM lineitem
+        | WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        |c AS (
+        | SELECT l_returnflag, pc,
+        |  CAST(SUM(wu) OVER (PARTITION BY l_returnflag
+        |   ORDER BY pc, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cw
+        | FROM li),
+        |tot AS (SELECT l_returnflag, CAST(SUM(wu) AS BIGINT) AS tw,
+        |        CAST(COUNT(*) AS BIGINT) AS n_rows FROM li GROUP BY 1),
+        |x AS (
+        | SELECT c.l_returnflag, t.n_rows, t.tw AS total_weight, c.pc, c.cw
+        | FROM c JOIN tot t USING (l_returnflag) WHERE c.cw * 2 >= t.tw),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |  ORDER BY cw, pc) AS rn FROM x)
+        |SELECT l_returnflag, n_rows, total_weight, pc AS wmedian_cents
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
 
     "a20_trimmed_mean" ->
       """WITH qs AS (
