@@ -2117,6 +2117,26 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Per-group min-max normalization to exact [0, 1e9] nano units:
+    // group extremes from one aggregate broadcast back, scaled =
+    // (v − min)·1e9 DIV (max − min), NULL for constant groups — the
+    // feature-scaling prep step, integer end to end.
+    "f13_minmax_scale" -> ((s, d) => {
+      // cents, not nanos: (v - vmin) * 1e9 must stay inside BIGINT
+      val ev = t(s, d, "events")
+        .where(col("value").isNotNull && col("event_type").isNotNull &&
+          col("event_id").isNotNull)
+        .select(col("event_type"), col("event_id"), cents(col("value")).as("v"))
+      val ext = ev.groupBy("event_type")
+        .agg(min("v").as("vmin"), max("v").as("vmax"))
+      ev.join(broadcast(ext), Seq("event_type"))
+        .select(col("event_type"), col("event_id"),
+          when(col("vmax") > col("vmin"),
+            expr("(v - vmin) * 1000000000L DIV (vmax - vmin)"))
+            .as("scaled_nano"))
+        .orderBy("event_type", "event_id")
+    }),
+
     // 2-D skyline (Pareto frontier, minimize both): parts not dominated
     // on (p_size, price-cents). One sort, two windows — a RANGE frame
     // over strictly-smaller sizes and a same-size partition min — no
@@ -5986,6 +6006,24 @@ object SparkEntry {
         |   - s.expected_nano) AS BIGINT) AS dev_nano
         |FROM spine s LEFT JOIN c ON c.digit = s.digit CROSS JOIN tot
         |ORDER BY s.digit""".stripMargin,
+
+    "f13_minmax_scale" ->
+      """WITH ev AS (
+        | SELECT event_type, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS v
+        | FROM events
+        | WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |   AND event_id IS NOT NULL),
+        |ext AS (
+        | SELECT event_type, CAST(MIN(v) AS BIGINT) AS vmin,
+        |  CAST(MAX(v) AS BIGINT) AS vmax
+        | FROM ev GROUP BY 1)
+        |SELECT e.event_type, e.event_id,
+        | CASE WHEN x.vmax > x.vmin
+        |  THEN CAST((e.v - x.vmin) * 1000000000 // (x.vmax - x.vmin)
+        |       AS BIGINT) END AS scaled_nano
+        |FROM ev e JOIN ext x USING (event_type)
+        |ORDER BY e.event_type, e.event_id""".stripMargin,
 
     "q_skyline" ->
       """WITH p AS (
