@@ -1,0 +1,716 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Graft
+import graft.functions.{Cleaning, Norm, StableHash, Text, Urls, Vectors}
+import graft.metrics.StaffingMetrics
+import graft.ops.{Dedup, Multimodal, Regression, Similarity, Sketches, TextAnalysis}
+import graft.quality.DataQuality
+
+/** Dedup slice of the SparkEntry corpus (see SparkEntry's scaladoc for the cross-engine
+  * determinism rules every entry follows). Bodies moved verbatim from the
+  * round-6 SparkEntry map literals; shared helpers live on SparkEntry
+  * (private[graft]).
+  */
+private[graft] trait QueriesDedup { this: SparkEntry.type =>
+
+  protected def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- north-star extensions (BASELINE.json) ----------------------------
+
+    // Exact dedup by content digest.
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "text", "doc_id").orderBy("digest")),
+
+    // MinHash signatures (first 4 hash slots surfaced as columns).
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashSignatures(t(s, d, "documents"), "text", "doc_id",
+        numHashes = 4, shingleK = 3)
+        .select(col("doc_id"),
+          col("sig")(0).as("h0"), col("sig")(1).as("h1"),
+          col("sig")(2).as("h2"), col("sig")(3).as("h3"))
+        .orderBy("doc_id")),
+
+    // LSH band tuning report: per band, multi-member bucket count, the
+    // hottest bucket, candidate pairs Σ s(s−1)/2, and how many docs stay
+    // singleton — the numbers that decide bands×rows before a 100 TB
+    // dedup run. Exact integers off the same banded-bucket frame the
+    // dedup path shuffles.
+    "dedup_minhash_band_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      Dedup.minhashBuckets(docs, "text", "doc_id")
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_multi_buckets"),
+          max("n_members").as("max_bucket"),
+          sum(expr("n_members * (n_members - 1) DIV 2")).as("cand_pairs"),
+          sum("n_members").as("docs_in_multi"))
+        .crossJoin(broadcast(nd))
+        .select(col("band"), col("n_multi_buckets"), col("max_bucket"),
+          col("cand_pairs"),
+          (col("n_docs") - col("docs_in_multi")).as("n_singletons"))
+        .orderBy("band")
+    }),
+
+    // Group-level MinHash via the custom typed Aggregator: per-source
+    // signature = element-wise min over member docs (partial+final agg;
+    // only signatures cross the shuffle).
+    "dedup_group_minhash" -> ((s, d) => {
+      val sigs = Dedup.minhashSignatures(
+        t(s, d, "documents"), "text", "doc_id", numHashes = 4, shingleK = 3)
+      val withSource = sigs.join(
+        broadcast(t(s, d, "documents").select("doc_id", "source")), Seq("doc_id"))
+      withSource.groupBy("source")
+        .agg(graft.ops.MinHashMerge.minhashMerge(4)(col("sig")).as("gsig"),
+          count(lit(1)).as("n_docs"))
+        .select(col("source"),
+          col("gsig")(0).as("h0"), col("gsig")(1).as("h1"),
+          col("gsig")(2).as("h2"), col("gsig")(3).as("h3"),
+          col("n_docs"))
+        .orderBy("source")
+    }),
+
+    // SimHash 16-bit fingerprints (spread: CPU-bound map over one file).
+    "dedup_simhash" -> ((s, d) => Graft.spread(t(s, d, "documents"))
+      .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash"))
+      .orderBy("doc_id")),
+
+    // Exact n-gram Jaccard pairs (relational formulation). The fixed-id
+    // slice (doc_id < 300) bounds the VERIFY cost — exact all-pairs jaccard
+    // within shared-shingle blocks grows quadratically with docs sharing a
+    // frequent bigram, in DuckDB and Spark alike — at a constant 300 docs
+    // regardless of sf (ids are dense, so sf scales row count, not the id
+    // range). The operator itself is unbounded: its corpus-scale role is
+    // exact verification of LSH-bucketed candidates (dedup_minhash /
+    // fuzzyDedup), never corpus-wide all-pairs.
+    // Shingle document-frequency histogram: the tuning report behind
+    // every df-capped dedup rail — how many distinct 3-gram shingles
+    // sit at df=1/2/3-10/11-100/>100, and how many postings each band
+    // carries (where the self-join volume lives). Two hash aggregates.
+    "dedup_shingle_df_hist" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .where(col("text").isNotNull && trim(col("text")) =!= "")
+      val sh = Graft.spread(docs)
+        .select(col("doc_id"),
+          explode(graft.functions.Text.wordShingles(col("text"), 3)).as("sh"))
+        .distinct()
+      sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .select(when(col("df") === 1, "df=1")
+          .when(col("df") === 2, "df=2")
+          .when(col("df") <= 10, "df=3-10")
+          .when(col("df") <= 100, "df=11-100")
+          .otherwise("df>100").as("bucket"), col("df"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_shingles"), sum("df").as("n_postings"))
+        .orderBy("bucket")
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        t(s, d, "documents").where(col("doc_id") < 300), "text", "doc_id",
+        shingleK = 2, minJaccard = 0.05)
+        .orderBy("id_a", "id_b")),
+
+    // Asymmetric containment pairs — |A∩B|/|A| per direction — the
+    // quote/boilerplate subsumption detector Jaccard misses when one
+    // side dwarfs the other. Same single-computation shingle pipeline
+    // and scale rails as dedup_ngram_jaccard.
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(
+        t(s, d, "documents").where(col("doc_id") < 300), "text", "doc_id",
+        shingleK = 2, minContainment = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    // Threshold-calibration sweep for the near-dup cutoff: pair and doc
+    // counts an exact-Jaccard pass would flag at each candidate
+    // threshold, decided by the exact integer predicate
+    // 100·inter >= t·union — the report a pipeline reads before
+    // committing a dedup threshold.
+    "dedup_threshold_sweep" -> ((s, d) =>
+      Dedup.jaccardThresholdSweep(
+        t(s, d, "documents").where(col("doc_id") < 300), "text", "doc_id",
+        shingleK = 2, thresholdsPct = Seq(5L, 10L, 25L, 50L, 75L, 90L, 100L))
+        .orderBy("t_pct")),
+
+    // Prefix-filtered exact Jaccard join (AllPairs/PPJoin): rarest-first
+    // canonical order, prefix-token candidates, length filter, exact
+    // intersection count — complete by theorem, no banding probability.
+    "dedup_prefix_jaccard" -> ((s, d) =>
+      Dedup.prefixJaccardPairs(
+        t(s, d, "documents").where(col("doc_id") < 300), "text", "doc_id",
+        minJaccard = 0.8)
+        .orderBy("id_a", "id_b")),
+
+    // Winnowed document fingerprints (MOSS): per-window rightmost-min of
+    // the ordered 2-gram hash sequence, via the packed-key window MIN both
+    // engines replay bit-for-bit. Every non-empty doc fingerprints.
+    "dedup_winnow_fp" -> ((s, d) =>
+      graft.ops.Winnow.fingerprints(
+        t(s, d, "documents"), "text", "doc_id", shingleK = 2, window = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "fp_pos", "fp")),
+
+    // Contamination screen over winnowed fingerprints: doc pairs sharing
+    // >= 3 distinct fingerprint hashes. Pair generation explodes each
+    // fingerprint's df-capped doc list — the text pipeline plans once.
+    "dedup_winnow" -> ((s, d) =>
+      graft.ops.Winnow.sharedPairs(
+        t(s, d, "documents"), "text", "doc_id", shingleK = 2, window = 4,
+        minShared = 3, maxFpDf = 10000)
+        .orderBy("id_a", "id_b")),
+
+    // Sorted-neighborhood candidate pairs (multi-pass SNM family): block by
+    // source, order by a 16-char raw text prefix (binary collation — both
+    // engines compare UTF-8 bytes; no case folding, which IS
+    // collation-sensitive), pair each doc with its 2 predecessors. One
+    // exchange + one sort, no self-join (plan asserted in PlanShapeSpec).
+    "dedup_sorted_neighborhood" -> ((s, d) =>
+      Dedup.sortedNeighborhood(
+        t(s, d, "documents"), "doc_id",
+        coalesce(substring(col("text"), 1, 16), lit("")), col("source"),
+        window = 3)
+        .orderBy("block", "id_b", "dist")),
+
+    // Multi-pass SNM: pass 1 blocks by source and sorts by text prefix
+    // (the single-pass entry's ordering); pass 2 blocks by lang and sorts
+    // by zero-padded length + the NEXT 16 chars — a pair whose prefixes
+    // diverge but whose bodies agree survives pass 2. Canonical pairs
+    // merge with (n_passes, min_dist).
+    "dedup_snm_multipass" -> ((s, d) =>
+      Dedup.multiPassSortedNeighborhood(
+        t(s, d, "documents"), "doc_id",
+        Seq(
+          (coalesce(substring(col("text"), 1, 16), lit("")), col("source")),
+          (concat(lpad(coalesce(col("n_chars"), lit(0L)).cast("string"), 6, "0"),
+            coalesce(substring(col("text"), 17, 16), lit(""))), col("lang"))),
+        window = 3)
+        .orderBy("id_a", "id_b")),
+
+    // MinHash calibration report: per SNM candidate pair, the 16-slot
+    // signature-agreement estimate NEXT TO the exact 3-gram Jaccard it
+    // estimates — the est-vs-truth audit run before trusting LSH banding
+    // thresholds. Agreement and set counts are exact integers; the two
+    // mirrored divisions happen last (union 0 -> NULL exact, both
+    // engines).
+    "dedup_minhash_calibration" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.sortedNeighborhood(docs, "doc_id",
+        coalesce(substring(col("text"), 1, 16), lit("")), col("source"),
+        window = 3).select("id_a", "id_b")
+      val sigs = Dedup.minhashSignatures(docs, "text", "doc_id",
+        numHashes = 16, shingleK = 3)
+      val agree = pairs
+        .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sa")),
+          Seq("id_a"))
+        .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sb")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1L, 0L))," +
+            " 0L, (acc, v) -> acc + v)").as("n_agree"))
+      val sh = docs.where(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"), explode(Text.wordShingles(col("text"), 3))
+          .as("sh"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = pairs
+        .join(sh.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+        .join(sh.withColumnRenamed("doc_id", "id_b"), Seq("id_b", "sh"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+      agree
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")),
+          Seq("id_a"), "left")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")),
+          Seq("id_b"), "left")
+        .join(inter, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("n_agree"),
+          coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+        .withColumn("est", col("n_agree").cast("double") / lit(16.0))
+        .withColumn("exact_jaccard", col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Connected components over candidate pairs (the fuzzy-dedup cluster
+    // collapse): sorted-neighborhood pairs chain consecutive docs inside a
+    // block, so whole blocks form single chain components — the diameter
+    // stress case pointer jumping exists for. The oracle computes TRUE
+    // reachability closure with a recursive CTE.
+    "dedup_components" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.sortedNeighborhood(docs, "doc_id",
+        coalesce(substring(col("text"), 1, 16), lit("")), col("source"),
+        window = 3)
+        .select("id_a", "id_b")
+      Dedup.clusterNearDups(docs.select(col("doc_id").as("id")), pairs,
+        "id", maxIters = 25)
+        .orderBy("id")
+    }),
+
+    // Keep-list materialization over the near-dup clusters: the
+    // alternating-star component label IS the cluster's min id, so the
+    // canonical representative is the label itself — one size aggregate
+    // and a component-keyed join produce the per-doc keep verdict a
+    // dedup pipeline actually applies.
+    "dedup_representatives" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.sortedNeighborhood(docs, "doc_id",
+        coalesce(substring(col("text"), 1, 16), lit("")), col("source"),
+        window = 3)
+        .select("id_a", "id_b")
+      val comp = Dedup.clusterNearDups(docs.select(col("doc_id").as("id")),
+        pairs, "id", maxIters = 25)
+      val sizes = comp.groupBy("component")
+        .agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, Seq("component"))
+        .select(col("id"), col("component"),
+          (col("id") === col("component")).as("is_kept"),
+          col("cluster_size"))
+        .orderBy("id")
+    }),
+
+    // Dedup run report: the cluster-size profile of the near-dup
+    // components — clusters per size, docs they hold, and docs a
+    // keep-one-representative pass would drop. Exact integers end to end
+    // (two count aggregates over the component labels), so the recursive
+    // reachability oracle replays it bit-for-bit.
+    "dedup_cluster_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.sortedNeighborhood(docs, "doc_id",
+        coalesce(substring(col("text"), 1, 16), lit("")), col("source"),
+        window = 3)
+        .select("id_a", "id_b")
+      Dedup.clusterNearDups(docs.select(col("doc_id").as("id")), pairs,
+        "id", maxIters = 25)
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          ((col("cluster_size") - 1) * col("n_clusters")).as("n_dropped"))
+        .orderBy("cluster_size")
+    }),
+
+    // Duplicated-passage detection (substring-level dedup): maximal token
+    // spans whose every 5-gram window occurs >= 2 times corpus-wide —
+    // the relational form of suffix-based span dedup (vs the doc-level
+    // dedup_* family). Spans merge via gaps-and-islands per doc.
+    "dedup_passages" -> ((s, d) =>
+      Dedup.duplicatedPassages(t(s, d, "documents"), "text", "doc_id", k = 5)
+        .orderBy("id", "span_start")),
+
+    // Bloom-prefiltered incremental dedup: which docs with id >= 250 carry
+    // text NOT already present among ids < 250? Result is bit-identical to
+    // the plain left-anti join (the oracle's NOT EXISTS); the Bloom sketch
+    // only routes rows so that at corpus scale definitely-new rows never
+    // enter the shuffle join.
+    "bloom_new_docs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val incoming = docs.where(col("doc_id") >= 250)
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+      val seen = docs.where(col("doc_id") < 250)
+        .select(md5(col("text")).as("digest"))
+      graft.ops.BloomDedup.newRows(incoming, seen, "digest", expectedItems = 1 << 16)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // Edit-distance fuzzy match (entity-resolution shape): candidates from
+    // the sorted-neighborhood pass, verified with Levenshtein over a
+    // normalized bounded prefix (cost capped per pair; the DP is O(L^2) so
+    // NEVER run it corpus x corpus — candidates only). Normalization to
+    // [a-z0-9 ] keeps both engines' character semantics identical.
+    "dedup_editdist" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val prefix = substring(
+        regexp_replace(lower(coalesce(col("text"), lit(""))), "[^a-z0-9 ]", ""),
+        1, 24)
+      val cands = Dedup.sortedNeighborhood(
+        docs, "doc_id",
+        coalesce(substring(col("text"), 1, 16), lit("")), col("source"),
+        window = 3)
+        .select("id_a", "id_b")
+      cands
+        .join(docs.select(col("doc_id").as("id_a"), prefix.as("pa")), Seq("id_a"))
+        .join(docs.select(col("doc_id").as("id_b"), prefix.as("pb")), Seq("id_b"))
+        .withColumn("lev", levenshtein(col("pa"), col("pb")).cast("long"))
+        .where(col("lev") <= 12)
+        .select("id_a", "id_b", "lev")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Jaro-Winkler fuzzy match over SNM candidates (the native codegen'd
+    // expression; DuckDB's jaro_winkler_similarity is the oracle). Same
+    // candidate discipline as dedup_editdist: never corpus x corpus.
+    "dedup_jarowinkler" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val prefix = substring(
+        regexp_replace(lower(coalesce(col("text"), lit(""))), "[^a-z0-9 ]", ""),
+        1, 24)
+      val cands = Dedup.sortedNeighborhood(
+        docs, "doc_id",
+        coalesce(substring(col("text"), 1, 16), lit("")), col("source"),
+        window = 3)
+        .select("id_a", "id_b")
+      cands
+        .join(docs.select(col("doc_id").as("id_a"), prefix.as("pa")), Seq("id_a"))
+        .join(docs.select(col("doc_id").as("id_b"), prefix.as("pb")), Seq("id_b"))
+        .withColumn("jw", round(graft.plans.JaroWinkler(col("pa"), col("pb")), 6))
+        .where(col("jw") >= 0.8)
+        .select("id_a", "id_b", "jw")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Embedding near-dup pairs: banded-LSH-bucketed (2 hash tables of 8
+    // hyperplanes), candidates cosine-verified once (threshold 0.2 — demo
+    // level for random vectors; production dedup uses ~0.95).
+    "dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDups(t(s, d, "embeddings"), "embedding", "vec_id",
+        dim = 64, bits = 8, bands = 2, threshold = 0.2)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")),
+
+    // SemDeDup semantic dedup: Lloyd-trained k-means cells bound the
+    // quadratic cosine search (sum |cell|^2, never n^2); within each cell
+    // a vector is dropped iff some lower-id cellmate is >= threshold
+    // cosine. Threshold 0.38 is demo level for these near-random
+    // synthetic vectors (production uses ~0.95); training, assignment,
+    // and the prune all replay in the oracle.
+    "dedup_semantic" -> ((s, d) =>
+      Dedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        nCells = 16, iters = 2, threshold = 0.38)
+        .orderBy("vec_id"))
+  )
+
+  protected def dedupOracles: Map[String, String] = Map(
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY digest""".stripMargin,
+
+    "bloom_new_docs" ->
+      """SELECT i.doc_id FROM documents i
+        |WHERE i.doc_id >= 250 AND NOT EXISTS (
+        |  SELECT 1 FROM documents s
+        |  WHERE s.doc_id < 250 AND md5(s.text) = md5(i.text))
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash" -> minhashOracle,
+    "dedup_minhash_calibration" -> minhashCalibrationOracle,
+    "dedup_minhash_band_stats" -> {
+      val p = Dedup.MinhashP
+      val mins = (0 until 16).map { j =>
+        val (a, b) = Dedup.minhashCoeffs(j)
+        s"COALESCE(MIN((($a * (${hash60Sql("s.sh")} % $p)) + $b) % $p), ${Long.MaxValue}) AS h$j"
+      }.mkString(",\n ")
+      val bandRows = (0 until 4).map { bd =>
+        val cat = (0 until 4).map(r => s"CAST(h${bd * 4 + r} AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, CAST($bd AS INTEGER) AS band, md5($cat) AS bucket FROM sig"
+      }.mkString("\n UNION ALL ")
+      s"""WITH $shingleCtes,
+         |sig AS (
+         | SELECT d.doc_id,
+         | $mins
+         | FROM documents d LEFT JOIN shingles s ON s.doc_id = d.doc_id
+         | GROUP BY d.doc_id),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |bands AS (
+         | $bandRows),
+         |bk AS (SELECT band, bucket, CAST(COUNT(*) AS BIGINT) AS n_members
+         |       FROM bands GROUP BY 1, 2),
+         |mb AS (SELECT * FROM bk WHERE n_members > 1)
+         |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_multi_buckets,
+         | MAX(n_members) AS max_bucket,
+         | CAST(SUM(n_members * (n_members - 1) // 2) AS BIGINT)
+         |   AS cand_pairs,
+         | nd.n_docs - CAST(SUM(n_members) AS BIGINT) AS n_singletons
+         |FROM mb CROSS JOIN nd GROUP BY band, nd.n_docs
+         |ORDER BY band""".stripMargin
+    },
+
+    "dedup_winnow_fp" ->
+      (s"""WITH $winnowCtes
+        |SELECT doc_id, fp, fp_pos FROM fps
+        |ORDER BY doc_id, fp_pos, fp""".stripMargin),
+
+    "dedup_winnow" ->
+      (s"""WITH $winnowCtes,
+        |dfp AS (SELECT DISTINCT doc_id, fp FROM fps),
+        |capped AS (
+        | SELECT doc_id, fp FROM (
+        |  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS fdf FROM dfp)
+        | WHERE fdf <= 10000)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(count(*) AS BIGINT) AS n_shared
+        |FROM capped a JOIN capped b ON b.fp = a.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    "dedup_group_minhash" -> groupMinhashOracle,
+    "dedup_simhash" -> simhashOracle(16),
+
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_containment" -> containmentOracle,
+    "dedup_threshold_sweep" -> thresholdSweepOracle,
+    "dedup_prefix_jaccard" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |toks AS (
+        | SELECT DISTINCT doc_id AS id, w FROM (
+        |  SELECT doc_id,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM docs WHERE trim(COALESCE(text, '')) <> '')),
+        |wdf AS (SELECT w, COUNT(*) AS df FROM toks GROUP BY 1),
+        |ranked AS (
+        | SELECT t.id, t.w,
+        |  row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.w) AS rn,
+        |  COUNT(*) OVER (PARTITION BY t.id) AS n
+        | FROM toks t JOIN wdf d USING (w)),
+        |pref AS (SELECT id, w, n FROM ranked
+        |         WHERE rn <= n - CEIL(0.8 * n) + 1),
+        |cand AS (
+        | SELECT DISTINCT a.id AS id_a, a.n AS n_a, b.id AS id_b, b.n AS n_b
+        | FROM pref a JOIN pref b USING (w)
+        | WHERE a.id < b.id
+        |   AND LEAST(a.n, b.n) >= 0.8 * GREATEST(a.n, b.n)),
+        |inter AS (
+        | SELECT c.id_a, c.id_b, c.n_a, c.n_b, COUNT(*) AS n_inter
+        | FROM cand c
+        | JOIN toks ta ON ta.id = c.id_a
+        | JOIN toks tb ON tb.id = c.id_b AND tb.w = ta.w
+        | GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b,
+        | CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)
+        |  AS jaccard
+        |FROM inter
+        |WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)
+        |  >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_sorted_neighborhood" ->
+      """WITH keyed AS (
+        | SELECT source AS block, COALESCE(substr(text, 1, 16), '') AS skey,
+        |  doc_id AS id
+        | FROM documents),
+        |lagged AS (
+        | SELECT block, id,
+        |  LAG(id, 1) OVER w AS p1, LAG(id, 2) OVER w AS p2
+        | FROM keyed WINDOW w AS (PARTITION BY block ORDER BY skey, id))
+        |SELECT block, p1 AS id_a, id AS id_b, 1 AS dist FROM lagged WHERE p1 IS NOT NULL
+        |UNION ALL
+        |SELECT block, p2, id, 2 FROM lagged WHERE p2 IS NOT NULL
+        |ORDER BY block, id_b, dist""".stripMargin,
+
+    "dedup_snm_multipass" ->
+      """WITH k1 AS (
+        | SELECT source AS block, COALESCE(substr(text, 1, 16), '') AS skey,
+        |  doc_id AS id
+        | FROM documents),
+        |l1 AS (
+        | SELECT id, LAG(id, 1) OVER w AS p1, LAG(id, 2) OVER w AS p2
+        | FROM k1 WINDOW w AS (PARTITION BY block ORDER BY skey, id)),
+        |k2 AS (
+        | SELECT lang AS block,
+        |  lpad(CAST(COALESCE(n_chars, 0) AS VARCHAR), 6, '0')
+        |   || COALESCE(substr(text, 17, 16), '') AS skey,
+        |  doc_id AS id
+        | FROM documents),
+        |l2 AS (
+        | SELECT id, LAG(id, 1) OVER w AS p1, LAG(id, 2) OVER w AS p2
+        | FROM k2 WINDOW w AS (PARTITION BY block ORDER BY skey, id)),
+        |allp AS (
+        | SELECT p1 AS a, id AS b, 1 AS dist FROM l1 WHERE p1 IS NOT NULL
+        | UNION ALL SELECT p2, id, 2 FROM l1 WHERE p2 IS NOT NULL
+        | UNION ALL SELECT p1, id, 1 FROM l2 WHERE p1 IS NOT NULL
+        | UNION ALL SELECT p2, id, 2 FROM l2 WHERE p2 IS NOT NULL)
+        |SELECT LEAST(a, b) AS id_a, GREATEST(a, b) AS id_b,
+        | CAST(COUNT(*) AS BIGINT) AS n_passes, MIN(dist) AS min_dist
+        |FROM allp GROUP BY 1, 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_shingle_df_hist" -> {
+      val words =
+        """SELECT doc_id, w, i FROM (
+          | SELECT doc_id,
+          |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+          |  generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS i
+          | FROM documents WHERE trim(text) <> '')""".stripMargin
+      s"""WITH w AS ($words),
+         |s0 AS (
+         | SELECT DISTINCT a.doc_id AS id, a.w || ' ' || b.w || ' ' || c.w AS sh
+         | FROM w a
+         |  JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |  JOIN w c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+         | UNION
+         | SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS sh
+         | FROM documents WHERE trim(text) <> ''
+         |  AND len(string_split_regex(trim(lower(text)), '\\s+')) < 3),
+         |dfs AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df
+         |        FROM s0 GROUP BY 1),
+         |b AS (
+         | SELECT CASE WHEN df = 1 THEN 'df=1' WHEN df = 2 THEN 'df=2'
+         |   WHEN df <= 10 THEN 'df=3-10' WHEN df <= 100 THEN 'df=11-100'
+         |   ELSE 'df>100' END AS bucket, df
+         | FROM dfs)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         | CAST(SUM(df) AS BIGINT) AS n_postings
+         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+
+    "dedup_components" ->
+      """WITH RECURSIVE keyed AS (
+        | SELECT source AS block, COALESCE(substr(text, 1, 16), '') AS skey,
+        |  doc_id AS id
+        | FROM documents),
+        |lagged AS (
+        | SELECT block, id, LAG(id, 1) OVER w AS p1, LAG(id, 2) OVER w AS p2
+        | FROM keyed WINDOW w AS (PARTITION BY block ORDER BY skey, id)),
+        |edges0 AS (
+        | SELECT p1 AS a, id AS b FROM lagged WHERE p1 IS NOT NULL
+        | UNION ALL SELECT p2, id FROM lagged WHERE p2 IS NOT NULL),
+        |edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+        |reach AS (
+        | SELECT doc_id AS id, doc_id AS r FROM documents
+        | UNION
+        | SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r)
+        |SELECT id, MIN(r) AS component FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
+
+    "dedup_representatives" ->
+      """WITH RECURSIVE keyed AS (
+        | SELECT source AS block, COALESCE(substr(text, 1, 16), '') AS skey,
+        |  doc_id AS id
+        | FROM documents),
+        |lagged AS (
+        | SELECT block, id, LAG(id, 1) OVER w AS p1, LAG(id, 2) OVER w AS p2
+        | FROM keyed WINDOW w AS (PARTITION BY block ORDER BY skey, id)),
+        |edges0 AS (
+        | SELECT p1 AS a, id AS b FROM lagged WHERE p1 IS NOT NULL
+        | UNION ALL SELECT p2, id FROM lagged WHERE p2 IS NOT NULL),
+        |edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+        |reach AS (
+        | SELECT doc_id AS id, doc_id AS r FROM documents
+        | UNION
+        | SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        |sizes AS (
+        | SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        | FROM comp GROUP BY 1)
+        |SELECT c.id, c.component, c.id = c.component AS is_kept,
+        | s.cluster_size
+        |FROM comp c JOIN sizes s USING (component)
+        |ORDER BY c.id""".stripMargin,
+
+    "dedup_cluster_stats" ->
+      """WITH RECURSIVE keyed AS (
+        | SELECT source AS block, COALESCE(substr(text, 1, 16), '') AS skey,
+        |  doc_id AS id
+        | FROM documents),
+        |lagged AS (
+        | SELECT block, id, LAG(id, 1) OVER w AS p1, LAG(id, 2) OVER w AS p2
+        | FROM keyed WINDOW w AS (PARTITION BY block ORDER BY skey, id)),
+        |edges0 AS (
+        | SELECT p1 AS a, id AS b FROM lagged WHERE p1 IS NOT NULL
+        | UNION ALL SELECT p2, id FROM lagged WHERE p2 IS NOT NULL),
+        |edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+        |reach AS (
+        | SELECT doc_id AS id, doc_id AS r FROM documents
+        | UNION
+        | SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        |sizes AS (
+        | SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        | FROM comp GROUP BY 1)
+        |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        | cluster_size * CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | (cluster_size - 1) * CAST(COUNT(*) AS BIGINT) AS n_dropped
+        |FROM sizes GROUP BY cluster_size
+        |ORDER BY cluster_size""".stripMargin,
+
+    "dedup_passages" ->
+      """WITH words AS (
+        | SELECT doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+        |  generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS i
+        | FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |g AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |  w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+        |    || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS gram
+        | FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+        |wg AS (SELECT doc_id, p, gram FROM g WHERE gram IS NOT NULL),
+        |rep AS (SELECT gram FROM wg GROUP BY gram HAVING COUNT(*) >= 2),
+        |m AS (SELECT doc_id, p FROM wg WHERE gram IN (SELECT gram FROM rep)),
+        |isl AS (
+        | SELECT doc_id, p,
+        |  CASE WHEN lag(p) OVER w2 IS NULL OR p > lag(p) OVER w2 + 5
+        |       THEN 1 ELSE 0 END AS nw
+        | FROM m WINDOW w2 AS (PARTITION BY doc_id ORDER BY p)),
+        |isl2 AS (
+        | SELECT doc_id, p,
+        |  SUM(nw) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS island
+        | FROM isl)
+        |SELECT doc_id AS id, MIN(p) AS span_start, MAX(p) + 4 AS span_end,
+        | MAX(p) + 4 - MIN(p) + 1 AS span_tokens, CAST(COUNT(*) AS BIGINT) AS n_windows
+        |FROM isl2 GROUP BY doc_id, island
+        |ORDER BY id, span_start""".stripMargin,
+
+    "dedup_editdist" ->
+      """WITH keyed AS (
+        | SELECT source AS block, COALESCE(substr(text, 1, 16), '') AS skey,
+        |  doc_id AS id
+        | FROM documents),
+        |lagged AS (
+        | SELECT block, id,
+        |  LAG(id, 1) OVER w AS p1, LAG(id, 2) OVER w AS p2
+        | FROM keyed WINDOW w AS (PARTITION BY block ORDER BY skey, id)),
+        |cands AS (
+        | SELECT p1 AS id_a, id AS id_b FROM lagged WHERE p1 IS NOT NULL
+        | UNION ALL
+        | SELECT p2, id FROM lagged WHERE p2 IS NOT NULL),
+        |pref AS (
+        | SELECT doc_id,
+        |  substr(regexp_replace(lower(COALESCE(text, '')), '[^a-z0-9 ]', '', 'g'),
+        |   1, 24) AS p
+        | FROM documents)
+        |SELECT c.id_a, c.id_b,
+        | CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev
+        |FROM cands c
+        | JOIN pref a ON a.doc_id = c.id_a
+        | JOIN pref b ON b.doc_id = c.id_b
+        |WHERE levenshtein(a.p, b.p) <= 12
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_jarowinkler" ->
+      """WITH keyed AS (
+        | SELECT source AS block, COALESCE(substr(text, 1, 16), '') AS skey,
+        |  doc_id AS id
+        | FROM documents),
+        |lagged AS (
+        | SELECT block, id,
+        |  LAG(id, 1) OVER w AS p1, LAG(id, 2) OVER w AS p2
+        | FROM keyed WINDOW w AS (PARTITION BY block ORDER BY skey, id)),
+        |cands AS (
+        | SELECT p1 AS id_a, id AS id_b FROM lagged WHERE p1 IS NOT NULL
+        | UNION ALL
+        | SELECT p2, id FROM lagged WHERE p2 IS NOT NULL),
+        |pref AS (
+        | SELECT doc_id,
+        |  substr(regexp_replace(lower(COALESCE(text, '')), '[^a-z0-9 ]', '', 'g'),
+        |   1, 24) AS p
+        | FROM documents)
+        |SELECT id_a, id_b, jw FROM (
+        | SELECT c.id_a, c.id_b,
+        |  ROUND(jaro_winkler_similarity(a.p, b.p), 6) AS jw
+        | FROM cands c
+        |  JOIN pref a ON a.doc_id = c.id_a
+        |  JOIN pref b ON b.doc_id = c.id_b)
+        |WHERE jw >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding" -> embeddingNearDupOracle,
+    "dedup_semantic" -> semanticDedupOracle()
+  )
+}

@@ -1,0 +1,788 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Graft
+import graft.functions.{Cleaning, Norm, StableHash, Text, Urls, Vectors}
+import graft.metrics.StaffingMetrics
+import graft.ops.{Dedup, Multimodal, Regression, Similarity, Sketches, TextAnalysis}
+import graft.quality.DataQuality
+
+/** Sim slice of the SparkEntry corpus (see SparkEntry's scaladoc for the cross-engine
+  * determinism rules every entry follows). Bodies moved verbatim from the
+  * round-6 SparkEntry map literals; shared helpers live on SparkEntry
+  * (private[graft]).
+  */
+private[graft] trait QueriesSim { this: SparkEntry.type =>
+
+  protected def simQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Reciprocal-rank fusion of two retrieval rankers over the same
+    // queries: BM25 top-20 and a term-coverage ranker (distinct query
+    // words matched, doc-id tie-break), fused with exact integer-nano
+    // RRF credits 1e9 DIV (60 + rank) and re-ranked on the bounded
+    // merged set. The hybrid-retrieval staple (lexical + second signal).
+    "rank_fusion_rrf" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq(1L -> Seq("spark", "join", "fast"),
+        2L -> Seq("customer", "query", "slow"),
+        3L -> Seq("vector", "hash", "merge"))
+      val docs = t(s, d, "documents")
+      val bm = TextAnalysis.bm25TopK(docs, qs, k = 20)
+        .select("query_id", "doc_id", "rank")
+      val q = qs.flatMap { case (qid, ts) => ts.map(w => (qid, w)) }
+        .toDF("query_id", "word")
+      val cov = graft.core.Graft.spread(docs)
+        .select(col("doc_id"),
+          explode(graft.functions.Text.tokens(col("text"))).as("word"))
+        .where(col("word") =!= "").distinct()
+        .join(broadcast(q), Seq("word"))
+        .groupBy("query_id", "doc_id")
+        .agg(count_distinct(col("word")).cast("double").as("s"))
+      val covRanked = graft.ops.TopK.perGroupTopK(
+          cov, Seq("query_id"), "doc_id", "s", 20)
+        .select("query_id", "doc_id", "rank")
+      graft.ops.Fusion.rrf(Seq(bm, covRanked), Seq("query_id"), "doc_id",
+          "rank")
+        .orderBy("query_id", "rrf_rank")
+    }),
+
+    // Radius search: all corpus neighbors of the 5 probe vectors with
+    // cosine >= 0.1 (threshold retrieval — the "everything this similar"
+    // complement of top-k). Broadcast queries, map-side kernel, no
+    // shuffle; output is the match set only.
+    "sim_range_search" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.rangeSearch(emb, emb.where(col("vec_id") < 5), tau = 0.1)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "corpus_id")
+    }),
+
+    // Brute-force cosine top-k (exact ANN baseline).
+    "sim_brute_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), k = 10)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Matryoshka truncation audit: recall@10 of brute-force cosine
+    // retrieval when embeddings are truncated to their first 16 of 64
+    // dims (the MRL serving trade-off, Kusupati et al. 2022) against the
+    // full-dim ranking. Both rankings use the exact per-partition kernel;
+    // the report is pure integers (overlap count, truncating nano
+    // recall), so cosine ULPs never surface.
+    "sim_matryoshka_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      def trunc(df: DataFrame) =
+        df.withColumn("embedding", slice(col("embedding"), 1, 16))
+      val full = Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select("query_id", "corpus_id")
+      val cut = Similarity.bruteForceTopK(trunc(emb), trunc(queries), k = 10)
+        .select("query_id", "corpus_id")
+      val overlap = full.join(cut, Seq("query_id", "corpus_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(overlap, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          expr("coalesce(n_overlap, 0L) * 1000000000L DIV 10")
+            .as("recall_nano"))
+        .orderBy("query_id")
+    }),
+
+    // 1-bit binary quantization ANN: sign-bit pack to two 32-bit words
+    // per vector, exact Hamming ranking via xor + popcount — the 1-bit
+    // tier of the quantization ladder (brute / LSH / IVF / SQ8 / PQ /
+    // binary), integer end to end.
+    "sim_binary_hamming_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.binaryHammingTopK(emb, emb.where(col("vec_id") < 5), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Hard-negative mining: per probe vector, the 10 most-similar
+    // corpus vectors with a DIFFERENT label — the batch step that turns
+    // a labeled corpus into contrastive training pairs.
+    "sim_hard_negatives" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.hardNegatives(emb, emb.where(col("vec_id") < 5), k = 10)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Diverse retrieval: Maximal Marginal Relevance over each probe's
+    // top-20 brute-force pool — 8 greedy picks balancing query relevance
+    // against max similarity to already-picked docs (λ = 0.5). All
+    // comparisons happen in exact integer nanos, so the whole greedy
+    // chain (picks, ties, scores) replays as an unrolled SQL chain.
+    "sim_mmr_select" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.mmrSelect(emb, emb.where(col("vec_id") < 3),
+        poolK = 20, k = 8)
+        .orderBy("query_id", "pick")
+    }),
+
+    // k-NN majority-vote pseudo-labeling: every 25th vector plays the
+    // unlabeled query batch, the rest the labeled corpus; prediction =
+    // most common label among the 10 exact-cosine nearest (ties to the
+    // smallest label). True label joined back for accuracy inspection.
+    "sim_knn_classify" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.where(col("vec_id") % 25 === 0)
+      val labeled = emb.where(col("vec_id") % 25 =!= 0)
+      Similarity.knnClassify(labeled, queries, k = 10)
+        .join(queries.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), Seq("query_id"))
+        .orderBy("query_id")
+    }),
+
+    // IVF with Lloyd-TRAINED centroids (2 iterations from the prefix-
+    // sample init): assignment + decimal-exact per-dimension means are
+    // bit-reproducible, so even the TRAINING is oracle-replayed (the
+    // DuckDB twin unrolls both iterations in SQL).
+    "sim_ivf_trained_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopKTrained(emb, emb.where(col("vec_id") < 5), k = 10,
+        nCells = 16, nProbe = 2, iters = 2)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Per-label embedding centroids (class prototypes): relational
+    // posexplode + decimal-exact per-dimension means + position-sorted
+    // regroup — scales like a group-by, no per-group vector buffers.
+    // (Scalar projection of the centroid rather than the raw list column:
+    // Spark and DuckDB disagree on the arrow list CHILD FIELD NAME
+    // ("element" vs "l"), a schema-compare hazard; the FULL centroids are
+    // cross-checked anyway by emb_assign_nearest's distances.)
+    "emb_label_centroids" -> ((s, d) =>
+      graft.ops.EmbeddingAgg.groupCentroids(
+        Graft.spread(t(s, d, "embeddings")), "label", "embedding")
+        .select(col("label"), size(col("centroid")).cast("long").as("n_dims"),
+          col("centroid")(0).as("c0"), col("centroid")(1).as("c1"),
+          col("centroid")(2).as("c2"), col("centroid")(3).as("c3"))
+        .orderBy("label")),
+
+    // Vector-norm histogram: unit-wide buckets of the L2 norm over clean
+    // 64-dim vectors (DotProduct kernel == the oracle's in-order fold,
+    // so floor(norm) buckets bit-agree) — the scale-sanity profile run
+    // before cosine math is trusted.
+    "emb_norm_hist" -> ((s, d) => {
+      val raw = col("embedding")
+      val nrm = t(s, d, "embeddings")
+        .where(raw.isNotNull && size(raw) === 64 && !exists(raw, _.isNull))
+        .select(sqrt(graft.plans.DotProduct(raw, raw)).as("nrm"))
+      nrm.groupBy(floor(col("nrm")).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), min("nrm").as("min_norm"),
+          max("nrm").as("max_norm"))
+        .orderBy("bucket")
+    }),
+
+    // Embedding distribution drift: per label, L2 shift between the
+    // decimal-exact centroids of the even and odd vec_id halves — the
+    // embedding-space counterpart of dq_psi_drift. The centroid join is
+    // label-keyed (bounded); the distance is the L2Sq kernel (bit-equal
+    // to the oracle's in-order list fold), nano-rounded.
+    "emb_centroid_drift" -> ((s, d) => {
+      val emb = Graft.spread(t(s, d, "embeddings"))
+        .where(col("label").isNotNull)
+      val ha = emb.where(col("vec_id") % 2 === 0)
+      val hb = emb.where(col("vec_id") % 2 === 1)
+      def cent(df: DataFrame, out: String) =
+        graft.ops.EmbeddingAgg.groupCentroids(df, "label", "embedding")
+          .withColumnRenamed("centroid", out)
+      def cnt(df: DataFrame, out: String) =
+        df.groupBy("label").agg(count(lit(1)).as(out))
+      cent(ha, "cva").join(cent(hb, "cvb"), Seq("label"))
+        .join(cnt(ha, "n_a"), Seq("label"))
+        .join(cnt(hb, "n_b"), Seq("label"))
+        .select(col("label"), col("n_a"), col("n_b"),
+          round(sqrt(graft.plans.L2Sq(col("cva"), col("cvb"))) * 1e9)
+            .cast("long").as("shift_nano"))
+        .orderBy("label")
+    }),
+
+    // Per-dimension embedding health profile (dead / degenerate / NaN-ish
+    // dimension detection before training): positions present, non-null
+    // count, decimal-nano-exact mean, min and max per dimension. One
+    // posexplode + hash aggregate; output is bounded by the
+    // dimensionality, never the corpus.
+    "emb_dim_stats" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(posexplode(Vectors.asDouble(col("embedding")))
+          .as(Seq("i", "v")))
+        .groupBy(col("i").cast("long").as("i"))
+        .agg(count(lit(1)).as("n_pos"), count(col("v")).as("n"),
+          (sum(expr("CAST(round(v * 1e9) AS BIGINT)")).cast("double") /
+            count(col("v")) / lit(1.0e9)).as("mean"),
+          min("v").as("mn"), max("v").as("mx"))
+        .orderBy("i")),
+
+    // Covariance of the embedding distribution (PCA input): upper-
+    // triangle entries, nano-exact product sums so every double replays
+    // bit-for-bit. The 64x64 matrix is the bounded output; the corpus
+    // only streams through the (i, j) hash aggregate.
+    "emb_covariance" -> ((s, d) =>
+      graft.ops.EmbeddingAgg.covarianceUpper(
+        Graft.spread(t(s, d, "embeddings")), "embedding", dim = 64)
+        .orderBy("i", "j")),
+
+    // PCA projection: the distributed covariance above collects to the
+    // driver (2,080 entries — dim-bounded, never corpus-sized), 30
+    // power-iteration rounds extract the first principal component, and
+    // the corpus projects onto the broadcast direction in one map-side
+    // pass (DotProduct kernel; degenerate vectors -> NULL score). The
+    // oracle replays the iteration as a recursive CTE over the same
+    // ordered folds, so every score lands bit-exact. At 100 TB the only
+    // corpus-scale work is the covariance hash-aggregate + this map pass.
+    "emb_pca_project" -> ((s, d) => {
+      val emb = Graft.spread(t(s, d, "embeddings"))
+      val cov = graft.ops.EmbeddingAgg.covarianceUpper(emb, "embedding", dim = 64)
+      val pc = graft.ops.EmbeddingAgg.pc1(cov, dim = 64)
+      val pcLit = array(pc.map(x => lit(x)): _*)
+      emb.select(col("vec_id"),
+        Vectors.dot(Vectors.asDouble(col("embedding")), pcLit).as("pc1_score"))
+        .orderBy("vec_id")
+    }),
+
+    // Two-component PCA map: Hotelling deflation (C - λ v vᵀ) after the
+    // first power iteration yields the second component; the corpus
+    // projects onto both broadcast directions in the same map-side pass.
+    // The oracle replays BOTH iterations (two recursive CTEs) plus the
+    // Rayleigh quotient and deflation arithmetic, ordered-fold for
+    // ordered-fold.
+    "emb_pca_top2" -> ((s, d) => {
+      val emb = Graft.spread(t(s, d, "embeddings"))
+      val cov = graft.ops.EmbeddingAgg.covarianceUpper(emb, "embedding", dim = 64)
+      val pcs = graft.ops.EmbeddingAgg.pcTop(cov, dim = 64, k = 2)
+      val p1 = array(pcs(0)._1.map(x => lit(x)): _*)
+      val p2 = array(pcs(1)._1.map(x => lit(x)): _*)
+      emb.select(col("vec_id"),
+        Vectors.dot(Vectors.asDouble(col("embedding")), p1).as("pc1_score"),
+        Vectors.dot(Vectors.asDouble(col("embedding")), p2).as("pc2_score"))
+        .orderBy("vec_id")
+    }),
+
+    // Per-label centroid-distance outliers (p95 cutoff broadcast back):
+    // flags vectors far from their own class prototype — mislabeled or
+    // anomalous rows — without any global sort. The verdict is coalesced
+    // to a NON-NULL boolean (null dist stays as the degenerate marker):
+    // nullable booleans round-trip differently through the two engines'
+    // pandas conversions (None vs NaN), a compare-harness trap.
+    "emb_outliers" -> ((s, d) =>
+      graft.ops.EmbeddingAgg.centroidOutliers(
+        Graft.spread(t(s, d, "embeddings")), "vec_id", "embedding", "label")
+        .withColumn("dist", round(col("dist"), 6))
+        .withColumn("is_outlier", coalesce(col("is_outlier"), lit(false)))
+        .orderBy("vec_id")),
+
+    // Nearest-centroid assignment (classify every vector against the
+    // label prototypes): centroids broadcast, corpus scored map-side,
+    // bounded top-1 finisher.
+    "emb_assign_nearest" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = graft.ops.EmbeddingAgg.groupCentroids(emb, "label", "embedding")
+      graft.ops.EmbeddingAgg.assignNearest(
+        Graft.spread(emb), "vec_id", "embedding", cents, "label", "centroid")
+        .withColumn("dist", round(col("dist"), 6))
+        .orderBy("vec_id")
+    }),
+
+    // LSH-bucketed approximate top-k (multi-probe random hyperplanes).
+    // bits sized to the corpus (2^4 buckets over 500 vectors): recall@10
+    // measured 0.26 vs 0.03 at 8 bits — see OpsSpec's recall test.
+    "sim_lsh_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 5), k = 10,
+        dim = 64, bits = 4, probes = 3)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Product-quantization ANN (8 sub-spaces x 16 centroids = 64x vector
+    // compression) with ADC scoring and exact rerank; the whole pipeline —
+    // codebook, encode, lookup tables, candidate cut — replays in the
+    // oracle.
+    "sim_pq_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.pqTopK(emb, emb.where(col("vec_id") < 5), k = 10,
+        m = 8, dsub = 8, codebookSize = 16, rerank = 40)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // PQ with Lloyd-trained sub-codebooks (2 rounds of assign + decimal-
+    // exact per-dim means, seeded from the same prefix sample): the whole
+    // training chain replays in the oracle, like sim_ivf_trained_topk's.
+    "sim_pq_trained_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.pqTopKTrained(emb, emb.where(col("vec_id") < 5), k = 10,
+        m = 8, dsub = 8, codebookSize = 16, rerank = 40, iters = 2)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF-PQ composed index (the production FAISS-style layout): coarse
+    // cells prune the candidate scan, PQ codes ADC-score what remains,
+    // exact cosine reranks the winners. Both prunes replay in the oracle.
+    "sim_ivfpq_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 5), k = 10,
+        nCells = 16, nProbe = 4, m = 8, dsub = 8, codebookSize = 16,
+        rerank = 40)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Scalar-quantized (int8) ANN with exact rerank: encode is replayed in
+    // the oracle bit-for-bit (amax fold -> scale -> rounded tinyint codes),
+    // approximate ranking picks 40 candidates, exact cosine reranks to 10.
+    "sim_sq8_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.sq8TopK(emb, emb.where(col("vec_id") < 5), k = 10,
+        rerank = 40)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF-style approximate top-k (centroid cells + nProbe probing).
+    "sim_ivf_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), k = 10,
+        nCells = 16, nProbe = 2)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  protected def simOracles: Map[String, String] = Map(
+    "emb_pca_top2" -> pcaTop2Oracle,
+
+    // BM25 scoring CTEs mirror text_bm25_topk (same query battery, rank
+    // cap 20); the coverage ranker and the fused RRF re-rank are exact
+    // integer arithmetic.
+    "rank_fusion_rrf" ->
+      """WITH q AS (SELECT CAST(qid AS BIGINT) AS query_id, word FROM (VALUES
+        |  (1,'spark'),(1,'join'),(1,'fast'),
+        |  (2,'customer'),(2,'query'),(2,'slow'),
+        |  (3,'vector'),(3,'hash'),(3,'merge')) t(qid, word)),
+        |tf AS (
+        | SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        | WHERE word <> '' GROUP BY doc_id, word),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+        |dfs AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+        |        WHERE word IN (SELECT word FROM q) GROUP BY word),
+        |sc AS (
+        | SELECT query_id, doc_id,
+        |  CAST(SUM(CAST(round(
+        |   ln((CAST(st.n AS DOUBLE) - CAST(dfs.df AS DOUBLE) + 0.5) / (CAST(dfs.df AS DOUBLE) + 0.5) + 1.0)
+        |   * ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE)
+        |      + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / (CAST(st.tot AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+        |   * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS score
+        | FROM q JOIN tf USING (word) JOIN dfs USING (word) JOIN dl USING (doc_id) CROSS JOIN st
+        | GROUP BY query_id, doc_id),
+        |r1 AS (SELECT query_id, doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+        | FROM sc QUALIFY rank <= 20),
+        |cov AS (
+        | SELECT query_id, doc_id, COUNT(DISTINCT word) AS nm
+        | FROM (SELECT DISTINCT doc_id, word FROM tf) dw JOIN q USING (word)
+        | GROUP BY 1, 2),
+        |r2 AS (SELECT query_id, doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY nm DESC, doc_id ASC) AS BIGINT) AS rank
+        | FROM cov QUALIFY rank <= 20),
+        |fused AS (
+        | SELECT query_id, doc_id, r1.rank AS rank_1, r2.rank AS rank_2,
+        |  COALESCE(1000000000 // (60 + r1.rank), 0)
+        |   + COALESCE(1000000000 // (60 + r2.rank), 0) AS rrf_nano
+        | FROM r1 FULL OUTER JOIN r2 USING (query_id, doc_id))
+        |SELECT query_id, doc_id, rank_1, rank_2,
+        | CAST(rrf_nano AS BIGINT) AS rrf_nano,
+        | CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |   ORDER BY rrf_nano DESC, doc_id) AS BIGINT) AS rrf_rank
+        |FROM fused QUALIFY rrf_rank <= 10
+        |ORDER BY query_id, rrf_rank""".stripMargin,
+
+    "sim_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         |            label AS q_label
+         |           FROM embeddings WHERE vec_id < 5),
+         | c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv,
+         |        label AS c_label
+         |       FROM embeddings),
+         | scored AS (
+         |  SELECT q.query_id, c.corpus_id,
+         |   ${cosineSql("q.qv", "c.cv")} AS cosine
+         |  FROM c CROSS JOIN q
+         |  WHERE c.corpus_id <> q.query_id
+         |   AND c.c_label IS DISTINCT FROM q.q_label)
+         |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
+         |FROM (
+         |  SELECT query_id, corpus_id, cosine,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id
+         |     ORDER BY cosine DESC, corpus_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_range_search" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         | c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+         |       FROM embeddings)
+         |SELECT q.query_id, c.corpus_id,
+         | ROUND(${cosineSql("q.qv", "c.cv")}, 6) AS cosine
+         |FROM c CROSS JOIN q
+         |WHERE c.corpus_id <> q.query_id
+         | AND ${cosineSql("q.qv", "c.cv")} >= 0.1
+         |ORDER BY query_id, corpus_id""".stripMargin,
+
+    "sim_mmr_select" -> mmrSelectOracle,
+    "sim_brute_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         | c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         | scored AS (
+         |  SELECT q.query_id, c.corpus_id,
+         |   ${cosineSql("q.qv", "c.cv")} AS cosine
+         |  FROM c CROSS JOIN q WHERE c.corpus_id <> q.query_id),
+         | ranked AS (
+         |  SELECT query_id, corpus_id, cosine,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_binary_hamming_topk" ->
+      """WITH clean AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        | WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |  AND len(embedding) = list_aggregate(embedding, 'count')),
+        |el AS (SELECT vec_id, unnest(v) AS x,
+        |        generate_subscripts(v, 1) - 1 AS i FROM clean),
+        |wrd AS (SELECT vec_id,
+        |  CAST(SUM(CASE WHEN i < 32 AND x >= 0 AND NOT isnan(x)
+        |    THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)
+        |    AS BIGINT) AS w0,
+        |  CAST(SUM(CASE WHEN i >= 32 AND x >= 0 AND NOT isnan(x)
+        |    THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END)
+        |    AS BIGINT) AS w1
+        | FROM el GROUP BY 1),
+        |q AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+        |      FROM wrd WHERE vec_id < 5),
+        |sc AS (SELECT q.query_id, c.vec_id AS corpus_id,
+        |  CAST(bit_count(xor(c.w0, q.q0))
+        |    + bit_count(xor(c.w1, q.q1)) AS BIGINT) AS hamming
+        | FROM wrd c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, corpus_id, hamming,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY hamming ASC, corpus_id ASC) AS BIGINT) AS rank
+        | FROM sc)
+        |SELECT query_id, corpus_id, hamming, rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_matryoshka_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         | c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+         |       FROM embeddings),
+         | fr AS (
+         |  SELECT query_id, corpus_id FROM (
+         |   SELECT q.query_id, c.corpus_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${cosineSql("q.qv", "c.cv")} DESC,
+         |      c.corpus_id ASC) AS rank
+         |   FROM c CROSS JOIN q
+         |   WHERE c.corpus_id <> q.query_id)
+         |  WHERE rank <= 10),
+         | qt AS (SELECT query_id, qv[1:16] AS qv FROM q),
+         | ct AS (SELECT corpus_id, cv[1:16] AS cv FROM c),
+         | tr AS (
+         |  SELECT query_id, corpus_id FROM (
+         |   SELECT qt.query_id, ct.corpus_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qt.query_id
+         |      ORDER BY ${cosineSql("qt.qv", "ct.cv")} DESC,
+         |      ct.corpus_id ASC) AS rank
+         |   FROM ct CROSS JOIN qt
+         |   WHERE ct.corpus_id <> qt.query_id)
+         |  WHERE rank <= 10),
+         | ov AS (
+         |  SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+         |  FROM fr f JOIN tr USING (query_id, corpus_id) GROUP BY 1)
+         |SELECT q.query_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+         | CAST(COALESCE(ov.n_overlap, 0) * 1000000000 // 10 AS BIGINT)
+         |   AS recall_nano
+         |FROM q LEFT JOIN ov USING (query_id)
+         |ORDER BY q.query_id""".stripMargin,
+
+    "sim_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         |            label AS true_label
+         |           FROM embeddings WHERE vec_id % 25 = 0),
+         | c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv, label
+         |       FROM embeddings WHERE vec_id % 25 <> 0),
+         | scored AS (
+         |  SELECT q.query_id, c.corpus_id, c.label,
+         |   ${cosineSql("q.qv", "c.cv")} AS cosine
+         |  FROM c CROSS JOIN q),
+         | ranked AS (
+         |  SELECT query_id, corpus_id, label,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id
+         |     ORDER BY cosine DESC, corpus_id ASC) AS rank
+         |  FROM scored),
+         | votes AS (
+         |  SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+         |  FROM ranked WHERE rank <= 10 GROUP BY query_id, label),
+         | best AS (
+         |  SELECT query_id, label AS pred_label, n_votes,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id
+         |     ORDER BY n_votes DESC, label ASC NULLS LAST) AS rn
+         |  FROM votes)
+         |SELECT b.query_id, b.pred_label, b.n_votes, q.true_label
+         |FROM best b JOIN q USING (query_id)
+         |WHERE rn = 1 ORDER BY query_id""".stripMargin,
+
+    "sim_lsh_topk" -> lshTopkOracle,
+    "sim_sq8_topk" -> sq8TopkOracle(),
+
+    "sim_pq_topk" -> pqTopkOracle(),
+
+    "sim_pq_trained_topk" -> pqTopkOracle(iters = 2),
+
+    "sim_ivfpq_topk" -> ivfPqTopkOracle(),
+
+    "emb_dim_stats" ->
+      """SELECT i, CAST(COUNT(*) AS BIGINT) AS n_pos,
+        | CAST(COUNT(v) AS BIGINT) AS n,
+        | CAST(SUM(CAST(round(v * 1e9) AS BIGINT)) AS DOUBLE)
+        |   / COUNT(v) / 1e9 AS mean,
+        | MIN(v) AS mn, MAX(v) AS mx
+        |FROM (SELECT unnest(embedding::DOUBLE[]) AS v,
+        |       CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i
+        |      FROM embeddings)
+        |GROUP BY i ORDER BY i""".stripMargin,
+
+    "emb_covariance" ->
+      """WITH clean AS (
+        | SELECT embedding::DOUBLE[] AS v FROM embeddings
+        | WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |  AND len(embedding) = list_aggregate(embedding, 'count')),
+        |nn AS (SELECT COUNT(*) AS n FROM clean),
+        |pairs AS (
+        | SELECT i.i AS i, j.j AS j,
+        |  CAST(ROUND(v[CAST(i.i AS INT) + 1] * v[CAST(j.j AS INT) + 1]
+        |    * 1000000000.0) AS BIGINT) AS p
+        | FROM clean CROSS JOIN range(0, 64) i(i) CROSS JOIN range(0, 64) j(j)
+        | WHERE j.j >= i.i),
+        |sums AS (SELECT i, j, SUM(p) AS s FROM pairs GROUP BY 1, 2),
+        |mom AS (
+        | SELECT t.i AS i,
+        |  SUM(CAST(ROUND(v[CAST(t.i AS INT) + 1] * 1000000000.0) AS BIGINT)) AS sm
+        | FROM clean CROSS JOIN range(0, 64) t(i) GROUP BY 1)
+        |SELECT s.i, s.j,
+        | CAST(s.s AS DOUBLE) / 1000000000.0 / nn.n
+        |  - (CAST(mi.sm AS DOUBLE) / 1000000000.0 / nn.n)
+        |    * (CAST(mj.sm AS DOUBLE) / 1000000000.0 / nn.n) AS cov
+        |FROM sums s CROSS JOIN nn
+        | JOIN mom mi ON mi.i = s.i
+        | JOIN mom mj ON mj.i = s.j
+        |ORDER BY s.i, s.j""".stripMargin,
+
+    // Replays EmbeddingAgg.pc1 exactly: the covm CTEs are the
+    // emb_covariance oracle verbatim; the recursive CTE mirrors the
+    // driver's power iteration (matrix-vector left folds, left-fold norm,
+    // norm>0 guard keeping the previous vector, first-nonzero sign fix) —
+    // every fold is list-ordered, so the 30th iterate is bit-identical.
+    // The NV expression is spelled out three times because DuckDB lambdas
+    // reject subqueries and correlation only reaches one level deep;
+    // duplication is deterministic so the copies agree bitwise.
+    "emb_pca_project" ->
+      """WITH RECURSIVE clean AS (
+        | SELECT embedding::DOUBLE[] AS v FROM embeddings
+        | WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |  AND len(embedding) = list_aggregate(embedding, 'count')),
+        |nn AS (SELECT COUNT(*) AS n FROM clean),
+        |pairs AS (
+        | SELECT i.i AS i, j.j AS j,
+        |  CAST(ROUND(v[CAST(i.i AS INT) + 1] * v[CAST(j.j AS INT) + 1]
+        |    * 1000000000.0) AS BIGINT) AS p
+        | FROM clean CROSS JOIN range(0, 64) i(i) CROSS JOIN range(0, 64) j(j)
+        | WHERE j.j >= i.i),
+        |sums AS (SELECT i, j, SUM(p) AS s FROM pairs GROUP BY 1, 2),
+        |mom AS (
+        | SELECT t.i AS i,
+        |  SUM(CAST(ROUND(v[CAST(t.i AS INT) + 1] * 1000000000.0) AS BIGINT)) AS sm
+        | FROM clean CROSS JOIN range(0, 64) t(i) GROUP BY 1),
+        |covm AS (
+        | SELECT s.i AS i, s.j AS j,
+        |  CAST(s.s AS DOUBLE) / 1000000000.0 / nn.n
+        |   - (CAST(mi.sm AS DOUBLE) / 1000000000.0 / nn.n)
+        |     * (CAST(mj.sm AS DOUBLE) / 1000000000.0 / nn.n) AS cov
+        | FROM sums s CROSS JOIN nn
+        |  JOIN mom mi ON mi.i = s.i
+        |  JOIN mom mj ON mj.i = s.j),
+        |fullm AS (
+        | SELECT i, j, cov FROM covm
+        | UNION ALL
+        | SELECT j AS i, i AS j, cov FROM covm WHERE i < j),
+        |rows_m AS (SELECT i, list(cov ORDER BY j) AS r FROM fullm GROUP BY i),
+        |mat AS (SELECT list(r ORDER BY i) AS m FROM rows_m),
+        |it(k, v) AS (
+        | SELECT 0 AS k, list_transform(range(0, 64), x -> 1.0 / sqrt(64.0)) AS v
+        | UNION ALL
+        | SELECT it.k + 1,
+        |  CASE WHEN sqrt(list_sum(list_transform(
+        |         list_transform(range(0, 64), ii ->
+        |           list_sum(list_transform(
+        |             list_zip(mat.m[CAST(ii AS INT) + 1], it.v),
+        |             x -> x[1] * x[2]))), x -> x * x))) > 0
+        |       THEN list_transform(
+        |         list_transform(range(0, 64), ii ->
+        |           list_sum(list_transform(
+        |             list_zip(mat.m[CAST(ii AS INT) + 1], it.v),
+        |             x -> x[1] * x[2]))),
+        |         x -> x / sqrt(list_sum(list_transform(
+        |           list_transform(range(0, 64), ii ->
+        |             list_sum(list_transform(
+        |               list_zip(mat.m[CAST(ii AS INT) + 1], it.v),
+        |               x -> x[1] * x[2]))), x -> x * x))))
+        |       ELSE it.v END
+        | FROM it, mat WHERE it.k < 30),
+        |fin AS (SELECT v FROM it WHERE k = 30),
+        |lead AS (
+        | SELECT min(r.ii) AS li FROM range(0, 64) r(ii), fin
+        | WHERE fin.v[CAST(r.ii AS INT) + 1] <> 0.0),
+        |pcv AS (
+        | SELECT CASE WHEN lead.li IS NOT NULL
+        |         AND fin.v[CAST(lead.li AS INT) + 1] < 0
+        |        THEN list_transform(fin.v, x -> -x) ELSE fin.v END AS pc
+        | FROM fin CROSS JOIN lead)
+        |SELECT ev.vec_id,
+        | (CASE WHEN len(ev.v) = len(pcv.pc)
+        |   AND len(ev.v) = list_aggregate(ev.v, 'count')
+        |   AND len(pcv.pc) = list_aggregate(pcv.pc, 'count')
+        |  THEN list_sum(list_transform(list_zip(ev.v, pcv.pc), x -> x[1] * x[2]))
+        |  END) AS pc1_score
+        |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) ev
+        | CROSS JOIN pcv
+        |ORDER BY vec_id""".stripMargin,
+
+    "emb_label_centroids" ->
+      (labelCentroidsSql +
+        """
+          |SELECT label, CAST(len(centroid) AS BIGINT) AS n_dims,
+          | centroid[1] AS c0, centroid[2] AS c1,
+          | centroid[3] AS c2, centroid[4] AS c3
+          |FROM cents ORDER BY label""".stripMargin),
+
+    "emb_norm_hist" -> {
+      s"""WITH clean AS (
+         | SELECT embedding::DOUBLE[] AS v FROM embeddings
+         | WHERE embedding IS NOT NULL AND len(embedding) = 64
+         |  AND len(embedding) = list_aggregate(embedding, 'count')),
+         |nrm AS (SELECT sqrt(${dotSql("v", "v")}) AS nrm FROM clean)
+         |SELECT CAST(floor(nrm) AS BIGINT) AS bucket,
+         | CAST(COUNT(*) AS BIGINT) AS n,
+         | MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+         |FROM nrm GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+
+    "emb_centroid_drift" -> {
+      def half(name: String, par: Int) =
+        s"""d$name AS (
+           | SELECT label, embedding FROM embeddings
+           | WHERE label IS NOT NULL AND vec_id % 2 = $par),
+           |dim$name AS (
+           | SELECT label, i,
+           |  CAST(SUM(CAST(round(v * 1e9) AS BIGINT)) AS DOUBLE)
+           |   / COUNT(v) / 1e9 AS m
+           | FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+           |        generate_subscripts(embedding, 1) AS i
+           |       FROM d$name)
+           | GROUP BY label, i),
+           |c$name AS (
+           | SELECT label, list(m ORDER BY i) AS cv$name
+           | FROM dim$name WHERE m IS NOT NULL GROUP BY label),
+           |n$name AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_$name
+           |           FROM d$name GROUP BY label)""".stripMargin
+      s"""WITH ${half("a", 0)},
+         |${half("b", 1)}
+         |SELECT ca.label, na.n_a, nb.n_b,
+         | CAST(round(${distSql("ca.cva", "cb.cvb")} * 1e9) AS BIGINT)
+         |   AS shift_nano
+         |FROM ca JOIN cb USING (label)
+         |JOIN na USING (label) JOIN nb USING (label)
+         |ORDER BY ca.label""".stripMargin
+    },
+
+    "emb_assign_nearest" -> {
+      s"""$labelCentroidsSql,
+         |scored AS (
+         | SELECT e.vec_id, CAST(c.label AS BIGINT) AS nearest,
+         |  ${distSql("e.embedding::DOUBLE[]", "c.centroid")} AS dist
+         | FROM embeddings e CROSS JOIN cents c),
+         |ranked AS (
+         | SELECT vec_id, nearest, dist, ROW_NUMBER() OVER (
+         |   PARTITION BY vec_id ORDER BY dist ASC, nearest ASC) AS rn
+         | FROM scored)
+         |SELECT vec_id, nearest, ROUND(dist, 6) AS dist
+         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
+
+    "emb_outliers" -> {
+      s"""$labelCentroidsSql,
+         |d AS (
+         | SELECT e.vec_id, e.label,
+         |  ${distSql("e.embedding::DOUBLE[]", "c.centroid")} AS dist
+         | FROM embeddings e JOIN cents c USING (label)),
+         |cut AS (SELECT quantile_cont(dist, 0.95) AS cutoff FROM d)
+         |SELECT vec_id, label, ROUND(dist, 6) AS dist,
+         | COALESCE(dist > cutoff, FALSE) AS is_outlier
+         |FROM d CROSS JOIN cut ORDER BY vec_id""".stripMargin
+    },
+
+    "sim_ivf_trained_topk" -> ivfTrainedOracle(),
+
+    "sim_ivf_topk" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS centv
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         | corpus AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         | cassign AS (
+         |  SELECT corpus_id, cv, cent_id AS cell FROM (
+         |   SELECT c.corpus_id, c.cv, ct.cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY c.corpus_id
+         |      ORDER BY ${distSql("c.cv", "ct.centv")} ASC, ct.cent_id ASC) AS rn
+         |   FROM corpus c CROSS JOIN cents ct)
+         |  WHERE rn = 1),
+         | q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |       FROM embeddings WHERE vec_id < 5),
+         | qprobe AS (
+         |  SELECT query_id, qv, cent_id AS cell FROM (
+         |   SELECT q.query_id, q.qv, ct.cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${distSql("q.qv", "ct.centv")} ASC, ct.cent_id ASC) AS rn
+         |   FROM q CROSS JOIN cents ct)
+         |  WHERE rn <= 2),
+         | scored AS (
+         |  SELECT qp.query_id, ca.corpus_id,
+         |   ${cosineSql("qp.qv", "ca.cv")} AS cosine
+         |  FROM cassign ca JOIN qprobe qp ON ca.cell = qp.cell
+         |  WHERE ca.corpus_id <> qp.query_id)
+         |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
+         |FROM (
+         | SELECT query_id, corpus_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+         | FROM scored)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  )
+}
