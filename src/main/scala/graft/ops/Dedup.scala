@@ -547,14 +547,18 @@ object Dedup {
     * wire; production keys on hash60(gram) to cut shuffle bytes ~10x, the
     * corpus query keys on the string so the oracle replays it exactly).
     * The island merge is one window pass partitioned by doc — per-doc
-    * state only. Nothing is ever all-pairs.
+    * state only. Nothing is ever all-pairs. `maxGramDf` caps gram doc
+    * frequency exactly like [[ngramJaccardPairs]]' `maxShingleDf`:
+    * grams occurring more than the cap are boilerplate, not duplicate
+    * evidence, and mark no spans.
     *
     * Output: (id, span_start, span_end, span_tokens, n_windows) with
     * 1-based inclusive token positions, one row per maximal span.
     */
   def duplicatedPassages(df: DataFrame, textCol: String, idCol: String,
-      k: Int): DataFrame = {
+      k: Int, maxGramDf: Int = 10000): DataFrame = {
     require(k >= 2, "passage window must be >= 2 tokens")
+    require(maxGramDf >= 2, "maxGramDf < 2 would drop every duplicated gram")
     val toks = Text.tokens(col(textCol))
     val n = size(toks)
     // positional k-grams: zip k shifted copies (O(k) splits/row, no CSE
@@ -574,10 +578,19 @@ object Dedup {
     // it twice. One window pass computes it once and shuffles it once;
     // the hot-gram rows land on one reducer either way (the semi join
     // hashed them to one partition too), so skew exposure is unchanged.
+    // df cap (same reduced-universe semantics as shinglePairCounts):
+    // grams above maxGramDf are boilerplate (headers, licenses, viral
+    // passages), not duplicate EVIDENCE — they stop marking spans, which
+    // bounds every per-doc island merge downstream by cap * windows-per-
+    // gram. The count window itself still routes a hot gram's rows to
+    // one sorter before the filter drops them (WindowExec spills, the
+    // task is slow but bounded); the production form keys on
+    // hash60(gram) + pre-aggregated counts when one gram's occurrences
+    // exceed a single task's spill budget.
     import org.apache.spark.sql.expressions.{Window => W}
     val marked = windows
       .withColumn("__occ", count(lit(1)).over(W.partitionBy("gram")))
-      .where(col("__occ") >= 2)
+      .where(col("__occ") >= 2 && col("__occ") <= maxGramDf)
       .drop("__occ")
     val w = W.partitionBy("id").orderBy("p")
     marked

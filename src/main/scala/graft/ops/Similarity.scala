@@ -36,7 +36,10 @@ object Similarity {
     * degenerates to this for identity projections). Everything is exact
     * BIGINT arithmetic: pack, xor, popcount, rank — no float anywhere,
     * so the SQL replay is bit-trivial. Degenerate vectors (null, ragged,
-    * null element) drop at index build on both sides.
+    * null element) drop at index build on both sides; a NaN ELEMENT keeps
+    * its vector but never sets its bit (Spark orders NaN greatest, so a
+    * bare `>= 0` would set it — the explicit `!isnan` guard matches the
+    * oracle's `x >= 0 AND NOT isnan(x)`).
     *
     * Output: `(query_id, corpus_id, hamming, rank)`, rank by hamming
     * ASC with corpus-id tie-break, self-pairs excluded.
@@ -54,7 +57,7 @@ object Similarity {
       val raw = col("embedding")
       val words = (0 until nWords).map { w =>
         sum(when(col("pos") >= w * 32 && col("pos") < (w + 1) * 32 &&
-          col("col") >= 0,
+          col("col") >= 0 && !isnan(col("col")),
           expr(s"shiftleft(1L, CAST(pos % 32 AS INT))")).otherwise(0L))
           .as(s"w$w")
       }

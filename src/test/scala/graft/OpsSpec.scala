@@ -1634,6 +1634,31 @@ class OpsSpec extends SparkSpec {
       (4L, 9L, 13L, 5L, 1L))) // second copy, separate island (gap > k)
   }
 
+  test("duplicatedPassages: maxGramDf drops corpus-wide boilerplate grams") {
+    // Every doc opens with the same viral 5-gram "v1 v2 v3 v4 v5" (df=5,
+    // over a cap of 4 -> boilerplate, marks nothing); docs 1 and 2 also
+    // share the genuine passage "p q r s t" (df=2, under the cap).
+    val viral = "v1 v2 v3 v4 v5"
+    val docs = Seq(
+      (1L, s"$viral a1 p q r s t b1"),
+      (2L, s"$viral c2 d2 p q r s t"),
+      (3L, s"$viral e3 f3 g3 h3 i3"),
+      (4L, s"$viral j4 k4 l4 m4 n4"),
+      (5L, s"$viral o5 u5 w5 x5 y5")
+    ).toDF("doc_id", "text")
+    val capped = graft.ops.Dedup
+      .duplicatedPassages(docs, "text", "doc_id", k = 5, maxGramDf = 4)
+      .orderBy("id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // only the genuine passage survives; the viral opener marks no span
+    assert(capped.toSeq == Seq((1L, 7L, 11L), (2L, 8L, 12L)))
+    // uncapped (default 10000): the viral gram marks tokens 1..5 in all 5
+    val open = graft.ops.Dedup
+      .duplicatedPassages(docs, "text", "doc_id", k = 5)
+      .where(col("span_start") === 1).count()
+    assert(open == 5L)
+  }
+
   test("knnClassify votes the planted cluster label; ties go to the smaller label") {
     // Two tight clusters on orthogonal axes. Query 100 sits on the
     // cluster-0 axis; query 101 is equidistant between the axes and sees
