@@ -237,6 +237,96 @@ object Similarity {
     if (n < k) cnt(qi) = n + 1
   }
 
+  /** Distributed EXACT kNN join — both sides are DataFrames and nothing
+    * is collected to the driver, removing [[bruteForceTopK]]'s
+    * small-query-side contract. This is the corpus-vs-corpus form: the
+    * kNN-graph builder whose edges feed graph-based dedup (connected
+    * components / mutual-kNN pruning) when the "query" side is the whole
+    * corpus.
+    *
+    * Shape: corpus rows hash into `nBlocks` disjoint blocks
+    * (`pmod(vec_id, B)` — the blocking only schedules work; any
+    * deterministic assignment yields the same exact result). The query
+    * side replicates to every block via a cross join with the broadcast
+    * B-row block frame. ONE cogroup on the block id then (a) loads the
+    * block's corpus vectors into a primitive matrix, (b) streams the
+    * replicated queries past it one at a time — identical scoring loop,
+    * ordering and NaN sentinel discipline as [[bruteForceTopK]]
+    * ([[insertBounded]]: score desc, NaN last, ties id asc; degenerate
+    * vectors score NaN and rank last; self-pairs excluded) — emitting
+    * one k-bounded buffer per (block, query); [[TopK.mergeGroupTopK]]
+    * folds the B partial buffers per query into the global top-k.
+    *
+    * Cost at scale: shuffle volume is |C| + B·|Q| input rows plus
+    * B·|Q|·k buffer rows into the merge — the classic block-nested
+    * trade. B balances query replication against per-task matrix memory
+    * (|C|/B · dim · 8 bytes); with |Q| ≈ |C| the optimum grows as
+    * sqrt(|C| · dim · 8 / taskMem). Per-task transient state is one
+    * block matrix plus a single in-flight query buffer (the query
+    * iterator streams), so a 1000-executor run sizes B to its executor
+    * memory and never materializes a pair table.
+    *
+    * Output contract identical to [[bruteForceTopK]]:
+    * (query_id, corpus_id, cosine, rank).
+    */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int,
+      nBlocks: Int = 16): DataFrame = {
+    require(nBlocks >= 1, "nBlocks must be >= 1")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val cB = graft.core.Graft.spread(corpus)
+      .select(pmod(col("vec_id").cast("long"), lit(nBlocks.toLong))
+          .cast("int").as("b"),
+        col("vec_id").cast("long").as("id"), col("embedding"))
+    val blockIds = broadcast(
+      sp.range(nBlocks).select(col("id").cast("int").as("b")))
+    val qB = graft.core.Graft.spread(queries)
+      .select(col("vec_id").cast("long").as("id"), col("embedding"))
+      .crossJoin(blockIds)
+      .select(col("b"), col("id"), col("embedding"))
+    val packed = cB.groupByKey(_.getInt(0))
+      .cogroup(qB.groupByKey(_.getInt(0))) { (_, cRows, qRows) =>
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val norms = scala.collection.mutable.ArrayBuffer.empty[Double]
+        cRows.foreach { r =>
+          ids += r.getLong(1)
+          val v = rowVec(r, 2)
+          vecs += v
+          norms += (if (v == null) Double.NaN else norm2(v))
+        }
+        val n = ids.length
+        if (n == 0) Iterator.empty
+        else qRows.map { qr => // one query in flight at a time
+          val qid = qr.getLong(1)
+          val qv = rowVec(qr, 2)
+          val qn = if (qv == null) Double.NaN else norm2(qv)
+          val bufS = new Array[Double](k)
+          val bufI = new Array[Long](k)
+          val cnt = new Array[Int](1)
+          var ci = 0
+          while (ci < n) {
+            if (ids(ci) != qid) {
+              val cv = vecs(ci); val cn = norms(ci)
+              val s =
+                if (!(qn > 0) || !(cn > 0) || qv.length != cv.length)
+                  Double.NaN
+                else {
+                  var d = 0.0; var j = 0
+                  while (j < qv.length) { d += qv(j) * cv(j); j += 1 }
+                  d / (qn * cn)
+                }
+              insertBounded(bufS, bufI, cnt, 0, s, ids(ci), k)
+            }
+            ci += 1
+          }
+          (qid, bufS.take(cnt(0)), bufI.take(cnt(0)))
+        }
+      }.toDF("query_id", "scores", "ids")
+    TopK.mergeGroupTopK(packed, Seq("query_id"), "scores", "ids",
+      "corpus_id", "cosine", k)
+  }
+
   /** IVF-style approximate top-k: corpus vectors are assigned to their
     * nearest centroid cell (inverted file); queries probe the `nProbe`
     * nearest cells only.

@@ -73,6 +73,40 @@ object DataQuality {
     (audit, dups)
   }
 
+  /** Malformed-ROW ingest audit — the row-level sibling of the
+    * reference's value-level coercions and of [[duplicateAudit]]
+    * (build.py:39-53): the reference silently relies on pandas to accept
+    * whatever the CSV yields, so a torn row (wrong token count, unparsable
+    * key) vanishes without a trace. Here the scan reads PERMISSIVE with an
+    * explicit `_corrupt_record` channel and ONE aggregate over the same
+    * scan reports (n_rows, n_clean, n_corrupt, n_key_parsed,
+    * first_corrupt) — no second read, no row materialization; at 100 TB
+    * this is a map-side counter pass like [[completeness]].
+    *
+    * `n_key_parsed` (non-null count of the schema's first column) is both
+    * a real audit signal — torn rows usually lose their key — and load
+    * bearing: Spark rejects CSV queries whose only referenced column is
+    * the internal corrupt-record channel, so the aggregate must touch a
+    * data column. `first_corrupt` is the lexicographic min raw payload —
+    * a bounded, deterministic sample of what tore.
+    */
+  def corruptRecordAudit(spark: SparkSession, glob: String,
+      schemaDdl: String): DataFrame = {
+    val df = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schemaDdl + ", _corrupt_record STRING")
+      .csv(glob)
+    val firstCol = df.columns.head
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col("_corrupt_record"))).as("n_clean"),
+      count(col("_corrupt_record")).as("n_corrupt"),
+      count(col(firstCol)).as("n_key_parsed"),
+      min(col("_corrupt_record")).as("first_corrupt"))
+  }
+
   /** Population Stability Index per key group — the standard drift
     * monitor between a reference and a current slice of a metric column
     * (banking/ML-ops folklore; see e.g. Siddiqi, "Credit Risk

@@ -69,6 +69,18 @@ private[graft] trait QueriesSim { this: SparkEntry.type =>
         .orderBy("query_id", "rank")
     }),
 
+    // Distributed exact kNN JOIN, corpus vs corpus (the kNN-graph
+    // builder): BOTH sides are the full embeddings table — no query-side
+    // collect anywhere (PlanShapeSpec asserts zero jobs at build). Block
+    // cogroup + bounded merge; exact, so the oracle is the same ranked
+    // cross join as sim_brute_topk over all queries.
+    "sim_knn_join" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.knnJoin(emb, emb, k = 3, nBlocks = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // Matryoshka truncation audit: recall@10 of brute-force cosine
     // retrieval when embeddings are truncated to their first 16 of 64
     // dims (the MRL serving trade-off, Kusupati et al. 2022) against the
@@ -461,6 +473,23 @@ private[graft] trait QueriesSim { this: SparkEntry.type =>
          |  FROM scored)
          |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // Norms precompute once per vector (lateral alias), then one dot per
+    // pair: same arithmetic as cosineSql — sqrt is deterministic, and
+    // d/(qn*cn) is the engine kernel's own expression shape.
+    "sim_knn_join" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+         | scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |   ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id),
+         | ranked AS (
+         |  SELECT query_id, corpus_id, cosine,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "sim_binary_hamming_topk" ->
       """WITH clean AS (

@@ -1659,6 +1659,28 @@ class OpsSpec extends SparkSpec {
     assert(open == 5L)
   }
 
+  test("knnJoin matches bruteForceTopK bit-for-bit for any block count") {
+    // seeded set with every degenerate the kernel distinguishes: null
+    // vector, zero norm, ragged, null element — the NaN discipline and
+    // tie order must survive block partitioning + partial-buffer merge.
+    val rnd = new scala.util.Random(7)
+    def v(n: Int): Seq[Option[Float]] =
+      Seq.fill(n)(Some(rnd.nextGaussian().toFloat))
+    val rows: Seq[(Long, Seq[Option[Float]])] =
+      (0L until 20L).map(i => i -> v(8)) ++ Seq(
+        (20L, null), (21L, Seq.fill(8)(Option(0f))), (22L, v(4)),
+        (23L, v(8).updated(3, None)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val want = Similarity.bruteForceTopK(emb, emb, k = 4)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty)
+    for (b <- Seq(1, 3, 7, 64)) { // incl. more blocks than rows
+      val got = Similarity.knnJoin(emb, emb, k = 4, nBlocks = b)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      assert(got == want, s"nBlocks=$b diverged from brute force")
+    }
+  }
+
   test("knnClassify votes the planted cluster label; ties go to the smaller label") {
     // Two tight clusters on orthogonal axes. Query 100 sits on the
     // cluster-0 axis; query 101 is equidistant between the axes and sees

@@ -84,6 +84,42 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("sim_knn_join never collects a side: zero jobs at build, lazy cogroup plan") {
+    // The structural contract that distinguishes knnJoin from the
+    // broadcast-matrix entry points: BOTH sides stay DataFrames. Building
+    // the plan must launch no Spark job (bruteForceTopK fires its
+    // query-side collect right here), and the physical plan must carry
+    // the block cogroup over two lazy parquet scans plus the bounded
+    // TopKAggMerge finisher — no Window, no corpus sort.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    // Table reads stay OUTSIDE the window: a cold spark.read.parquet can
+    // fire a driver schema-read job that has nothing to do with the
+    // operator under test.
+    val emb = graft.core.Graft.table(spark, sf, "embeddings")
+    spark.sparkContext.addSparkListener(l)
+    val df = try {
+      val d = graft.ops.Similarity.knnJoin(emb, emb, k = 3, nBlocks = 4)
+      d.queryExecution.executedPlan // force full planning
+      Thread.sleep(500) // async listener settle
+      d
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(jobs.get() == 0,
+      s"planning knnJoin launched ${jobs.get()} job(s) — a side was collected")
+    val p = SparkEntry.queries("sim_knn_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("CoGroup"), p.take(600))
+    assert("Scan parquet ".r.findAllIn(p).size >= 2,
+      s"expected both sides as lazy parquet scans: ${p.take(600)}")
+    assert(!p.contains("Window"), p.take(600))
+    assert(p.contains("topkaggmerge"), p.take(600))
+  }
+
   test("w2_sessionize shares one exchange across both window functions") {
     val p = plan("w2_sessionize")
     // two Window operators, but user_id is exchanged once
