@@ -83,12 +83,15 @@ object DataQuality {
     * first_corrupt) — no second read, no row materialization; at 100 TB
     * this is a map-side counter pass like [[completeness]].
     *
-    * `n_key_parsed` (non-null count of the schema's first column) is both
-    * a real audit signal — torn rows usually lose their key — and load
-    * bearing: Spark rejects CSV queries whose only referenced column is
-    * the internal corrupt-record channel, so the aggregate must touch a
-    * data column. `first_corrupt` is the lexicographic min raw payload —
-    * a bounded, deterministic sample of what tore.
+    * The per-column `n_parsed_*` counts are both a real audit signal
+    * (which field tears) and LOAD-BEARING: the CSV parser only validates
+    * the columns a query references (column pruning reaches the parser),
+    * so an aggregate touching only the corrupt channel would miss a row
+    * whose unreferenced field fails to parse — and Spark outright rejects
+    * queries whose only referenced column is the internal corrupt-record
+    * channel. Referencing every data column forces full-row validation.
+    * `first_corrupt` is the lexicographic min raw payload — a bounded,
+    * deterministic sample of what tore.
     */
   def corruptRecordAudit(spark: SparkSession, glob: String,
       schemaDdl: String): DataFrame = {
@@ -98,13 +101,14 @@ object DataQuality {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(schemaDdl + ", _corrupt_record STRING")
       .csv(glob)
-    val firstCol = df.columns.head
-    df.agg(
+    val dataCols = df.columns.filterNot(_ == "_corrupt_record").toSeq
+    val aggs = Seq(
       count(lit(1)).as("n_rows"),
       (count(lit(1)) - count(col("_corrupt_record"))).as("n_clean"),
-      count(col("_corrupt_record")).as("n_corrupt"),
-      count(col(firstCol)).as("n_key_parsed"),
-      min(col("_corrupt_record")).as("first_corrupt"))
+      count(col("_corrupt_record")).as("n_corrupt")) ++
+      dataCols.map(c => count(col(c)).as(s"n_parsed_$c")) :+
+      min(col("_corrupt_record")).as("first_corrupt")
+    df.agg(aggs.head, aggs.tail: _*)
   }
 
   /** Population Stability Index per key group — the standard drift

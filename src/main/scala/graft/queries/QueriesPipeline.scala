@@ -113,6 +113,31 @@ private[graft] trait QueriesPipeline { this: SparkEntry.type =>
         .orderBy("event_type")
     }),
 
+    // Malformed-ROW ingest audit: nation round-trips to CSV, then a
+    // second file in the same glob carries one deterministic torn line
+    // (single token, unparsable key) per nationkey % 5 == 0 row. The
+    // PERMISSIVE scan surfaces them through _corrupt_record and ONE
+    // aggregate reports counts + the lexicographic-min raw payload. The
+    // tiny collect builds the FIXTURE (5 keys of a 25-row dim), not the
+    // audit path.
+    "dq_corrupt_rows" -> ((s, d) => {
+      Graft.tune(s)
+      val tmp = scratch("torn_csv", d) { out =>
+        val n = t(s, d, "nation")
+        n.coalesce(1).write.mode("overwrite").option("header", "true")
+          .csv(s"$out/clean")
+        val keys = n.where(col("n_nationkey") % 5 === 0)
+          .select(col("n_nationkey").cast("long")).orderBy("n_nationkey")
+          .collect().map(_.getLong(0))
+        val pw = new java.io.PrintWriter(s"$out/clean/torn.csv")
+        pw.println("n_nationkey,n_name,n_regionkey")
+        keys.foreach(k => pw.println(s"BAD$k"))
+        pw.close()
+      }
+      DataQuality.corruptRecordAudit(s, s"$tmp/clean/*.csv",
+        "n_nationkey INT, n_name STRING, n_regionkey INT")
+    }),
+
     // Referential-integrity audit over three FK edges, two deliberately
     // corrupted (every 97th order's custkey pushed out of range; a
     // deterministic slice of lineitem suppkeys negated) and one left
@@ -715,6 +740,22 @@ private[graft] trait QueriesPipeline { this: SparkEntry.type =>
         |g AS (SELECT CAST(MAX(max_us) AS BIGINT) AS g_max FROM per)
         |SELECT event_type, n, max_us, g.g_max - max_us AS lag_us
         |FROM per CROSS JOIN g ORDER BY event_type""".stripMargin,
+
+    // The torn fixture is derived from nation (one line per key % 5 == 0),
+    // so the parquet source predicts every audit counter; first_corrupt is
+    // the lexicographic string min, computed as such on both sides.
+    "dq_corrupt_rows" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_clean,
+        |            CAST(COUNT(n_nationkey) AS BIGINT) AS p_key,
+        |            CAST(COUNT(n_name) AS BIGINT) AS p_name,
+        |            CAST(COUNT(n_regionkey) AS BIGINT) AS p_rk FROM nation),
+        | b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corrupt,
+        |            MIN('BAD' || CAST(n_nationkey AS VARCHAR)) AS first_corrupt
+        |       FROM nation WHERE n_nationkey % 5 = 0)
+        |SELECT c.n_clean + b.n_corrupt AS n_rows, c.n_clean, b.n_corrupt,
+        | c.p_key AS n_parsed_n_nationkey, c.p_name AS n_parsed_n_name,
+        | c.p_rk AS n_parsed_n_regionkey, b.first_corrupt
+        |FROM c CROSS JOIN b""".stripMargin,
 
     "dq_constraints" ->
       """WITH s AS (

@@ -189,4 +189,29 @@ class IngestPipelineSpec extends SparkSpec {
     assert(loaded.keySet == Set("nh_penalties_2024_a", "nh_penalties_2024_b"))
     assert(spark.table("nh_penalties_2024_a").count() == 3)
   }
+
+  test("corruptRecordAudit counts torn rows and surfaces the raw payload") {
+    val d = Files.createTempDirectory("graft_torn")
+    // two clean rows, one short-token row, one unparsable-int row
+    Files.writeString(d.resolve("mix.csv"),
+      """id,name,qty
+        |1,alpha,10
+        |oops
+        |2,beta,20
+        |3,gamma,not_a_number
+        |""".stripMargin)
+    val audit = DataQuality.corruptRecordAudit(
+      spark, d.toString + "/*.csv", "id INT, name STRING, qty INT")
+      .collect().head
+    assert(audit.getLong(0) == 4L, "n_rows")
+    assert(audit.getLong(1) == 2L, "n_clean")
+    assert(audit.getLong(2) == 2L, "n_corrupt")
+    // the short-token row loses every field; the bad-qty row only qty —
+    // and a row is only flagged corrupt w.r.t. the columns the query
+    // parses, which is why the audit references them all
+    assert(audit.getLong(3) == 3L, "n_parsed_id")
+    assert(audit.getLong(4) == 3L, "n_parsed_name")
+    assert(audit.getLong(5) == 2L, "n_parsed_qty")
+    assert(audit.getString(6) == "3,gamma,not_a_number", "first_corrupt")
+  }
 }
