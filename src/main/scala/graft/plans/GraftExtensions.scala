@@ -1,18 +1,66 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** SparkSessionExtensions entry point: exposes the engine's native
-  * expressions to SQL users.
+  * expressions AND its flagship operators (dedup, ANN, quality gate) to
+  * SQL users.
   *
   * Activate with `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`; then
   * `SELECT hash60(col), dot_product(a, b) FROM ...` runs the codegen'd
-  * natives directly from SQL.
+  * natives, and the table-valued functions make whole operators
+  * scriptable end-to-end:
+  *
+  * {{{
+  *   SELECT * FROM graft_dedup_exact('documents', 'text', 'doc_id');
+  *   SELECT * FROM graft_minhash_pairs('documents', 'text', 'doc_id', 0.7);
+  *   SELECT * FROM graft_knn_join('embeddings', 'embeddings', 10, 16);
+  *   SELECT * FROM graft_quality_gate('documents', 'text');
+  * }}}
+  *
+  * Each TVF resolves its table-name literals against the session catalog
+  * at analysis time and splices the operator's own logical plan into the
+  * query — the SQL surface IS the library operator (same plan, same
+  * scale shape, same oracle), not a reimplementation.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litVal(args: Seq[Expression], i: Int, fn: String): Any =
+    args(i) match {
+      case Literal(v, _) if v != null => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a non-null literal, got $other")
+    }
+  private def litStr(args: Seq[Expression], i: Int, fn: String): String =
+    litVal(args, i, fn).toString
+  private def litInt(args: Seq[Expression], i: Int, fn: String): Int =
+    litVal(args, i, fn) match {
+      case n: Number => n.intValue()
+      case v => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an integer literal, got $v")
+    }
+  private def litDouble(args: Seq[Expression], i: Int, fn: String): Double =
+    litVal(args, i, fn) match {
+      case n: Number => n.doubleValue()
+      case v => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a numeric literal, got $v")
+    }
+
+  /** The operator's own logical plan, spliced into the outer query; the
+    * analyzer resolves the inner table reference against the catalog.
+    */
+  private def plan(df: DataFrame): LogicalPlan = df.queryExecution.logical
+
+  private def tvf(e: SparkSessionExtensions, name: String, usage: String)(
+      build: (SparkSession, Seq[Expression]) => LogicalPlan): Unit =
+    e.injectTableFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft.plans.GraftExtensions", name),
+      (args: Seq[Expression]) => build(SparkSession.active, args)))
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
@@ -43,5 +91,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "dot_product(a, b) takes two arguments")
         DotProduct(args.head, args(1))
       }))
+
+    tvf(e, "graft_dedup_exact",
+      "graft_dedup_exact(table, text_col, id_col)") { (sp, args) =>
+      require(args.length == 3, "graft_dedup_exact(table, text_col, id_col)")
+      val fn = "graft_dedup_exact"
+      plan(graft.ops.Dedup.exact(sp.table(litStr(args, 0, fn)),
+        litStr(args, 1, fn), litStr(args, 2, fn)))
+    }
+
+    tvf(e, "graft_minhash_pairs",
+      "graft_minhash_pairs(table, text_col, id_col, threshold)") { (sp, args) =>
+      require(args.length == 4,
+        "graft_minhash_pairs(table, text_col, id_col, threshold)")
+      val fn = "graft_minhash_pairs"
+      plan(graft.ops.Dedup.minhashPairs(sp.table(litStr(args, 0, fn)),
+        litStr(args, 1, fn), litStr(args, 2, fn),
+        threshold = litDouble(args, 3, fn)))
+    }
+
+    tvf(e, "graft_knn_join",
+      "graft_knn_join(corpus_table, query_table, k, n_blocks)") { (sp, args) =>
+      require(args.length == 4,
+        "graft_knn_join(corpus_table, query_table, k, n_blocks)")
+      val fn = "graft_knn_join"
+      plan(graft.ops.Similarity.knnJoin(sp.table(litStr(args, 0, fn)),
+        sp.table(litStr(args, 1, fn)),
+        k = litInt(args, 2, fn), nBlocks = litInt(args, 3, fn)))
+    }
+
+    tvf(e, "graft_quality_gate",
+      "graft_quality_gate(table, text_col)") { (sp, args) =>
+      require(args.length == 2, "graft_quality_gate(table, text_col)")
+      val fn = "graft_quality_gate"
+      plan(graft.ops.TextAnalysis.qualityGate(sp.table(litStr(args, 0, fn)),
+        litStr(args, 1, fn)))
+    }
   }
 }

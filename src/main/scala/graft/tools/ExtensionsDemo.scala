@@ -1,28 +1,83 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
-/** Drives GraftExtensions end-to-end: fresh session with the extension
-  * installed, native functions called from SQL. Exits non-zero on
-  * mismatch (used as a verification surface).
+/** Drives GraftExtensions end-to-end: a session with the extension
+  * installed, native scalar functions AND the operator TVFs called from
+  * SQL, each checked against the library API the TVF splices in (the API
+  * results are the oracle-verified corpus operators, so SQL == API is the
+  * full equivalence chain). Exits non-zero on any mismatch.
   */
 object ExtensionsDemo {
-  def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-extensions-demo")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.plans.GraftExtensions)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+
+  /** Runs every check; returns failure messages (empty = all green). */
+  def check(spark: SparkSession, sfDir: String): Seq[String] = {
+    graft.core.Graft.tune(spark)
+    val fails = scala.collection.mutable.Buffer.empty[String]
+
     val row = spark.sql(
       """SELECT hash60('abc') AS h,
         |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d""".stripMargin)
       .collect().head
     val expectedH = 648541476951500027L // ('0x'||substr(md5('abc'),1,15))::BIGINT
-    val ok = row.getLong(0) == expectedH && row.getDouble(1) == 11.0
-    println(s"[extensions-demo] hash60=${row.getLong(0)} dot=${row.getDouble(1)} ok=$ok")
+    if (row.getLong(0) != expectedH || row.getDouble(1) != 11.0)
+      fails += s"scalar natives diverged: $row"
+
+    graft.core.Graft.table(spark, sfDir, "documents")
+      .createOrReplaceTempView("documents")
+    graft.core.Graft.table(spark, sfDir, "embeddings")
+      .createOrReplaceTempView("embeddings")
+    def rows(df: DataFrame): Seq[String] = df.collect().map(_.toString).toSeq
+
+    val dedupSql = rows(spark.sql(
+      "SELECT * FROM graft_dedup_exact('documents', 'text', 'doc_id') ORDER BY digest"))
+    val dedupApi = rows(graft.ops.Dedup
+      .exact(spark.table("documents"), "text", "doc_id").orderBy("digest"))
+    if (dedupSql.isEmpty || dedupSql != dedupApi)
+      fails += s"graft_dedup_exact TVF != Dedup.exact API (${dedupSql.size} vs ${dedupApi.size} rows)"
+
+    val mhSql = rows(spark.sql(
+      "SELECT * FROM graft_minhash_pairs('documents', 'text', 'doc_id', 0.7D) ORDER BY id_a, id_b"))
+    val mhApi = rows(graft.ops.Dedup
+      .minhashPairs(spark.table("documents"), "text", "doc_id", threshold = 0.7)
+      .orderBy("id_a", "id_b"))
+    if (mhSql != mhApi)
+      fails += s"graft_minhash_pairs TVF != Dedup.minhashPairs API (${mhSql.size} vs ${mhApi.size} rows)"
+
+    val knnSql = rows(spark.sql(
+      "SELECT * FROM graft_knn_join('embeddings', 'embeddings', 3, 4) ORDER BY query_id, rank"))
+    val knnApi = rows(graft.ops.Similarity
+      .knnJoin(spark.table("embeddings"), spark.table("embeddings"), k = 3, nBlocks = 4)
+      .orderBy("query_id", "rank"))
+    if (knnSql.isEmpty || knnSql != knnApi)
+      fails += s"graft_knn_join TVF != Similarity.knnJoin API (${knnSql.size} vs ${knnApi.size} rows)"
+
+    val gateSql = rows(spark.sql(
+      "SELECT doc_id, keep FROM graft_quality_gate('documents', 'text') ORDER BY doc_id"))
+    val gateApi = rows(graft.ops.TextAnalysis
+      .qualityGate(spark.table("documents"), "text")
+      .select(col("doc_id"), col("keep")).orderBy("doc_id"))
+    if (gateSql.isEmpty || gateSql != gateApi)
+      fails += s"graft_quality_gate TVF != TextAnalysis.qualityGate API (${gateSql.size} vs ${gateApi.size} rows)"
+
+    fails.toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-extensions-demo")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val fails = check(spark, sfDir)
+    if (fails.isEmpty) println("[extensions-demo] scalar + 4 TVFs ok=true")
+    else fails.foreach(f => println(s"[extensions-demo] FAIL: $f"))
     spark.stop()
-    if (!ok) sys.exit(1)
+    if (fails.nonEmpty) sys.exit(1)
   }
 }
