@@ -54,7 +54,7 @@ object Bench {
     "graph_pagerank" -> 2048,  // iterative graph: per-round barrier amortizes
     "text_bm25_topk" -> 512,  // ranked retrieval (index amortized)
     "sim_pq_topk" -> 4096,     // PQ ANN (codebook/encode amortized)
-    "dedup_semantic" -> 256)   // SemDeDup (centroid training amortized)
+    "dedup_semantic" -> 512)   // SemDeDup (centroid training amortized)
 
   /** r copies of every row, tagged 0..r-1: one scan, spread across all
     * cores FIRST (the single-row-group test files scan as one partition —

@@ -379,17 +379,25 @@ object TextAnalysis {
     val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
     val dfs = tf.join(broadcast(q.select("word").distinct()), Seq("word"), "left_semi")
       .groupBy("word").agg(count(lit(1)).as("df"))
+    // ONE broadcast frame carries df AND the corpus stats (the cross join
+    // is |query terms| x 1 — folding st into dfs saves a broadcast build
+    // and an exchange per scoring run)
+    val wordStats = broadcast(dfs.crossJoin(st))
     val nd = col("n").cast("double"); val dfd = col("df").cast("double")
     val tfd = col("tf").cast("double"); val dld = col("dl").cast("double")
     val avgdl = col("tot").cast("double") / nd
     val idf = graft.plans.MathLn((nd - dfd + 0.5) / (dfd + 0.5) + 1.0)
     val tfNorm = (tfd * 2.2) / (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (dld / avgdl)))
-    val scored = broadcast(q)
-      .join(tfdl, Seq("word"))
-      .join(broadcast(dfs), Seq("word"))
-      .crossJoin(broadcast(st))
-      .select(col("query_id"), col(idCol),
+    // per-(term, doc) contribution computed ONCE — it is query-independent
+    // (idf, tf, dl never mention query_id), so batches whose queries share
+    // terms (rep fan-out, eval suites) reuse it instead of re-evaluating
+    // the ln/round tree per (query, doc) pair; the query join below only
+    // fans out precomputed nanos into the per-query sum
+    val contrib = tfdl.join(wordStats, Seq("word"))
+      .select(col("word"), col(idCol),
         round(idf * tfNorm * 1000000000.0).cast("long").as("nano"))
+    val scored = broadcast(q)
+      .join(contrib, Seq("word"))
       .groupBy("query_id", idCol)
       .agg((sum(col("nano")).cast("double") / 1000000000.0).as("score"))
     TopK.perGroupTopK(scored, Seq("query_id"), idCol, "score", k)

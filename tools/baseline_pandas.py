@@ -30,7 +30,7 @@ REPS = {  # keep in sync with graft.Bench.headline
     "q1_agg": 16, "j1_multiway_join": 8, "w1_window": 2048, "a8_pivot": 32,
     "dedup_exact": 256, "dedup_minhash": 8, "text_profile": 8,
     "sim_brute_topk": 8192, "dedup_passages": 4, "graph_pagerank": 2048,
-    "text_bm25_topk": 512, "sim_pq_topk": 4096, "dedup_semantic": 256,
+    "text_bm25_topk": 512, "sim_pq_topk": 4096, "dedup_semantic": 512,
 }
 
 
