@@ -1612,6 +1612,49 @@ class OpsSpec extends SparkSpec {
     assert(out == List(List("aa", "a"), List("aa", "aa"), Nil))
   }
 
+  test("native BpeMerge is bit-parity with the declarative fold it replaced") {
+    // The replaced aggregate() form, verbatim, as the reference: its
+    // struct accumulator made it O(n^2) per row (the sf1 probe's find),
+    // but its semantics — skip-flag non-overlap, null element passes
+    // through unmerged — are the contract the native must keep.
+    import org.apache.spark.sql.Column
+    def foldMerge(sym: Column, a: String, b: String): Column = {
+      val n = size(sym)
+      val folded = aggregate(
+        sequence(lit(1), n),
+        struct(array().cast("array<string>").as("acc"), lit(false).as("skip")),
+        (st, i) => {
+          val cur = element_at(sym, i)
+          val isPair = i < n && cur === a && element_at(sym, i + 1) === b
+          when(st.getField("skip"),
+            struct(st.getField("acc").as("acc"), lit(false).as("skip")))
+            .otherwise(when(isPair,
+              struct(concat(st.getField("acc"), array(lit(a + b))).as("acc"),
+                lit(true).as("skip")))
+              .otherwise(
+                struct(concat(st.getField("acc"), array(cur)).as("acc"),
+                  lit(false).as("skip"))))
+        },
+        st => st.getField("acc"))
+      when(n >= 1, folded).otherwise(sym)
+    }
+    val rnd = new scala.util.Random(11)
+    val syms = Seq("a", "b", "ab", "c", "qz")
+    val rows: Seq[Seq[Option[String]]] =
+      (0 until 60).map { _ =>
+        Seq.fill(rnd.nextInt(12))(
+          if (rnd.nextInt(10) == 0) None else Some(syms(rnd.nextInt(syms.length))))
+      } ++ Seq(Seq(Some("a")), Seq.empty, null)
+    val df = rows.toDF("sym")
+    for ((a, b) <- Seq(("a", "b"), ("a", "a"), ("ab", "c"), ("qz", "qz"))) {
+      val got = df.select(graft.ops.Bpe.mergePair($"sym", a, b)).collect()
+        .map(r => if (r.isNullAt(0)) null else r.getSeq[String](0).toList)
+      val want = df.select(foldMerge($"sym", a, b)).collect()
+        .map(r => if (r.isNullAt(0)) null else r.getSeq[String](0).toList)
+      assert(got.toSeq == want.toSeq, s"pair ($a,$b) diverged")
+    }
+  }
+
   test("duplicatedPassages finds maximal cross-doc spans and internal repeats") {
     // docs 1 and 2 share the 6-token passage "p q r s t u" (one island of
     // two overlapping 5-gram windows); doc 3 is unique filler; doc 4
