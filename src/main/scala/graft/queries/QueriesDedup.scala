@@ -157,10 +157,15 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
     // Contamination screen over winnowed fingerprints: doc pairs sharing
     // >= 3 distinct fingerprint hashes. Pair generation explodes each
     // fingerprint's df-capped doc list — the text pipeline plans once.
+    // The cap is MOSS-realistic (200, not "never fires"): a fingerprint
+    // in d docs yields d^2/2 pairs, and boilerplate fingerprints carry
+    // no discriminative signal — the sf1 probe measured the 10k-cap
+    // form at 714 s because corpus-wide boilerplate grams stayed under
+    // an effectively-unbounded cap.
     "dedup_winnow" -> ((s, d) =>
       graft.ops.Winnow.sharedPairs(
         t(s, d, "documents"), "text", "doc_id", shingleK = 2, window = 4,
-        minShared = 3, maxFpDf = 10000)
+        minShared = 3, maxFpDf = 200)
         .orderBy("id_a", "id_b")),
 
     // Sorted-neighborhood candidate pairs (multi-pass SNM family): block by
@@ -442,7 +447,7 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
         |capped AS (
         | SELECT doc_id, fp FROM (
         |  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS fdf FROM dfp)
-        | WHERE fdf <= 10000)
+        | WHERE fdf <= 200)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         | CAST(count(*) AS BIGINT) AS n_shared
         |FROM capped a JOIN capped b ON b.fp = a.fp AND a.doc_id < b.doc_id
