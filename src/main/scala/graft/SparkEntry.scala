@@ -1213,7 +1213,7 @@ object SparkEntry
        |   - ${d(60)} * $ln2) / CAST(n_chars AS DOUBLE) AS key
        | FROM z2t)
        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS INTEGER) AS rank,
-       | doc_id, n_chars, ROUND(key, 6) AS es_key
+       | doc_id, n_chars, ROUND(key, 6) + 0.0 AS es_key
        |FROM (SELECT * FROM kk ORDER BY key DESC, doc_id LIMIT 50)
        |ORDER BY rank""".stripMargin
   }

@@ -317,7 +317,10 @@ object Sampling {
     val top = keyed.orderBy(col("__key").desc, col(idCol)).limit(k)
     top.withColumn("rank",
         row_number().over(Window.orderBy(col("__key").desc, col(idCol))))
+      // + 0.0 normalizes IEEE negative zero: a key in (-5e-7, 0) rounds
+      // to -0.0 on one engine and +0.0 on the other (sf1 probe catch —
+      // repr('-0.0') != repr('0.0') in the strict compare)
       .select(col("rank") +: col(idCol) +: col(weightCol) +:
-        round(col("__key"), 6).as("es_key") +: Nil: _*)
+        (round(col("__key"), 6) + lit(0.0)).as("es_key") +: Nil: _*)
   }
 }

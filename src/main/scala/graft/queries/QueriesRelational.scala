@@ -667,18 +667,25 @@ private[graft] trait QueriesRelational { this: SparkEntry.type =>
         .orderBy("doc_id")
     }),
 
-    // Winsorization: clip value at the per-type exact [p05, p95] band
-    // (the standard outlier clamp before feature scaling). Cuts are a
-    // k-row aggregate broadcast back; the clamp is map-side.
+    // Winsorization: clip value at the per-type [p05, p95] band (the
+    // standard outlier clamp before feature scaling). Cuts are a k-row
+    // aggregate broadcast back; the clamp is map-side. Fences and clamp
+    // run in integer NANOS: raw-double percentile interpolation drifted
+    // 1 ULP between engines at sf1 (Spark `lower+(upper-lower)*frac` vs
+    // DuckDB's blend — every row clamped at that fence surfaced the
+    // differing constant), so the fence quantizes to a nano and the
+    // arithmetic is exact on both sides.
     "f12_winsorize" -> ((s, d) => {
       val ev = t(s, d, "events")
         .where(col("value").isNotNull && col("event_id").isNotNull)
+        .withColumn("vn", expr("CAST(round(value * 1e9) AS BIGINT)"))
       val cuts = ev.groupBy("event_type")
-        .agg(expr("percentile(value, 0.05)").as("lo"),
-          expr("percentile(value, 0.95)").as("hi"))
+        .agg(expr("CAST(round(percentile(vn, 0.05)) AS BIGINT)").as("lo"),
+          expr("CAST(round(percentile(vn, 0.95)) AS BIGINT)").as("hi"))
       ev.join(broadcast(cuts), Seq("event_type"))
         .select(col("event_id"), col("event_type"), col("value"),
-          least(greatest(col("value"), col("lo")), col("hi")).as("value_wins"))
+          (least(greatest(col("vn"), col("lo")), col("hi")).cast("double")
+            / 1e9).as("value_wins"))
         .orderBy("event_id")
     }),
 
@@ -1358,14 +1365,16 @@ private[graft] trait QueriesRelational { this: SparkEntry.type =>
 
     "f12_winsorize" ->
       """WITH ev AS (
-        | SELECT event_id, event_type, value FROM events
+        | SELECT event_id, event_type, value,
+        |  CAST(round(value * 1e9) AS BIGINT) AS vn FROM events
         | WHERE value IS NOT NULL AND event_id IS NOT NULL),
         |cuts AS (
-        | SELECT event_type, quantile_cont(value, 0.05) AS lo,
-        |  quantile_cont(value, 0.95) AS hi
+        | SELECT event_type,
+        |  CAST(round(quantile_cont(vn, 0.05)) AS BIGINT) AS lo,
+        |  CAST(round(quantile_cont(vn, 0.95)) AS BIGINT) AS hi
         | FROM ev GROUP BY 1)
         |SELECT e.event_id, e.event_type, e.value,
-        | LEAST(GREATEST(e.value, c.lo), c.hi) AS value_wins
+        | CAST(LEAST(GREATEST(e.vn, c.lo), c.hi) AS DOUBLE) / 1e9 AS value_wins
         |FROM ev e JOIN cuts c USING (event_type)
         |ORDER BY event_id""".stripMargin,
 
