@@ -163,30 +163,14 @@ private[graft] trait QueriesText { this: SparkEntry.type =>
     // would not replay bit-exact across libm implementations. No explode,
     // no shuffle: the whole profile is a projection, so it pipelines into
     // the scan at any scale (same single-stage family as text_profile).
+    // The sort+fold is the native [[graft.plans.CharRunProfile]]
+    // expression (primitive int-array sort, three-long run fold) — the
+    // declarative array_sort+aggregate form it replaced paid an
+    // interpreted comparator plus a struct copy per character (170.9 s at
+    // the sf1 probe) and lives on in OpsSpec as the parity reference.
     "text_char_diversity" -> ((s, d) => {
-      // the length guard matters: Spark's sequence(1, 0) is the
-      // DESCENDING [1, 0] (not empty like DuckDB's range(1, 1)), so an
-      // unguarded fold fabricates phantom ''-chars on empty text
-      val fold = expr(
-        """CASE WHEN length(text) > 0 THEN aggregate(
-          |  array_sort(transform(sequence(1, length(text)),
-          |    i -> substring(text, i, 1))),
-          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
-          |    'ss', 0L, 'k', 0L, 'mx', 0L),
-          |  (a, c) -> CASE
-          |    WHEN a.prev IS NULL THEN named_struct('prev', c, 'run', 1L,
-          |      'ss', a.ss, 'k', a.k, 'mx', a.mx)
-          |    WHEN c = a.prev THEN named_struct('prev', a.prev,
-          |      'run', a.run + 1L, 'ss', a.ss, 'k', a.k, 'mx', a.mx)
-          |    ELSE named_struct('prev', c, 'run', 1L,
-          |      'ss', a.ss + a.run * a.run, 'k', a.k + 1L,
-          |      'mx', greatest(a.mx, a.run)) END,
-          |  a -> CASE WHEN a.prev IS NULL
-          |    THEN CAST(NULL AS STRUCT<ss: BIGINT, k: BIGINT, mx: BIGINT>)
-          |    ELSE named_struct('ss', a.ss + a.run * a.run, 'k', a.k + 1L,
-          |      'mx', greatest(a.mx, a.run)) END) END""".stripMargin)
       t(s, d, "documents")
-        .select(col("doc_id"), fold.as("f"),
+        .select(col("doc_id"), graft.plans.CharRunProfile(col("text")).as("f"),
           length(col("text")).cast("long").as("n"))
         .select(col("doc_id"),
           col("n").as("n_chars"),

@@ -1655,6 +1655,58 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("native CharRunProfile is bit-parity with the declarative sort+fold") {
+    // The replaced pipeline, verbatim: array_sort over per-codepoint
+    // substrings, then an aggregate() run fold. Its struct accumulator
+    // copied per character + ArraySort's interpreted comparator cost
+    // 170.9 s at the sf1 probe; the semantics (codepoint order, NULL on
+    // empty, surrogate pairs as single chars) are the native's contract.
+    val fold = expr(
+      """CASE WHEN length(text) > 0 THEN aggregate(
+        |  array_sort(transform(sequence(1, length(text)),
+        |    i -> substring(text, i, 1))),
+        |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
+        |    'ss', 0L, 'k', 0L, 'mx', 0L),
+        |  (a, c) -> CASE
+        |    WHEN a.prev IS NULL THEN named_struct('prev', c, 'run', 1L,
+        |      'ss', a.ss, 'k', a.k, 'mx', a.mx)
+        |    WHEN c = a.prev THEN named_struct('prev', a.prev,
+        |      'run', a.run + 1L, 'ss', a.ss, 'k', a.k, 'mx', a.mx)
+        |    ELSE named_struct('prev', c, 'run', 1L,
+        |      'ss', a.ss + a.run * a.run, 'k', a.k + 1L,
+        |      'mx', greatest(a.mx, a.run)) END,
+        |  a -> CASE WHEN a.prev IS NULL
+        |    THEN CAST(NULL AS STRUCT<ss: BIGINT, k: BIGINT, mx: BIGINT>)
+        |    ELSE named_struct('ss', a.ss + a.run * a.run, 'k', a.k + 1L,
+        |      'mx', greatest(a.mx, a.run)) END) END""".stripMargin)
+    val rnd = new scala.util.Random(17)
+    val alphabet = "abcXYZ 09é世😀" // é, 世, 😀 (surrogate pair)
+    val fuzz = (0 until 80).map { _ =>
+      val cps = alphabet.codePoints().toArray
+      val n = rnd.nextInt(30)
+      Some((0 until n).map(_ => new String(Character.toChars(
+        cps(rnd.nextInt(cps.length))))).mkString)
+    }
+    val rows: Seq[Option[String]] = fuzz ++ Seq(
+      None, Some(""), Some("a"), Some("aaa"), Some("abab"),
+      Some("😀😀x"), // emoji run: 1 char each, run of 2
+      Some("zzzzyyyx 世世"))
+    val df = rows.toDF("text")
+    val got = df.select(graft.plans.CharRunProfile($"text").as("f"))
+      .selectExpr("f.ss", "f.k", "f.mx").collect()
+      .map(r => if (r.isNullAt(0)) null else (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = df.select(fold.as("f"))
+      .selectExpr("f.ss", "f.k", "f.mx").collect()
+      .map(r => if (r.isNullAt(0)) null else (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+    // spot-check the emoji row against hand-computed values: two 😀 + one
+    // x -> n=3 codepoints, runs {😀:2, x:1}, ss=5, k=2, mx=2
+    val emoji = df.filter($"text" === "😀😀x")
+      .select(graft.plans.CharRunProfile($"text").as("f"))
+      .selectExpr("f.ss", "f.k", "f.mx").head()
+    assert((emoji.getLong(0), emoji.getLong(1), emoji.getLong(2)) == ((5L, 2L, 2L)))
+  }
+
   test("duplicatedPassages finds maximal cross-doc spans and internal repeats") {
     // docs 1 and 2 share the 6-token passage "p q r s t u" (one island of
     // two overlapping 5-gram windows); doc 3 is unique filler; doc 4
