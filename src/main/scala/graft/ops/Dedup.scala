@@ -740,6 +740,49 @@ object Dedup {
       .toDF("vec_id", "cell", "kept")
   }
 
+  /** CCNet/Dolma-style segment dedup: split each document on a literal
+    * separator (newline for real corpora — the reference split CC docs
+    * into paragraphs), drop segments whose corpus-wide DOCUMENT frequency
+    * exceeds `maxDocFreq` (boilerplate: nav bars, cookie banners,
+    * repeated headers), and reassemble the survivors in document order.
+    * Emits per doc: the cleaned text, total/kept segment counts.
+    *
+    * Scale shape: posexplode is a narrow map; the df count is a hash
+    * aggregate on the trimmed segment key (map-side partials — a hot
+    * boilerplate segment is just a big count, never a wide row); the
+    * mark-join is key-vs-key on the same segment key the aggregate
+    * produced (co-partitioned); reassembly is one doc-keyed aggregate
+    * whose state is bounded by each doc's own segment list. Nothing
+    * corpus-sized crosses the wire twice, nothing collects.
+    *
+    * Segments that trim to empty are dropped before counting (CCNet drops
+    * blank lines); docs with no non-empty segments (or null text) are
+    * absent from the output.
+    */
+  def segmentDedup(df: DataFrame, textCol: String, idCol: String,
+      sep: String, maxDocFreq: Long): DataFrame = {
+    val segs = graft.core.Graft.spread(df)
+      .select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "seg")))
+      .withColumn("k", trim(col("seg")))
+      .filter(col("k") =!= "")
+    val segDf = segs.groupBy("k")
+      .agg(countDistinct(col(idCol)).as("seg_df"))
+    segs.join(segDf, Seq("k"))
+      .withColumn("keep", col("seg_df") <= maxDocFreq)
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_segments"),
+        coalesce(sum(when(col("keep"), 1L)), lit(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("pos"), col("seg"))))),
+            x => x.getField("seg")),
+          sep).as("clean_text"))
+  }
+
   /** Scalar twin of [[Vectors.cosine]] over double arrays: identical op
     * order (left-to-right folds, d / (sqrt(aa) * sqrt(bb))), NaN for the
     * null / ragged / zero-norm routes where the Column form yields null.

@@ -168,6 +168,18 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
         minShared = 3, maxFpDf = 200)
         .orderBy("id_a", "id_b")),
 
+    // CCNet/Dolma-style segment (line/paragraph) dedup: drop segments
+    // whose corpus document-frequency exceeds the cap, reassemble the
+    // survivors in order. Production separator is '\n' (CC paragraph
+    // dedup); this corpus has no newlines, so the entry splits on a
+    // common token — the operator is separator-agnostic. df count is a
+    // segment-keyed hash aggregate; reassembly a doc-keyed one.
+    "dedup_segments" -> ((s, d) =>
+      Dedup.segmentDedup(
+        t(s, d, "documents"), "text", "doc_id", sep = " table ",
+        maxDocFreq = 25L)
+        .orderBy("doc_id")),
+
     // Sorted-neighborhood candidate pairs (multi-pass SNM family): block by
     // source, order by a 16-char raw text prefix (binary collation — both
     // engines compare UTF-8 bytes; no case folding, which IS
@@ -394,6 +406,29 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
     "dedup_exact" ->
       """SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY digest""".stripMargin,
+
+    "dedup_segments" ->
+      """WITH segs AS (
+        | SELECT doc_id,
+        |  unnest(string_split(text, ' table ')) AS seg,
+        |  generate_subscripts(string_split(text, ' table '), 1) AS pos
+        | FROM documents),
+        |keyed AS (
+        | SELECT doc_id, pos, seg, trim(seg) AS k
+        | FROM segs WHERE trim(seg) <> ''),
+        |dfc AS (
+        | SELECT k, COUNT(DISTINCT doc_id) AS seg_df FROM keyed GROUP BY k),
+        |marked AS (
+        | SELECT keyed.doc_id, keyed.pos, keyed.seg,
+        |  dfc.seg_df <= 25 AS keep
+        | FROM keyed JOIN dfc ON keyed.k = dfc.k)
+        |SELECT doc_id,
+        | CAST(COUNT(*) AS BIGINT) AS n_segments,
+        | CAST(COALESCE(SUM(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
+        |   AS n_kept,
+        | COALESCE(string_agg(CASE WHEN keep THEN seg END, ' table '
+        |   ORDER BY pos), '') AS clean_text
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "bloom_new_docs" ->
       """SELECT i.doc_id FROM documents i

@@ -1729,6 +1729,33 @@ class OpsSpec extends SparkSpec {
       (4L, 9L, 13L, 5L, 1L))) // second copy, separate island (gap > k)
   }
 
+  test("segmentDedup drops corpus-frequent lines and reassembles in order") {
+    // "cookie notice" appears in 3 of 4 docs (boilerplate at cap 2);
+    // doc 4 is ONLY boilerplate (clean_text empty, still reported);
+    // doc 5 has null text (absent); blank lines never count.
+    val docs = Seq(
+      (1L, "unique alpha\ncookie notice\nunique beta"),
+      (2L, "cookie notice\n\n  \nsecond body"),
+      (3L, "third body\ncookie notice "), // trailing space: same trimmed key
+      (4L, "cookie notice"),
+      (5L, null)
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.segmentDedup(docs, "text", "doc_id",
+        sep = "\n", maxDocFreq = 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, "unique alpha\nunique beta"),
+      (2L, 2L, 1L, "second body"),
+      (3L, 2L, 1L, "third body"),
+      (4L, 1L, 0L, "")))
+    // untouched doc reconstructs byte-identically (incl. inner spacing)
+    val solo = Seq((9L, "a b\nc  d\ne")).toDF("doc_id", "text")
+    val keep = graft.ops.Dedup.segmentDedup(solo, "text", "doc_id", "\n", 5L)
+      .head().getString(3)
+    assert(keep == "a b\nc  d\ne")
+  }
+
   test("duplicatedPassages: maxGramDf drops corpus-wide boilerplate grams") {
     // Every doc opens with the same viral 5-gram "v1 v2 v3 v4 v5" (df=5,
     // over a cap of 4 -> boilerplate, marks nothing); docs 1 and 2 also
