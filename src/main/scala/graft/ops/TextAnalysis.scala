@@ -189,6 +189,77 @@ object TextAnalysis {
         (col("lsum") / col("n_tokens").cast("double")).as("lm_score"))
   }
 
+  /** Model-based quality classifier (the FineWeb/RefinedWeb "classifier
+    * filtering" stage, here a Bernoulli Naive Bayes over word presence):
+    * label docs by `posPredicate`, learn per-word Laplace-smoothed
+    * log-odds over the top-`vocabSize` words by document frequency, and
+    * score every doc by prior + Σ log-odds of its vocab hits. The
+    * presence form (absent-word terms folded out) shifts all scores by a
+    * corpus constant, which a threshold absorbs.
+    *
+    * Scale shape: training is two hash aggregates (class counts; per-word
+    * df split by class — map-side partials, a word is one row however hot);
+    * the vocab cut is a window over the WORD-keyed aggregate output
+    * (bounded by distinct words, the text_js_divergence discipline — at
+    * corpus scale swap in a df-threshold pre-filter before the rank);
+    * inference is one broadcast join of the ≤`vocabSize`-row weight table
+    * against per-doc distinct tokens plus a doc-keyed sum. The model
+    * never touches the driver.
+    *
+    * Determinism: each weight ln((dfp+1)/(np+2)) − ln((dfn+1)/(nn+2)) is
+    * elementwise bit-deterministic ([[graft.plans.MathLn]] == DuckDB ln)
+    * and nano-rounded ONCE; per-doc scores are then exact BIGINT sums —
+    * order-free, no float fold anywhere (the text_dsir_weights
+    * discipline). `pred_pos` derives from the integer score, so the
+    * boolean can never tie-break differently cross-engine.
+    *
+    * Output: (idCol, n_hits, score_nano, pred_pos) for every input doc;
+    * docs with no vocab hits (or null/empty text) score the prior alone.
+    */
+  def nbClassifierScores(docs: DataFrame, posPredicate: Column,
+      textCol: String = "text", idCol: String = "doc_id",
+      vocabSize: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol), col(textCol).as("__t"),
+      posPredicate.as("pos"))
+    val toks = graft.core.Graft.spread(base)
+      .select(col(idCol), col("pos"), explode(Text.tokens(col("__t"))).as("w"))
+      .where(col("w") =!= "")
+      .select(col(idCol), col("pos"), col("w")).distinct()
+    val cls = base.agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
+    val dfc = toks.groupBy("w").agg(
+      count(lit(1)).as("df"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("dfp"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("dfn"))
+    val vocab = dfc
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("df").desc, col("w").asc)))
+      .where(col("rn") <= vocabSize)
+    val wgt = vocab.crossJoin(broadcast(cls))
+      .select(col("w"),
+        round((graft.plans.MathLn((col("dfp") + 1L).cast("double") /
+            (col("np") + 2L).cast("double")) -
+          graft.plans.MathLn((col("dfn") + 1L).cast("double") /
+            (col("nn") + 2L).cast("double"))) * 1e9)
+          .cast("long").as("wt_nano"))
+    val hits = toks.join(broadcast(wgt), "w")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"), sum(col("wt_nano")).as("hit_nano"))
+    val prior = cls.select(
+      round(graft.plans.MathLn((col("np") + 1L).cast("double") /
+        (col("nn") + 1L).cast("double")) * 1e9).cast("long").as("pr_nano"))
+    base.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .crossJoin(broadcast(prior))
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("hit_nano"), lit(0L)) + col("pr_nano"))
+          .as("score_nano"))
+      .withColumn("pred_pos", col("score_nano") > 0L)
+  }
+
   /** Gopher-style document quality gate (public rule family: Rae et al.
     * 2021, "Scaling Language Models: Methods, Analysis & Insights from
     * Training Gopher", Table A1 document filters; C4 and RefinedWeb use

@@ -386,19 +386,31 @@ private[graft] trait QueriesText { this: SparkEntry.type =>
     // pair (c_pair >= 5; repeated-word self-pairs count in P but are not
     // reported). Products are sized to stay in BIGINT through sf0.1.
     "text_pmi_pairs" -> ((s, d) => {
-      val toks = t(s, d, "documents")
+      val docs = t(s, d, "documents")
         .where(col("text").isNotNull && trim(col("text")) =!= "")
-        .select(col("doc_id"),
-          posexplode(split(trim(lower(col("text"))), "\\s+")))
-        .where(col("col") =!= "")
-        .select(col("doc_id"), col("pos"), col("col").as("w"))
+      val base = Graft.spread(docs)
+        .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ws"))
+      val toks = base.select(explode(col("ws")).as("w"))
       val uni = toks.groupBy("w").agg(count(lit(1)).as("cw"))
       val nTok = toks.agg(count(lit(1)).as("n_tokens"))
-      val grouped = toks.as("a").join(toks.as("b"),
-          col("a.doc_id") === col("b.doc_id") &&
-            (col("b.pos") - col("a.pos")).isin(1, 2))
-        .select(least(col("a.w"), col("b.w")).as("w_a"),
-          greatest(col("a.w"), col("b.w")).as("w_b"))
+      // Skip-gram pairs at offsets 1 and 2, generated MAP-SIDE from each
+      // doc's token array (canonical least/greatest order) — the earlier
+      // doc-keyed positional self-join re-planned the tokenization per
+      // side and shuffled every token twice (39 s at the sf1 probe; this
+      // form leaves the w_a/w_b aggregate as the only shuffle). The
+      // size() guards matter: sequence(1, 0) is the DESCENDING [1, 0].
+      val grouped = base.select(explode(flatten(array(
+          expr("""CASE WHEN size(ws) >= 2 THEN
+            |  transform(sequence(1, size(ws) - 1), i -> named_struct(
+            |    'w_a', least(ws[i-1], ws[i]),
+            |    'w_b', greatest(ws[i-1], ws[i])))
+            |  ELSE array() END""".stripMargin),
+          expr("""CASE WHEN size(ws) >= 3 THEN
+            |  transform(sequence(1, size(ws) - 2), i -> named_struct(
+            |    'w_a', least(ws[i-1], ws[i+1]),
+            |    'w_b', greatest(ws[i-1], ws[i+1])))
+            |  ELSE array() END""".stripMargin)))).as("p"))
+        .select(col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
         .groupBy("w_a", "w_b").agg(count(lit(1)).as("c_pair"))
       val pTot = grouped.agg(sum("c_pair").as("p_total"))
       grouped.where(col("c_pair") >= 5 && col("w_a") =!= col("w_b"))
@@ -433,6 +445,16 @@ private[graft] trait QueriesText { this: SparkEntry.type =>
     // for the ordered-fold determinism contract.
     "text_unigram_lm" -> ((s, d) =>
       TextAnalysis.unigramLmScores(t(s, d, "documents")).orderBy("doc_id")),
+
+    // Model-based quality classifier (the FineWeb "classifier filtering"
+    // stage): Bernoulli NB log-odds over the top-100-df vocabulary,
+    // labeled here by source = 'src0'. Weights are nano-rounded once,
+    // per-doc scores are exact BIGINT sums (text_dsir_weights
+    // discipline); pred_pos derives from the integer score.
+    "text_nb_classifier" -> ((s, d) =>
+      TextAnalysis.nbClassifierScores(
+        t(s, d, "documents"), col("source") === "src0")
+        .orderBy("doc_id")),
 
     // Grouped heavy hitters: top-3 terms per language through the bounded
     // TopKAgg (its id channel is Long, so terms ride as hash60 ids and the
@@ -982,6 +1004,50 @@ private[graft] trait QueriesText { this: SparkEntry.type =>
         | COALESCE(a.logw_nanos, 0) AS logw_nanos
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "text_nb_classifier" ->
+      """WITH base AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN source = 'src0' THEN TRUE ELSE FALSE END AS pos
+        | FROM documents),
+        |toks AS (
+        | SELECT DISTINCT doc_id, pos, w FROM (
+        |  SELECT doc_id, pos,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM base WHERE trim(text) <> '') WHERE w <> ''),
+        |cls AS (
+        | SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |  CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        | FROM base),
+        |dfc AS (
+        | SELECT w, COUNT(*) AS df,
+        |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS dfp,
+        |  CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS dfn
+        | FROM toks GROUP BY w),
+        |vocab AS (
+        | SELECT w, dfp, dfn FROM (
+        |  SELECT w, dfp, dfn, ROW_NUMBER() OVER (ORDER BY df DESC, w) AS rn
+        |  FROM dfc)
+        | WHERE rn <= 100),
+        |wgt AS (
+        | SELECT w, CAST(round((
+        |   ln(CAST(dfp + 1 AS DOUBLE) / CAST(np + 2 AS DOUBLE)) -
+        |   ln(CAST(dfn + 1 AS DOUBLE) / CAST(nn + 2 AS DOUBLE))) * 1e9)
+        |  AS BIGINT) AS wt_nano
+        | FROM vocab, cls),
+        |hits AS (
+        | SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |  CAST(SUM(wt_nano) AS BIGINT) AS hit_nano
+        | FROM toks t JOIN wgt USING (w) GROUP BY t.doc_id),
+        |prior AS (
+        | SELECT CAST(round(
+        |   ln(CAST(np + 1 AS DOUBLE) / CAST(nn + 1 AS DOUBLE)) * 1e9)
+        |  AS BIGINT) AS pr_nano FROM cls)
+        |SELECT b.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+        | COALESCE(h.hit_nano, 0) + p.pr_nano AS score_nano,
+        | (COALESCE(h.hit_nano, 0) + p.pr_nano) > 0 AS pred_pos
+        |FROM base b LEFT JOIN hits h ON h.doc_id = b.doc_id, prior p
+        |ORDER BY b.doc_id""".stripMargin,
 
     "text_unigram_lm" ->
       """WITH toks AS (

@@ -1729,6 +1729,49 @@ class OpsSpec extends SparkSpec {
       (4L, 9L, 13L, 5L, 1L))) // second copy, separate island (gap > k)
   }
 
+  test("nbClassifierScores matches an independent local NB replay") {
+    // Tiny labeled corpus incl. a null-text doc (scores prior only, and
+    // still counts toward the negative class). Expected values computed
+    // by an independently-coded local replay of the same formula —
+    // Math.log here IS MathLn's kernel, so parity checks the plan
+    // (distinct-presence counting, Laplace args, nano rounding, integer
+    // sums), not the libm.
+    val docs = Seq(
+      (1L, "good great", true), (2L, "good fine", true),
+      (3L, "bad awful", false), (4L, "bad fine", false),
+      (5L, null.asInstanceOf[String], false)
+    ).toDF("doc_id", "text", "label")
+    val out = graft.ops.TextAnalysis.nbClassifierScores(
+        docs, $"label", vocabSize = 100)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // local replay
+    val corpus = Map(1L -> Seq("good", "great"), 2L -> Seq("good", "fine"),
+      3L -> Seq("bad", "awful"), 4L -> Seq("bad", "fine"), 5L -> Seq())
+    val labels = Map(1L -> true, 2L -> true, 3L -> false, 4L -> false,
+      5L -> false)
+    val np = labels.values.count(identity).toLong
+    val nn = labels.size - np
+    def nano(x: Double): Long =
+      java.math.BigDecimal.valueOf(x * 1e9)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val words = corpus.values.flatten.toSet
+    val wt = words.map { w =>
+      val dfp = corpus.count { case (id, ws) => ws.contains(w) && labels(id) }
+      val dfn = corpus.count { case (id, ws) => ws.contains(w) && !labels(id) }
+      w -> nano(math.log((dfp + 1.0) / (np + 2.0)) -
+        math.log((dfn + 1.0) / (nn + 2.0)))
+    }.toMap
+    val pr = nano(math.log((np + 1.0) / (nn + 1.0)))
+    val want = corpus.toSeq.sortBy(_._1).map { case (id, ws) =>
+      val s = ws.map(wt).sum + pr
+      (id, ws.size.toLong, s, s > 0L)
+    }
+    assert(out.toSeq == want)
+    // sanity: pos-worded docs rank above neg-worded ones
+    assert(out(0)._3 > out(3)._3)
+  }
+
   test("segmentDedup drops corpus-frequent lines and reassembles in order") {
     // "cookie notice" appears in 3 of 4 docs (boilerplate at cap 2);
     // doc 4 is ONLY boilerplate (clean_text empty, still reported);
