@@ -41,13 +41,13 @@ object Text {
   )
 
   /** Count of tokens that appear in `words` (frequency-weighted, not
-    * distinct). aggregate() folds left over the token array — deterministic.
+    * distinct). Native hash-probe expression
+    * ([[graft.plans.StopwordHits]]) — the interpreted aggregate() fold it
+    * replaced was the dominant lang-ID cost at the sf1 probe; the fold
+    * stays in FunctionsSpec as the parity reference.
     */
   def stopwordHits(toks: Column, words: Seq[String]): Column =
-    aggregate(
-      toks,
-      lit(0L),
-      (acc, t) => acc + when(t.isInCollection(words), 1L).otherwise(0L))
+    graft.plans.StopwordHits(toks, words)
 
   /** Language ID: argmax of per-language stopword hit counts; ties and
     * zero-hit rows -> "und" (undetermined). Deterministic tie-break by

@@ -57,16 +57,28 @@ private[graft] trait QueriesPipeline { this: SparkEntry.type =>
     // integer counts and marginal products; the three mirrored double
     // divisions happen last.
     "dq_label_agreement" -> ((s, d) => {
-      val pred = TextAnalysis.profile(t(s, d, "documents"))
-        .select(col("doc_id"), col("lang_pred"))
-      val pairs = t(s, d, "documents")
-        .select(col("doc_id"), coalesce(col("lang"), lit("~")).as("a"))
-        .join(pred, Seq("doc_id"))
-        .select(col("a"), col("lang_pred").as("b"))
-      val tot = pairs.agg(count(lit(1)).as("n_total"),
-        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"))
-      val ra = pairs.groupBy("a").agg(count(lit(1)).as("na"))
-      val cb = pairs.groupBy("b").agg(count(lit(1)).as("nb"))
+      // Single-computation form: (true, predicted) both come from ONE
+      // pass over documents (lang is a column of the same table — the
+      // earlier doc-keyed join re-planned lang-ID per consumer, ~3× the
+      // corpus pass and 14 s of the entry's sf1 cost), reduced
+      // immediately to the ≤|langs|²-row contingency table and PINNED by
+      // an eager localCheckpoint (the Graph/Hierarchy discipline for
+      // multiply-consumed bounded frames — alias-renumbered subtrees
+      // defeat ReuseExchange here). The corpus is scanned and lang-ID'd
+      // exactly once; everything after is constant-sized.
+      val ct = Graft.spread(t(s, d, "documents"))
+        .select(coalesce(col("lang"), lit("~")).as("a"),
+          graft.functions.Text.tokens(col("text")).as("__toks"))
+        .select(col("a"),
+          graft.functions.Text.languageIdFromTokens(col("__toks")).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val tot = ct.agg(
+        coalesce(sum("n"), lit(0L)).as("n_total"),
+        coalesce(sum(when(col("a") === col("b"), col("n"))), lit(0L))
+          .as("n_agree"))
+      val ra = ct.groupBy("a").agg(sum("n").as("na"))
+      val cb = ct.groupBy("b").agg(sum("n").as("nb"))
       val num = ra.join(cb, col("a") === col("b"))
         .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("pe_num"))
       tot.crossJoin(num)

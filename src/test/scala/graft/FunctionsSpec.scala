@@ -116,6 +116,28 @@ class FunctionsSpec extends SparkSpec {
     assert(got(3) == Seq("x x x"))  // duplicates collapsed
   }
 
+  test("native StopwordHits is bit-parity with the aggregate() fold") {
+    // The replaced fold, verbatim: null array -> null, null element
+    // counts 0, frequency-weighted (repeats count each time).
+    def foldHits(toks: org.apache.spark.sql.Column, words: Seq[String]) =
+      aggregate(toks, lit(0L),
+        (acc, t) => acc + when(t.isInCollection(words), 1L).otherwise(0L))
+    val words = Seq("the", "and", "le", "und")
+    val rnd = new scala.util.Random(23)
+    val pool = words ++ Seq("alpha", "beta", "", "THE", "thé")
+    val rows: Seq[Seq[Option[String]]] =
+      (0 until 60).map { _ =>
+        Seq.fill(rnd.nextInt(10))(
+          if (rnd.nextInt(8) == 0) None else Some(pool(rnd.nextInt(pool.length))))
+      } ++ Seq(Seq.empty, null)
+    val df = rows.toDF("toks")
+    val got = df.select(Text.stopwordHits($"toks", words)).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    val want = df.select(foldHits($"toks", words)).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("languageId picks stopword-majority language; und when no hits") {
     val got = Seq(
       "the cat sat on the mat and it is happy",
