@@ -388,28 +388,45 @@ private[graft] trait QueriesText { this: SparkEntry.type =>
     "text_pmi_pairs" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .where(col("text").isNotNull && trim(col("text")) =!= "")
+      // Empty tokens are dropped but their POSITIONS are kept (tab-led
+      // text survives trim(), so split can emit '' mid-array — the edge
+      // corpus caught an unfiltered draft inflating n_tokens/p_total):
+      // ps = (original position, word) for non-empty words only.
       val base = Graft.spread(docs)
         .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ws"))
-      val toks = base.select(explode(col("ws")).as("w"))
+        .select(col("doc_id"), expr(
+          """filter(transform(ws, (w, i) -> named_struct('p', i, 'w', w)),
+            |  x -> x.w <> '')""".stripMargin).as("ps"))
+      val toks = base.select(explode(col("ps")).as("t"))
+        .select(col("t.w").as("w"))
       val uni = toks.groupBy("w").agg(count(lit(1)).as("cw"))
       val nTok = toks.agg(count(lit(1)).as("n_tokens"))
-      // Skip-gram pairs at offsets 1 and 2, generated MAP-SIDE from each
-      // doc's token array (canonical least/greatest order) — the earlier
-      // doc-keyed positional self-join re-planned the tokenization per
-      // side and shuffled every token twice (39 s at the sf1 probe; this
-      // form leaves the w_a/w_b aggregate as the only shuffle). The
-      // size() guards matter: sequence(1, 0) is the DESCENDING [1, 0].
-      val grouped = base.select(explode(flatten(array(
-          expr("""CASE WHEN size(ws) >= 2 THEN
-            |  transform(sequence(1, size(ws) - 1), i -> named_struct(
-            |    'w_a', least(ws[i-1], ws[i]),
-            |    'w_b', greatest(ws[i-1], ws[i])))
-            |  ELSE array() END""".stripMargin),
-          expr("""CASE WHEN size(ws) >= 3 THEN
-            |  transform(sequence(1, size(ws) - 2), i -> named_struct(
-            |    'w_a', least(ws[i-1], ws[i+1]),
-            |    'w_b', greatest(ws[i-1], ws[i+1])))
-            |  ELSE array() END""".stripMargin)))).as("p"))
+      // Pairs at original-position offsets 1 and 2, generated MAP-SIDE
+      // from each doc's token list (canonical least/greatest order) —
+      // the earlier doc-keyed positional self-join re-planned the
+      // tokenization per side and shuffled every token twice (39 s at
+      // the sf1 probe; this form leaves the w_a/w_b aggregate as the
+      // only shuffle). Positions strictly increase within ps, so an
+      // offset-(1|2) partner can only sit at list index j-1 or j-2.
+      // The size() guards matter: sequence(1, 0) is DESCENDING [1, 0].
+      val pairsArr = expr(
+        """filter(
+          |  CASE WHEN size(ps) >= 2 THEN concat(
+          |    transform(sequence(1, size(ps) - 1), j ->
+          |      CASE WHEN ps[j].p - ps[j-1].p <= 2 THEN named_struct(
+          |        'w_a', least(ps[j-1].w, ps[j].w),
+          |        'w_b', greatest(ps[j-1].w, ps[j].w))
+          |      ELSE CAST(NULL AS STRUCT<w_a: STRING, w_b: STRING>) END),
+          |    CASE WHEN size(ps) >= 3 THEN
+          |      transform(sequence(2, size(ps) - 1), j ->
+          |        CASE WHEN ps[j].p - ps[j-2].p <= 2 THEN named_struct(
+          |          'w_a', least(ps[j-2].w, ps[j].w),
+          |          'w_b', greatest(ps[j-2].w, ps[j].w))
+          |        ELSE CAST(NULL AS STRUCT<w_a: STRING, w_b: STRING>) END)
+          |    ELSE array() END)
+          |  ELSE array() END,
+          |  x -> x IS NOT NULL)""".stripMargin)
+      val grouped = base.select(explode(pairsArr).as("p"))
         .select(col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
         .groupBy("w_a", "w_b").agg(count(lit(1)).as("c_pair"))
       val pTot = grouped.agg(sum("c_pair").as("p_total"))
