@@ -161,8 +161,20 @@ object Text {
   def repetitionStruct(text: Column): Column =
     repetitionFromParts(linesOf(text), tokens(text))
 
-  /** Pre-materialized-parts variant (see [[repetitionStruct]]). */
-  def repetitionFromParts(ls: Column, toks: Column): Column = {
+  /** Pre-materialized-parts variant (see [[repetitionStruct]]). Native
+    * one-pass hash counting ([[graft.plans.RepetitionProfile]]) — the
+    * declarative in-array form it replaced ([[repetitionFromPartsFold]])
+    * paid O(L²)/O(T²) interpreted lambdas (27.9 s at the sf1 probe) and
+    * stays as the parity reference in RepetitionRelationalSpec.
+    */
+  def repetitionFromParts(ls: Column, toks: Column): Column =
+    graft.plans.RepetitionProfile(ls, toks)
+
+  /** The replaced declarative form, kept verbatim as the parity
+    * reference (spec-compared against the native on planted and fuzz
+    * cases — do not use on hot paths).
+    */
+  def repetitionFromPartsFold(ls: Column, toks: Column): Column = {
     val nL = size(ls).cast("double")
     val dupLineFrac =
       when(nL > 0, (nL - size(array_distinct(ls)).cast("double")) / nL)

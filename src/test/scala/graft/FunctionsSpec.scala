@@ -156,6 +156,30 @@ class FunctionsSpec extends SparkSpec {
     assert(fp.forall(_ >= 0L))
   }
 
+  test("native RepetitionProfile is bit-parity with the declarative fold") {
+    // Fuzz docs: repeated lines, blank lines, tab-led lines, repeated
+    // bigrams, single tokens, empty and null text. Both forms run over
+    // the SAME materialized parts; doubles must be bit-equal (identical
+    // long counts, identical divisions).
+    val rnd = new scala.util.Random(31)
+    val lines = Seq("alpha beta", "alpha beta", "x", "", "\tgamma d", "e f e f e")
+    val rows: Seq[Option[String]] =
+      (0 until 80).map { _ =>
+        Some((0 until rnd.nextInt(8))
+          .map(_ => lines(rnd.nextInt(lines.length))).mkString("\n"))
+      } ++ Seq(Some(""), None, Some("one"), Some("\n\n"))
+    val df = rows.toDF("t")
+      .select(Text.linesOf($"t").as("ls"), Text.tokens($"t").as("toks"))
+    def flat(c: org.apache.spark.sql.Column) = Seq(
+      c.getField("n_lines"), c.getField("dup_line_frac"),
+      c.getField("dup_line_char_frac"), c.getField("top_bigram_frac"))
+    val got = df.select(flat(Text.repetitionFromParts($"ls", $"toks")): _*)
+      .collect().map(_.toSeq).toSeq
+    val want = df.select(flat(Text.repetitionFromPartsFold($"ls", $"toks")): _*)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
   test("repetitionStruct: dup-line and top-bigram fractions on planted cases") {
     val rows = Seq(
       // 4 lines, "dup dup" twice (7 chars each), "x" (1) and
