@@ -327,6 +327,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("dedup_segments: segment-keyed shuffles only — no window, no nested loop") {
+    // the 100 TB contract: the df count and mark join key on the trimmed
+    // segment; reassembly is a doc-keyed hash aggregate whose per-group
+    // state is the doc's own segment list. Nothing may plan a Window
+    // (ordered reassembly is array_sort inside the aggregate) and no
+    // join may degrade to a nested loop / cartesian.
+    val p = finalPlan("dedup_segments")
+    assert(!p.contains("Window"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    assert(p.contains("partial_count") || p.contains("partial_finalmerge") ||
+      p.contains("HashAggregate"), p.take(800))
+  }
+
+  test("text_nb_classifier: weight table broadcasts; no corpus sort-merge") {
+    // training reduces to word-keyed aggregates; the <=vocabSize weight
+    // table and the 1-row prior must come back as broadcasts — the
+    // token-side inference join may never degrade to sort-merge. (The
+    // one Window ranks the WORD aggregate output — bounded by distinct
+    // words, the text_js_divergence discipline. The doc-keyed score
+    // reattach is allowed to shuffle at corpus scale; at guard scale
+    // everything joins broadcast, which is what this pins.)
+    val p = finalPlan("text_nb_classifier")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("sample_match_dist: accept rule runs map-side off broadcast counts") {
     // distribution matching at 100 TB: per-bucket counts and the one-row
     // binding fraction broadcast to the corpus filter; the corpus itself
