@@ -331,6 +331,41 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Train-vs-eval NEAR-DUP decontamination screen: exact prefix-filtered
+    * Jaccard pairs ([[prefixJaccardPairs]] — completeness at the
+    * threshold is a theorem, so no banding false negative can leak eval
+    * data into training), restricted to CROSS-side pairs and aggregated
+    * per eval document. The near-dup complement to the exact n-gram
+    * screen (`text_decontaminate`): paraphrased or lightly-edited eval
+    * items that exact n-grams miss.
+    *
+    * Scale shape: inherits prefixJaccardPairs' bounded candidate story;
+    * the side attachment is two id-keyed equi joins on the (already
+    * bounded) pair frame; the verdict is one eval-keyed hash aggregate.
+    *
+    * Output per contaminated eval doc: match count, worst (max) Jaccard,
+    * and the lowest matching train id (a stable example to inspect).
+    */
+  def contaminationScreen(df: DataFrame, textCol: String, idCol: String,
+      isEvalCol: Column, minJaccard: Double): DataFrame = {
+    val pairs = prefixJaccardPairs(df, textCol, idCol, minJaccard)
+    val side = df.select(col(idCol).as("__sid"), isEvalCol.as("__is_eval"))
+    pairs
+      .join(side.select(col("__sid").as("id_a"), col("__is_eval").as("eval_a")),
+        Seq("id_a"))
+      .join(side.select(col("__sid").as("id_b"), col("__is_eval").as("eval_b")),
+        Seq("id_b"))
+      .where(col("eval_a") =!= col("eval_b"))
+      .select(
+        when(col("eval_a"), col("id_a")).otherwise(col("id_b")).as("eval_id"),
+        when(col("eval_a"), col("id_b")).otherwise(col("id_a")).as("train_id"),
+        col("jaccard"))
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_train_matches"),
+        max(col("jaccard")).as("max_jaccard"),
+        min(col("train_id")).as("first_train_id"))
+  }
+
   /** Connected components over near-dup pairs: each doc labeled with the
     * minimum id reachable through the pair graph (the canonical
     * representative) — the standard final step of fuzzy dedup: pick one

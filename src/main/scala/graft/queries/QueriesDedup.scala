@@ -145,6 +145,17 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
         minJaccard = 0.8)
         .orderBy("id_a", "id_b")),
 
+    // Near-dup decontamination: exact prefix-Jaccard pairs restricted to
+    // cross-side (train = doc_id < 150, eval = rest of the <300 slice),
+    // one report row per contaminated eval doc. The paraphrase-robust
+    // complement to text_decontaminate's exact n-gram screen; exactness
+    // (no banding false negatives) is the point at threshold 0.8.
+    "dedup_decontaminate_near" -> ((s, d) =>
+      Dedup.contaminationScreen(
+        t(s, d, "documents").where(col("doc_id") < 300), "text", "doc_id",
+        col("doc_id") >= 150, minJaccard = 0.8)
+        .orderBy("eval_id")),
+
     // Winnowed document fingerprints (MOSS): per-window rightmost-min of
     // the ordered 2-gram hash sequence, via the packed-key window MIN both
     // engines replay bit-for-bit. Every non-empty doc fingerprints.
@@ -528,6 +539,49 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
         |WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)
         |  >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_decontaminate_near" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |toks AS (
+        | SELECT DISTINCT doc_id AS id, w FROM (
+        |  SELECT doc_id,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM docs WHERE trim(COALESCE(text, '')) <> '')),
+        |wdf AS (SELECT w, COUNT(*) AS df FROM toks GROUP BY 1),
+        |ranked AS (
+        | SELECT t.id, t.w,
+        |  row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.w) AS rn,
+        |  COUNT(*) OVER (PARTITION BY t.id) AS n
+        | FROM toks t JOIN wdf d USING (w)),
+        |pref AS (SELECT id, w, n FROM ranked
+        |         WHERE rn <= n - CEIL(0.8 * n) + 1),
+        |cand AS (
+        | SELECT DISTINCT a.id AS id_a, a.n AS n_a, b.id AS id_b, b.n AS n_b
+        | FROM pref a JOIN pref b USING (w)
+        | WHERE a.id < b.id
+        |   AND LEAST(a.n, b.n) >= 0.8 * GREATEST(a.n, b.n)),
+        |inter AS (
+        | SELECT c.id_a, c.id_b, c.n_a, c.n_b, COUNT(*) AS n_inter
+        | FROM cand c
+        | JOIN toks ta ON ta.id = c.id_a
+        | JOIN toks tb ON tb.id = c.id_b AND tb.w = ta.w
+        | GROUP BY 1, 2, 3, 4),
+        |pairs AS (
+        | SELECT id_a, id_b,
+        |  CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)
+        |   AS jaccard
+        | FROM inter
+        | WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)
+        |   >= 0.8),
+        |crossed AS (
+        | SELECT CASE WHEN id_a >= 150 THEN id_a ELSE id_b END AS eval_id,
+        |  CASE WHEN id_a >= 150 THEN id_b ELSE id_a END AS train_id,
+        |  jaccard
+        | FROM pairs
+        | WHERE (id_a >= 150) <> (id_b >= 150))
+        |SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_train_matches,
+        | MAX(jaccard) AS max_jaccard, MIN(train_id) AS first_train_id
+        |FROM crossed GROUP BY eval_id ORDER BY eval_id""".stripMargin,
 
     "dedup_sorted_neighborhood" ->
       """WITH keyed AS (

@@ -1729,6 +1729,29 @@ class OpsSpec extends SparkSpec {
       (4L, 9L, 13L, 5L, 1L))) // second copy, separate island (gap > k)
   }
 
+  test("contaminationScreen reports only cross-side near-dup pairs") {
+    // train 1-3, eval 10-12. Eval 10 is a near-copy of train 1 (9 of 10
+    // tokens shared -> J = 9/11 ≈ 0.818); eval 11 duplicates eval 12
+    // (same-side: excluded); train 2 duplicates train 3 (excluded);
+    // eval 12's pair with train content is below threshold.
+    val base = "a1 b2 c3 d4 e5 f6 g7 h8 i9"
+    val docs = Seq(
+      (1L, s"$base j10"),
+      (2L, "t1 t2 t3 t4 t5 t6"), (3L, "t1 t2 t3 t4 t5 t6"),
+      (10L, s"$base k11"),
+      (11L, "u1 u2 u3 u4 u5 u6"), (12L, "u1 u2 u3 u4 u5 u6")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.contaminationScreen(
+        docs, "text", "doc_id", col("doc_id") >= 10L, minJaccard = 0.8)
+      .orderBy("eval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq((10L, 1L, 1L))) // eval 10 <- train 1 only
+    val j = graft.ops.Dedup.contaminationScreen(
+        docs, "text", "doc_id", col("doc_id") >= 10L, minJaccard = 0.8)
+      .head().getDouble(2)
+    assert(math.abs(j - 9.0 / 11.0) < 1e-12)
+  }
+
   test("nbClassifierScores matches an independent local NB replay") {
     // Tiny labeled corpus incl. a null-text doc (scores prior only, and
     // still counts toward the negative class). Expected values computed
