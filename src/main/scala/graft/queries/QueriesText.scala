@@ -463,6 +463,26 @@ private[graft] trait QueriesText { this: SparkEntry.type =>
     "text_unigram_lm" -> ((s, d) =>
       TextAnalysis.unigramLmScores(t(s, d, "documents")).orderBy("doc_id")),
 
+    // Tokenizer fertility by language: BPE-ish tokens per whitespace
+    // word, the tokenizer-efficiency metric multilingual teams track
+    // (fertility >> 1 = the tokenizer fragments that language). One
+    // map-side projection + one hash aggregate on the tiny lang key;
+    // empty-token artifacts excluded from the word count (the PMI
+    // lesson), ratio NULL for wordless groups.
+    "text_token_fertility" -> ((s, d) => Graft.spread(t(s, d, "documents"))
+      .select(coalesce(col("lang"), lit("~")).as("lang"),
+        Text.bpeTokenCount(col("text")).as("bpe"),
+        coalesce(size(filter(Text.tokens(col("text")), w => w =!= ""))
+          .cast("long"), lit(0L)).as("words"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("bpe").as("total_bpe_tokens"),
+        sum("words").as("total_words"),
+        when(sum("words") > 0,
+          sum("bpe").cast("double") / sum("words").cast("double"))
+          .as("fertility"))
+      .orderBy("lang")),
+
     // Model-based quality classifier (the FineWeb "classifier filtering"
     // stage): Bernoulli NB log-odds over the top-100-df vocabulary,
     // labeled here by source = 'src0'. Weights are nano-rounded once,
@@ -1021,6 +1041,30 @@ private[graft] trait QueriesText { this: SparkEntry.type =>
         | COALESCE(a.logw_nanos, 0) AS logw_nanos
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "text_token_fertility" ->
+      """WITH words AS (
+        | SELECT lang, w FROM (
+        |  SELECT COALESCE(lang, '~') AS lang,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        | WHERE w <> ''),
+        |wc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS total_words
+        |       FROM words GROUP BY lang),
+        |bc AS (
+        | SELECT COALESCE(lang, '~') AS lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(COALESCE(text, ''),
+        |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT)
+        |   AS total_bpe_tokens
+        | FROM documents GROUP BY 1)
+        |SELECT b.lang, b.n_docs, b.total_bpe_tokens,
+        | COALESCE(w.total_words, 0) AS total_words,
+        | CASE WHEN COALESCE(w.total_words, 0) > 0 THEN
+        |  CAST(b.total_bpe_tokens AS DOUBLE) / CAST(w.total_words AS DOUBLE)
+        | END AS fertility
+        |FROM bc b LEFT JOIN wc w ON w.lang = b.lang
+        |ORDER BY b.lang""".stripMargin,
 
     "text_nb_classifier" ->
       """WITH base AS (
