@@ -81,6 +81,22 @@ private[graft] trait QueriesSim { this: SparkEntry.type =>
         .orderBy("query_id", "rank")
     }),
 
+    // SemDeDup-at-corpus-scale composite: the distributed kNN self-join
+    // builds the neighbor graph (no collect on either side), edges keep
+    // 6-dp cosine >= 0.95 (the 6-dp values are the cross-engine-equal
+    // ones sim_knn_join hash-verifies, so the threshold can never
+    // tie-break differently), and Kiveris star contraction labels each
+    // vector with its duplicate-cluster representative.
+    "sim_knn_graph_components" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val pairs = Similarity.knnJoin(emb, emb, k = 3, nBlocks = 4)
+        .where(round(col("cosine"), 6) >= 0.95)
+        .select(col("query_id").as("id_a"), col("corpus_id").as("id_b"))
+      graft.ops.Dedup.clusterNearDups(
+        emb.select(col("vec_id").as("id")), pairs, "id", maxIters = 25)
+        .orderBy("id")
+    }),
+
     // Matryoshka truncation audit: recall@10 of brute-force cosine
     // retrieval when embeddings are truncated to their first 16 of 64
     // dims (the MRL serving trade-off, Kusupati et al. 2022) against the
@@ -490,6 +506,35 @@ private[graft] trait QueriesSim { this: SparkEntry.type =>
          |  FROM scored)
          |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // Recursive reach replays the star contraction's fixed point; every
+    // upstream CTE is MATERIALIZED (the emb_pca_top2 lesson: DuckDB
+    // inlines CTEs into each recursive iteration otherwise).
+    "sim_knn_graph_components" ->
+      s"""WITH RECURSIVE e AS MATERIALIZED (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | n AS MATERIALIZED (
+         |  SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+         | scored AS MATERIALIZED (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |   ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id),
+         | ranked AS MATERIALIZED (
+         |  SELECT query_id, corpus_id, cosine,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id
+         |     ORDER BY cosine DESC, corpus_id ASC) AS rank
+         |  FROM scored),
+         | edges0 AS MATERIALIZED (
+         |  SELECT query_id AS a, corpus_id AS b FROM ranked
+         |  WHERE rank <= 3 AND ROUND(cosine, 6) >= 0.95),
+         | edges AS MATERIALIZED (
+         |  SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+         | reach AS (
+         |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+         |  UNION
+         |  SELECT reach.id, e2.b FROM reach JOIN edges e2 ON e2.a = reach.r)
+         |SELECT id, MIN(r) AS component FROM reach GROUP BY id
+         |ORDER BY id""".stripMargin,
 
     "sim_binary_hamming_topk" ->
       """WITH clean AS (
