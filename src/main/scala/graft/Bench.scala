@@ -54,7 +54,8 @@ object Bench {
     "graph_pagerank" -> 2048,  // iterative graph: per-round barrier amortizes
     "text_bm25_topk" -> 512,  // ranked retrieval (index amortized)
     "sim_pq_topk" -> 4096,     // PQ ANN (codebook/encode amortized)
-    "dedup_semantic" -> 512)   // SemDeDup (centroid training amortized)
+    "dedup_semantic" -> 512,   // SemDeDup (centroid training amortized)
+    "sim_knn_join" -> 8)       // corpus-vs-corpus exact kNN graph build
 
   /** r copies of every row, tagged 0..r-1: one scan, spread across all
     * cores FIRST (the single-row-group test files scan as one partition —
@@ -227,6 +228,26 @@ object Bench {
             col("embedding"))
         Similarity.pqTopK(emb, q, k = 10, m = 8, dsub = 8,
           codebookSize = 16, rerank = 40)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy("query_id", "rank")
+
+      case "sim_knn_join" =>
+        // Query-side replication (the sim_* pattern): each instance runs
+        // the FULL corpus as the query side — N independent kNN-graph
+        // builds against a resident corpus, the same knnJoin call as the
+        // corpus entry. Query ids offset by (rep+1)*1e6 so no id collides
+        // with a corpus id in any rep (the kernel's self-pair exclusion is
+        // id-based): every rep computes the identical full neighbor list,
+        // and the pandas twin mirrors that (self included as top-1).
+        // nBlocks=32 vs the corpus entry's 4: blocking only schedules —
+        // any value yields the same exact result — and one cogroup task
+        // per core is the right shape for the 32-thread fused run.
+        val emb = t("embeddings")
+        val q = emb
+          .withColumn("__rep", explode(sequence(lit(0L), lit(r - 1L))))
+          .select((col("vec_id") + (col("__rep") + 1L) * 1000000L).as("vec_id"),
+            col("embedding"))
+        Similarity.knnJoin(emb, q, k = 3, nBlocks = 32)
           .withColumn("cosine", round(col("cosine"), 6))
           .orderBy("query_id", "rank")
 

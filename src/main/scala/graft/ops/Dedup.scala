@@ -796,16 +796,32 @@ object Dedup {
     */
   def segmentDedup(df: DataFrame, textCol: String, idCol: String,
       sep: String, maxDocFreq: Long): DataFrame = {
-    val segs = graft.core.Graft.spread(df)
+    val segs = segments(df, textCol, idCol, sep)
+    val segDf = segs.groupBy("k")
+      .agg(countDistinct(col(idCol)).as("seg_df"))
+    reassembleSegments(
+      segs.join(segDf, Seq("k"))
+        .withColumn("keep", col("seg_df") <= maxDocFreq),
+      idCol, sep)
+  }
+
+  /** Split docs into trimmed, non-empty segments: (idCol, pos, seg, k). */
+  private[graft] def segments(df: DataFrame, textCol: String, idCol: String,
+      sep: String): DataFrame =
+    graft.core.Graft.spread(df)
       .select(col(idCol),
         posexplode(split(col(textCol),
           java.util.regex.Pattern.quote(sep))).as(Seq("pos", "seg")))
       .withColumn("k", trim(col("seg")))
       .filter(col("k") =!= "")
-    val segDf = segs.groupBy("k")
-      .agg(countDistinct(col(idCol)).as("seg_df"))
-    segs.join(segDf, Seq("k"))
-      .withColumn("keep", col("seg_df") <= maxDocFreq)
+
+  /** Reassemble marked segments (idCol, pos, seg, keep) per doc in
+    * original order — the shared tail of [[segmentDedup]] and its
+    * streaming twin [[graft.streaming.HotSegments]].
+    */
+  private[graft] def reassembleSegments(marked: DataFrame, idCol: String,
+      sep: String): DataFrame =
+    marked
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_segments"),
@@ -816,7 +832,6 @@ object Dedup {
               struct(col("pos"), col("seg"))))),
             x => x.getField("seg")),
           sep).as("clean_text"))
-  }
 
   /** Scalar twin of [[Vectors.cosine]] over double arrays: identical op
     * order (left-to-right folds, d / (sqrt(aa) * sqrt(bb))), NaN for the

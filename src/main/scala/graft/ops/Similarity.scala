@@ -431,8 +431,37 @@ object Similarity {
   /** Shared IVF probe: corpus assigned to 1 cell, queries to `nProbe`
     * cells; candidates are cell-local; bounded top-k finisher.
     */
+  /** IVF-partitioned approximate kNN JOIN — [[knnJoin]]'s approximate
+    * scale path, completing the pair: the exact join's cost is |C|·|Q|
+    * scoring spread over blocks (right when both sides must meet, e.g.
+    * the hash-verified dedup graph), while this one bounds pair work to
+    * Σ_cell |C_cell|·|Q_cell| by meeting only inside IVF cells. BOTH
+    * sides are unbounded DataFrames; nothing collects (zero jobs at
+    * build, plan-asserted).
+    *
+    * Shape: the deterministic prefix-sample centroids ([[ivfTopK]]'s
+    * contract — nCells × dim, a bounded broadcast) assign the corpus to
+    * its 1 nearest cell and each query to its `nProbe` nearest cells
+    * (both map-side via the bounded [[nearestCells]] aggregate); ONE
+    * shuffle join co-partitions the two sides on the cell id; scoring +
+    * the k-bounded per-query finisher are the shared [[ivfProbe]] tail.
+    * Shuffle volume: |C| + nProbe·|Q| rows — never a pair table, never
+    * query replication to every block. Recall follows the IVF trade
+    * (a true neighbor outside every probed cell is missed); at 100 TB
+    * the cell id becomes a partition column so each probe's scan prunes
+    * to its cells' files, and skewed cells split by salting the join key
+    * with a within-cell hash — the top-k merge is associative.
+    */
+  def knnJoinIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val cents = corpus.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+    ivfProbe(corpus, queries, cents, k, nProbe, broadcastQueries = false)
+  }
+
   private def ivfProbe(corpus: DataFrame, queries: DataFrame,
-      cents: DataFrame, k: Int, nProbe: Int): DataFrame = {
+      cents: DataFrame, k: Int, nProbe: Int,
+      broadcastQueries: Boolean = true): DataFrame = {
     val c = nearestCells(
       graft.core.Graft.spread(corpus)
         .select(col("vec_id").as("corpus_id"), col("embedding").as("cv")),
@@ -444,7 +473,7 @@ object Similarity {
       "query_id", "qv", nProbe, cents)
       .join(queries.select(col("vec_id").as("query_id"),
         Vectors.norm2(col("embedding")).as("qn")), Seq("query_id"))
-    val scored = c.join(broadcast(q), Seq("cell"))
+    val scored = c.join(if (broadcastQueries) broadcast(q) else q, Seq("cell"))
       .where(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine",
         when(col("qn") > 0 && col("cn") > 0,

@@ -412,34 +412,40 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
         .orderBy("vec_id"))
   )
 
+  /** Shared by `dedup_segments` and its streaming twin
+    * `stream_dedup_segments` — the detector's hot-key set is arrival-order
+    * independent, so both compute exactly this batch rule.
+    */
+  protected def segmentDedupOracleSql: String =
+    """WITH segs AS (
+      | SELECT doc_id,
+      |  unnest(string_split(text, ' table ')) AS seg,
+      |  generate_subscripts(string_split(text, ' table '), 1) AS pos
+      | FROM documents),
+      |keyed AS (
+      | SELECT doc_id, pos, seg, trim(seg) AS k
+      | FROM segs WHERE trim(seg) <> ''),
+      |dfc AS (
+      | SELECT k, COUNT(DISTINCT doc_id) AS seg_df FROM keyed GROUP BY k),
+      |marked AS (
+      | SELECT keyed.doc_id, keyed.pos, keyed.seg,
+      |  dfc.seg_df <= 25 AS keep
+      | FROM keyed JOIN dfc ON keyed.k = dfc.k)
+      |SELECT doc_id,
+      | CAST(COUNT(*) AS BIGINT) AS n_segments,
+      | CAST(COALESCE(SUM(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
+      |   AS n_kept,
+      | COALESCE(string_agg(CASE WHEN keep THEN seg END, ' table '
+      |   ORDER BY pos), '') AS clean_text
+      |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   protected def dedupOracles: Map[String, String] = Map(
 
     "dedup_exact" ->
       """SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY digest""".stripMargin,
 
-    "dedup_segments" ->
-      """WITH segs AS (
-        | SELECT doc_id,
-        |  unnest(string_split(text, ' table ')) AS seg,
-        |  generate_subscripts(string_split(text, ' table '), 1) AS pos
-        | FROM documents),
-        |keyed AS (
-        | SELECT doc_id, pos, seg, trim(seg) AS k
-        | FROM segs WHERE trim(seg) <> ''),
-        |dfc AS (
-        | SELECT k, COUNT(DISTINCT doc_id) AS seg_df FROM keyed GROUP BY k),
-        |marked AS (
-        | SELECT keyed.doc_id, keyed.pos, keyed.seg,
-        |  dfc.seg_df <= 25 AS keep
-        | FROM keyed JOIN dfc ON keyed.k = dfc.k)
-        |SELECT doc_id,
-        | CAST(COUNT(*) AS BIGINT) AS n_segments,
-        | CAST(COALESCE(SUM(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
-        |   AS n_kept,
-        | COALESCE(string_agg(CASE WHEN keep THEN seg END, ' table '
-        |   ORDER BY pos), '') AS clean_text
-        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_segments" -> segmentDedupOracleSql,
 
     "bloom_new_docs" ->
       """SELECT i.doc_id FROM documents i

@@ -385,6 +385,20 @@ private[graft] trait QueriesSim { this: SparkEntry.type =>
         nCells = 16, nProbe = 2)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("query_id", "rank")
+    }),
+
+    // IVF-partitioned APPROXIMATE kNN join, corpus vs corpus — the scale
+    // complement to sim_knn_join's exact block join: candidates meet only
+    // inside IVF cells (one shuffle join co-partitioned on the cell id,
+    // |C| + nProbe·|Q| rows on the wire), so pair work is Σ|cell|·|probe|
+    // instead of |C|·|Q|. Both sides are the full embeddings table; no
+    // collect on either side (PlanShapeSpec asserts zero jobs at build
+    // and a non-broadcast probe join).
+    "sim_knn_join_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.knnJoinIvf(emb, emb, k = 3, nCells = 16, nProbe = 2)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -857,6 +871,42 @@ private[graft] trait QueriesSim { this: SparkEntry.type =>
          | SELECT query_id, corpus_id, cosine,
          |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
          | FROM scored)
-         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // sim_ivf_topk's replay with the FULL table as the query side and
+    // k=3 — same prefix centroids, same assignment/probe tie rules, same
+    // keep-NULL-cosine ranking discipline.
+    "sim_knn_join_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS centv
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         | corpus AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         | cassign AS (
+         |  SELECT corpus_id, cv, cent_id AS cell FROM (
+         |   SELECT c.corpus_id, c.cv, ct.cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY c.corpus_id
+         |      ORDER BY ${distSql("c.cv", "ct.centv")} ASC, ct.cent_id ASC) AS rn
+         |   FROM corpus c CROSS JOIN cents ct)
+         |  WHERE rn = 1),
+         | q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |       FROM embeddings),
+         | qprobe AS (
+         |  SELECT query_id, qv, cent_id AS cell FROM (
+         |   SELECT q.query_id, q.qv, ct.cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${distSql("q.qv", "ct.centv")} ASC, ct.cent_id ASC) AS rn
+         |   FROM q CROSS JOIN cents ct)
+         |  WHERE rn <= 2),
+         | scored AS (
+         |  SELECT qp.query_id, ca.corpus_id,
+         |   ${cosineSql("qp.qv", "ca.cv")} AS cosine
+         |  FROM cassign ca JOIN qprobe qp ON ca.cell = qp.cell
+         |  WHERE ca.corpus_id <> qp.query_id)
+         |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
+         |FROM (
+         | SELECT query_id, corpus_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+         | FROM scored)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   )
 }

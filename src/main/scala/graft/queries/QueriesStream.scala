@@ -258,10 +258,62 @@ private[graft] trait QueriesStream { this: SparkEntry.type =>
             "spark.sql.streaming.stateStore.providerClass")
         }
       }
+    }),
+
+    // Streaming CCNet segment dedup: the boilerplate DETECTOR runs on the
+    // document stream (4 files, one per micro-batch) with bounded per-key
+    // state — a capped distinct-doc-id set that collapses to an O(1) hot
+    // flag the moment a segment's distinct-doc count crosses 25 — and
+    // emits each corpus-frequent segment key exactly once; the batch side
+    // then drops hot segments and reassembles survivors in document
+    // order. The emitted hot-key SET is arrival-order independent (a
+    // distinct count doesn't depend on arrival order), so the result
+    // equals batch dedup_segments exactly and shares its oracle;
+    // batch-boundary independence is spec'd in StreamingSpec.
+    "stream_dedup_segments" -> ((s, d) => {
+      Graft.tune(s)
+      val prev = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_stream_seg_").toString
+        docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          .repartition(4).write.mode("overwrite").parquet(root)
+        val schema = s.read.parquet(root).schema
+        val segStream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(root)
+          .select(col("doc_id"),
+            explode(split(col("text"),
+              java.util.regex.Pattern.quote(" table "))).as("seg"))
+          .select(trim(col("seg")).as("k"), col("doc_id"))
+          .where(col("k") =!= "")
+          .as[(String, Long)]
+        val hot = graft.streaming.StreamingIngest.runAvailableNow(
+          s, graft.streaming.HotSegments.hotKeys(segStream, 25L).toDF("k"),
+          "stream_seg_mem", outputMode = "append")
+        graft.streaming.HotSegments.applyHotFilter(
+          docs, hot, "text", "doc_id", " table ")
+          .orderBy("doc_id")
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset(
+            "spark.sql.streaming.stateStore.providerClass")
+        }
+      }
     })
   )
 
   protected def streamOracles: Map[String, String] = Map(
+
+    // The streamed hot-key set is arrival-order independent, so the
+    // streaming pipeline computes exactly the batch rule.
+    "stream_dedup_segments" -> segmentDedupOracleSql,
 
     "stream_bloom_new_docs" ->
       """SELECT DISTINCT md5(i.text) AS digest FROM documents i

@@ -1869,6 +1869,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("knnJoinIvf probing every cell equals the exact knnJoin") {
+    // nProbe = nCells means every query meets every cell — the IVF join
+    // degenerates to the exact join, so the two distributed paths (cell
+    // shuffle join vs block cogroup) must agree pair-for-pair. With
+    // nProbe=1 the output stays k-bounded per query (the recall trade).
+    val rnd = new scala.util.Random(11)
+    val rows: Seq[(Long, Seq[Option[Float]])] =
+      (0L until 24L).map(i => i -> Seq.fill(8)(Option(rnd.nextGaussian().toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Double)] =
+      df.select(col("query_id").cast("long"), col("corpus_id").cast("long"),
+          col("rank").cast("long"), round(col("cosine"), 6).as("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+    val exact = key(Similarity.knnJoin(emb, emb, k = 3, nBlocks = 3))
+    val full = key(Similarity.knnJoinIvf(emb, emb, k = 3, nCells = 4, nProbe = 4))
+    assert(full == exact)
+    val approx = Similarity.knnJoinIvf(emb, emb, k = 3, nCells = 4, nProbe = 1)
+      .groupBy("query_id").count().collect()
+    assert(approx.forall(_.getLong(1) <= 3L))
+  }
+
   test("knnClassify votes the planted cluster label; ties go to the smaller label") {
     // Two tight clusters on orthogonal axes. Query 100 sits on the
     // cluster-0 axis; query 101 is equidistant between the axes and sees

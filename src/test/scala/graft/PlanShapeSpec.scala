@@ -120,6 +120,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("topkaggmerge"), p.take(600))
   }
 
+  test("sim_knn_join_ivf: zero jobs at build, candidates meet via a cell-partitioned shuffle join") {
+    // The IVF join's structural contract: both sides stay DataFrames
+    // (zero jobs at plan time — the prefix-centroid limit is lazy), and
+    // the probe join co-partitions BOTH sides on the cell id instead of
+    // broadcasting or replicating a data-sized side. Only the bounded
+    // centroid frame broadcasts.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    val emb = graft.core.Graft.table(spark, sf, "embeddings")
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val d = graft.ops.Similarity.knnJoinIvf(emb, emb, k = 3,
+        nCells = 16, nProbe = 2)
+      d.queryExecution.executedPlan // force full planning
+      Thread.sleep(500) // async listener settle
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(jobs.get() == 0,
+      s"planning knnJoinIvf launched ${jobs.get()} job(s) — a side was collected")
+    val p = SparkEntry.queries("sim_knn_join_ivf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(cell".r.findAllIn(p).size >= 2,
+      s"expected both sides co-partitioned on cell: ${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("w2_sessionize shares one exchange across both window functions") {
     val p = plan("w2_sessionize")
     // two Window operators, but user_id is exchanged once

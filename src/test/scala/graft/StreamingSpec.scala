@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.streaming.StreamingIngest
 
@@ -192,6 +193,69 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
       .toSeq.sorted
     assert(batch == expected)
+  }
+
+  test("streaming hot-segment detector: hot set independent of batch splits, equals batch segmentDedup") {
+    import graft.streaming.HotSegments
+    // maxDocFreq=2: "nav bar" appears in 4 distinct docs (hot), "footer" in
+    // exactly 2 (cold — the boundary), doc 5 repeats "nav bar" twice
+    // WITHIN one doc (distinct-doc counting must not double-count it),
+    // and every doc carries a unique body segment.
+    val docs = Seq(
+      (1L, "nav bar\nbody one\nfooter"),
+      (2L, "nav bar\nbody two\nfooter"),
+      (3L, "nav bar\nbody three"),
+      (4L, "body four"),
+      (5L, "nav bar\nbody five\nnav bar"))
+    def run(files: Seq[Seq[(Long, String)]]): (Set[String], Seq[Row]) = {
+      val dir = Files.createTempDirectory("graft_hotseg").toString
+      files.zipWithIndex.foreach { case (part, i) =>
+        part.toDF("doc_id", "text").coalesce(1)
+          .write.mode("append").parquet(s"$dir/f=$i")
+      }
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val schema = spark.read.parquet(dir).schema
+        val segStream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .select(col("doc_id"),
+            explode(split(col("text"), "\n")).as("seg"))
+          .select(trim(col("seg")).as("k"), col("doc_id"))
+          .where(col("k") =!= "")
+          .as[(String, Long)]
+        val hot = StreamingIngest.runAvailableNow(spark,
+          HotSegments.hotKeys(segStream, maxDocFreq = 2).toDF("k"),
+          s"hotseg_${files.size}_${files.hashCode.abs}", outputMode = "append")
+        val hotSet = hot.collect().map(_.getString(0)).toSet
+        val applied = HotSegments.applyHotFilter(
+            docs.toDF("doc_id", "text"), hot, "text", "doc_id", "\n")
+          .orderBy("doc_id").collect().toSeq
+        (hotSet, applied)
+      } finally {
+        prev match {
+          case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }
+    val batchTwin = graft.ops.Dedup.segmentDedup(
+        docs.toDF("doc_id", "text"), "text", "doc_id", "\n", maxDocFreq = 2)
+      .orderBy("doc_id").collect().toSeq
+    // one batch, and a split where "nav bar" only crosses the threshold in
+    // the SECOND micro-batch (docs 1-2 then 3-5: the capped distinct set
+    // must carry across the boundary); emitted-once means each split still
+    // yields exactly one "nav bar" row
+    val (hot1, out1) = run(Seq(docs))
+    val (hot2, out2) = run(Seq(docs.take(2), docs.drop(2)))
+    assert(hot1 == Set("nav bar"))
+    assert(hot2 == Set("nav bar"))
+    assert(out1 == batchTwin)
+    assert(out2 == batchTwin)
+    // the cold boundary key survived in every doc's clean text
+    assert(out1.filter(_.getLong(0) <= 2L)
+      .forall(_.getString(3).endsWith("footer")))
   }
 
   test("transformWithState per-source cap admits at most N docs per key across batches") {

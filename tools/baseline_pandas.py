@@ -31,6 +31,7 @@ REPS = {  # keep in sync with graft.Bench.headline
     "dedup_exact": 256, "dedup_minhash": 8, "text_profile": 8,
     "sim_brute_topk": 8192, "dedup_passages": 4, "graph_pagerank": 2048,
     "text_bm25_topk": 512, "sim_pq_topk": 4096, "dedup_semantic": 512,
+    "sim_knn_join": 8,
 }
 
 
@@ -303,6 +304,23 @@ def dedup_semantic():
     return compute
 
 
+def sim_knn_join():
+    """Corpus-vs-corpus exact kNN graph (the graph-dedup input): every
+    vector's top-3 cosine neighbors over the whole table. One BLAS gram
+    matrix + row-wise argpartition per instance — the natural numpy form
+    of the same all-pairs scoring graft's block cogroup distributes."""
+    e = pd.read_parquet(f"{sf}/embeddings.parquet")
+    m = np.stack(e.embedding.to_numpy()).astype(np.float64)
+    def compute():
+        nrm = np.linalg.norm(m, axis=1)
+        sims = (m @ m.T) / (nrm[:, None] * nrm[None, :])
+        top = np.argpartition(-sims, 3, axis=1)[:, :3]
+        rowscores = np.take_along_axis(sims, top, axis=1)
+        order = np.argsort(-rowscores, axis=1)
+        return int(np.take_along_axis(top, order, axis=1).size)
+    return compute
+
+
 WORKLOADS = [
     ("q1_agg", q1_agg), ("j1_multiway_join", j1_join),
     ("w1_window", w1_window), ("a8_pivot", a8_pivot),
@@ -310,7 +328,7 @@ WORKLOADS = [
     ("text_profile", text_profile), ("sim_brute_topk", sim_brute),
     ("dedup_passages", dedup_passages), ("graph_pagerank", graph_pagerank),
     ("text_bm25_topk", text_bm25), ("sim_pq_topk", sim_pq),
-    ("dedup_semantic", dedup_semantic)]
+    ("dedup_semantic", dedup_semantic), ("sim_knn_join", sim_knn_join)]
 
 print(f"{'workload':24s} {'single':>8s} {'amortized':>10s}  (N)")
 tot_s = tot_a = 0.0

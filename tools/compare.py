@@ -7,7 +7,7 @@ Any sane driver comparison is implied by passing this.
 
 Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [query ...]
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 import pyarrow.parquet as pq
 
@@ -35,6 +35,15 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Large-SF sweeps: bound DuckDB's memory and let it spill instead of
+    # taking down the box (the sf1 exact-Jaccard oracles otherwise grow
+    # >100 GB RSS). GRAFT_DUCKDB_MEM e.g. "48GB".
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem:
+        tmp = os.environ.get("GRAFT_DUCKDB_TMP", "/tmp/duckdb_spill")
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
