@@ -55,7 +55,7 @@ object Bench {
     "text_bm25_topk" -> 512,  // ranked retrieval (index amortized)
     "sim_pq_topk" -> 4096,     // PQ ANN (codebook/encode amortized)
     "dedup_semantic" -> 512,   // SemDeDup (centroid training amortized)
-    "sim_knn_join" -> 8)       // corpus-vs-corpus exact kNN graph build
+    "sim_knn_join" -> 16)      // corpus-vs-corpus exact kNN graph build
 
   /** r copies of every row, tagged 0..r-1: one scan, spread across all
     * cores FIRST (the single-row-group test files scan as one partition —
@@ -239,15 +239,16 @@ object Bench {
         // with a corpus id in any rep (the kernel's self-pair exclusion is
         // id-based): every rep computes the identical full neighbor list,
         // and the pandas twin mirrors that (self included as top-1).
-        // nBlocks=32 vs the corpus entry's 4: blocking only schedules —
-        // any value yields the same exact result — and one cogroup task
-        // per core is the right shape for the 32-thread fused run.
+        // nBlocks=16 vs the corpus entry's 4: blocking only schedules —
+        // any value yields the same exact result — 16 blocks halve the
+        // query-replication wire cost vs one-per-core while the short
+        // per-block kernels still fill the 32 threads across reps.
         val emb = t("embeddings")
         val q = emb
           .withColumn("__rep", explode(sequence(lit(0L), lit(r - 1L))))
           .select((col("vec_id") + (col("__rep") + 1L) * 1000000L).as("vec_id"),
             col("embedding"))
-        Similarity.knnJoin(emb, q, k = 3, nBlocks = 32)
+        Similarity.knnJoin(emb, q, k = 3, nBlocks = 16)
           .withColumn("cosine", round(col("cosine"), 6))
           .orderBy("query_id", "rank")
 
