@@ -19,6 +19,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM graft_dedup_exact('documents', 'text', 'doc_id');
   *   SELECT * FROM graft_minhash_pairs('documents', 'text', 'doc_id', 0.7);
   *   SELECT * FROM graft_knn_join('embeddings', 'embeddings', 10, 16);
+  *   SELECT * FROM graft_knn_join_ivf('embeddings', 'embeddings', 10, 16, 2);
   *   SELECT * FROM graft_quality_gate('documents', 'text');
   * }}}
   *
@@ -118,6 +119,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       plan(graft.ops.Similarity.knnJoin(sp.table(litStr(args, 0, fn)),
         sp.table(litStr(args, 1, fn)),
         k = litInt(args, 2, fn), nBlocks = litInt(args, 3, fn)))
+    }
+
+    tvf(e, "graft_knn_join_ivf",
+      "graft_knn_join_ivf(corpus_table, query_table, k, n_cells, n_probe)") { (sp, args) =>
+      require(args.length == 5,
+        "graft_knn_join_ivf(corpus_table, query_table, k, n_cells, n_probe)")
+      val fn = "graft_knn_join_ivf"
+      plan(graft.ops.Similarity.knnJoinIvf(sp.table(litStr(args, 0, fn)),
+        sp.table(litStr(args, 1, fn)),
+        k = litInt(args, 2, fn), nCells = litInt(args, 3, fn),
+        nProbe = litInt(args, 4, fn)))
     }
 
     tvf(e, "graft_quality_gate",

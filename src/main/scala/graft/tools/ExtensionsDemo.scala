@@ -53,6 +53,15 @@ object ExtensionsDemo {
     if (knnSql.isEmpty || knnSql != knnApi)
       fails += s"graft_knn_join TVF != Similarity.knnJoin API (${knnSql.size} vs ${knnApi.size} rows)"
 
+    val ivfSql = rows(spark.sql(
+      "SELECT * FROM graft_knn_join_ivf('embeddings', 'embeddings', 3, 8, 2) ORDER BY query_id, rank"))
+    val ivfApi = rows(graft.ops.Similarity
+      .knnJoinIvf(spark.table("embeddings"), spark.table("embeddings"),
+        k = 3, nCells = 8, nProbe = 2)
+      .orderBy("query_id", "rank"))
+    if (ivfSql.isEmpty || ivfSql != ivfApi)
+      fails += s"graft_knn_join_ivf TVF != Similarity.knnJoinIvf API (${ivfSql.size} vs ${ivfApi.size} rows)"
+
     val gateSql = rows(spark.sql(
       "SELECT doc_id, keep FROM graft_quality_gate('documents', 'text') ORDER BY doc_id"))
     val gateApi = rows(graft.ops.TextAnalysis
