@@ -321,4 +321,65 @@ object Graph {
     spine.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
+
+  /** `iterations` rounds of exact-integer HITS (Kleinberg 1999, JACM
+    * 46(5) "Authoritative sources in a hyperlinked environment") with L1
+    * normalization — the hub/authority complement to [[pageRankNano]]
+    * (classic HITS normalizes by the L2 norm; L1 keeps every step
+    * rational so the whole run replays in SQL bit-for-bit, and the
+    * rank ORDER is what downstream selection consumes).
+    *
+    * Per round: auth_raw(i) = Σ_{j→i} hub(j), renormalized to
+    * `a_raw * 1e9 DIV Σ a_raw`; then hub_raw(i) = Σ_{i→j} auth(j),
+    * renormalized the same way. Raw sums accumulate in DECIMAL(38,0)
+    * (DuckDB: HUGEINT) so `raw * 1e9` cannot overflow at any edge count
+    * that fits an executor fleet — the ts_acf automatic-width
+    * discipline; only the quotient (≤ 1e9 by construction) returns to
+    * BIGINT. Nodes with no in-edges (resp. out-edges) hold score 0.
+    *
+    * Shape at scale: TWO pinned edge layouts — `e` partitioned on src
+    * (hub attach) and on dst (auth attach), each checkpointed once — so
+    * the dominant bytes (the edge set) never re-shuffle; per round only
+    * the two node-sized score vectors move, plus two one-row total
+    * aggregates that broadcast back (no driver collect). Lineage is
+    * truncated every other round ([[pageRankNano]]'s cadence).
+    */
+  def hitsNano(edges: DataFrame, iterations: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val eSrc = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(col("src")).localCheckpoint(true)
+    val eDst = eSrc.repartition(col("dst")).localCheckpoint(true)
+    val nodes = eSrc.select(col("src").as("id"))
+      .unionByName(eSrc.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    def renorm(raw: DataFrame, rawCol: String, outCol: String): DataFrame = {
+      val tot = raw.agg(
+        sum(col(rawCol).cast(DecimalType(38, 0))).as("__tot"))
+      nodes.join(raw, Seq("id"), "left").crossJoin(broadcast(tot))
+        .select(col("id"),
+          coalesce(
+            expr(s"CAST($rawCol AS DECIMAL(38,0)) * 1000000000 DIV __tot"),
+            lit(0L)).as(outCol))
+    }
+    var hub = nodes.select(col("id"), lit(1000000000L).as("h_nano"))
+    var auth = nodes.select(col("id"), lit(0L).as("a_nano"))
+    for (it <- 1 to iterations) {
+      val araw = eSrc
+        .join(hub.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("h_nano")).as("a_raw"))
+      auth = renorm(araw, "a_raw", "a_nano")
+      val hraw = eDst
+        .join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum(col("a_nano")).as("h_raw"))
+      hub = renorm(hraw, "h_raw", "h_nano")
+      if (it % 2 == 0 && it < iterations) {
+        auth = auth.localCheckpoint(true)
+        hub = hub.localCheckpoint(true)
+      }
+    }
+    auth.join(hub, Seq("id"))
+      .select(col("id"), col("a_nano").as("auth_nano"),
+        col("h_nano").as("hub_nano"))
+  }
 }

@@ -521,6 +521,23 @@ private[graft] trait QueriesGraphEvents { this: SparkEntry.type =>
         .orderBy("event_type")
     }),
 
+    // Holt linear-trend smoothing per event type (first 500 points in
+    // the (us, event_id) total order — the cap bounds BOTH the task
+    // buffer and the oracle's recursion depth at any SF): level, trend
+    // and one-step forecast in exact integer nanos with alpha = beta =
+    // 1/2, each update one truncating halving, replayed point-by-point
+    // by a recursive CTE. See ops.Holt for the sequential-per-key scale
+    // contract.
+    "ts_holt" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .where(col("ts").isNotNull && col("event_id").isNotNull &&
+          col("value").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type").as("k"),
+          expr("ts DIV 1000").as("ord"), col("event_id").as("tie"),
+          expr("CAST(round(value * 1e9) AS BIGINT)").as("y_nano"))
+      graft.ops.Holt.holtNano(ev, maxPoints = 500).orderBy("k", "rn")
+    }),
+
     // Integer autocorrelation at lags 1..3 per event type: values snap to
     // whole units, residuals center on the floor mean, and
     // acf_nano = sum(r_t * r_{t+l}) * 1e9 DIV sum(r_t^2) is exact
@@ -667,6 +684,19 @@ private[graft] trait QueriesGraphEvents { this: SparkEntry.type =>
         .unionByName(base.select(col("p_partkey").as("src"),
           expr("(p_partkey * 17 + 3) % 1000").as("dst")))
       graft.ops.Graph.kCore(edges, k = 2, rounds = 3).orderBy("id")
+    }),
+
+    // HITS hubs/authorities on the same graph: two exact nano-integer
+    // rounds with L1 renormalization (auth from in-edge hub mass, hub
+    // from out-edge auth mass; DECIMAL(38)/HUGEINT raw sums, truncating
+    // renorm division) — the oracle unrolls all four half-steps.
+    "graph_hits" -> ((s, d) => {
+      val base = t(s, d, "part").where(col("p_partkey") <= 1000)
+      val edges = base.select(col("p_partkey").as("src"),
+        expr("(p_partkey * 31 + 7) % 1000").as("dst"))
+        .unionByName(base.select(col("p_partkey").as("src"),
+          expr("(p_partkey * 17 + 3) % 1000").as("dst")))
+      graft.ops.Graph.hitsNano(edges, iterations = 2).orderBy("id")
     }),
 
     // Community-quality report: Newman modularity of the label-prop
@@ -1258,6 +1288,32 @@ private[graft] trait QueriesGraphEvents { this: SparkEntry.type =>
         |SELECT event_type, run AS peak_concurrency, t AS peak_t_us
         |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
+    // Recursive-CTE replay of the Holt recurrences; ev/sr MATERIALIZED
+    // (the recursive member would otherwise re-derive the whole chain
+    // each iteration — the emb_pca trap), depth bounded by the rn cap.
+    "ts_holt" ->
+      """WITH RECURSIVE ev AS MATERIALIZED (
+        | SELECT event_type AS k, epoch_us(ts) AS ord, event_id AS tie,
+        |  CAST(round(value * 1e9) AS BIGINT) AS y
+        | FROM events
+        | WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |  AND value IS NOT NULL AND event_type IS NOT NULL),
+        |sr AS MATERIALIZED (
+        | SELECT k, y,
+        |  row_number() OVER (PARTITION BY k ORDER BY ord, tie) AS rn
+        | FROM ev QUALIFY rn <= 500),
+        |rec AS (
+        | SELECT k, rn, y, y AS l, CAST(0 AS BIGINT) AS b
+        | FROM sr WHERE rn = 1
+        | UNION ALL
+        | SELECT s.k, s.rn, s.y,
+        |  (s.y + r.l + r.b) // 2,
+        |  (((s.y + r.l + r.b) // 2) - r.l + r.b) // 2
+        | FROM rec r JOIN sr s ON s.k = r.k AND s.rn = r.rn + 1)
+        |SELECT k, rn, y AS y_nano, l AS l_nano, b AS b_nano,
+        | l + b AS fc_nano
+        |FROM rec ORDER BY k, rn""".stripMargin,
+
     "ts_acf" ->
       """WITH ev AS (
         | SELECT event_type, event_id, epoch_us(ts) AS us,
@@ -1373,6 +1429,46 @@ private[graft] trait QueriesGraphEvents { this: SparkEntry.type =>
         |       FROM nodes n LEFT JOIN s2 USING (id))
         |SELECT id, CAST(r AS DOUBLE) / 1000000000.0 AS pagerank
         |FROM r2 ORDER BY id""".stripMargin,
+
+    // HITS replay: HUGEINT raw sums mirror the Spark DECIMAL(38,0)
+    // accumulators; `//` and DIV both truncate, all mass is nonnegative.
+    "graph_hits" ->
+      """WITH e AS (
+        | SELECT p_partkey AS src, (p_partkey * 31 + 7) % 1000 AS dst
+        | FROM part WHERE p_partkey <= 1000
+        | UNION ALL
+        | SELECT p_partkey, (p_partkey * 17 + 3) % 1000
+        | FROM part WHERE p_partkey <= 1000),
+        |nodes AS (SELECT DISTINCT id FROM
+        | (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |h0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS h FROM nodes),
+        |a1r AS (SELECT e.dst AS id, CAST(SUM(h0.h) AS HUGEINT) AS ar
+        |        FROM e JOIN h0 ON h0.id = e.src GROUP BY e.dst),
+        |a1t AS (SELECT SUM(ar) AS t FROM a1r),
+        |a1 AS (SELECT n.id,
+        |        CAST(COALESCE(a1r.ar * 1000000000 // a1t.t, 0) AS BIGINT) AS a
+        |       FROM nodes n LEFT JOIN a1r USING (id) CROSS JOIN a1t),
+        |h1r AS (SELECT e.src AS id, CAST(SUM(a1.a) AS HUGEINT) AS hr
+        |        FROM e JOIN a1 ON a1.id = e.dst GROUP BY e.src),
+        |h1t AS (SELECT SUM(hr) AS t FROM h1r),
+        |h1 AS (SELECT n.id,
+        |        CAST(COALESCE(h1r.hr * 1000000000 // h1t.t, 0) AS BIGINT) AS h
+        |       FROM nodes n LEFT JOIN h1r USING (id) CROSS JOIN h1t),
+        |a2r AS (SELECT e.dst AS id, CAST(SUM(h1.h) AS HUGEINT) AS ar
+        |        FROM e JOIN h1 ON h1.id = e.src GROUP BY e.dst),
+        |a2t AS (SELECT SUM(ar) AS t FROM a2r),
+        |a2 AS (SELECT n.id,
+        |        CAST(COALESCE(a2r.ar * 1000000000 // a2t.t, 0) AS BIGINT) AS a
+        |       FROM nodes n LEFT JOIN a2r USING (id) CROSS JOIN a2t),
+        |h2r AS (SELECT e.src AS id, CAST(SUM(a2.a) AS HUGEINT) AS hr
+        |        FROM e JOIN a2 ON a2.id = e.dst GROUP BY e.src),
+        |h2t AS (SELECT SUM(hr) AS t FROM h2r),
+        |h2 AS (SELECT n.id,
+        |        CAST(COALESCE(h2r.hr * 1000000000 // h2t.t, 0) AS BIGINT) AS h
+        |       FROM nodes n LEFT JOIN h2r USING (id) CROSS JOIN h2t)
+        |SELECT a2.id, a2.a AS auth_nano, h2.h AS hub_nano
+        |FROM a2 JOIN h2 ON h2.id = a2.id
+        |ORDER BY a2.id""".stripMargin,
 
     "mine_pairs" ->
       """WITH it AS (

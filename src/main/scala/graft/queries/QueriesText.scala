@@ -153,6 +153,73 @@ private[graft] trait QueriesText { this: SparkEntry.type =>
       .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
       .orderBy("bucket")),
 
+    // Flesch-style readability per doc from three deterministic integer
+    // counts: words (house whitespace tokenizer), sentence-ending
+    // punctuation runs ([.!?]+, clamped >= 1) and vowel-group syllable
+    // approximations ([aeiouy]+ runs on the lowered text, clamped
+    // >= n_words so every word carries at least one syllable — the
+    // standard heuristic floor). Score in exact integer nanos:
+    // 206.835 - 1.015*(words/sents) - 84.6*(sylls/words), each ratio one
+    // truncating DIV — a pure map-side projection (no shuffle, pipelines
+    // into the scan at any scale); trimmed-nonempty text guarantees
+    // n_words >= 1, so no divisor guard is needed.
+    "text_readability" -> ((s, d) => {
+      Graft.spread(t(s, d, "documents"))
+        .where(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_words"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+            .cast("long").as("n_sents"),
+          regexp_count(lower(col("text")), lit("[aeiouy]+"))
+            .cast("long").as("n_vruns"))
+        .select(col("doc_id"), col("n_words"), col("n_sents"),
+          greatest(col("n_vruns"), col("n_words")).as("n_sylls"))
+        .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_sylls"),
+          (lit(206835000000L)
+            - expr("1015000000L * n_words DIV n_sents")
+            - expr("84600000000L * n_sylls DIV n_words")).as("flesch_nano"))
+        .orderBy("doc_id")
+    }),
+
+    // Zipf-law fit over the global top-100 vocabulary: OLS of ln(count)
+    // on ln(rank) under the deterministic (count DESC, word) ranking.
+    // Each log rounds to integer nanos at the term level (the
+    // js_divergence discipline — nano rounding absorbs sub-ulp libm
+    // differences) and the normal equations accumulate in DECIMAL(38,0)
+    // (DuckDB: HUGEINT), so slope and intercept are single truncating
+    // divisions over exact integers — bit-replayable. The vocab count is
+    // the only data-sized shuffle; the 100-term fit is a one-row
+    // reduction. Degenerate fits (< 2 distinct ranks) yield NULL via the
+    // NULLIF-guarded denominator.
+    "text_zipf_fit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = Graft.spread(t(s, d, "documents"))
+        .select(explode(Text.tokens(col("text"))).as("w"))
+        .where(col("w") =!= "")
+      val ranked = words.groupBy("w").agg(count(lit(1)).as("n"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n").desc, col("w"))))
+        .where(col("rank") <= 100)
+        .select(
+          round(graft.plans.MathLn(col("rank").cast("double")) * lit(1e9))
+            .cast("long").as("x"),
+          round(graft.plans.MathLn(col("n").cast("double")) * lit(1e9))
+            .cast("long").as("y"))
+      def dec(c: Column) = c.cast(DecimalType(38, 0))
+      ranked.agg(
+          count(lit(1)).as("n_terms"),
+          sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+          sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+          sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+        .select(col("n_terms"),
+          expr("(n_terms * sxy - sx * sy) * 1000000000" +
+            " DIV NULLIF(n_terms * sxx - sx * sx, 0)").as("slope_nano"),
+          expr("(sy * (n_terms * sxx - sx * sx)" +
+            " - (n_terms * sxy - sx * sy) * sx)" +
+            " DIV NULLIF(n_terms * (n_terms * sxx - sx * sx), 0)")
+            .as("intercept_nano"))
+    }),
+
     // Character-histogram quality signals (gibberish / repetitiveness
     // detection), computed map-side per doc: the codepoint array sorts
     // once, then ONE fold over the sorted runs yields n, distinct count,
@@ -629,6 +696,57 @@ private[graft] trait QueriesText { this: SparkEntry.type =>
     "text_histogram" ->
       """SELECT n_chars // 50 AS bucket, COUNT(*) AS n_docs
         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // Both engines count non-overlapping leftmost regex matches, `//`
+    // and DIV both truncate, and trimmed-nonempty text guarantees
+    // n_words >= 1 (the whole-token fallback: "..." is one word).
+    "text_readability" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+        |    AS n_words,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+        |    AS n_sents,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |    AS n_vruns
+        | FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |syl AS (
+        | SELECT doc_id, n_words, n_sents,
+        |  greatest(n_vruns, n_words) AS n_sylls
+        | FROM base)
+        |SELECT doc_id, n_words, n_sents, n_sylls,
+        | 206835000000 - 1015000000 * n_words // n_sents
+        |   - 84600000000 * n_sylls // n_words AS flesch_nano
+        |FROM syl ORDER BY doc_id""".stripMargin,
+
+    // HUGEINT normal equations mirror the Spark DECIMAL(38,0)
+    // accumulators; per-term ln rounds to nanos before any sum.
+    "text_zipf_fit" ->
+      """WITH words AS (
+        | SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        | FROM documents),
+        |vocab AS (
+        | SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM words WHERE w <> ''
+        | GROUP BY w ORDER BY n DESC, w ASC LIMIT 100),
+        |ranked AS (
+        | SELECT
+        |  CAST(round(ln(CAST(row_number() OVER (ORDER BY n DESC, w ASC)
+        |    AS DOUBLE)) * 1e9) AS BIGINT) AS x,
+        |  CAST(round(ln(CAST(n AS DOUBLE)) * 1e9) AS BIGINT) AS y
+        | FROM vocab),
+        |st AS (
+        | SELECT CAST(COUNT(*) AS HUGEINT) AS nt,
+        |  SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |  SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |  SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        | FROM ranked)
+        |SELECT CAST(nt AS BIGINT) AS n_terms,
+        | CAST((nt * sxy - sx * sy) * 1000000000
+        |   // NULLIF(nt * sxx - sx * sx, 0) AS BIGINT) AS slope_nano,
+        | CAST((sy * (nt * sxx - sx * sx) - (nt * sxy - sx * sy) * sx)
+        |   // NULLIF(nt * (nt * sxx - sx * sx), 0) AS BIGINT)
+        |   AS intercept_nano
+        |FROM st""".stripMargin,
 
     // Relational twin of the sorted-run fold: per-codepoint counts via
     // unnest, then integer aggregates; the two divisions and the 1.0 -

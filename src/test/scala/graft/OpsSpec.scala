@@ -1440,6 +1440,46 @@ class OpsSpec extends SparkSpec {
     assert(r5(0L) == 1.425 && r5(1L) == 0.15) // star converges by round 2
   }
 
+  test("hitsNano star: exact L1-renormalized hub/auth mass, layout-independent") {
+    import graft.ops.Graph
+    // 1,2,3 -> 0: node 0 is the only authority, 1..3 are equal hubs.
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    // iter1: a_raw(0)=3e9 -> a(0)=1e9; h_raw(1..3)=1e9, tot=3e9 ->
+    // h=333333333 (truncating DIV). iter2: a_raw(0)=999999999 -> renorm
+    // back to exactly 1e9; hubs stay 333333333. Everything else 0.
+    val got = Graph.hitsNano(edges, iterations = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(0L) == ((1000000000L, 0L)))
+    for (i <- 1L to 3L) assert(got(i) == ((0L, 333333333L)))
+    // physical layout must not matter (exact integer path end to end)
+    val again = Graph.hitsNano(edges.repartition(7), iterations = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again == got)
+  }
+
+  test("holtNano replays the halving recurrences; caps and sorts per key") {
+    import graft.ops.Holt
+    // k=a, y = 8,4,6,10 (rows fed out of order; the op sorts by ord,tie):
+    // l=8,6,5,7  b=0,-1,-1,0 (negative trend exercises truncation toward
+    // zero: (6-8+0)/2 = -1), fc = 8,5,4,7.
+    val rows = Seq(("a", 3L, 0L, 6L), ("a", 1L, 0L, 8L),
+      ("a", 4L, 0L, 10L), ("a", 2L, 0L, 4L), ("b", 1L, 0L, 5L))
+      .toDF("k", "ord", "tie", "y_nano")
+    val got = Holt.holtNano(rows, maxPoints = 10)
+      .orderBy("k", "rn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("a", 1L, 8L, 0L, 8L), ("a", 2L, 6L, -1L, 5L),
+      ("a", 3L, 5L, -1L, 4L), ("a", 4L, 7L, 0L, 7L),
+      ("b", 1L, 5L, 0L, 5L)))
+    // cap keeps the FIRST maxPoints in (ord, tie) order
+    val capped = Holt.holtNano(rows, maxPoints = 2)
+      .where(col("k") === "a").orderBy("rn").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(capped.toSeq == Seq((1L, 8L), (2L, 4L)))
+  }
+
   test("mixtureRates binds on the scarcest stratum; mixture filters by threshold") {
     import graft.ops.Sampling
     val rows = (1 to 100).map(i => (i.toLong, "a")) ++
