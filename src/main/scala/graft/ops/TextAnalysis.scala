@@ -634,4 +634,58 @@ object TextAnalysis {
       .select(col("phrase"), col("len").as("n_words"), col("n_occ"),
         col("score_nano"))
   }
+
+  /** Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    * the interpolated form from Chen & Goodman 1999) — THE classic
+    * n-gram smoothing, upgrading `text_bigram_lm`-style raw MLE
+    * counts with absolute discounting plus a continuation-probability
+    * backoff (how many distinct LEFT contexts a word follows, not how
+    * often it occurs — the "San Francisco" correction).
+    *
+    * Discount D = 3/4 keeps every quantity rational:
+    * {{{
+    *   p(w2|w1) = (4*c12 - 3) / (4*c1)                    [seen mass]
+    *            + 3*n1f(w1)*n1b(w2) / (4*c1*N)            [continuation]
+    * }}}
+    * with c12 = bigram count, c1 = SUM_x c(w1,x), n1f(w1) = distinct
+    * followers of w1, n1b(w2) = distinct predecessors of w2, N = distinct
+    * bigram types. Each term is ONE truncating division emitted in
+    * nanos; the continuation numerator (3*n1f*n1b*1e9) accumulates in
+    * DECIMAL(38,0) (DuckDB: HUGEINT), so no width cliff at corpus scale.
+    * Output keeps the top `topK` bigrams by (c12 DESC, w1, w2).
+    *
+    * Shape at scale: the bigram table is built map-side per doc (one
+    * arrays_zip — no positional self-join), then every statistic is a
+    * hash aggregate on it; the three marginal tables re-attach by
+    * broadcast (vocab-sized), and the N total is a one-row broadcast.
+    * No window touches the corpus; the only data-sized shuffle is the
+    * (w1,w2) count itself.
+    */
+  def kneserNeyBigrams(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", topK: Int = 200): DataFrame = {
+    val toks = graft.core.Graft.spread(docs)
+      .select(col(idCol), Text.tokens(col(textCol)).as("ts"))
+      .where(size(col("ts")) >= 2)
+    val bg = toks.select(explode(arrays_zip(
+        slice(col("ts"), lit(1), size(col("ts")) - 1).as("w1"),
+        slice(col("ts"), lit(2), size(col("ts")) - 1).as("w2"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true) // 4 consumers below; pin one computation
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"),
+      count(lit(1)).as("n1f"))
+    val n1b = c12.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val nTot = c12.agg(count(lit(1)).as("nt"))
+    c12.join(broadcast(c1), Seq("w1"))
+      .join(broadcast(n1b), Seq("w2"))
+      .crossJoin(broadcast(nTot))
+      .orderBy(col("c12").desc, col("w1"), col("w2")).limit(topK)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n1f"), col("n1b"),
+        (expr("(CAST(4 AS DECIMAL(38,0)) * c12 - 3) * 1000000000" +
+            " DIV (CAST(4 AS DECIMAL(38,0)) * c1)") +
+          expr("CAST(3 AS DECIMAL(38,0)) * n1f * n1b * 1000000000" +
+            " DIV (CAST(4 AS DECIMAL(38,0)) * c1 * nt)")).as("p_nano"))
+      .orderBy("w1", "w2")
+  }
 }

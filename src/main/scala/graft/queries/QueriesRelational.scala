@@ -689,6 +689,45 @@ private[graft] trait QueriesRelational { this: SparkEntry.type =>
         .orderBy("event_id")
     }),
 
+    // Robust (median/IQR) scaling — the outlier-insensitive twin of
+    // f10's z-score, on f12's ULP-stable integer-nano fences: quantiles
+    // interpolate over exact BIGINT nanos (R-7 == quantile_cont) and
+    // round back to BIGINT, so the scoring pass is ONE mirrored double
+    // division of exact integers. Zero-IQR groups emit NULL. Same shape
+    // as f10: tiny per-group cut table broadcast back, map-side scoring.
+    "f14_robust_scale" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .where(col("value").isNotNull && col("event_id").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"),
+          expr("CAST(round(value * 1e9) AS BIGINT)").as("vn"))
+      val cuts = ev.groupBy("event_type").agg(
+        expr("CAST(round(percentile(vn, 0.5)) AS BIGINT)").as("med"),
+        (expr("CAST(round(percentile(vn, 0.75)) AS BIGINT)") -
+          expr("CAST(round(percentile(vn, 0.25)) AS BIGINT)")).as("iqr"))
+      ev.join(broadcast(cuts), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          when(col("iqr") =!= 0,
+            (col("vn") - col("med")).cast("double") /
+              col("iqr").cast("double")).as("robust_z"))
+        .orderBy("event_id")
+    }),
+
+    // Deterministic mode per group (most frequent unit-snapped value,
+    // smallest-value tie-break): two hash aggregates and one struct-min
+    // argmax — no window, no sort, q1-shaped at any scale.
+    "a22_mode" -> ((s, d) => {
+      val cnt = t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("q"))
+        .groupBy("l_returnflag", "q").agg(count(lit(1)).as("cnt"))
+      cnt.groupBy("l_returnflag")
+        .agg(min(struct((-col("cnt")).as("nc"), col("q").as("v"))).as("m"),
+          sum(col("cnt")).as("n_rows"))
+        .select(col("l_returnflag"), col("m.v").as("mode_qty"),
+          (-col("m.nc")).as("mode_n"), col("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
     // Per-group z-score normalization (feature standardization): exact
     // decimal moment sums broadcast back; the scoring pass is map-side.
     "f10_zscore" -> ((s, d) => {
@@ -1377,6 +1416,38 @@ private[graft] trait QueriesRelational { this: SparkEntry.type =>
         | CAST(LEAST(GREATEST(e.vn, c.lo), c.hi) AS DOUBLE) / 1e9 AS value_wins
         |FROM ev e JOIN cuts c USING (event_type)
         |ORDER BY event_id""".stripMargin,
+
+    "f14_robust_scale" ->
+      """WITH ev AS (
+        | SELECT event_id, event_type, value,
+        |  CAST(round(value * 1e9) AS BIGINT) AS vn FROM events
+        | WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        |cuts AS (
+        | SELECT event_type,
+        |  CAST(round(quantile_cont(vn, 0.5)) AS BIGINT) AS med,
+        |  CAST(round(quantile_cont(vn, 0.75)) AS BIGINT) -
+        |  CAST(round(quantile_cont(vn, 0.25)) AS BIGINT) AS iqr
+        | FROM ev GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        | CASE WHEN c.iqr <> 0 THEN
+        |  CAST(e.vn - c.med AS DOUBLE) / CAST(c.iqr AS DOUBLE) END AS robust_z
+        |FROM ev e JOIN cuts c USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    "a22_mode" ->
+      """WITH c AS (
+        | SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS q,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        | FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        | SELECT l_returnflag, q, cnt,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY cnt DESC, q ASC) AS rn,
+        |  SUM(cnt) OVER (PARTITION BY l_returnflag) AS nr
+        | FROM c)
+        |SELECT l_returnflag, q AS mode_qty, cnt AS mode_n,
+        | CAST(nr AS BIGINT) AS n_rows
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
 
     "f10_zscore" ->
       """WITH st AS (

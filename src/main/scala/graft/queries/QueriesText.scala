@@ -153,6 +153,14 @@ private[graft] trait QueriesText { this: SparkEntry.type =>
       .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
       .orderBy("bucket")),
 
+    // Interpolated Kneser-Ney bigram probabilities over the corpus
+    // (discount 3/4 keeps every term rational; seen-mass + continuation
+    // backoff as two truncating nano divisions, DECIMAL(38)/HUGEINT
+    // width) — top-200 bigrams by count. See TextAnalysis scaladoc for
+    // the plan shape (map-side bigrams, broadcast marginals).
+    "text_kneser_ney" -> ((s, d) =>
+      TextAnalysis.kneserNeyBigrams(t(s, d, "documents"))),
+
     // Flesch-style readability per doc from three deterministic integer
     // counts: words (house whitespace tokenizer), sentence-ending
     // punctuation runs ([.!?]+, clamped >= 1) and vowel-group syllable
@@ -696,6 +704,38 @@ private[graft] trait QueriesText { this: SparkEntry.type =>
     "text_histogram" ->
       """SELECT n_chars // 50 AS bucket, COUNT(*) AS n_docs
         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // KN replay: the paired unnests zip (equal-length slices), HUGEINT
+    // mirrors the DECIMAL(38,0) accumulators, `//` and DIV both
+    // truncate on the all-positive mass.
+    "text_kneser_ney" ->
+      """WITH toks AS (
+        | SELECT string_split_regex(trim(lower(text)), '\s+') AS ts
+        | FROM documents),
+        |tf AS (SELECT ts FROM toks WHERE len(ts) >= 2),
+        |bg AS (
+        | SELECT unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+        | FROM tf),
+        |c12 AS (
+        | SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        | FROM bg GROUP BY 1, 2),
+        |c1 AS (
+        | SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+        |  CAST(COUNT(*) AS BIGINT) AS n1f
+        | FROM c12 GROUP BY 1),
+        |n1b AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b
+        |        FROM c12 GROUP BY 1),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM c12),
+        |top AS (
+        | SELECT b.w1, b.w2, b.c12, c1.c1, c1.n1f, n1b.n1b, nt.nt
+        | FROM c12 b JOIN c1 USING (w1) JOIN n1b USING (w2) CROSS JOIN nt
+        | ORDER BY b.c12 DESC, b.w1, b.w2 LIMIT 200)
+        |SELECT w1, w2, c12, c1, n1f, n1b,
+        | CAST((CAST(4 AS HUGEINT) * c12 - 3) * 1000000000
+        |   // (CAST(4 AS HUGEINT) * c1)
+        |  + CAST(3 AS HUGEINT) * n1f * n1b * 1000000000
+        |   // (CAST(4 AS HUGEINT) * c1 * nt) AS BIGINT) AS p_nano
+        |FROM top ORDER BY w1, w2""".stripMargin,
 
     // Both engines count non-overlapping leftmost regex matches, `//`
     // and DIV both truncate, and trimmed-nonempty text guarantees

@@ -1440,6 +1440,27 @@ class OpsSpec extends SparkSpec {
     assert(r5(0L) == 1.425 && r5(1L) == 0.15) // star converges by round 2
   }
 
+  test("kneserNeyBigrams: hand-computed interpolated KN mass, D = 3/4") {
+    import graft.ops.TextAnalysis
+    // docs: "a b a c" and "b a" -> bigrams (a,b)=1 (b,a)=2 (a,c)=1
+    // c1: a=2 b=2; n1f: a=2 b=1; n1b: a=1 b=1 c=1; N=3
+    // p(b|a) = 1e9/8 + 3*2*1*1e9/(8*3) = 125000000 + 250000000
+    // p(a|b) = 5e9/8 + 3*1*1*1e9/(8*3) = 625000000 + 125000000
+    // p(c|a) = p(b|a) by symmetry of the counts
+    val docs = Seq((1L, "a b a c"), (2L, "b a"), (3L, " "), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeyBigrams(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(got.size == 3) // blank + single-token docs contribute nothing
+    assert(got(("a", "b")) == ((1L, 2L, 2L, 1L, 375000000L)))
+    assert(got(("a", "c")) == ((1L, 2L, 2L, 1L, 375000000L)))
+    assert(got(("b", "a")) == ((2L, 2L, 1L, 1L, 750000000L)))
+    // unseen-continuation mass is reserved: sum over followers of 'a' < 1
+    assert(375000000L + 375000000L < 1000000000L)
+  }
+
   test("hitsNano star: exact L1-renormalized hub/auth mass, layout-independent") {
     import graft.ops.Graph
     // 1,2,3 -> 0: node 0 is the only authority, 1..3 are equal hubs.
