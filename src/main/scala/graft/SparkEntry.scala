@@ -92,6 +92,36 @@ object SparkEntry
   private[graft] val revSql =
     s"CAST(SUM(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS DOUBLE) / 10000"
 
+  /** Recursive-CTE replay of the Holt α=β=1/2 recurrences (shared by
+    * ts_holt and its streaming twin stream_holt, which emits the
+    * identical series when micro-batches respect the (ord, tie) order).
+    * ev/sr MATERIALIZED — the recursive member would otherwise re-derive
+    * the whole chain each iteration (the emb_pca trap); depth bounded by
+    * the rn cap.
+    */
+  private[graft] val holtOracleSql: String =
+    """WITH RECURSIVE ev AS MATERIALIZED (
+      | SELECT event_type AS k, epoch_us(ts) AS ord, event_id AS tie,
+      |  CAST(round(value * 1e9) AS BIGINT) AS y
+      | FROM events
+      | WHERE ts IS NOT NULL AND event_id IS NOT NULL
+      |  AND value IS NOT NULL AND event_type IS NOT NULL),
+      |sr AS MATERIALIZED (
+      | SELECT k, y,
+      |  row_number() OVER (PARTITION BY k ORDER BY ord, tie) AS rn
+      | FROM ev QUALIFY rn <= 500),
+      |rec AS (
+      | SELECT k, rn, y, y AS l, CAST(0 AS BIGINT) AS b
+      | FROM sr WHERE rn = 1
+      | UNION ALL
+      | SELECT s.k, s.rn, s.y,
+      |  (s.y + r.l + r.b) // 2,
+      |  (((s.y + r.l + r.b) // 2) - r.l + r.b) // 2
+      | FROM rec r JOIN sr s ON s.k = r.k AND s.rn = r.rn + 1)
+      |SELECT k, rn, y AS y_nano, l AS l_nano, b AS b_nano,
+      | l + b AS fc_nano
+      |FROM rec ORDER BY k, rn""".stripMargin
+
   /** One SQL text, two engines: queries tagged sqlShared run VERBATIM in
     * both Spark SQL and DuckDB — the strongest dialect-parity statement.
     */

@@ -260,6 +260,46 @@ private[graft] trait QueriesStream { this: SparkEntry.type =>
       }
     }),
 
+    // Streaming Holt linear-trend smoothing (transformWithState; O(1)
+    // state per key — high-water mark + level/trend/count): the
+    // unbounded-history twin of ts_holt. With the whole file as one
+    // batch the emitted series equals the batch operator exactly (same
+    // in-batch (ord, tie) sort, same truncating halvings), so the
+    // recursive-CTE oracle is shared verbatim; order-aligned-split
+    // independence is spec'd in StreamingSpec.
+    "stream_holt" -> ((s, d) => {
+      Graft.tune(s)
+      val prev = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val ev = graft.streaming.StreamingIngest
+          .parquetStream(s, d, schema, globFilter = Some("events.parquet"))
+          .transform(Graft.tsToNanos)
+          .where(col("ts").isNotNull && col("event_id").isNotNull &&
+            col("value").isNotNull && col("event_type").isNotNull)
+          .select(col("event_type").as("k"),
+            expr("ts DIV 1000").as("ord"), col("event_id").as("tie"),
+            expr("CAST(round(value * 1e9) AS BIGINT)").as("y_nano"))
+          .as[(String, Long, Long, Long)]
+        val sm = graft.streaming.HoltStream.holtStream(ev, maxPoints = 500)
+          .toDF("k", "rn", "y_nano", "l_nano", "b_nano", "fc_nano")
+        graft.streaming.StreamingIngest
+          .runAvailableNow(s, sm, "stream_holt_mem", outputMode = "append")
+          .orderBy("k", "rn")
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset(
+            "spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }),
+
     // Streaming CCNet segment dedup: the boilerplate DETECTOR runs on the
     // document stream (4 files, one per micro-batch) with bounded per-key
     // state — a capped distinct-doc-id set that collapses to an O(1) hot
@@ -357,6 +397,11 @@ private[graft] trait QueriesStream { this: SparkEntry.type =>
         |  / 100 AS v_ffill,
         | (c IS NULL) AS filled
         |FROM j ORDER BY user_id, day""".stripMargin,
+
+    // The batch ts_holt oracle verbatim: one file = one micro-batch, so
+    // the streamed series is contractually identical (QueriesStream
+    // entry comment; split independence spec'd in StreamingSpec).
+    "stream_holt" -> holtOracleSql,
 
     "stream_window_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,

@@ -195,6 +195,62 @@ class StreamingSpec extends SparkSpec {
     assert(batch == expected)
   }
 
+  test("streaming Holt equals batch holtNano, independent of order-aligned splits") {
+    import graft.streaming.HoltStream
+    // two keys; key a's series exercises the negative-trend halvings
+    // (same numbers as the batch OpsSpec case), fed out of order within
+    // the batch (the processor sorts per batch)
+    val rows = Seq(
+      ("a", 3L, 0L, 6L), ("a", 1L, 0L, 8L), ("a", 2L, 0L, 4L),
+      ("a", 4L, 0L, 10L), ("b", 1L, 0L, 5L), ("b", 2L, 0L, 9L))
+    def run(files: Seq[Seq[(String, Long, Long, Long)]]): Seq[(String, Long, Long, Long, Long, Long)] = {
+      val dir = Files.createTempDirectory("graft_sholt").toString
+      files.zipWithIndex.foreach { case (part, i) =>
+        part.toDF("k", "ord", "tie", "y_nano").coalesce(1)
+          .write.mode("append").parquet(s"$dir/f=$i")
+      }
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val schema = spark.read.parquet(dir).schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .select("k", "ord", "tie", "y_nano")
+          .as[(String, Long, Long, Long)]
+        StreamingIngest.runAvailableNow(spark,
+            HoltStream.holtStream(stream, maxPoints = 10)
+              .toDF("k", "rn", "y_nano", "l_nano", "b_nano", "fc_nano"),
+            s"sholt_${files.size}", outputMode = "append")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5)))
+          .toSeq.sorted
+      } finally {
+        prev match {
+          case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }
+    val batch = graft.ops.Holt
+      .holtNano(rows.toDF("k", "ord", "tie", "y_nano"), maxPoints = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq.sorted
+    val oneBatch = run(Seq(rows))
+    assert(oneBatch == batch)
+    // order-aligned split (ord <= 2 then ord > 2): level/trend state
+    // carries across the micro-batch boundary
+    val split = run(Seq(rows.filter(_._2 <= 2), rows.filter(_._2 > 2)))
+    assert(split == batch)
+    // a late row (at or before the high-water mark) is dropped, not folded
+    val withLate = run(Seq(rows.filter(_._2 <= 3),
+      Seq(("a", 2L, 0L, 999L)) ++ rows.filter(_._2 > 3)))
+    assert(withLate == batch)
+  }
+
   test("streaming hot-segment detector: hot set independent of batch splits, equals batch segmentDedup") {
     import graft.streaming.HotSegments
     // maxDocFreq=2: "nav bar" appears in 4 distinct docs (hot), "footer" in
