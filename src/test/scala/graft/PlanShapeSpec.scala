@@ -64,12 +64,32 @@ class PlanShapeSpec extends SparkSpec {
     // (text_vocab_coverage's vocab pass runs eagerly at build time — the
     // SCORING plan asserted here has the vocab folded in as literals.)
     for (q <- Seq("text_repetition", "text_chunks", "text_pii_redact",
-        "text_vocab_coverage", "text_strip_accents", "text_char_diversity")) {
+        "text_vocab_coverage", "text_strip_accents", "text_char_diversity",
+        "text_readability")) {
       val p = plan(q)
       assert(!p.contains("Join"), s"$q plan contains a join: ${p.take(400)}")
       assert(!p.contains("HashAggregate"),
         s"$q plan contains an aggregate: ${p.take(400)}")
     }
+  }
+
+  test("text_kneser_ney attaches marginals by broadcast; top-k is bounded") {
+    // The bigram table pins once (localCheckpoint); the three marginal
+    // re-attaches must be broadcast joins (vocab-sized sides) and the
+    // top-200 selection a TakeOrderedAndProject — a SortMergeJoin or a
+    // global Sort here would shuffle the corpus-sized bigram table per
+    // marginal at 100 TB.
+    val p = finalPlan("text_kneser_ney")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("f14_robust_scale broadcasts the per-group cut table; scoring is map-side") {
+    val p = finalPlan("f14_robust_scale")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
   }
 
   test("similarity top-k is a bounded partial aggregate, not a window sort") {
