@@ -46,6 +46,19 @@ object Sketches {
   def cmsSketch(depth: Int, width: Int)(hash: Column): Column =
     udaf(new CmsAgg(depth, width)).apply(hash)
 
+  /** KMV (k-minimum-values, Bar-Yossef et al. 2002) distinct sketch over
+    * a hash column: the k smallest DISTINCT 60-bit hash values per
+    * group, as a sorted array. Unlike HLL this sketch is EXACTLY
+    * deterministic — the kept set is a pure function of the data, so the
+    * whole sketch (not just the estimate) replays in SQL — while staying
+    * k-bounded and mergeable (union-then-retake-k, associative and
+    * idempotent, so re-aggregation across shards is safe).
+    * Estimate downstream: exact |kept| while |kept| < k, else
+    * (k-1)·2^60 / kth_min.
+    */
+  def kmvMins(k: Int)(hash: Column): Column =
+    udaf(new KmvAgg(k)).apply(hash)
+
   /** Row-`i` cell index for base hash `h`: the same affine reseeding
     * family as MinHash (one md5, `depth` cheap mixes — Dedup.minhashCoeffs).
     */
@@ -172,6 +185,61 @@ class CmsAgg(depth: Int, width: Int)
       i += 1
     }
     a
+  }
+
+  override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
+/** KMV buffer = sorted ascending array of ≤ k distinct hash values.
+  * Insert is a binary search + bounded arraycopy (duplicates dropped,
+  * largest evicted once full), merge folds the smaller buffer into the
+  * larger — both O(k), so a partial buffer never exceeds k longs no
+  * matter how many rows a partition folds.
+  */
+class KmvAgg(k: Int)
+    extends Aggregator[java.lang.Long, Array[Long], Seq[Long]] {
+  require(k >= 1, "k must be >= 1")
+
+  private def insert(buf: Array[Long], v: Long): Array[Long] = {
+    val n = buf.length
+    var i = java.util.Arrays.binarySearch(buf, v)
+    if (i >= 0) buf // already kept
+    else {
+      i = -(i + 1) // insertion point
+      if (n < k) {
+        val out = new Array[Long](n + 1)
+        System.arraycopy(buf, 0, out, 0, i)
+        out(i) = v
+        System.arraycopy(buf, i, out, i + 1, n - i)
+        out
+      } else if (i < k) {
+        // evict the current maximum (last slot), shift the tail right
+        System.arraycopy(buf, i, buf, i + 1, k - i - 1)
+        buf(i) = v
+        buf
+      } else buf // v larger than all kept values
+    }
+  }
+
+  override def zero: Array[Long] = Array.empty[Long]
+
+  override def reduce(buf: Array[Long], h: java.lang.Long): Array[Long] =
+    if (h == null) buf else insert(buf, h.longValue)
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val (big, small) = if (a.length >= b.length) (a, b) else (b, a)
+    var out = big
+    var i = 0
+    while (i < small.length) {
+      out = insert(out, small(i))
+      i += 1
+    }
+    out
   }
 
   override def finish(r: Array[Long]): Seq[Long] = r.toSeq

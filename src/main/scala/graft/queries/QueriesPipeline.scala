@@ -335,6 +335,49 @@ private[graft] trait QueriesPipeline { this: SparkEntry.type =>
         .orderBy("event_type")
     }),
 
+    // KMV (k-minimum-values) distinct sketch next to the exact count:
+    // unlike HLL the KEPT SET is exactly deterministic (k smallest
+    // distinct hashes), so sketch state AND estimate both replay in SQL.
+    // k-bounded mergeable aggregate — 64 longs per group cross the
+    // shuffle, never the user ids; estimator (k-1)·2^60 DIV kth_min in
+    // DECIMAL(38)/HUGEINT (63·2^60 overflows BIGINT).
+    "sketch_kmv_distinct" -> ((s, d) => {
+      val ev = Graft.spread(t(s, d, "events")).where(col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id"),
+          StableHash.hash60(col("user_id").cast("string")).as("h"))
+      ev.groupBy("event_type")
+        .agg(Sketches.kmvMins(64)(col("h")).as("mins"),
+          countDistinct(col("user_id")).as("n_exact"))
+        .select(col("event_type"),
+          size(col("mins")).cast("long").as("n_kept"),
+          element_at(col("mins"), -1).as("kth_min"),
+          when(size(col("mins")) < 64, size(col("mins")).cast("long"))
+            .otherwise(expr(
+              "CAST(63 AS DECIMAL(38,0)) * 1152921504606846976" +
+                " DIV NULLIF(element_at(mins, -1), 0)"))
+            .as("est_users"),
+          col("n_exact"))
+        .orderBy("event_type")
+    }),
+
+    // Sequence-gap audit (per-order line numbers must run 1..n): the
+    // min/max/count identity finds every hole in ONE hash aggregate —
+    // no window, no sort, no per-key densify. Gaps are PLANTED (line 3
+    // dropped from every 7th order) so the report exercises both the
+    // missing-line and the bad-start branches.
+    "dq_seq_gaps" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .where(!(col("l_orderkey") % 7 === 0 && col("l_linenumber") === 3))
+      li.groupBy("l_orderkey").agg(
+          count(lit(1)).as("n_lines"),
+          min("l_linenumber").as("min_line"),
+          max("l_linenumber").as("max_line"))
+        .withColumn("n_missing",
+          col("max_line") - col("min_line") + 1 - col("n_lines"))
+        .where(col("n_missing") > 0 || col("min_line") =!= 1)
+        .orderBy("l_orderkey")
+    }),
+
     // Deterministic stratified sampling: per-source keep rates decided by
     // a stable id hash — reproducible across engines/partitionings, and
     // consistent (the same doc samples in everywhere).
@@ -865,6 +908,50 @@ private[graft] trait QueriesPipeline { this: SparkEntry.type =>
 
     "sketch_hll_distinct" -> hllDistinctOracle,
     "sketch_cms_freq" -> cmsFreqOracle,
+
+    // The KMV kept set is a pure function of the data (k smallest
+    // distinct hashes), so the oracle re-derives it with a ranked
+    // distinct scan; HUGEINT mirrors the DECIMAL(38,0) estimator.
+    "sketch_kmv_distinct" -> {
+      val h = hash60Sql("CAST(user_id AS VARCHAR)")
+      s"""WITH hs AS (
+         | SELECT DISTINCT event_type, user_id, $h AS h
+         | FROM events WHERE user_id IS NOT NULL),
+         |hd AS (SELECT DISTINCT event_type, h FROM hs),
+         |r AS (
+         | SELECT event_type, h,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         | FROM hd),
+         |kept AS (
+         | SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  CAST(MAX(h) AS BIGINT) AS kth_min
+         | FROM r WHERE rn <= 64 GROUP BY 1),
+         |ex AS (
+         | SELECT event_type,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+         | FROM hs GROUP BY 1)
+         |SELECT k.event_type, k.n_kept, k.kth_min,
+         | CASE WHEN k.n_kept < 64 THEN k.n_kept
+         |      ELSE CAST(CAST(63 AS HUGEINT) * 1152921504606846976
+         |             // NULLIF(k.kth_min, 0) AS BIGINT) END AS est_users,
+         | ex.n_exact
+         |FROM kept k JOIN ex USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    },
+
+    "dq_seq_gaps" ->
+      """WITH li AS (
+        | SELECT l_orderkey, l_linenumber FROM lineitem
+        | WHERE NOT (l_orderkey % 7 = 0 AND l_linenumber = 3)),
+        |g AS (
+        | SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  MIN(l_linenumber) AS min_line, MAX(l_linenumber) AS max_line
+        | FROM li GROUP BY 1)
+        |SELECT l_orderkey, n_lines, min_line, max_line,
+        | max_line - min_line + 1 - n_lines AS n_missing
+        |FROM g
+        |WHERE max_line - min_line + 1 - n_lines > 0 OR min_line <> 1
+        |ORDER BY l_orderkey""".stripMargin,
 
     // Per-type terms k*ln(c/N) are elementwise bit-deterministic (DuckDB
     // ln == the engine's MathLn); the per-doc sum replays the engine's

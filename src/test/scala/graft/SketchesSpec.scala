@@ -91,4 +91,21 @@ class SketchesSpec extends SparkSpec {
     for (row <- 0 until 3)
       assert(sk.slice(row * 512, (row + 1) * 512).sum == 200L)
   }
+
+  test("kmv keeps the k smallest distinct hashes; partitioning- and dup-independent") {
+    import graft.ops.Sketches
+    import org.apache.spark.sql.functions._
+    // raw longs straight into the sketch: hashes 1..100 plus every value
+    // duplicated — kept set must be exactly 1..8 regardless of layout
+    val vals = ((1L to 100L) ++ (1L to 100L)).toDF("h")
+    def mins(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(Sketches.kmvMins(8)(col("h")).as("m"))
+        .collect().head.getSeq[Long](0)
+    assert(mins(vals) == (1L to 8L))
+    assert(mins(vals.repartition(13)) == (1L to 8L)) // merge path
+    // below-k group keeps everything (exact regime), sorted ascending
+    assert(mins(Seq(5L, 3L, 9L, 3L).toDF("h")) == Seq(3L, 5L, 9L))
+    // nulls are skipped, not kept
+    assert(mins(Seq[java.lang.Long](4L, null, 2L).toDF("h")) == Seq(2L, 4L))
+  }
 }
