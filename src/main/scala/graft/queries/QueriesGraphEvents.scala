@@ -358,6 +358,25 @@ private[graft] trait QueriesGraphEvents { this: SparkEntry.type =>
     // day-bucket explode instead of a per-user cross product), so hot
     // users never quadratically explode at scale. Conversions with no
     // touch in window credit 'none' with their full 1e9.
+    // Markov removal-effect attribution over the user event journeys
+    // ('purchase' converts, a conversion reopens the journey at start):
+    // 8 exact nano mass rounds with per-edge truncation over the
+    // schema-bounded transition matrix, one scenario per channel with
+    // edges into it cut to 'null' — see ops.MarkovAttribution. The
+    // oracle replays journey segmentation, the matrix, and all 8 rounds
+    // of every scenario as chained aggregate CTEs.
+    "attr_markov" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .where(col("ts").isNotNull && col("event_id").isNotNull &&
+          col("user_id").isNotNull && col("event_type").isNotNull)
+        .select(col("user_id"), expr("ts DIV 1000").as("ord"),
+          col("event_id").as("tie"), col("event_type"))
+      graft.ops.MarkovAttribution.removalEffects(
+          ev, "user_id", "ord", "tie", "event_type",
+          convType = "purchase")
+        .orderBy("channel")
+    }),
+
     "attr_time_decay" -> ((s, d) => {
       val ev = t(s, d, "events")
         .where(col("ts").isNotNull && col("event_id").isNotNull)
@@ -1020,6 +1039,73 @@ private[graft] trait QueriesGraphEvents { this: SparkEntry.type =>
         | CAST(COUNT(*) AS BIGINT) AS n_conversions
         |FROM a WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // Full replay of the Markov removal sweep: journey windowing, the
+    // nano transition matrix (+ absorbing self-loops), one scenario per
+    // channel with edges into it redirected to 'null', and 8 chained
+    // per-edge-truncating aggregate rounds. sedges is MATERIALIZED — 8
+    // consumers would otherwise re-derive the whole upstream per round.
+    "attr_markov" -> {
+      val rounds = (1 to 8).map { i =>
+        s"""v$i AS (
+           | SELECT e.sc, e.t2 AS state,
+           |  CAST(SUM(v.m * e.p // 1000000000) AS BIGINT) AS m
+           | FROM v${i - 1} v JOIN sedges e ON e.sc = v.sc AND e.f = v.state
+           | GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (
+         | SELECT user_id, epoch_us(ts) AS ord, event_id AS tie,
+         |  event_type AS ty
+         | FROM events
+         | WHERE ts IS NOT NULL AND event_id IS NOT NULL
+         |  AND user_id IS NOT NULL AND event_type IS NOT NULL),
+         |st AS MATERIALIZED (
+         | SELECT ty, lag(ty) OVER w AS prev, lead(ty) OVER w AS next
+         | FROM ev
+         | WINDOW w AS (PARTITION BY user_id ORDER BY ord, tie)),
+         |steps AS (
+         | SELECT CASE WHEN prev IS NULL OR prev = 'purchase'
+         |             THEN 'start' ELSE prev END AS f,
+         |  CASE WHEN ty = 'purchase' THEN 'conv' ELSE ty END AS t
+         | FROM st
+         | UNION ALL
+         | SELECT ty, 'null' FROM st WHERE next IS NULL AND ty <> 'purchase'),
+         |cnt AS MATERIALIZED (
+         | SELECT f, t, CAST(COUNT(*) AS BIGINT) AS cnt
+         | FROM steps GROUP BY 1, 2),
+         |tr AS MATERIALIZED (
+         | SELECT f, t, cnt * 1000000000 // tot AS p
+         | FROM cnt JOIN (SELECT f, CAST(SUM(cnt) AS BIGINT) AS tot
+         |                FROM cnt GROUP BY 1) USING (f)
+         | UNION ALL SELECT 'conv', 'conv', 1000000000
+         | UNION ALL SELECT 'null', 'null', 1000000000),
+         |chan AS MATERIALIZED (
+         | SELECT DISTINCT f AS c FROM tr
+         | WHERE f NOT IN ('start', 'conv', 'null')),
+         |scen AS (SELECT 'base' AS sc UNION ALL SELECT c FROM chan),
+         |sedges AS MATERIALIZED (
+         | SELECT s.sc, t.f,
+         |  CASE WHEN t.t = s.sc THEN 'null' ELSE t.t END AS t2, t.p
+         | FROM scen s CROSS JOIN tr t),
+         |v0 AS (
+         | SELECT sc, 'start' AS state, CAST(1000000000 AS BIGINT) AS m
+         | FROM scen),
+         |$rounds,
+         |pc AS MATERIALIZED (
+         | SELECT s.sc, COALESCE(v.m, 0) AS p_conv
+         | FROM scen s LEFT JOIN v8 v ON v.sc = s.sc AND v.state = 'conv'),
+         |base AS (SELECT p_conv AS pb FROM pc WHERE sc = 'base')
+         |SELECT c.c AS channel,
+         | base.pb AS p_base_nano,
+         | pc.p_conv AS p_removed_nano,
+         | CASE WHEN base.pb > 0
+         |      THEN 1000000000 - pc.p_conv * 1000000000 // base.pb
+         | END AS removal_nano
+         |FROM chan c
+         |JOIN pc ON pc.sc = c.c
+         |CROSS JOIN base
+         |ORDER BY channel""".stripMargin
+    },
 
     "attr_time_decay" ->
       """WITH ev AS (

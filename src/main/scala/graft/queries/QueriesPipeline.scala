@@ -38,6 +38,43 @@ private[graft] trait QueriesPipeline { this: SparkEntry.type =>
     // event_id — small integers, so the R-7 interpolation is exact on
     // both engines). Reference-slice deciles bucket both slices; see
     // DataQuality.psiDrift for the replay discipline.
+    // Exact two-sample Kolmogorov-Smirnov drift per event type (the
+    // all-thresholds complement of dq_psi_drift's fixed deciles):
+    // ref/cur split by user parity, values snapped to integer nanos (so
+    // the distinct-value ECDF grid is float-trap-free — no -0.0/tie
+    // hazards), running counts on ONE per-type window, and
+    // D = max|i*m - j*n| emitted as the exact integer numerator plus a
+    // DECIMAL(38)/HUGEINT nano quotient. The window partitions by type,
+    // never a global sort.
+    "dq_ks_drift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+        .where(col("value").isNotNull && col("user_id").isNotNull)
+        .select(col("event_type"),
+          expr("CAST(round(value * 1e9) AS BIGINT)").as("vn"),
+          (col("user_id") % 2 === 0).as("is_ref"))
+      val cnt = ev.groupBy("event_type", "vn").agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc"))
+      val w = Window.partitionBy("event_type").orderBy("vn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val run = cnt
+        .withColumn("i", sum("cr").over(w))
+        .withColumn("j", sum("cc").over(w))
+      val tot = ev.groupBy("event_type").agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+      run.join(broadcast(tot), Seq("event_type"))
+        .groupBy("event_type", "n_ref", "n_cur")
+        .agg(max(abs(col("i") * col("n_cur") - col("j") * col("n_ref")))
+          .as("ks_num"))
+        .select(col("event_type"), col("n_ref"), col("n_cur"), col("ks_num"),
+          expr("CAST(ks_num AS DECIMAL(38,0)) * 1000000000" +
+            " DIV NULLIF(CAST(n_ref AS DECIMAL(38,0)) * n_cur, 0)")
+            .as("ks_nano"))
+        .orderBy("event_type")
+    }),
+
     "dq_psi_drift" -> ((s, d) => {
       val ev = t(s, d, "events")
         .where(col("event_id").isNotNull && col("value").isNotNull)
@@ -897,6 +934,38 @@ private[graft] trait QueriesPipeline { this: SparkEntry.type =>
         | CASE WHEN MAX(nc) > 0
         |      THEN list_sum(list(term ORDER BY bucket)) END AS psi
         |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "dq_ks_drift" ->
+      """WITH ev AS (
+        | SELECT event_type, CAST(round(value * 1e9) AS BIGINT) AS vn,
+        |  (user_id % 2 = 0) AS is_ref
+        | FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |cnt AS (
+        | SELECT event_type, vn,
+        |  CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+        |  CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cc
+        | FROM ev GROUP BY 1, 2),
+        |run AS (
+        | SELECT event_type,
+        |  CAST(SUM(cr) OVER w AS BIGINT) AS i,
+        |  CAST(SUM(cc) OVER w AS BIGINT) AS j
+        | FROM cnt
+        | WINDOW w AS (PARTITION BY event_type ORDER BY vn
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (
+        | SELECT event_type,
+        |  CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |  CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+        | FROM ev GROUP BY 1)
+        |SELECT r.event_type, t.n_ref, t.n_cur,
+        | CAST(MAX(abs(r.i * t.n_cur - r.j * t.n_ref)) AS BIGINT) AS ks_num,
+        | CAST(CAST(MAX(abs(r.i * t.n_cur - r.j * t.n_ref)) AS HUGEINT)
+        |   * 1000000000
+        |   // NULLIF(CAST(t.n_ref AS HUGEINT) * t.n_cur, 0) AS BIGINT)
+        |   AS ks_nano
+        |FROM run r JOIN tot t USING (event_type)
+        |GROUP BY 1, 2, 3
+        |ORDER BY event_type""".stripMargin,
 
     "mm_media_meta" ->
       """SELECT doc_id AS media_id,

@@ -1440,6 +1440,29 @@ class OpsSpec extends SparkSpec {
     assert(r5(0L) == 1.425 && r5(1L) == 0.15) // star converges by round 2
   }
 
+  test("markov removalEffects: hand-computed journey graph, per-edge truncation") {
+    import graft.ops.MarkovAttribution
+    // u1: view -> click -> BUY   u2: view -> error (unconverted tail)
+    // transitions: start->view p=1e9; view->{click,error} p=5e8 each;
+    // click->conv p=1e9; error->null p=1e9  =>  p_base = 5e8.
+    // cut click: all conv mass dies (RE=1e9); cut error: nothing changes
+    // (RE=0); cut view: start's mass goes straight to null (RE=1e9).
+    val ev = Seq(
+      (1L, 1L, 1L, "view"), (1L, 2L, 2L, "click"), (1L, 3L, 3L, "buy"),
+      (2L, 1L, 4L, "view"), (2L, 2L, 5L, "error"))
+      .toDF("user_id", "ord", "tie", "event_type")
+    val got = MarkovAttribution.removalEffects(
+        ev, "user_id", "ord", "tie", "event_type", convType = "buy")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got.keySet == Set("click", "error", "view"))
+    assert(got("click") == ((500000000L, 0L, 1000000000L)))
+    assert(got("error") == ((500000000L, 500000000L, 0L)))
+    assert(got("view") == ((500000000L, 0L, 1000000000L)))
+  }
+
   test("kneserNeyBigrams: hand-computed interpolated KN mass, D = 3/4") {
     import graft.ops.TextAnalysis
     // docs: "a b a c" and "b a" -> bigrams (a,b)=1 (b,a)=2 (a,c)=1
