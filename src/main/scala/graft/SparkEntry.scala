@@ -714,6 +714,54 @@ object SparkEntry
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Pigeonhole simhash pair replay: the simhashOracle vote chain over
+    * the planted-union corpus, then 4 chunk keys per doc, bucket-size
+    * gate (2..maxBucket), distinct bucket-mate pairs, xor-popcount
+    * verify — mirroring Dedup.simhashHammingPairs step for step.
+    */
+  private[graft] def simhashPairsOracle(bits: Int, blocks: Int,
+      maxHamming: Int, maxBucket: Int): String = {
+    val width = bits / blocks
+    val mask = (1L << width) - 1L
+    val votes = (0 until bits).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n  ")
+    val bitsum = (0 until bits).map(b =>
+      s"CASE WHEN v.v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    val blockIdx = (0 until blocks).mkString(", ")
+    s"""WITH docs AS (
+       | SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50),
+       |toks AS (
+       | SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       | FROM docs WHERE trim(text) <> ''),
+       |hashed AS (SELECT doc_id, ${hash60Sql("w")} AS h FROM toks),
+       |votes AS (
+       | SELECT doc_id,
+       |  $votes
+       | FROM hashed GROUP BY doc_id),
+       |sig AS MATERIALIZED (
+       | SELECT d.doc_id, CAST(COALESCE($bitsum, 0) AS BIGINT) AS s
+       | FROM docs d LEFT JOIN votes v ON v.doc_id = d.doc_id),
+       |blocked AS MATERIALIZED (
+       | SELECT doc_id, s, bl, (s >> (bl * $width)) & $mask AS bval
+       | FROM sig CROSS JOIN (SELECT unnest([$blockIdx]) AS bl)),
+       |bk AS (
+       | SELECT bl, bval, COUNT(*) AS n FROM blocked GROUP BY 1, 2),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  a.s AS sa, b.s AS sb
+       | FROM blocked a
+       | JOIN blocked b ON b.bl = a.bl AND b.bval = a.bval
+       |  AND a.doc_id < b.doc_id
+       | JOIN bk ON bk.bl = a.bl AND bk.bval = a.bval
+       |  AND bk.n BETWEEN 2 AND $maxBucket)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private[graft] def ngramJaccardOracle: String =
     """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
       |words AS (

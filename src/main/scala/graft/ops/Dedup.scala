@@ -137,6 +137,54 @@ object Dedup {
     when(size(toks) === 0, lit(0L)).otherwise(bitCols.reduce(_ + _))
   }
 
+  /** SimHash near-dup pairs via the pigeonhole block join (Manku,
+    * Jain & Das Sarma 2007, WWW — "Detecting near-duplicates for web
+    * crawling"): split the `bits`-bit fingerprint into `blocks`
+    * contiguous chunks; any pair within Hamming distance
+    * `maxHamming` < `blocks` must agree EXACTLY on at least one chunk,
+    * so candidates come from hash buckets keyed on (chunk index, chunk
+    * value) and only bucket-mates pay the exact xor-popcount verify —
+    * never all-pairs, the same candidate-bounding discipline as
+    * [[minhashPairs]] bands.
+    *
+    * Hot-bucket guard (`maxBucket`): a degenerate fingerprint region
+    * (e.g. the all-zero sig every empty doc maps to) would contribute
+    * n² pairs from one bucket; buckets above the cap are dropped from
+    * candidate generation — deterministic, replayed by the oracle, and
+    * the pairs it can suppress are those whose every agreeing chunk is
+    * that hot (near-zero-signal) region. Pairs colliding in several
+    * chunks dedup through one distinct on (id_a, id_b).
+    */
+  def simhashHammingPairs(df: DataFrame, textCol: String, idCol: String,
+      bits: Int = 60, blocks: Int = 4, maxHamming: Int = 3,
+      maxBucket: Int = 1024): DataFrame = {
+    require(bits % blocks == 0, "blocks must divide bits")
+    require(blocks > maxHamming, "need blocks > maxHamming (pigeonhole)")
+    require(bits <= 60, "sign bit must stay clear (hash60 width)")
+    val width = bits / blocks
+    val mask = (1L << width) - 1L
+    val sigs = df.select(col(idCol).as("id"),
+      simhash(col(textCol), bits).as("sig"))
+    val blocked = sigs.select(col("id"), col("sig"), posexplode(
+        array((0 until blocks).map(bl =>
+          expr(s"shiftright(sig, ${bl * width}) & $mask")): _*))
+      .as(Seq("blk", "bval")))
+    val buckets = blocked.groupBy("blk", "bval")
+      .agg(sort_array(collect_list(struct(col("id"), col("sig"))))
+        .as("ms"), count(lit(1)).as("n"))
+      .where(col("n") > 1 && col("n") <= maxBucket)
+    buckets
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs within `blockCol` blocks
     * — SINGLE-computation relational form: the shingle pipeline (scan,
     * tokenize, shingle, explode — the expensive string work) is planned

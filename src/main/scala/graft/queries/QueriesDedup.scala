@@ -79,6 +79,22 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
       .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash"))
       .orderBy("doc_id")),
 
+    // SimHash Hamming-neighbor pairs via the Manku pigeonhole block
+    // join (60-bit sig, 4 chunks of 15 — any pair at distance <= 3
+    // shares a chunk exactly): candidates from (chunk, value) buckets,
+    // exact xor-popcount verify, hot buckets capped. Exact duplicates
+    // are PLANTED (docs 0..49 copied at id+100000) so distance-0 pairs
+    // are guaranteed alongside any natural near-dups.
+    "dedup_simhash_pairs" -> ((s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = base.where(col("doc_id") < 50)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      Dedup.simhashHammingPairs(
+          Graft.spread(base.unionByName(planted)), "text", "doc_id",
+          bits = 60, blocks = 4, maxHamming = 3, maxBucket = 1024)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Exact n-gram Jaccard pairs (relational formulation). The fixed-id
     // slice (doc_id < 300) bounds the VERIFY cost — exact all-pairs jaccard
     // within shared-shingle blocks grows quadratically with docs sharing a
@@ -508,6 +524,8 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
 
     "dedup_group_minhash" -> groupMinhashOracle,
     "dedup_simhash" -> simhashOracle(16),
+    "dedup_simhash_pairs" -> simhashPairsOracle(
+      bits = 60, blocks = 4, maxHamming = 3, maxBucket = 1024),
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_containment" -> containmentOracle,

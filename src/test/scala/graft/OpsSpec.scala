@@ -1440,6 +1440,34 @@ class OpsSpec extends SparkSpec {
     assert(r5(0L) == 1.425 && r5(1L) == 0.15) // star converges by round 2
   }
 
+  test("simhashHammingPairs equals naive all-pairs under the cap; finds planted dup") {
+    import graft.ops.Dedup
+    // 30 distinct docs + one exact copy of doc 0 (id 100) — the copy
+    // guarantees a distance-0 pair whatever the corpus sigs look like
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docs = ((0 until 30).map { i =>
+      (i.toLong, (0 until 6).map(j => words((i * 7 + j * 3) % 10)).mkString(" "))
+    } :+ (100L, (0 until 6).map(j => words(j * 3 % 10)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashHammingPairs(docs, "text", "doc_id",
+        bits = 60, blocks = 4, maxHamming = 3, maxBucket = 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    // naive reference: exact Hamming over ALL pairs (no pigeonhole) —
+    // with no bucket over the cap the block join must find exactly the
+    // same set (completeness AND soundness of the candidate generation)
+    val sigs = docs.select(col("doc_id"),
+        Dedup.simhash(col("text"), 60).as("sig")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val naive = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h.toLong)).toSeq.sorted
+    assert(got == naive)
+    assert(got.contains((0L, 100L, 0L))) // the planted exact copy
+  }
+
   test("markov removalEffects: hand-computed journey graph, per-edge truncation") {
     import graft.ops.MarkovAttribution
     // u1: view -> click -> BUY   u2: view -> error (unconverted tail)
