@@ -92,6 +92,16 @@ object SparkEntry
   private[graft] val revSql =
     s"CAST(SUM(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS DOUBLE) / 10000"
 
+  /** NDCG position weights: w_i = round(1e9 / log2(i+1)) for ranks
+    * 1..100, computed ONCE here (java.lang.Math.log) and inlined as the
+    * SAME literals into both the Spark expression and the DuckDB oracle
+    * — the dq_benford hardcoded-log discipline, which sidesteps libm
+    * replay entirely for fixed position grids.
+    */
+  private[graft] val ndcgWeights: IndexedSeq[Long] =
+    (1 to 100).map(i =>
+      Math.round(1e9 / (Math.log(i + 1.0) / Math.log(2.0))))
+
   /** Recursive-CTE replay of the Holt α=β=1/2 recurrences (shared by
     * ts_holt and its streaming twin stream_holt, which emits the
     * identical series when micro-batches respect the (ord, tie) order).

@@ -25,6 +25,54 @@ private[graft] trait QueriesSim { this: SparkEntry.type =>
     // words matched, doc-id tie-break), fused with exact integer-nano
     // RRF credits 1e9 DIV (60 + rank) and re-ranked on the bounded
     // merged set. The hybrid-retrieval staple (lexical + second signal).
+    // Ranking-quality audit (NDCG@100 / MRR / AP@100) of a
+    // deterministic length-based ranker against graded language
+    // relevance (en=3, de=2, fr=1, else 0). Top-100 selection is a
+    // bounded TakeOrderedAndProject; ALL windows then run on that
+    // 100-row frame (the rank_fusion bounded-re-rank discipline — never
+    // a corpus-wide unpartitioned window). Gains are 2^rel - 1 by CASE;
+    // position weights round(1e9/log2(i+1)) are shared literals
+    // (SparkEntry.ndcgWeights), so every metric is exact integer math:
+    // per-position products, truncating quotients, DECIMAL(38)/HUGEINT
+    // for the ndcg numerator.
+    "rank_ndcg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rel = expr("CASE lang WHEN 'en' THEN 3L WHEN 'de' THEN 2L" +
+        " WHEN 'fr' THEN 1L ELSE 0L END")
+      val top = t(s, d, "documents")
+        .where(col("n_chars").isNotNull)
+        .select(col("doc_id"), col("n_chars"), rel.as("rel"))
+        .orderBy(col("n_chars").desc, col("doc_id")).limit(100)
+      val wLit = array(ndcgWeights.map(lit): _*)
+      val g = top
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("irk", row_number().over(
+          Window.orderBy(col("rel").desc, col("n_chars").desc, col("doc_id"))))
+        .withColumn("gain", expr(
+          "CASE rel WHEN 3 THEN 7L WHEN 2 THEN 3L WHEN 1 THEN 1L ELSE 0L END"))
+        .withColumn("hit", (col("rel") >= 1).cast("long"))
+        .withColumn("hits_cum", sum("hit").over(Window.orderBy("rk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      g.agg(
+          count(lit(1)).as("n_ranked"),
+          sum("hit").as("n_rel"),
+          sum(col("gain") * element_at(wLit, col("rk").cast("int")))
+            .as("dcg_nano"),
+          sum(col("gain") * element_at(wLit, col("irk").cast("int")))
+            .as("idcg_nano"),
+          min(when(col("hit") === 1, col("rk"))).as("first_rel"),
+          sum(when(col("hit") === 1,
+            expr("hits_cum * 1000000000L DIV rk")).otherwise(lit(0L)))
+            .as("ap_sum"))
+        .select(col("n_ranked"), col("n_rel"),
+          col("dcg_nano"), col("idcg_nano"),
+          expr("CAST(dcg_nano AS DECIMAL(38,0)) * 1000000000" +
+            " DIV NULLIF(idcg_nano, 0)").as("ndcg_nano"),
+          expr("1000000000L DIV first_rel").as("mrr_nano"),
+          expr("ap_sum DIV NULLIF(n_rel, 0)").as("ap_nano"))
+    }),
+
     "rank_fusion_rrf" -> ((s, d) => {
       import s.implicits._
       val qs = Seq(1L -> Seq("spark", "join", "fast"),
@@ -408,6 +456,49 @@ private[graft] trait QueriesSim { this: SparkEntry.type =>
     // BM25 scoring CTEs mirror text_bm25_topk (same query battery, rank
     // cap 20); the coverage ranker and the fused RRF re-rank are exact
     // integer arithmetic.
+    // Same position-weight literals as the engine (SparkEntry.ndcgWeights
+    // interpolates into both sides); all metrics exact integer math.
+    "rank_ndcg" -> {
+      val w = ndcgWeights.mkString("[", ", ", "]")
+      s"""WITH top AS (
+         | SELECT doc_id, n_chars,
+         |  CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 2
+         |            WHEN 'fr' THEN 1 ELSE 0 END AS rel
+         | FROM documents WHERE n_chars IS NOT NULL
+         | ORDER BY n_chars DESC, doc_id LIMIT 100),
+         |rk AS (
+         | SELECT doc_id, rel,
+         |  row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk,
+         |  row_number() OVER (ORDER BY rel DESC, n_chars DESC, doc_id)
+         |    AS irk
+         | FROM top),
+         |g AS (
+         | SELECT rk, irk, rel,
+         |  CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END
+         |    AS gain,
+         |  CASE WHEN rel >= 1 THEN 1 ELSE 0 END AS hit,
+         |  CAST(SUM(CASE WHEN rel >= 1 THEN 1 ELSE 0 END) OVER
+         |    (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS hits_cum
+         | FROM rk),
+         |agg AS (
+         | SELECT CAST(COUNT(*) AS BIGINT) AS n_ranked,
+         |  CAST(SUM(hit) AS BIGINT) AS n_rel,
+         |  CAST(SUM(CAST(gain AS BIGINT) * ($w)[rk]) AS BIGINT) AS dcg_nano,
+         |  CAST(SUM(CAST(gain AS BIGINT) * ($w)[irk]) AS BIGINT)
+         |    AS idcg_nano,
+         |  MIN(CASE WHEN hit = 1 THEN rk END) AS first_rel,
+         |  CAST(SUM(CASE WHEN hit = 1 THEN hits_cum * 1000000000 // rk
+         |                ELSE 0 END) AS BIGINT) AS ap_sum
+         | FROM g)
+         |SELECT n_ranked, n_rel, dcg_nano, idcg_nano,
+         | CAST(CAST(dcg_nano AS HUGEINT) * 1000000000
+         |   // NULLIF(idcg_nano, 0) AS BIGINT) AS ndcg_nano,
+         | 1000000000 // first_rel AS mrr_nano,
+         | ap_sum // NULLIF(n_rel, 0) AS ap_nano
+         |FROM agg""".stripMargin
+    },
+
     "rank_fusion_rrf" ->
       """WITH q AS (SELECT CAST(qid AS BIGINT) AS query_id, word FROM (VALUES
         |  (1,'spark'),(1,'join'),(1,'fast'),
