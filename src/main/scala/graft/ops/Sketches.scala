@@ -59,6 +59,39 @@ object Sketches {
   def kmvMins(k: Int)(hash: Column): Column =
     udaf(new KmvAgg(k)).apply(hash)
 
+  /** KMV insert: sorted ascending ≤ k distinct values; binary search +
+    * bounded arraycopy, duplicates dropped, largest evicted once full.
+    * Shared by [[KmvAgg]] and the streaming tracker
+    * ([[graft.streaming.KmvProcessor]]).
+    */
+  def kmvInsert(buf: Array[Long], v: Long, k: Int): Array[Long] = {
+    val n = buf.length
+    var i = java.util.Arrays.binarySearch(buf, v)
+    if (i >= 0) buf // already kept
+    else {
+      i = -(i + 1) // insertion point
+      if (n < k) {
+        val out = new Array[Long](n + 1)
+        System.arraycopy(buf, 0, out, 0, i)
+        out(i) = v
+        System.arraycopy(buf, i, out, i + 1, n - i)
+        out
+      } else if (i < k) {
+        System.arraycopy(buf, i, buf, i + 1, k - i - 1)
+        buf(i) = v
+        buf
+      } else buf // v larger than all kept values
+    }
+  }
+
+  /** KMV estimate from a kept set: exact below k, (k-1)·2^60 / kth_min
+    * at capacity (BigInt intermediate — 63·2^60 overflows a Long).
+    */
+  def kmvEstimate(mins: Array[Long], k: Int): Long =
+    if (mins.length < k) mins.length.toLong
+    else if (mins.last == 0L) 0L
+    else ((BigInt(k - 1) * (BigInt(1) << 60)) / mins.last).toLong
+
   /** Row-`i` cell index for base hash `h`: the same affine reseeding
     * family as MinHash (one md5, `depth` cheap mixes — Dedup.minhashCoeffs).
     */
@@ -205,38 +238,17 @@ class KmvAgg(k: Int)
     extends Aggregator[java.lang.Long, Array[Long], Seq[Long]] {
   require(k >= 1, "k must be >= 1")
 
-  private def insert(buf: Array[Long], v: Long): Array[Long] = {
-    val n = buf.length
-    var i = java.util.Arrays.binarySearch(buf, v)
-    if (i >= 0) buf // already kept
-    else {
-      i = -(i + 1) // insertion point
-      if (n < k) {
-        val out = new Array[Long](n + 1)
-        System.arraycopy(buf, 0, out, 0, i)
-        out(i) = v
-        System.arraycopy(buf, i, out, i + 1, n - i)
-        out
-      } else if (i < k) {
-        // evict the current maximum (last slot), shift the tail right
-        System.arraycopy(buf, i, buf, i + 1, k - i - 1)
-        buf(i) = v
-        buf
-      } else buf // v larger than all kept values
-    }
-  }
-
   override def zero: Array[Long] = Array.empty[Long]
 
   override def reduce(buf: Array[Long], h: java.lang.Long): Array[Long] =
-    if (h == null) buf else insert(buf, h.longValue)
+    if (h == null) buf else Sketches.kmvInsert(buf, h.longValue, k)
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     val (big, small) = if (a.length >= b.length) (a, b) else (b, a)
     var out = big
     var i = 0
     while (i < small.length) {
-      out = insert(out, small(i))
+      out = Sketches.kmvInsert(out, small(i), k)
       i += 1
     }
     out

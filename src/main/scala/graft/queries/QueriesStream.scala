@@ -300,6 +300,43 @@ private[graft] trait QueriesStream { this: SparkEntry.type =>
       }
     }),
 
+    // Streaming per-key distinct-cardinality tracking via the KMV
+    // sketch (transformWithState; state = at most 64 longs + a counter
+    // per key). Arrival-order AND batch-split independent by
+    // construction — the kept set is a pure function of the value SET —
+    // so the oracle is the batch ranked-distinct replay; with one file
+    // as one batch, exactly one snapshot row per key emits.
+    "stream_kmv_distinct" -> ((s, d) => {
+      Graft.tune(s)
+      val prev = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val ev = graft.streaming.StreamingIngest
+          .parquetStream(s, d, schema, globFilter = Some("events.parquet"))
+          .where(col("user_id").isNotNull)
+          .select(col("event_type"),
+            graft.functions.StableHash.hash60(col("user_id").cast("string"))
+              .as("h"))
+          .as[(String, Long)]
+        val sk = graft.streaming.KmvStream.kmvStream(ev, k = 64)
+          .toDF("k", "n_seen", "n_kept", "kth_min", "est_users")
+        graft.streaming.StreamingIngest
+          .runAvailableNow(s, sk, "stream_kmv_mem", outputMode = "append")
+          .orderBy("k")
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset(
+            "spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }),
+
     // Streaming CCNet segment dedup: the boilerplate DETECTOR runs on the
     // document stream (4 files, one per micro-batch) with bounded per-key
     // state — a capped distinct-doc-id set that collapses to an O(1) hot
@@ -402,6 +439,35 @@ private[graft] trait QueriesStream { this: SparkEntry.type =>
     // the streamed series is contractually identical (QueriesStream
     // entry comment; split independence spec'd in StreamingSpec).
     "stream_holt" -> holtOracleSql,
+
+    // Batch ranked-distinct replay of the streamed KMV snapshot (the
+    // kept set is order/split independent, so the batch form IS the
+    // final state); n_seen counts every non-null input row.
+    "stream_kmv_distinct" -> {
+      val h = hash60Sql("CAST(user_id AS VARCHAR)")
+      s"""WITH hs AS (
+         | SELECT event_type, $h AS h
+         | FROM events WHERE user_id IS NOT NULL),
+         |hd AS (SELECT DISTINCT event_type, h FROM hs),
+         |r AS (
+         | SELECT event_type, h,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         | FROM hd),
+         |kept AS (
+         | SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  CAST(MAX(h) AS BIGINT) AS kth_min
+         | FROM r WHERE rn <= 64 GROUP BY 1),
+         |seen AS (
+         | SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_seen
+         | FROM hs GROUP BY 1)
+         |SELECT k.event_type AS k, s.n_seen, k.n_kept, k.kth_min,
+         | CASE WHEN k.n_kept < 64 THEN k.n_kept
+         |      WHEN k.kth_min = 0 THEN 0
+         |      ELSE CAST(CAST(63 AS HUGEINT) * 1152921504606846976
+         |             // k.kth_min AS BIGINT) END AS est_users
+         |FROM kept k JOIN seen s USING (event_type)
+         |ORDER BY k""".stripMargin
+    },
 
     "stream_window_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,

@@ -251,6 +251,57 @@ class StreamingSpec extends SparkSpec {
     assert(withLate == batch)
   }
 
+  test("streaming KMV: final snapshot equals batch sketch under ANY split order") {
+    import graft.streaming.KmvStream
+    // 12 distinct hashes per key + duplicates; k=8 forces eviction
+    val rows = (1L to 12L).map(h => ("a", h * 10)) ++
+      (1L to 12L).map(h => ("a", h * 10)) ++ // dups change nothing
+      Seq(("b", 5L), ("b", 7L), ("b", 5L))
+    def run(files: Seq[Seq[(String, Long)]]): Map[String, (Long, Long, Long, Long)] = {
+      val dir = Files.createTempDirectory("graft_skmv").toString
+      files.zipWithIndex.foreach { case (part, i) =>
+        part.toDF("k", "h").coalesce(1)
+          .write.mode("append").parquet(s"$dir/f=$i")
+      }
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val schema = spark.read.parquet(dir).schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .select("k", "h").as[(String, Long)]
+        val out = StreamingIngest.runAvailableNow(spark,
+            KmvStream.kmvStream(stream, k = 8)
+              .toDF("k", "n_seen", "n_kept", "kth_min", "est"),
+            s"skmv_${files.size}_${files.map(_.size).sum}",
+            outputMode = "append")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+        // latest wins = max n_seen per key (strictly monotone)
+        out.groupBy(_._1).map { case (k, rs) =>
+          val last = rs.maxBy(_._2)
+          k -> ((last._2, last._3, last._4, last._5))
+        }
+      } finally {
+        prev match {
+          case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }
+    // expected: key a keeps {10..80}, kth=80, est=(8-1)*2^60/80; 24 rows seen
+    val estA = ((BigInt(7) * (BigInt(1) << 60)) / 80).toLong
+    val expected = Map(
+      "a" -> ((24L, 8L, 80L, estA)),
+      "b" -> ((3L, 2L, 7L, 2L)))
+    assert(run(Seq(rows)) == expected)
+    // REVERSED, interleaved split — same final snapshots (set semantics)
+    val (f1, f2) = rows.reverse.splitAt(9)
+    assert(run(Seq(f1, f2)) == expected)
+  }
+
   test("streaming hot-segment detector: hot set independent of batch splits, equals batch segmentDedup") {
     import graft.streaming.HotSegments
     // maxDocFreq=2: "nav bar" appears in 4 distinct docs (hot), "footer" in
