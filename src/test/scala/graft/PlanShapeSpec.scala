@@ -92,6 +92,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(800))
   }
 
+  test("dq_ks_drift broadcasts totals; the only window partitions by type") {
+    // the running-count window must be per-type (never a global sort)
+    // and the totals re-attach must broadcast — a SortMergeJoin would
+    // shuffle the grid per marginal at scale.
+    val p = finalPlan("dq_ks_drift")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert("Window \\[".r.findAllIn(p).size <= 1, p.take(800))
+    assert(p.contains("partitionBy=[event_type]") ||
+      p.contains("hashpartitioning(event_type"), p.take(1200))
+  }
+
+  test("sketch_kmv_distinct folds through one bounded aggregate, no window") {
+    // the KMV buffers are k-bounded partial aggregates — only
+    // 64-long buffers cross the shuffle, and no window/sort ranks the
+    // hash column corpus-wide.
+    val p = plan("sketch_kmv_distinct")
+    assert(!p.contains("Window"), p.take(800))
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      p.take(800))
+  }
+
   test("similarity top-k is a bounded partial aggregate, not a window sort") {
     // The scale contract: no corpus-sized shuffle+sort into Q hot reducer
     // partitions. The finisher must be a partial+final ObjectHashAggregate
