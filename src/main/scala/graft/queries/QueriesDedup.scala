@@ -26,6 +26,29 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), "text", "doc_id").orderBy("digest")),
 
+    // The one-call fuzzy-dedup COMPOSITE (exact digests → MinHash-LSH
+    // candidates → exact-Jaccard verify → connected components →
+    // canonical keep-one): the pipeline a training-data run actually
+    // calls, end-to-end against one oracle instead of stage-by-stage.
+    // Exact copies (ids+100000) and near-copies (one appended token,
+    // ids+200000) are PLANTED so both dedup branches fire; the
+    // doc_id < 300 slice bounds the oracle's pair/closure work at a
+    // constant regardless of SF (the ngram-pairs discipline).
+    "dedup_fuzzy" -> ((s, d) => {
+      val base = t(s, d, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val exactCopies = base.where(col("doc_id") < 20)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val nearCopies = base.where(col("doc_id") >= 20 && col("doc_id") < 40)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" extrazz")).as("text"))
+      Dedup.fuzzyDedup(
+          base.unionByName(exactCopies).unionByName(nearCopies),
+          "text", "doc_id",
+          numHashes = 4, bands = 2, shingleK = 3, threshold = 0.5)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // MinHash signatures (first 4 hash slots surfaced as columns).
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashSignatures(t(s, d, "documents"), "text", "doc_id",
@@ -471,6 +494,84 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash" -> minhashOracle,
+
+    // Full composite replay: exact-digest survivors (md5 both engines),
+    // the 4-hash signature chain, band candidates as direct sig-slice
+    // equality (band-bucket md5 equality ⇔ slice equality), per-pair
+    // exact Jaccard over DISTINCT shingles, recursive reach closure,
+    // keep = component representative. NaN-Jaccard candidate pairs
+    // (shingle-less docs) drop on both sides by absence from the
+    // shingle frame. MATERIALIZED on every multi-consumer CTE.
+    "dedup_fuzzy" -> {
+      val p = Dedup.MinhashP
+      val sigCols = (0 until 4).map { j =>
+        val (a, b) = Dedup.minhashCoeffs(j)
+        s"COALESCE(MIN((($a * (${hash60Sql("s.sh")} % $p)) + $b) % $p), ${Long.MaxValue}) AS h$j"
+      }.mkString(",\n  ")
+      s"""WITH RECURSIVE docs AS MATERIALIZED (
+         | SELECT doc_id, text FROM documents WHERE doc_id < 300
+         | UNION ALL
+         | SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20
+         | UNION ALL
+         | SELECT doc_id + 200000, text || ' extrazz' FROM documents
+         | WHERE doc_id >= 20 AND doc_id < 40),
+         |surv AS (
+         | SELECT doc_id FROM (
+         |  SELECT doc_id,
+         |   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM docs) WHERE rn = 1),
+         |sdocs AS MATERIALIZED (
+         | SELECT d.doc_id, d.text FROM docs d JOIN surv USING (doc_id)),
+         |words AS (
+         | SELECT doc_id, w, i FROM (
+         |  SELECT doc_id,
+         |   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+         |   generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS i
+         |  FROM sdocs WHERE trim(text) <> '')),
+         |shingles AS MATERIALIZED (
+         | SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+         | FROM words a
+         | JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         | JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+         | UNION
+         | SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS sh
+         | FROM sdocs
+         | WHERE trim(text) <> ''
+         |  AND len(string_split_regex(trim(lower(text)), '\\s+')) < 3),
+         |sigs AS MATERIALIZED (
+         | SELECT d.doc_id,
+         |  $sigCols
+         | FROM sdocs d LEFT JOIN shingles s ON s.doc_id = d.doc_id
+         | GROUP BY d.doc_id),
+         |cand AS MATERIALIZED (
+         | SELECT x.doc_id AS id_a, y.doc_id AS id_b
+         | FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id AND (
+         |   (x.h0 = y.h0 AND x.h1 = y.h1) OR
+         |   (x.h2 = y.h2 AND x.h3 = y.h3))),
+         |pairsh AS (
+         | SELECT c.id_a, c.id_b, s.sh,
+         |  MAX(CASE WHEN s.doc_id = c.id_a THEN 1 ELSE 0 END) AS ina,
+         |  MAX(CASE WHEN s.doc_id = c.id_b THEN 1 ELSE 0 END) AS inb
+         | FROM cand c JOIN shingles s ON s.doc_id IN (c.id_a, c.id_b)
+         | GROUP BY 1, 2, 3),
+         |jac AS (
+         | SELECT id_a, id_b,
+         |  CAST(SUM(ina * inb) AS BIGINT) AS inter,
+         |  CAST(COUNT(*) AS BIGINT) AS un
+         | FROM pairsh GROUP BY 1, 2),
+         |edges0 AS (
+         | SELECT id_a AS a, id_b AS b FROM jac
+         | WHERE CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) >= 0.5),
+         |edges AS MATERIALIZED (
+         | SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+         |reach AS (
+         | SELECT doc_id AS id, doc_id AS r FROM sdocs
+         | UNION
+         | SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+         |SELECT id AS doc_id FROM comp WHERE id = component
+         |ORDER BY doc_id""".stripMargin
+    },
     "dedup_minhash_calibration" -> minhashCalibrationOracle,
     "dedup_minhash_band_stats" -> {
       val p = Dedup.MinhashP
