@@ -322,6 +322,39 @@ object Graph {
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
+  /** Katz centrality (Katz 1953, "A new status index derived from
+    * sociometric analysis"), bounded-horizon form: x_{t+1}(i) = 1e9 +
+    * β·Σ_{j→i} x_t(j) with attenuation β = 1/2 as one truncating
+    * halving per round — every path of length k contributes its mass
+    * discounted 2^-k, the walk-counting complement to [[pageRankNano]]
+    * (no out-degree normalization: a prolific pointer confers full
+    * mass to every target). Convergence needs β < 1/λ_max — with
+    * β = 1/2 that's max eigenvalue < 2; the fixed `iterations` horizon
+    * keeps the value finite and exactly SQL-replayable regardless.
+    *
+    * Same shape discipline as [[pageRankNano]]: edges pinned on src
+    * once, per-round one src-keyed attach + one dst-keyed sum, lineage
+    * truncated every 4 rounds.
+    */
+  def katzNano(edges: DataFrame, iterations: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(col("src")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    var x = nodes.select(col("id"), lit(1000000000L).as("x_nano"))
+    for (it <- 1 to iterations) {
+      val sums = e.join(x.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("x_nano")).as("s"))
+      x = nodes.join(sums, Seq("id"), "left")
+        .select(col("id"),
+          expr("1000000000L + coalesce(s, 0L) DIV 2").as("x_nano"))
+      if (it % 4 == 0 && it < iterations) x = x.localCheckpoint(true)
+    }
+    x
+  }
+
   /** `iterations` rounds of exact-integer HITS (Kleinberg 1999, JACM
     * 46(5) "Authoritative sources in a hyperlinked environment") with L1
     * normalization — the hub/authority complement to [[pageRankNano]]

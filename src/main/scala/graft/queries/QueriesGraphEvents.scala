@@ -705,6 +705,69 @@ private[graft] trait QueriesGraphEvents { this: SparkEntry.type =>
       graft.ops.Graph.kCore(edges, k = 2, rounds = 3).orderBy("id")
     }),
 
+    // Katz centrality on the same graph: three exact nano rounds with
+    // attenuation 1/2 (one truncating halving per round — path mass
+    // discounted 2^-k), no out-degree normalization. The oracle unrolls
+    // all three rounds.
+    "graph_katz" -> ((s, d) => {
+      val base = t(s, d, "part").where(col("p_partkey") <= 1000)
+      val edges = base.select(col("p_partkey").as("src"),
+        expr("(p_partkey * 31 + 7) % 1000").as("dst"))
+        .unionByName(base.select(col("p_partkey").as("src"),
+          expr("(p_partkey * 17 + 3) % 1000").as("dst")))
+      graft.ops.Graph.katzNano(edges, iterations = 3).orderBy("id")
+    }),
+
+    // CUPED variance-reduced A/B readout (Deng et al. 2013, WSDM):
+    // per-user pre-metric x = view spend, outcome y = purchase spend
+    // (exact cents), arms by the ab_assign hash rule; theta and the
+    // variance stats come from exact DECIMAL(38)/HUGEINT sufficient
+    // sums cast to double ONCE, then every reported number is the same
+    // mirrored double expression tree rounded at 9 dp (the
+    // a18_regression discipline). The group-mean identity
+    // mean(y - theta*(x - x_all)) = y_arm - theta*(x_arm - x_all)
+    // keeps the adjustment one expression — no per-user float pass.
+    "ab_cuped" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), col("event_type"), cents(col("value")).as("vc"))
+      val per = ev.groupBy("user_id").agg(
+          sum(when(col("event_type") === "view", col("vc")).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase", col("vc")).otherwise(0L))
+            .as("y"))
+        .withColumn("variant",
+          when(pmod(StableHash.hash60(col("user_id").cast("string")),
+            lit(100L)) < 50, "A").otherwise("B"))
+      def dec(c: Column) = c.cast(DecimalType(38, 0))
+      val g = per.agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).cast("double").as("sx"),
+        sum(dec(col("y"))).cast("double").as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).cast("double").as("sxx"),
+        sum(dec(col("x")) * dec(col("y"))).cast("double").as("sxy"),
+        sum(dec(col("y")) * dec(col("y"))).cast("double").as("syy"))
+      val arm = per.groupBy("variant").agg(count(lit(1)).as("n_users"),
+        sum(dec(col("x"))).cast("double").as("sxa"),
+        sum(dec(col("y"))).cast("double").as("sya"))
+      arm.crossJoin(broadcast(g))
+        .select(col("variant"), col("n_users"),
+          expr("ROUND(sya / CAST(n_users AS DOUBLE), 9)").as("mean_y"),
+          expr("ROUND(sxa / CAST(n_users AS DOUBLE), 9)").as("mean_x"),
+          expr("ROUND(sya / CAST(n_users AS DOUBLE)" +
+            " - (CAST(n AS DOUBLE) * sxy - sx * sy)" +
+            " / NULLIF(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0)" +
+            " * (sxa / CAST(n_users AS DOUBLE) - sx / CAST(n AS DOUBLE)), 9)")
+            .as("mean_y_adj"),
+          expr("ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)" +
+            " / NULLIF(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0), 9)")
+            .as("theta"),
+          expr("ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)" +
+            " * (CAST(n AS DOUBLE) * sxy - sx * sy)" +
+            " / NULLIF((CAST(n AS DOUBLE) * sxx - sx * sx)" +
+            " * (CAST(n AS DOUBLE) * syy - sy * sy), 0.0), 9)").as("r2"))
+        .orderBy("variant")
+    }),
+
     // HITS hubs/authorities on the same graph: two exact nano-integer
     // rounds with L1 renormalization (auth from in-edge hub mass, hub
     // from out-edge auth mass; DECIMAL(38)/HUGEINT raw sums, truncating
@@ -1492,6 +1555,78 @@ private[graft] trait QueriesGraphEvents { this: SparkEntry.type =>
         |       FROM nodes n LEFT JOIN s2 USING (id))
         |SELECT id, CAST(r AS DOUBLE) / 1000000000.0 AS pagerank
         |FROM r2 ORDER BY id""".stripMargin,
+
+    "graph_katz" ->
+      """WITH e AS (
+        | SELECT p_partkey AS src, (p_partkey * 31 + 7) % 1000 AS dst
+        | FROM part WHERE p_partkey <= 1000
+        | UNION ALL
+        | SELECT p_partkey, (p_partkey * 17 + 3) % 1000
+        | FROM part WHERE p_partkey <= 1000),
+        |nodes AS (SELECT DISTINCT id FROM
+        | (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |x0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS x FROM nodes),
+        |s1 AS (SELECT e.dst AS id, CAST(SUM(x0.x) AS BIGINT) AS s
+        |       FROM e JOIN x0 ON x0.id = e.src GROUP BY e.dst),
+        |x1 AS (SELECT n.id, 1000000000 + COALESCE(s1.s, 0) // 2 AS x
+        |       FROM nodes n LEFT JOIN s1 USING (id)),
+        |s2 AS (SELECT e.dst AS id, CAST(SUM(x1.x) AS BIGINT) AS s
+        |       FROM e JOIN x1 ON x1.id = e.src GROUP BY e.dst),
+        |x2 AS (SELECT n.id, 1000000000 + COALESCE(s2.s, 0) // 2 AS x
+        |       FROM nodes n LEFT JOIN s2 USING (id)),
+        |s3 AS (SELECT e.dst AS id, CAST(SUM(x2.x) AS BIGINT) AS s
+        |       FROM e JOIN x2 ON x2.id = e.src GROUP BY e.dst),
+        |x3 AS (SELECT n.id, 1000000000 + COALESCE(s3.s, 0) // 2 AS x
+        |       FROM nodes n LEFT JOIN s3 USING (id))
+        |SELECT id, CAST(x AS BIGINT) AS x_nano FROM x3 ORDER BY id""".stripMargin,
+
+    // Mirrored double expression trees over exact HUGEINT sufficient
+    // sums cast to double once (the a18_regression discipline).
+    "ab_cuped" ->
+      s"""WITH per AS (
+        | SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'view'
+        |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS x,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS y
+        | FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        | GROUP BY user_id),
+        |pv AS (
+        | SELECT x, y,
+        |  CASE WHEN ${hash60Sql("CAST(user_id AS VARCHAR)")} % 100 < 50
+        |       THEN 'A' ELSE 'B' END AS variant
+        | FROM per),
+        |g AS (
+        | SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS syy
+        | FROM pv),
+        |arm AS (
+        | SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sxa,
+        |  CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sya
+        | FROM pv GROUP BY 1)
+        |SELECT a.variant, a.n_users,
+        | ROUND(sya / CAST(n_users AS DOUBLE), 9) AS mean_y,
+        | ROUND(sxa / CAST(n_users AS DOUBLE), 9) AS mean_x,
+        | ROUND(sya / CAST(n_users AS DOUBLE)
+        |   - (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |   / NULLIF(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0)
+        |   * (sxa / CAST(n_users AS DOUBLE) - sx / CAST(n AS DOUBLE)), 9)
+        |   AS mean_y_adj,
+        | ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |   / NULLIF(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0), 9) AS theta,
+        | ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |   * (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |   / NULLIF((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |   * (CAST(n AS DOUBLE) * syy - sy * sy), 0.0), 9) AS r2
+        |FROM arm a CROSS JOIN g
+        |ORDER BY a.variant""".stripMargin,
 
     // HITS replay: HUGEINT raw sums mirror the Spark DECIMAL(38,0)
     // accumulators; `//` and DIV both truncate, all mass is nonnegative.

@@ -1512,6 +1512,19 @@ class OpsSpec extends SparkSpec {
     assert(375000000L + 375000000L < 1000000000L)
   }
 
+  test("katzNano star: 2^-k path mass, fixed point after one round") {
+    import graft.ops.Graph
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    // hub: 1e9 + (3*1e9) DIV 2 = 2.5e9 from round 1 on (spokes feed a
+    // constant 1e9 each); spokes have no in-edges -> base mass forever
+    for (it <- Seq(1, 2, 5)) {
+      val x = Graph.katzNano(edges, it).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(x(0L) == 2500000000L, s"it=$it")
+      for (i <- 1L to 3L) assert(x(i) == 1000000000L)
+    }
+  }
+
   test("hitsNano star: exact L1-renormalized hub/auth mass, layout-independent") {
     import graft.ops.Graph
     // 1,2,3 -> 0: node 0 is the only authority, 1..3 are equal hubs.
