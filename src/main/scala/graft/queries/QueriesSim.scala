@@ -435,6 +435,36 @@ private[graft] trait QueriesSim { this: SparkEntry.type =>
         .orderBy("query_id", "rank")
     }),
 
+    // ANN quality audit: recall@10 of IVF retrieval vs the brute-force
+    // ground truth at nProbe ∈ {1,2,4} — the tuning curve that decides
+    // nProbe before a production run (the matryoshka-recall discipline:
+    // two retrieval passes + a semi-join overlap, integer-only report
+    // absorbing cosine ULPs). One row per (n_probe, query).
+    "sim_ivf_recall_sweep" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+      val brute = Similarity.bruteForceTopK(emb, q, k = 10)
+        .select(col("query_id"), col("corpus_id"))
+      val sweeps = Seq(1, 2, 4).map { np =>
+        Similarity.ivfTopK(emb, q, k = 10, nCells = 16, nProbe = np)
+          .select(col("query_id"), col("corpus_id"))
+          .join(brute, Seq("query_id", "corpus_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+          .select(lit(np.toLong).as("n_probe"), col("query_id"),
+            col("n_overlap"))
+      }.reduce(_ unionByName _)
+      val grid = Seq(1L, 2L, 4L)
+        .map(np => q.select(lit(np).as("n_probe"),
+          col("vec_id").as("query_id")))
+        .reduce(_ unionByName _)
+      grid.join(sweeps, Seq("n_probe", "query_id"), "left")
+        .select(col("n_probe"), col("query_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          (coalesce(col("n_overlap"), lit(0L)) * 100000000L)
+            .as("recall_nano"))
+        .orderBy("n_probe", "query_id")
+    }),
+
     // IVF-partitioned APPROXIMATE kNN join, corpus vs corpus — the scale
     // complement to sim_knn_join's exact block join: candidates meet only
     // inside IVF cells (one shuffle join co-partitioned on the cell id,
@@ -930,6 +960,69 @@ private[graft] trait QueriesSim { this: SparkEntry.type =>
     },
 
     "sim_ivf_trained_topk" -> ivfTrainedOracle(),
+
+    // Three instantiations of the sim_ivf_topk probe chain (rn <= np)
+    // against the brute chain, overlap counted per query; recall as
+    // exact integer nanos (overlap * 1e8).
+    "sim_ivf_recall_sweep" -> {
+      val perNp = Seq(1, 2, 4).map { np =>
+        s"""qprobe$np AS (
+           |  SELECT query_id, qv, cent_id AS cell FROM (
+           |   SELECT q.query_id, q.qv, ct.cent_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+           |      ORDER BY ${distSql("q.qv", "ct.centv")} ASC, ct.cent_id ASC) AS rn
+           |   FROM q CROSS JOIN cents ct)
+           |  WHERE rn <= $np),
+           | top$np AS (
+           |  SELECT query_id, corpus_id FROM (
+           |   SELECT qp.query_id, ca.corpus_id,
+           |    ROW_NUMBER() OVER (PARTITION BY qp.query_id
+           |      ORDER BY ${cosineSql("qp.qv", "ca.cv")} DESC, ca.corpus_id ASC) AS rank
+           |   FROM cassign ca JOIN qprobe$np qp ON ca.cell = qp.cell
+           |   WHERE ca.corpus_id <> qp.query_id)
+           |  WHERE rank <= 10),
+           | rec$np AS (
+           |  SELECT $np AS n_probe, t.query_id,
+           |   CAST(COUNT(*) AS BIGINT) AS n_overlap
+           |  FROM top$np t JOIN brute b
+           |   ON b.query_id = t.query_id AND b.corpus_id = t.corpus_id
+           |  GROUP BY t.query_id)""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS centv
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         | corpus AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+         |            FROM embeddings),
+         | cassign AS MATERIALIZED (
+         |  SELECT corpus_id, cv, cent_id AS cell FROM (
+         |   SELECT c.corpus_id, c.cv, ct.cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY c.corpus_id
+         |      ORDER BY ${distSql("c.cv", "ct.centv")} ASC, ct.cent_id ASC) AS rn
+         |   FROM corpus c CROSS JOIN cents ct)
+         |  WHERE rn = 1),
+         | q AS MATERIALIZED (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |       FROM embeddings WHERE vec_id < 5),
+         | brute AS MATERIALIZED (
+         |  SELECT query_id, corpus_id FROM (
+         |   SELECT q.query_id, c.corpus_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${cosineSql("q.qv", "c.cv")} DESC, c.corpus_id ASC) AS rank
+         |   FROM corpus c CROSS JOIN q WHERE c.corpus_id <> q.query_id)
+         |  WHERE rank <= 10),
+         | $perNp,
+         | grid AS (
+         |  SELECT np.n_probe, q.query_id
+         |  FROM q CROSS JOIN (SELECT unnest([1, 2, 4]) AS n_probe) np),
+         | recs AS (
+         |  SELECT * FROM rec1 UNION ALL SELECT * FROM rec2
+         |  UNION ALL SELECT * FROM rec4)
+         |SELECT CAST(g.n_probe AS BIGINT) AS n_probe, g.query_id,
+         | COALESCE(r.n_overlap, 0) AS n_overlap,
+         | COALESCE(r.n_overlap, 0) * 100000000 AS recall_nano
+         |FROM grid g LEFT JOIN recs r
+         | ON r.n_probe = g.n_probe AND r.query_id = g.query_id
+         |ORDER BY g.n_probe, g.query_id""".stripMargin
+    },
 
     "sim_ivf_topk" ->
       s"""WITH cents AS (
