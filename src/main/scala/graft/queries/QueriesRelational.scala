@@ -264,6 +264,45 @@ private[graft] trait QueriesRelational { this: SparkEntry.type =>
     // overlapping view windows [t, t+30m] — each overlapping pair kept
     // exactly once via the overlap-start bucket rule
     // (RangeJoin.intervalOverlapJoin); exact integer overlap length.
+    // NEAREST-neighbor time join (both directions — the bidirectional
+    // complement of j4's backward-only as-of): each purchase pairs with
+    // its temporally closest click by the same user, ties to the
+    // earlier click. One tagged union + TWO frames over ONE per-user
+    // sort (last-ignore-nulls carry backward, first-ignore-nulls
+    // forward), then a map-side pick — no self-join, no per-key cross
+    // product, the per-key-sorted shape that scales like any window.
+    // Users with no clicks keep NULL pair columns; signed gap_us < 0
+    // means the click preceded the purchase.
+    "j8_nearest_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+        .where(col("ts").isNotNull && col("event_id").isNotNull &&
+          col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          expr("ts DIV 1000").as("us"), col("event_type"))
+        .where(col("event_type").isin("click", "purchase"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val cStruct = when(col("event_type") === "click",
+        struct(col("us").as("c_us"), col("event_id").as("c_id")))
+      val g = ev
+        .withColumn("prev_c", last(cStruct, ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("next_c", first(cStruct, ignoreNulls = true)
+          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .where(col("event_type") === "purchase")
+      val pick = when(col("next_c").isNull, col("prev_c"))
+        .when(col("prev_c").isNull, col("next_c"))
+        .when(col("us") - col("prev_c.c_us") <=
+          col("next_c.c_us") - col("us"), col("prev_c"))
+        .otherwise(col("next_c"))
+      g.select(col("event_id").as("p_id"), col("user_id"),
+          col("us").as("p_us"), pick.as("c"))
+        .select(col("p_id"), col("user_id"), col("p_us"),
+          col("c.c_id").as("c_id"),
+          (col("c.c_us") - col("p_us")).as("gap_us"))
+        .orderBy("p_id")
+    }),
+
     "j7_interval_overlap" -> ((s, d) => {
       val hourUs = 3600L * 1000000L
       val ev = t(s, d, "events").withColumn("ts_us", expr("ts DIV 1000"))
@@ -1092,6 +1131,43 @@ private[graft] trait QueriesRelational { this: SparkEntry.type =>
         |FROM v JOIN w ON v.user_id = w.user_id
         | AND v.ts_us >= w.start_us AND v.ts_us <= w.end_us
         |ORDER BY v.user_id, v.view_id, w.purchase_id""".stripMargin,
+
+    // The us/id carries are consistent (both CASEs null on exactly the
+    // same rows, so IGNORE NULLS lands on one source row — the struct
+    // the engine carries).
+    "j8_nearest_join" ->
+      """WITH ev AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        | FROM events
+        | WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |  AND user_id IS NOT NULL
+        |  AND event_type IN ('click', 'purchase')),
+        |g AS (
+        | SELECT user_id, event_id, us, event_type,
+        |  last_value(CASE WHEN event_type = 'click' THEN us END
+        |    IGNORE NULLS) OVER wp AS prev_us,
+        |  last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |    IGNORE NULLS) OVER wp AS prev_id,
+        |  first_value(CASE WHEN event_type = 'click' THEN us END
+        |    IGNORE NULLS) OVER wn AS next_us,
+        |  first_value(CASE WHEN event_type = 'click' THEN event_id END
+        |    IGNORE NULLS) OVER wn AS next_id
+        | FROM ev
+        | WINDOW wp AS (PARTITION BY user_id ORDER BY us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY user_id ORDER BY us, event_id
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id AS p_id, user_id, us AS p_us,
+        | CASE WHEN next_us IS NULL THEN prev_id
+        |      WHEN prev_us IS NULL THEN next_id
+        |      WHEN us - prev_us <= next_us - us THEN prev_id
+        |      ELSE next_id END AS c_id,
+        | CASE WHEN next_us IS NULL THEN prev_us
+        |      WHEN prev_us IS NULL THEN next_us
+        |      WHEN us - prev_us <= next_us - us THEN prev_us
+        |      ELSE next_us END - us AS gap_us
+        |FROM g WHERE event_type = 'purchase'
+        |ORDER BY p_id""".stripMargin,
 
     "j7_interval_overlap" ->
       """WITH p AS (
