@@ -337,6 +337,54 @@ private[graft] trait QueriesStream { this: SparkEntry.type =>
       }
     }),
 
+    // Streaming per-source token-frequency tracking via count-min
+    // (transformWithState; fixed 3×512 Long counters + a seen-count
+    // per source). Like stream_kmv the counters are additive, so
+    // arrival-order and split independence hold by construction and
+    // the oracle is the batch cell-addressing replay grouped by
+    // source; each (source, probe-word) pair emits one snapshot row
+    // with the whole file as one batch.
+    "stream_cms_freq" -> ((s, d) => {
+      Graft.tune(s)
+      val prev = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        val probes = CmsProbeWords.map { wd =>
+          (wd, graft.plans.Hash60.hashUTF8(
+            org.apache.spark.unsafe.types.UTF8String.fromString(wd)) %
+            graft.ops.Dedup.MinhashP)
+        }.toArray
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val toks = graft.streaming.StreamingIngest
+          .parquetStream(s, d, schema,
+            globFilter = Some("documents.parquet"))
+          .where(col("source").isNotNull)
+          .select(col("source"),
+            explode(graft.functions.Text.tokens(col("text"))).as("w"))
+          .where(col("w") =!= "")
+          .select(col("source"),
+            pmod(StableHash.hash60(col("w")),
+              lit(graft.ops.Dedup.MinhashP)).as("h"))
+          .as[(String, Long)]
+        val sk = graft.streaming.CmsStream
+          .cmsStream(toks, depth = 3, width = 512, probes)
+          .toDF("source", "n_seen", "word", "est_count")
+        graft.streaming.StreamingIngest
+          .runAvailableNow(s, sk, "stream_cms_mem", outputMode = "append")
+          .orderBy("source", "word")
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset(
+            "spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }),
+
     // Streaming CCNet segment dedup: the boilerplate DETECTOR runs on the
     // document stream (4 files, one per micro-batch) with bounded per-key
     // state — a capped distinct-doc-id set that collapses to an O(1) hot
@@ -439,6 +487,48 @@ private[graft] trait QueriesStream { this: SparkEntry.type =>
     // the streamed series is contractually identical (QueriesStream
     // entry comment; split independence spec'd in StreamingSpec).
     "stream_holt" -> holtOracleSql,
+
+    // Batch cell-addressing replay of the streamed CMS snapshots,
+    // grouped by source (additive counters are order/split
+    // independent); n_seen counts every folded token hash.
+    "stream_cms_freq" -> {
+      val p = Dedup.MinhashP
+      val coefRows = (0 until 3).map { j =>
+        val (a, b) = Dedup.minhashCoeffs(j)
+        s"($j, ${a}::BIGINT, ${b}::BIGINT)"
+      }.mkString(", ")
+      val probeRows = CmsProbeWords.map(w => s"('$w')").mkString(", ")
+      s"""WITH toks AS (
+         | SELECT source, w FROM (
+         |  SELECT source,
+         |   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |  FROM documents
+         |  WHERE source IS NOT NULL AND trim(text) <> '') WHERE w <> ''),
+         |hashed AS (SELECT source, ${hash60Sql("w")} % $p AS h FROM toks),
+         |coef(i, a, b) AS (VALUES $coefRows),
+         |cells AS (
+         | SELECT source, c.i, ((c.a * h.h + c.b) % $p) % 512 AS j,
+         |  COUNT(*) AS cnt
+         | FROM hashed h CROSS JOIN coef c GROUP BY 1, 2, 3),
+         |probes(word) AS (VALUES $probeRows),
+         |pcells AS (
+         | SELECT p.word, c.i,
+         |  ((c.a * (${hash60Sql("p.word")} % $p) + c.b) % $p) % 512 AS j
+         | FROM probes p CROSS JOIN coef c),
+         |srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_seen
+         |         FROM hashed GROUP BY 1),
+         |est AS (
+         | SELECT s.source, pc.word,
+         |  MIN(COALESCE(cl.cnt, 0)) AS est
+         | FROM srcs s CROSS JOIN pcells pc
+         | LEFT JOIN cells cl
+         |  ON cl.source = s.source AND cl.i = pc.i AND cl.j = pc.j
+         | GROUP BY 1, 2)
+         |SELECT e.source, s.n_seen, e.word,
+         | CAST(e.est AS BIGINT) AS est_count
+         |FROM est e JOIN srcs s USING (source)
+         |ORDER BY e.source, e.word""".stripMargin
+    },
 
     // Batch ranked-distinct replay of the streamed KMV snapshot (the
     // kept set is order/split independent, so the batch form IS the

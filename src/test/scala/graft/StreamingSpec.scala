@@ -302,6 +302,60 @@ class StreamingSpec extends SparkSpec {
     assert(run(Seq(f1, f2)) == expected)
   }
 
+  test("streaming CMS: final estimates equal batch sketch under reversed splits") {
+    import graft.streaming.CmsStream
+    import graft.ops.{Dedup, Sketches}
+    def h(w: String): Long = graft.plans.Hash60.hashUTF8(
+      org.apache.spark.unsafe.types.UTF8String.fromString(w)) % Dedup.MinhashP
+    val probes = Array("join" -> h("join"), "scan" -> h("scan"))
+    // key a: 'join' ×5, 'scan' ×2; key b: 'join' ×1
+    val rows = (Seq.fill(5)(("a", h("join"))) ++ Seq.fill(2)(("a", h("scan")))
+      ++ Seq(("b", h("join"))))
+    def run(files: Seq[Seq[(String, Long)]]): Map[(String, String), (Long, Long)] = {
+      val dir = Files.createTempDirectory("graft_scms").toString
+      files.zipWithIndex.foreach { case (part, i) =>
+        part.toDF("k", "h").coalesce(1)
+          .write.mode("append").parquet(s"$dir/f=$i")
+      }
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val schema = spark.read.parquet(dir).schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .select("k", "h").as[(String, Long)]
+        StreamingIngest.runAvailableNow(spark,
+            CmsStream.cmsStream(stream, 3, 512, probes)
+              .toDF("k", "n_seen", "word", "est"),
+            s"scms_${files.size}_${files.map(_.size).sum}",
+            outputMode = "append")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+          .groupBy(t => (t._1, t._3))
+          .map { case (kw, ts) =>
+            val last = ts.maxBy(_._2); kw -> ((last._2, last._4)) }
+      } finally {
+        prev match {
+          case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }
+    // no collisions among 2 probe hashes at width 512 in 3 rows each
+    val expected = Map(
+      ("a", "join") -> ((7L, 5L)), ("a", "scan") -> ((7L, 2L)),
+      ("b", "join") -> ((1L, 1L)), ("b", "scan") -> ((1L, 0L)))
+    assert(run(Seq(rows)) == expected)
+    val (f1, f2) = rows.reverse.splitAt(4)
+    assert(run(Seq(f1, f2)) == expected)
+    // batch-aggregator agreement on key a
+    val sk = rows.filter(_._1 == "a").map(_._2).toDF("h")
+      .agg(Sketches.cmsSketch(3, 512)(col("h"))).head.getSeq[Long](0)
+    assert(Sketches.cmsEstimate(sk, 3, 512, h("join")) == 5L)
+    assert(Sketches.cmsEstimate(sk, 3, 512, h("scan")) == 2L)
+  }
+
   test("streaming hot-segment detector: hot set independent of batch splits, equals batch segmentDedup") {
     import graft.streaming.HotSegments
     // maxDocFreq=2: "nav bar" appears in 4 distinct docs (hot), "footer" in
