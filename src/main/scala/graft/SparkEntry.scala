@@ -93,14 +93,17 @@ object SparkEntry
     s"CAST(SUM(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS DOUBLE) / 10000"
 
   /** NDCG position weights: w_i = round(1e9 / log2(i+1)) for ranks
-    * 1..100, computed ONCE here (java.lang.Math.log) and inlined as the
-    * SAME literals into both the Spark expression and the DuckDB oracle
-    * — the dq_benford hardcoded-log discipline, which sidesteps libm
-    * replay entirely for fixed position grids.
+    * 1..100, computed ONCE here and inlined as the SAME literals into
+    * both the Spark expression and the DuckDB oracle — the dq_benford
+    * hardcoded-log discipline, which sidesteps libm replay entirely for
+    * fixed position grids. StrictMath.log (not Math.log, which JITs to
+    * a platform intrinsic with no cross-platform bit spec) so the
+    * literal grid itself is platform-stable: a baseline stored on one
+    * JVM replays on any other.
     */
   private[graft] val ndcgWeights: IndexedSeq[Long] =
     (1 to 100).map(i =>
-      Math.round(1e9 / (Math.log(i + 1.0) / Math.log(2.0))))
+      Math.round(1e9 / (StrictMath.log(i + 1.0) / StrictMath.log(2.0))))
 
   /** Recursive-CTE replay of the Holt α=β=1/2 recurrences (shared by
     * ts_holt and its streaming twin stream_holt, which emits the
@@ -770,6 +773,49 @@ object SparkEntry
        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Bucket-histogram replay for the simhash hot-bucket audit: the
+    * simhashPairsOracle chain up to the (chunk, value) bucket counts,
+    * then one aggregate row — total buckets, buckets over the cap, and
+    * the signature entries inside them.
+    */
+  private[graft] def simhashBucketAuditOracle(bits: Int, blocks: Int,
+      maxBucket: Int): String = {
+    val width = bits / blocks
+    val mask = (1L << width) - 1L
+    val votes = (0 until bits).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n  ")
+    val bitsum = (0 until bits).map(b =>
+      s"CASE WHEN v.v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    val blockIdx = (0 until blocks).mkString(", ")
+    s"""WITH docs AS (
+       | SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50),
+       |toks AS (
+       | SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       | FROM docs WHERE trim(text) <> ''),
+       |hashed AS (SELECT doc_id, ${hash60Sql("w")} AS h FROM toks),
+       |votes AS (
+       | SELECT doc_id,
+       |  $votes
+       | FROM hashed GROUP BY doc_id),
+       |sig AS MATERIALIZED (
+       | SELECT d.doc_id, CAST(COALESCE($bitsum, 0) AS BIGINT) AS s
+       | FROM docs d LEFT JOIN votes v ON v.doc_id = d.doc_id),
+       |blocked AS (
+       | SELECT doc_id, s, bl, (s >> (bl * $width)) & $mask AS bval
+       | FROM sig CROSS JOIN (SELECT unnest([$blockIdx]) AS bl)),
+       |bk AS (
+       | SELECT bl, bval, COUNT(*) AS n FROM blocked GROUP BY 1, 2)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       | CAST(COALESCE(SUM(CASE WHEN n > $maxBucket THEN 1 END), 0) AS BIGINT)
+       |  AS n_dropped_buckets,
+       | CAST(COALESCE(SUM(CASE WHEN n > $maxBucket THEN n END), 0) AS BIGINT)
+       |  AS n_dropped_rows
+       |FROM bk""".stripMargin
   }
 
   private[graft] def ngramJaccardOracle: String =

@@ -157,7 +157,27 @@ object Dedup {
     */
   def simhashHammingPairs(df: DataFrame, textCol: String, idCol: String,
       bits: Int = 60, blocks: Int = 4, maxHamming: Int = 3,
-      maxBucket: Int = 1024): DataFrame = {
+      maxBucket: Int = 1024): DataFrame =
+    simhashHammingPairsAudited(df, textCol, idCol, bits, blocks,
+      maxHamming, maxBucket)._1
+
+  /** [[simhashHammingPairs]] plus a recall-loss audit: the second frame
+    * is ONE row `(n_buckets, n_dropped_buckets, n_dropped_rows)` over
+    * the same chunk-bucket histogram — buckets suppressed by the
+    * hot-bucket cap and the signature entries inside them. A non-zero
+    * drop count means pairs whose EVERY agreeing chunk is hot were
+    * silently excluded; downstream dedup audits can alert on it
+    * instead of mistaking reduced recall for a clean corpus. The audit
+    * is a separate lazily-planned frame (map-side sig pass + one
+    * bounded aggregate), deterministic and SQL-replayable — NOT an
+    * `observe()` metric, which AQE's empty-relation propagation can
+    * prune out of the executed plan exactly when the cap fires hardest
+    * (all buckets hot → empty pair result → CollectMetrics eliminated,
+    * metrics lost).
+    */
+  def simhashHammingPairsAudited(df: DataFrame, textCol: String,
+      idCol: String, bits: Int = 60, blocks: Int = 4, maxHamming: Int = 3,
+      maxBucket: Int = 1024): (DataFrame, DataFrame) = {
     require(bits % blocks == 0, "blocks must divide bits")
     require(blocks > maxHamming, "need blocks > maxHamming (pigeonhole)")
     require(bits <= 60, "sign bit must stay clear (hash60 width)")
@@ -169,11 +189,18 @@ object Dedup {
         array((0 until blocks).map(bl =>
           expr(s"shiftright(sig, ${bl * width}) & $mask")): _*))
       .as(Seq("blk", "bval")))
+    val capAudit = blocked.groupBy("blk", "bval")
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"),
+        coalesce(sum(when(col("n") > maxBucket, 1L).otherwise(0L)), lit(0L))
+          .as("n_dropped_buckets"),
+        coalesce(sum(when(col("n") > maxBucket, col("n")).otherwise(0L)),
+          lit(0L)).as("n_dropped_rows"))
     val buckets = blocked.groupBy("blk", "bval")
       .agg(sort_array(collect_list(struct(col("id"), col("sig"))))
         .as("ms"), count(lit(1)).as("n"))
       .where(col("n") > 1 && col("n") <= maxBucket)
-    buckets
+    val pairs = buckets
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))
       .where(col("a.id") < col("b.id"))
@@ -183,7 +210,14 @@ object Dedup {
       .withColumn("hamming", expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+    (pairs, capAudit)
   }
+
+  /** Standalone form of [[simhashHammingPairsAudited]]'s audit frame. */
+  def simhashBucketAudit(df: DataFrame, textCol: String, idCol: String,
+      bits: Int = 60, blocks: Int = 4, maxBucket: Int = 1024): DataFrame =
+    simhashHammingPairsAudited(df, textCol, idCol, bits, blocks,
+      maxHamming = math.min(3, blocks - 1), maxBucket = maxBucket)._2
 
   /** Exact n-gram Jaccard similarity for all pairs within `blockCol` blocks
     * — SINGLE-computation relational form: the shingle pipeline (scan,

@@ -335,8 +335,18 @@ object Graph {
     * Same shape discipline as [[pageRankNano]]: edges pinned on src
     * once, per-round one src-keyed attach + one dst-keyed sum, lineage
     * truncated every 4 rounds.
+    *
+    * Overflow bound: per-round in-neighbor sums grow like
+    * (λ_max/2)^k · 1e9, so they accumulate in DECIMAL(38,0) (DuckDB:
+    * HUGEINT — the [[hitsNano]] / ts_acf automatic-width discipline)
+    * rather than a silently-wrapping BIGINT; only the halved per-node
+    * score returns to BIGINT. A score that would still exceed 2^63
+    * after halving (λ_max ≥ ~2 on a long horizon — outside Katz's
+    * convergence regime β < 1/λ_max anyway) nulls under non-ANSI
+    * instead of wrapping, on both engines.
     */
   def katzNano(edges: DataFrame, iterations: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val e = edges.select(col("src"), col("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .repartition(col("src")).localCheckpoint(true)
@@ -346,10 +356,11 @@ object Graph {
     var x = nodes.select(col("id"), lit(1000000000L).as("x_nano"))
     for (it <- 1 to iterations) {
       val sums = e.join(x.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id")).agg(sum(col("x_nano")).as("s"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("x_nano").cast(DecimalType(38, 0))).as("s"))
       x = nodes.join(sums, Seq("id"), "left")
         .select(col("id"),
-          expr("1000000000L + coalesce(s, 0L) DIV 2").as("x_nano"))
+          expr("1000000000L + coalesce(s DIV 2, 0L)").as("x_nano"))
       if (it % 4 == 0 && it < iterations) x = x.localCheckpoint(true)
     }
     x

@@ -47,6 +47,24 @@ object MarkovAttribution {
   def removalEffects(events: DataFrame, userCol: String, ordCol: String,
       tieCol: String, typeCol: String, convType: String,
       rounds: Int = 8): DataFrame = {
+    // 'start'/'conv'/'null' are the synthetic journey states; a REAL
+    // event type spelled like one of them would silently merge its
+    // transitions with the synthetic state (e.g. a genuine 'null'
+    // channel conflates with the unconverted-end sink), corrupting all
+    // probabilities. Fail loudly instead — the check is one tiny
+    // distinct over a column the pipeline scans anyway.
+    val reservedStates = Seq("start", "conv", "null")
+    require(!reservedStates.contains(convType),
+      s"convType '$convType' collides with a reserved synthetic state " +
+        s"(${reservedStates.mkString("/")})")
+    val offending = events
+      .where(col(typeCol).isin(reservedStates: _*) &&
+        col(typeCol) =!= convType)
+      .select(col(typeCol)).distinct().limit(4).collect()
+    require(offending.isEmpty,
+      "event types collide with reserved synthetic states " +
+        s"(${reservedStates.mkString("/")}): " +
+        offending.map(_.getString(0)).mkString(", "))
     val sp = events.sparkSession
     val w = Window.partitionBy(userCol)
       .orderBy(col(ordCol), col(tieCol))

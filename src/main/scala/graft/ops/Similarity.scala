@@ -370,6 +370,30 @@ object Similarity {
     ivfProbe(corpus, queries, cents, k, nProbe)
   }
 
+  /** IVF probe against an ALREADY-TRAINED centroid table
+    * `(cent_id, centv)` — the serve half of the train-once/serve-many
+    * lifecycle ([[AnnIndex]]): no Lloyd rounds, no corpus passes beyond
+    * the probe itself, zero jobs at plan time (the centroid frame stays
+    * lazy; PlanShapeSpec asserts it). With centroids loaded from
+    * [[AnnIndex.trainAndSaveIvf]]'s output this hash-matches
+    * [[ivfTopKTrained]] exactly — parquet round-trips the IEEE doubles
+    * bit-for-bit and the probe arithmetic is shared.
+    */
+  def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int, nProbe: Int = 2): DataFrame =
+    ivfProbe(corpus, queries,
+      centroids.select(col("cent_id"), col("centv")), k, nProbe)
+
+  /** PQ retrieval against an already-trained driver-side codebook (from
+    * [[AnnIndex.loadPqCodebook]]) — [[pqTopKTrained]] minus the training
+    * passes; bit-identical results for the persisted codebook.
+    */
+  def pqTopKWithCodebook(corpus: DataFrame, queries: DataFrame,
+      codebook: Seq[(Long, Int, Seq[Double])], k: Int, m: Int = 8,
+      dsub: Int = 8, codebookSize: Int = 16, rerank: Int = 40): DataFrame =
+    pqWithCodebook(corpus, queries, codebook, k, m, dsub, codebookSize,
+      rerank)
+
   /** Lloyd iterations; returns (cell, centroid) with cell = rank of the
     * seed's vec_id in the prefix sample. See [[ivfTopKTrained]] for the
     * determinism contract.

@@ -118,6 +118,21 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
         .orderBy("id_a", "id_b")
     }),
 
+    // Hot-bucket recall-loss audit for the pigeonhole join: how many
+    // chunk buckets the cap suppressed, and how many signature entries
+    // they held — the signal that separates "clean corpus" from
+    // "reduced recall" when the capped pair join comes back sparse.
+    // Same planted-union corpus as dedup_simhash_pairs, deliberately
+    // tight cap (8) so the drop path is exercised, not just compiled.
+    "dedup_simhash_bucket_audit" -> ((s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = base.where(col("doc_id") < 50)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      Dedup.simhashBucketAudit(
+        Graft.spread(base.unionByName(planted)), "text", "doc_id",
+        bits = 60, blocks = 4, maxBucket = 8)
+    }),
+
     // Exact n-gram Jaccard pairs (relational formulation). The fixed-id
     // slice (doc_id < 300) bounds the VERIFY cost — exact all-pairs jaccard
     // within shared-shingle blocks grows quadratically with docs sharing a
@@ -627,6 +642,8 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
     "dedup_simhash" -> simhashOracle(16),
     "dedup_simhash_pairs" -> simhashPairsOracle(
       bits = 60, blocks = 4, maxHamming = 3, maxBucket = 1024),
+    "dedup_simhash_bucket_audit" -> simhashBucketAuditOracle(
+      bits = 60, blocks = 4, maxBucket = 8),
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_containment" -> containmentOracle,

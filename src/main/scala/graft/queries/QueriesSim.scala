@@ -229,6 +229,43 @@ private[graft] trait QueriesSim { this: SparkEntry.type =>
         .orderBy("query_id", "rank")
     }),
 
+    // Train-once / serve-many ANN lifecycle (AnnIndex): the first call
+    // per (JVM, dataset) trains the 2-round Lloyd centroids and persists
+    // them as a parquet index table; the query itself LOADS that table
+    // and probes — no Lloyd rounds on the serve path (PlanShapeSpec
+    // asserts zero jobs at plan time). Hash-matches sim_ivf_trained_topk
+    // — same oracle — because parquet round-trips the IEEE centroid
+    // doubles bit-for-bit and the probe arithmetic is shared.
+    "sim_ivf_persisted_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = scratch("ivf_index", d) { out =>
+        graft.ops.AnnIndex.trainAndSaveIvf(t(s, d, "embeddings"),
+          nCells = 16, iters = 2, s"$out/centroids")
+      }
+      val cents = graft.ops.AnnIndex.loadIvfCentroids(s, s"$idx/centroids")
+      Similarity.ivfTopKWithCentroids(emb, emb.where(col("vec_id") < 5),
+        cents, k = 10, nProbe = 2)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // The PQ half of the persisted-index lifecycle: Lloyd-refined
+    // sub-codebooks trained+saved once, reloaded (m × codebookSize rows
+    // — bounded index state) and served. Hash-matches
+    // sim_pq_trained_topk (same oracle).
+    "sim_pq_persisted_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = scratch("pq_index", d) { out =>
+        graft.ops.AnnIndex.trainAndSavePq(t(s, d, "embeddings"), m = 8,
+          dsub = 8, codebookSize = 16, iters = 2, s"$out/codebook")
+      }
+      val cb = graft.ops.AnnIndex.loadPqCodebook(s, s"$idx/codebook")
+      Similarity.pqTopKWithCodebook(emb, emb.where(col("vec_id") < 5),
+        cb, k = 10, m = 8, dsub = 8, codebookSize = 16, rerank = 40)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // Per-label embedding centroids (class prototypes): relational
     // posexplode + decimal-exact per-dimension means + position-sorted
     // regroup — scales like a group-by, no per-group vector buffers.
@@ -960,6 +997,11 @@ private[graft] trait QueriesSim { this: SparkEntry.type =>
     },
 
     "sim_ivf_trained_topk" -> ivfTrainedOracle(),
+    // The persisted-index entries load exactly what the trained runs
+    // computed (parquet round-trips doubles bit-for-bit), so they share
+    // the trained oracles verbatim.
+    "sim_ivf_persisted_topk" -> ivfTrainedOracle(),
+    "sim_pq_persisted_topk" -> pqTopkOracle(iters = 2),
 
     // Three instantiations of the sim_ivf_topk probe chain (rn <= np)
     // against the brute chain, overlap counted per query; recall as

@@ -1468,6 +1468,32 @@ class OpsSpec extends SparkSpec {
     assert(got.contains((0L, 100L, 0L))) // the planted exact copy
   }
 
+  test("simhashHammingPairsAudited surfaces the hot-bucket recall loss") {
+    import graft.ops.Dedup
+    // 5 identical docs: every chunk bucket holds all 5 sigs, so with
+    // maxBucket = 4 every candidate bucket is suppressed — zero pairs
+    // out, and the audit must say why
+    val docs = (0 until 5).map(i => (i.toLong, "same words every time"))
+      .toDF("doc_id", "text")
+    val (pairs, audit) = Dedup.simhashHammingPairsAudited(docs, "text",
+      "doc_id", bits = 60, blocks = 4, maxHamming = 3, maxBucket = 4)
+    assert(pairs.count() == 0L)
+    val a = audit.collect().head
+    assert(a.getAs[Long]("n_buckets") == 4L) // one (hot) bucket per chunk
+    assert(a.getAs[Long]("n_dropped_buckets") == 4L)
+    assert(a.getAs[Long]("n_dropped_rows") == 20L) // 5 sigs x 4 chunks
+    // and on a corpus with no hot bucket the audit reads zero drops
+    val distinctDocs = (0 until 6)
+      .map(i => (i.toLong, s"doc number $i entirely unlike others $i$i"))
+      .toDF("doc_id", "text")
+    val (_, a2) = Dedup.simhashHammingPairsAudited(distinctDocs, "text",
+      "doc_id", bits = 60, blocks = 4, maxHamming = 3, maxBucket = 1024)
+    val r2 = a2.collect().head
+    assert(r2.getAs[Long]("n_dropped_buckets") == 0L)
+    assert(r2.getAs[Long]("n_dropped_rows") == 0L)
+    assert(r2.getAs[Long]("n_buckets") >= 20L) // 6 docs x 4 chunks, mostly distinct
+  }
+
   test("markov removalEffects: hand-computed journey graph, per-edge truncation") {
     import graft.ops.MarkovAttribution
     // u1: view -> click -> BUY   u2: view -> error (unconverted tail)

@@ -475,4 +475,47 @@ class PlanShapeSpec extends SparkSpec {
     assert("partial_topkagg".r.findAllIn(p).size >= 2,
       s"both ranked lists must use the bounded finisher: ${p.take(1200)}")
   }
+
+  test("persisted IVF probe runs zero training jobs at plan time") {
+    // The train-once/serve-many contract (AnnIndex): once centroids are
+    // persisted, building the probe plan must launch NO job — no Lloyd
+    // rounds, no corpus pass, no collect. ivfTopKTrained, by contrast,
+    // fires its training jobs right here. Index train+save and the
+    // parquet loads stay OUTSIDE the listener window (a cold
+    // spark.read.parquet can fire a driver schema-read job).
+    val emb = graft.core.Graft.table(spark, sf, "embeddings")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_persist_").toString
+    graft.ops.AnnIndex.trainAndSaveIvf(emb, nCells = 16, iters = 2,
+      s"$dir/centroids")
+    val cents = graft.ops.AnnIndex.loadIvfCentroids(spark, s"$dir/centroids")
+    cents.queryExecution.executedPlan // absorb the one-off schema read
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val d = graft.ops.Similarity.ivfTopKWithCentroids(emb,
+        emb.where(org.apache.spark.sql.functions.col("vec_id") < 5),
+        cents, k = 10, nProbe = 2)
+      d.queryExecution.executedPlan // force full planning
+      Thread.sleep(500) // async listener settle
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(jobs.get() == 0,
+      s"planning the persisted-IVF probe launched ${jobs.get()} job(s) — " +
+        "the serve path must not retrain or collect")
+    // and the probe result matches the inline-trained run bit-for-bit
+    val served = graft.ops.Similarity.ivfTopKWithCentroids(emb,
+      emb.where(org.apache.spark.sql.functions.col("vec_id") < 5),
+      cents, k = 10, nProbe = 2).collect().map(_.toSeq).toSeq
+    val inline = graft.ops.Similarity.ivfTopKTrained(emb,
+      emb.where(org.apache.spark.sql.functions.col("vec_id") < 5),
+      k = 10, nCells = 16, nProbe = 2, iters = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(served == inline)
+  }
 }
