@@ -55,7 +55,9 @@ object Bench {
     "text_bm25_topk" -> 512,  // ranked retrieval (index amortized)
     "sim_pq_topk" -> 4096,     // PQ ANN (codebook/encode amortized)
     "dedup_semantic" -> 512,   // SemDeDup (centroid training amortized)
-    "sim_knn_join" -> 16)      // corpus-vs-corpus exact kNN graph build
+    "sim_knn_join" -> 16,      // corpus-vs-corpus exact kNN graph build
+    "sim_knn_join_ivf" -> 64,  // IVF-partitioned approximate kNN join
+    "sketch_kmv_distinct" -> 8) // KMV distinct sketch over events
 
   /** r copies of every row, tagged 0..r-1: one scan, spread across all
     * cores FIRST (the single-row-group test files scan as one partition —
@@ -251,6 +253,42 @@ object Bench {
         Similarity.knnJoin(emb, q, k = 3, nBlocks = 16)
           .withColumn("cosine", round(col("cosine"), 6))
           .orderBy("query_id", "rank")
+
+      case "sim_knn_join_ivf" =>
+        // Query-side replication, same pattern as sim_knn_join; the IVF
+        // cell partitioning is the scale path (pair work Σ|cell|·|probe|),
+        // so this measures the approximate join's marginal next to the
+        // exact block join's.
+        val emb = t("embeddings")
+        val q = emb
+          .withColumn("__rep", explode(sequence(lit(0L), lit(r - 1L))))
+          .select((col("vec_id") + (col("__rep") + 1L) * 1000000L).as("vec_id"),
+            col("embedding"))
+        Similarity.knnJoinIvf(emb, q, k = 3, nCells = 16, nProbe = 2)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy("query_id", "rank")
+
+      case "sketch_kmv_distinct" =>
+        // The corpus entry verbatim over replicated events with __rep in
+        // the group key: N independent sketch builds fused — hashing and
+        // the k-bounded mergeable aggregate run once per instance.
+        val ev = replicate(t("events"), r)
+          .where(col("user_id").isNotNull)
+          .select(col("__rep"), col("event_type"), col("user_id"),
+            graft.functions.StableHash.hash60(col("user_id").cast("string")).as("h"))
+        ev.groupBy("__rep", "event_type")
+          .agg(graft.ops.Sketches.kmvMins(64)(col("h")).as("mins"),
+            countDistinct(col("user_id")).as("n_exact"))
+          .select(col("__rep"), col("event_type"),
+            size(col("mins")).cast("long").as("n_kept"),
+            element_at(col("mins"), -1).as("kth_min"),
+            when(size(col("mins")) < 64, size(col("mins")).cast("long"))
+              .otherwise(expr(
+                "CAST(63 AS DECIMAL(38,0)) * 1152921504606846976" +
+                  " DIV NULLIF(element_at(mins, -1), 0)"))
+              .as("est_users"),
+            col("n_exact"))
+          .orderBy("__rep", "event_type")
 
       case "dedup_semantic" =>
         // Centroids train once (resident-index amortization, like the PQ

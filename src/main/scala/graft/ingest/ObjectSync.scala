@@ -13,8 +13,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * (sha256 by default, exactly the reference's manifest algorithm —
   * upload_to_s3.py:30-36 — so manifests are interchangeable; md5
   * selectable), skip when the target already has the same length +
-  * digest, post-copy verify, and a digest manifest. Single-process by
-  * design (it is I/O-bound setup tooling); the engine-relevant bulk path
+  * digest, post-copy verify, and a digest manifest. Per-file work runs on
+  * a bounded thread pool (8 workers by default, the reference's
+  * max_workers at upload_to_s3.py:126,161); the report keeps listing
+  * order regardless of completion order. The engine-relevant bulk path
   * at 100 TB is `df.write.parquet("s3a://...")` with committer configs.
   */
 object ObjectSync {
@@ -55,36 +57,55 @@ object ObjectSync {
   def sync(conf: Configuration, srcDir: String, dstDir: String,
       include: String => Boolean = _ => true,
       dryRun: Boolean = false,
-      algorithm: String = "SHA-256"): SyncReport = {
+      algorithm: String = "SHA-256",
+      workers: Int = 8): SyncReport = {
+    require(workers >= 1, s"workers must be >= 1, got $workers")
     val src = new Path(srcDir); val dst = new Path(dstDir)
     val sfs = src.getFileSystem(conf); val dfs = dst.getFileSystem(conf)
     dfs.mkdirs(dst)
     val files = listFiles(sfs, src, include)
-    val copied = Seq.newBuilder[String]; val skipped = Seq.newBuilder[String]
-    val manifest = Map.newBuilder[String, String]
-    var allOk = true
     // Qualify before relativizing: a scheme-less source URI makes
     // relativize a no-op, which would resolve the "target" to the source
     // itself and silently skip every file.
     val srcUri = sfs.makeQualified(src).toUri
-    files.foreach { f =>
+
+    final case class FileResult(rel: String, digest: String,
+        wasSkipped: Boolean, ok: Boolean)
+    def oneFile(f: Path): FileResult = {
       val rel = srcUri.relativize(sfs.makeQualified(f).toUri).getPath
       require(!rel.startsWith("/"), s"failed to relativize $f against $src")
       val target = new Path(dst, rel)
       val srcSum = digestOf(sfs, f, algorithm)
-      manifest += rel -> srcSum
       val canSkip = dfs.exists(target) &&
         dfs.getFileStatus(target).getLen == sfs.getFileStatus(f).getLen &&
         digestOf(dfs, target, algorithm) == srcSum // skip-existing (upload_to_s3.py:184-191)
-      if (canSkip) skipped += rel
+      if (canSkip) FileResult(rel, srcSum, wasSkipped = true, ok = true)
       else if (!dryRun) {
         org.apache.hadoop.fs.FileUtil.copy(sfs, f, dfs, target,
           false, true, conf)
         // post-copy verify (upload_to_s3.py:197-200)
-        if (digestOf(dfs, target, algorithm) != srcSum) allOk = false
-        copied += rel
-      } else copied += rel
+        FileResult(rel, srcSum, wasSkipped = false,
+          ok = digestOf(dfs, target, algorithm) == srcSum)
+      } else FileResult(rel, srcSum, wasSkipped = false, ok = true)
     }
-    SyncReport(copied.result(), skipped.result(), allOk, manifest.result())
+
+    // Bounded pool; invokeAll returns futures in submission (= listing)
+    // order, so the report is deterministic however the copies interleave.
+    // Each task touches a distinct target path, so tasks never race.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(workers, math.max(1, files.size)))
+    val results =
+      try {
+        import scala.jdk.CollectionConverters._
+        pool.invokeAll(files.map(f =>
+          new java.util.concurrent.Callable[FileResult] {
+            override def call(): FileResult = oneFile(f)
+          }).asJava).asScala.map(_.get()).toSeq
+      } finally pool.shutdown()
+    SyncReport(
+      results.filterNot(_.wasSkipped).map(_.rel),
+      results.filter(_.wasSkipped).map(_.rel),
+      results.forall(_.ok),
+      results.map(r => r.rel -> r.digest).toMap)
   }
 }

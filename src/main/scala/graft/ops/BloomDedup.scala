@@ -74,13 +74,104 @@ object BloomDedup {
     * option. Callers with small inputs can persist before calling.
     */
   def newRows(incoming: DataFrame, seen: DataFrame, keyCol: String,
-      expectedItems: Long): DataFrame = {
-    val bloom = bloomFilter(seen, col(keyCol), expectedItems)
-    val probed = probe(incoming, bloom, col(keyCol))
+      expectedItems: Long): DataFrame =
+    newRowsWithSketches(incoming, seen, keyCol,
+      Seq(bloomFilter(seen, col(keyCol), expectedItems)))
+
+  /** [[newRows]] routed through PRE-BUILT sketch column(s) (from
+    * [[sketchColumns]]): the daily-crawl shape, where the seen corpus's
+    * sketch was persisted by an earlier run and today's batch probes it
+    * without re-aggregating 100 TB of history into a filter. A row is
+    * definitely new only if EVERY shard says might-contain = false (each
+    * shard covers one historical batch; no false negatives per shard, so
+    * the OR preserves exactness). `seen` is still consulted for the exact
+    * verify on the might-contain fraction — the sketches only route.
+    */
+  def newRowsWithSketches(incoming: DataFrame, seen: DataFrame,
+      keyCol: String, sketches: Seq[Column]): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch column")
+    val probed = sketches.tail
+      .foldLeft(probe(incoming, sketches.head, col(keyCol))) { (df, sk) =>
+        val again = probe(
+          df.withColumnRenamed("__might_contain", "__mc_acc"), sk, col(keyCol))
+        // fold OR across shards, keeping the single __might_contain column
+        again.withColumn("__might_contain",
+          col("__mc_acc") || col("__might_contain")).drop("__mc_acc")
+      }
     val definitelyNew = probed.where(!col("__might_contain"))
     val needVerify = probed.where(col("__might_contain"))
     val verifiedNew = needVerify.join(
       seen.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
     definitelyNew.unionByName(verifiedNew).drop("__might_contain")
+  }
+
+  // ---- cross-run sketch persistence ---------------------------------------
+  //
+  // Sketch state is a TABLE of shard rows (shard STRING, sketch BINARY,
+  // n_expected BIGINT): one row per ingested batch, appended as batches
+  // arrive. Bytes per shard are fixed by n_expected (~1.2 MB at 1M items /
+  // 3% fpp), so the table stays driver-bounded like ANN codebooks even
+  // after thousands of batches; compactSketches folds shards back to one
+  // row when the OR fan-out grows.
+
+  /** Build the Bloom sketch over `seen`'s `keyCol` and append it as one
+    * shard row under `path`. Run once per ingested batch (over that batch
+    * only — history is already sketched).
+    */
+  def saveSketch(seen: DataFrame, keyCol: String, expectedItems: Long,
+      path: String, shard: String): Unit = {
+    val child = GraftBridge.expression(xxhash64(col(keyCol)))
+    val agg = new BloomFilterAggregate(child, expectedItems).toAggregateExpression()
+    seen.where(col(keyCol).isNotNull)
+      .agg(GraftBridge.column(agg).as("sketch"))
+      .select(lit(shard).as("shard"), col("sketch"),
+        lit(expectedItems).as("n_expected"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** One scalar-subquery sketch column per persisted shard, ready for
+    * [[newRowsWithSketches]]. The shard listing is a driver action over
+    * the sketch TABLE only (rows == batches ingested; KBs) — zero jobs
+    * touch the seen corpus, which is the point of persisting.
+    */
+  def sketchColumns(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Column] = {
+    val shards = spark.read.parquet(path).select("shard")
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    shards.map { sh =>
+      val plan = spark.read.parquet(path).where(col("shard") === sh)
+        .agg(first(col("sketch")).as("__bloom"))
+        .queryExecution.analyzed
+      GraftBridge.column(ScalarSubquery(plan))
+    }
+  }
+
+  /** Fold all shard rows under `path` into ONE merged shard (driver-side
+    * `mergeInPlace`; every shard must share `n_expected` so bit arrays are
+    * compatible). Bounds the probe's OR fan-out; the merged filter answers
+    * might-contain exactly as the OR of its inputs did.
+    */
+  def compactSketches(spark: org.apache.spark.sql.SparkSession,
+      path: String, shard: String = "compacted"): Unit = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val rows = spark.read.parquet(path)
+      .select("sketch", "n_expected").collect()
+    val present = rows.filter(!_.isNullAt(0))
+    if (present.nonEmpty) {
+      require(present.map(_.getLong(1)).distinct.length == 1,
+        "compactSketches: shards were sized with different expectedItems")
+      val filters = present.map { r =>
+        BloomFilter.readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0)))
+      }
+      val merged = filters.reduce { (a, b) => a.mergeInPlace(b); a }
+      val out = new java.io.ByteArrayOutputStream()
+      merged.writeTo(out)
+      val one = spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(shard, out.toByteArray, present.head.getLong(1))),
+        spark.read.parquet(path).schema)
+      // write the replacement beside the old shards, then swap via overwrite
+      one.localCheckpoint(true).write.mode("overwrite").parquet(path)
+    }
   }
 }

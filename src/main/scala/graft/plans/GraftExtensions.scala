@@ -21,6 +21,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM graft_knn_join('embeddings', 'embeddings', 10, 16);
   *   SELECT * FROM graft_knn_join_ivf('embeddings', 'embeddings', 10, 16, 2);
   *   SELECT * FROM graft_quality_gate('documents', 'text');
+  *   SELECT * FROM graft_asof_join('views', 'purchases', 'user_id', 'ts_us', 'pval');
+  *   SELECT * FROM graft_segment_dedup('documents', 'text', 'doc_id', ' table ', 25);
   * }}}
   *
   * Each TVF resolves its table-name literals against the session catalog
@@ -138,6 +140,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       val fn = "graft_quality_gate"
       plan(graft.ops.TextAnalysis.qualityGate(sp.table(litStr(args, 0, fn)),
         litStr(args, 1, fn)))
+    }
+
+    // keys/payload column lists arrive as comma-separated literals (TVF
+    // arguments must be scalar literals); whitespace around names is
+    // tolerated.
+    tvf(e, "graft_asof_join",
+      "graft_asof_join(left_table, right_table, keys_csv, ts_col, payload_csv)") { (sp, args) =>
+      require(args.length == 5,
+        "graft_asof_join(left_table, right_table, keys_csv, ts_col, payload_csv)")
+      val fn = "graft_asof_join"
+      def cols(i: Int) =
+        litStr(args, i, fn).split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+      plan(graft.ops.AsOfJoin.asOf(sp.table(litStr(args, 0, fn)),
+        sp.table(litStr(args, 1, fn)),
+        keys = cols(2), tsCol = litStr(args, 3, fn), payloadCols = cols(4)))
+    }
+
+    tvf(e, "graft_segment_dedup",
+      "graft_segment_dedup(table, text_col, id_col, sep, max_doc_freq)") { (sp, args) =>
+      require(args.length == 5,
+        "graft_segment_dedup(table, text_col, id_col, sep, max_doc_freq)")
+      val fn = "graft_segment_dedup"
+      plan(graft.ops.Dedup.segmentDedup(sp.table(litStr(args, 0, fn)),
+        litStr(args, 1, fn), litStr(args, 2, fn),
+        sep = litStr(args, 3, fn),
+        maxDocFreq = litVal(args, 4, fn) match {
+          case n: Number => n.longValue()
+          case v => throw new IllegalArgumentException(
+            s"$fn: argument 5 must be an integer literal, got $v")
+        }))
     }
   }
 }

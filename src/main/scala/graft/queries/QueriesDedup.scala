@@ -399,6 +399,35 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Cross-RUN incremental twin of bloom_new_docs: the seen corpus arrived
+    // as two historical batches (ids < 200, then 200..249) whose Bloom
+    // sketches were PERSISTED as shard rows when each batch was ingested
+    // (write-once scratch — a later run, here the probe, never rebuilds
+    // them). Today's batch (ids >= 250) probes the persisted shards — zero
+    // aggregation jobs over history — and hash-matches the joint recompute
+    // (the oracle's plain NOT EXISTS against all seen ids).
+    "bloom_new_docs_incremental" -> ((s, d) => {
+      val path = scratch("bloomsk", d) { out =>
+        val docs0 = t(s, d, "documents")
+        graft.ops.BloomDedup.saveSketch(
+          docs0.where(col("doc_id") < 200)
+            .select(md5(col("text")).as("digest")),
+          "digest", expectedItems = 1 << 16, path = out, shard = "b0")
+        graft.ops.BloomDedup.saveSketch(
+          docs0.where(col("doc_id") >= 200 && col("doc_id") < 250)
+            .select(md5(col("text")).as("digest")),
+          "digest", expectedItems = 1 << 16, path = out, shard = "b1")
+      }
+      val docs = t(s, d, "documents")
+      val incoming = docs.where(col("doc_id") >= 250)
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+      val seen = docs.where(col("doc_id") < 250)
+        .select(md5(col("text")).as("digest"))
+      graft.ops.BloomDedup.newRowsWithSketches(incoming, seen, "digest",
+          graft.ops.BloomDedup.sketchColumns(s, path))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // Edit-distance fuzzy match (entity-resolution shape): candidates from
     // the sorted-neighborhood pass, verified with Levenshtein over a
     // normalized bounded prefix (cost capped per pair; the DP is O(L^2) so
@@ -502,6 +531,15 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
     "dedup_segments" -> segmentDedupOracleSql,
 
     "bloom_new_docs" ->
+      """SELECT i.doc_id FROM documents i
+        |WHERE i.doc_id >= 250 AND NOT EXISTS (
+        |  SELECT 1 FROM documents s
+        |  WHERE s.doc_id < 250 AND md5(s.text) = md5(i.text))
+        |ORDER BY doc_id""".stripMargin,
+
+    // The persisted-sketch path is exact (shards only route rows), so the
+    // joint recompute is the same NOT EXISTS against the full seen set.
+    "bloom_new_docs_incremental" ->
       """SELECT i.doc_id FROM documents i
         |WHERE i.doc_id >= 250 AND NOT EXISTS (
         |  SELECT 1 FROM documents s

@@ -397,6 +397,42 @@ private[graft] trait QueriesPipeline { this: SparkEntry.type =>
         .orderBy("event_type")
     }),
 
+    // Cross-RUN incremental twin of sketch_kmv_distinct: run 1 ingested
+    // batch 1 (event_id % 3 != 0) and PERSISTED its per-type KMV kept
+    // sets; run 2 (here) resumes that state — explode the persisted mins,
+    // union batch 2's hashes, re-aggregate — and equals the joint
+    // recompute over all events exactly: any hash in the joint k-min set
+    // that came from batch 1 is necessarily in batch 1's k-min set, so no
+    // information is lost by keeping only the sketch. The oracle IS the
+    // joint recompute.
+    "sketch_kmv_incremental" -> ((s, d) => {
+      def hashes(df: DataFrame) =
+        Graft.spread(df).where(col("user_id").isNotNull)
+          .select(col("event_type"),
+            StableHash.hash60(col("user_id").cast("string")).as("h"))
+      val path = scratch("kmvstate", d) { out =>
+        hashes(t(s, d, "events").where(col("event_id") % 3 =!= 0))
+          .groupBy("event_type")
+          .agg(Sketches.kmvMins(64)(col("h")).as("mins"))
+          .write.mode("overwrite").parquet(out)
+      }
+      val prior = s.read.parquet(path)
+        .select(col("event_type"), explode(col("mins")).as("h"))
+      val batch2 = hashes(t(s, d, "events").where(col("event_id") % 3 === 0))
+      prior.unionByName(batch2)
+        .groupBy("event_type")
+        .agg(Sketches.kmvMins(64)(col("h")).as("mins"))
+        .select(col("event_type"),
+          size(col("mins")).cast("long").as("n_kept"),
+          element_at(col("mins"), -1).as("kth_min"),
+          when(size(col("mins")) < 64, size(col("mins")).cast("long"))
+            .otherwise(expr(
+              "CAST(63 AS DECIMAL(38,0)) * 1152921504606846976" +
+                " DIV NULLIF(element_at(mins, -1), 0)"))
+            .as("est_users"))
+        .orderBy("event_type")
+    }),
+
     // Sequence-gap audit (per-order line numbers must run 1..n): the
     // min/max/count identity finds every hole in ONE hash aggregate —
     // no window, no sort, no per-key densify. Gaps are PLANTED (line 3
@@ -977,6 +1013,29 @@ private[graft] trait QueriesPipeline { this: SparkEntry.type =>
 
     "sketch_hll_distinct" -> hllDistinctOracle,
     "sketch_cms_freq" -> cmsFreqOracle,
+
+    // Incremental resume == joint recompute by KMV's split independence,
+    // so the oracle is simply the joint ranked distinct scan.
+    "sketch_kmv_incremental" -> {
+      val h = hash60Sql("CAST(user_id AS VARCHAR)")
+      s"""WITH hd AS (
+         | SELECT DISTINCT event_type, $h AS h
+         | FROM events WHERE user_id IS NOT NULL),
+         |r AS (
+         | SELECT event_type, h,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         | FROM hd),
+         |kept AS (
+         | SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  CAST(MAX(h) AS BIGINT) AS kth_min
+         | FROM r WHERE rn <= 64 GROUP BY 1)
+         |SELECT event_type, n_kept, kth_min,
+         | CASE WHEN n_kept < 64 THEN n_kept
+         |      ELSE CAST(CAST(63 AS HUGEINT) * 1152921504606846976
+         |             // NULLIF(kth_min, 0) AS BIGINT) END AS est_users
+         |FROM kept
+         |ORDER BY event_type""".stripMargin
+    },
 
     // The KMV kept set is a pure function of the data (k smallest
     // distinct hashes), so the oracle re-derives it with a ranked

@@ -73,6 +73,71 @@ private[graft] trait QueriesSim { this: SparkEntry.type =>
           expr("ap_sum DIV NULLIF(n_rel, 0)").as("ap_nano"))
     }),
 
+    // Multi-query ranking audit: the rank_ndcg metric battery composed
+    // over bm25TopK's per-query rankings (k=20, the rank_fusion query
+    // battery), graded by language relevance — per-query NDCG/MRR/AP rows
+    // plus one macro-averaged row (query_id NULL; truncating integer mean
+    // over the per-query rows, NULL metrics counted as 0). The retrieved
+    // set is bounded (|Q|·k rows), so it broadcasts to the relevance
+    // lookup and every window runs on the bounded frame — never a
+    // corpus-wide window.
+    "rank_ndcg_multi" -> ((s, d) => {
+      val qs = Seq(1L -> Seq("spark", "join", "fast"),
+        2L -> Seq("customer", "query", "slow"),
+        3L -> Seq("vector", "hash", "merge"))
+      val docs = t(s, d, "documents")
+      val rel = expr("CASE lang WHEN 'en' THEN 3L WHEN 'de' THEN 2L" +
+        " WHEN 'fr' THEN 1L ELSE 0L END")
+      // |Q|·k rows; eagerly pinned so the bm25 scoring chain plans ONCE —
+      // it feeds the relevance join and (through perQ) both union
+      // branches, and alias-renumbered replans of the whole chain per
+      // consumer are exactly the re-plan trap the Graph discipline avoids
+      val retrieved = TextAnalysis.bm25TopK(docs, qs, k = 20)
+        .select("query_id", "doc_id", "rank").localCheckpoint(true)
+      val graded = docs.select(col("doc_id"), rel.as("rel"))
+        .join(broadcast(retrieved), Seq("doc_id"))
+      val wLit = array(ndcgWeights.map(lit): _*)
+      val wq = Window.partitionBy("query_id")
+      val g = graded
+        .withColumn("irk", row_number().over(
+          wq.orderBy(col("rel").desc, col("rank").asc)))
+        .withColumn("gain", expr(
+          "CASE rel WHEN 3 THEN 7L WHEN 2 THEN 3L WHEN 1 THEN 1L ELSE 0L END"))
+        .withColumn("hit", (col("rel") >= 1).cast("long"))
+        .withColumn("hits_cum", sum("hit").over(wq.orderBy("rank")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val perQ = g.groupBy("query_id").agg(
+          count(lit(1)).as("n_ranked"),
+          sum("hit").as("n_rel"),
+          sum(col("gain") * element_at(wLit, col("rank").cast("int")))
+            .as("dcg_nano"),
+          sum(col("gain") * element_at(wLit, col("irk").cast("int")))
+            .as("idcg_nano"),
+          min(when(col("hit") === 1, col("rank"))).as("first_rel"),
+          sum(when(col("hit") === 1,
+            expr("hits_cum * 1000000000L DIV rank")).otherwise(lit(0L)))
+            .as("ap_sum"))
+        .select(col("query_id"), col("n_ranked"), col("n_rel"),
+          expr("CAST(dcg_nano AS DECIMAL(38,0)) * 1000000000" +
+            " DIV NULLIF(idcg_nano, 0)").as("ndcg_nano"),
+          expr("1000000000L DIV first_rel").as("mrr_nano"),
+          expr("ap_sum DIV NULLIF(n_rel, 0)").as("ap_nano"))
+        .localCheckpoint(true) // |Q| rows; feeds both union branches
+      val macroRow = perQ.agg(
+          count(lit(1)).as("n_q"),
+          sum("n_ranked").as("n_ranked"),
+          sum("n_rel").as("n_rel"),
+          sum(coalesce(col("ndcg_nano"), lit(0L))).as("ndcg_s"),
+          sum(coalesce(col("mrr_nano"), lit(0L))).as("mrr_s"),
+          sum(coalesce(col("ap_nano"), lit(0L))).as("ap_s"))
+        .select(lit(null).cast("bigint").as("query_id"),
+          col("n_ranked"), col("n_rel"),
+          expr("ndcg_s DIV NULLIF(n_q, 0)").as("ndcg_nano"),
+          expr("mrr_s DIV NULLIF(n_q, 0)").as("mrr_nano"),
+          expr("ap_s DIV NULLIF(n_q, 0)").as("ap_nano"))
+      perQ.unionByName(macroRow).orderBy(col("query_id"))
+    }),
+
     "rank_fusion_rrf" -> ((s, d) => {
       import s.implicits._
       val qs = Seq(1L -> Seq("spark", "join", "fast"),
@@ -564,6 +629,85 @@ private[graft] trait QueriesSim { this: SparkEntry.type =>
          | 1000000000 // first_rel AS mrr_nano,
          | ap_sum // NULLIF(n_rel, 0) AS ap_nano
          |FROM agg""".stripMargin
+    },
+
+    // BM25 CTEs verbatim from text_bm25_topk (rank cap 20); metric math
+    // mirrors rank_ndcg per query; macro row = truncating integer mean
+    // over the per-query rows with NULL metrics as 0.
+    "rank_ndcg_multi" -> {
+      val w = ndcgWeights.mkString("[", ", ", "]")
+      s"""WITH q AS (SELECT CAST(qid AS BIGINT) AS query_id, word FROM (VALUES
+         |  (1,'spark'),(1,'join'),(1,'fast'),
+         |  (2,'customer'),(2,'query'),(2,'slow'),
+         |  (3,'vector'),(3,'hash'),(3,'merge')) t(qid, word)),
+         |tf AS (
+         | SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+         | WHERE word <> '' GROUP BY doc_id, word),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+         |dfs AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+         |        WHERE word IN (SELECT word FROM q) GROUP BY word),
+         |sc AS (
+         | SELECT query_id, doc_id,
+         |  CAST(SUM(CAST(round(
+         |   ln((CAST(st.n AS DOUBLE) - CAST(dfs.df AS DOUBLE) + 0.5) / (CAST(dfs.df AS DOUBLE) + 0.5) + 1.0)
+         |   * ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE)
+         |      + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / (CAST(st.tot AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+         |   * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS score
+         | FROM q JOIN tf USING (word) JOIN dfs USING (word) JOIN dl USING (doc_id) CROSS JOIN st
+         | GROUP BY query_id, doc_id),
+         |r AS (SELECT query_id, doc_id,
+         | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+         | FROM sc QUALIFY rank <= 20),
+         |g0 AS (
+         | SELECT r.query_id, r.rank,
+         |  CASE d.lang WHEN 'en' THEN 3 WHEN 'de' THEN 2
+         |              WHEN 'fr' THEN 1 ELSE 0 END AS rel
+         | FROM r JOIN documents d USING (doc_id)),
+         |g AS (
+         | SELECT query_id, rank,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rel DESC, rank ASC) AS irk,
+         |  CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END
+         |    AS gain,
+         |  CASE WHEN rel >= 1 THEN 1 ELSE 0 END AS hit,
+         |  CAST(SUM(CASE WHEN rel >= 1 THEN 1 ELSE 0 END) OVER
+         |    (PARTITION BY query_id ORDER BY rank
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS hits_cum
+         | FROM g0),
+         |pq AS (
+         | SELECT query_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_ranked,
+         |  CAST(SUM(hit) AS BIGINT) AS n_rel,
+         |  CAST(SUM(CAST(gain AS BIGINT) * ($w)[rank]) AS BIGINT) AS dcg_nano,
+         |  CAST(SUM(CAST(gain AS BIGINT) * ($w)[irk]) AS BIGINT) AS idcg_nano,
+         |  MIN(CASE WHEN hit = 1 THEN rank END) AS first_rel,
+         |  CAST(SUM(CASE WHEN hit = 1 THEN hits_cum * 1000000000 // rank
+         |                ELSE 0 END) AS BIGINT) AS ap_s
+         | FROM g GROUP BY query_id),
+         |pqm AS (
+         | SELECT query_id, n_ranked, n_rel,
+         |  CAST(CAST(dcg_nano AS HUGEINT) * 1000000000
+         |    // NULLIF(idcg_nano, 0) AS BIGINT) AS ndcg_nano,
+         |  1000000000 // first_rel AS mrr_nano,
+         |  ap_s // NULLIF(n_rel, 0) AS ap_nano
+         | FROM pq)
+         |SELECT query_id, n_ranked, n_rel, ndcg_nano, mrr_nano, ap_nano
+         |FROM pqm
+         |UNION ALL
+         |SELECT CAST(NULL AS BIGINT) AS query_id,
+         | CAST(SUM(n_ranked) AS BIGINT) AS n_ranked,
+         | CAST(SUM(n_rel) AS BIGINT) AS n_rel,
+         | CAST(SUM(COALESCE(ndcg_nano, 0)) AS BIGINT)
+         |   // NULLIF(COUNT(*), 0) AS ndcg_nano,
+         | CAST(SUM(COALESCE(mrr_nano, 0)) AS BIGINT)
+         |   // NULLIF(COUNT(*), 0) AS mrr_nano,
+         | CAST(SUM(COALESCE(ap_nano, 0)) AS BIGINT)
+         |   // NULLIF(COUNT(*), 0) AS ap_nano
+         |FROM pqm""".stripMargin
     },
 
     "rank_fusion_rrf" ->

@@ -70,6 +70,36 @@ object ExtensionsDemo {
     if (gateSql.isEmpty || gateSql != gateApi)
       fails += s"graft_quality_gate TVF != TextAnalysis.qualityGate API (${gateSql.size} vs ${gateApi.size} rows)"
 
+    // as-of join over views/purchases derived from events (same shape as
+    // the j4_asof_join corpus entry)
+    val ev = graft.core.Graft.table(spark, sfDir, "events")
+      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts DIV 1000"))
+    val views = ev.where(col("event_type") === "view" && col("user_id") <= 300)
+      .select("user_id", "ts_us", "event_id")
+    val purchases = ev.where(col("event_type") === "purchase" && col("user_id") <= 300)
+      .groupBy("user_id", "ts_us")
+      .agg(org.apache.spark.sql.functions.max("value").as("pval"))
+    views.createOrReplaceTempView("asof_views")
+    purchases.createOrReplaceTempView("asof_purchases")
+    val asofSql = rows(spark.sql(
+      """SELECT * FROM graft_asof_join('asof_views', 'asof_purchases',
+        |  'user_id', 'ts_us', 'pval') ORDER BY user_id, ts_us, event_id""".stripMargin))
+    val asofApi = rows(graft.ops.AsOfJoin
+      .asOf(spark.table("asof_views"), spark.table("asof_purchases"),
+        Seq("user_id"), "ts_us", Seq("pval"))
+      .orderBy("user_id", "ts_us", "event_id"))
+    if (asofSql.isEmpty || asofSql != asofApi)
+      fails += s"graft_asof_join TVF != AsOfJoin.asOf API (${asofSql.size} vs ${asofApi.size} rows)"
+
+    val segSql = rows(spark.sql(
+      "SELECT * FROM graft_segment_dedup('documents', 'text', 'doc_id', ' table ', 25) ORDER BY doc_id"))
+    val segApi = rows(graft.ops.Dedup
+      .segmentDedup(spark.table("documents"), "text", "doc_id",
+        sep = " table ", maxDocFreq = 25L)
+      .orderBy("doc_id"))
+    if (segSql.isEmpty || segSql != segApi)
+      fails += s"graft_segment_dedup TVF != Dedup.segmentDedup API (${segSql.size} vs ${segApi.size} rows)"
+
     fails.toSeq
   }
 
@@ -84,7 +114,7 @@ object ExtensionsDemo {
     spark.sparkContext.setLogLevel("ERROR")
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val fails = check(spark, sfDir)
-    if (fails.isEmpty) println("[extensions-demo] scalar + 4 TVFs ok=true")
+    if (fails.isEmpty) println("[extensions-demo] scalar + 7 TVFs ok=true")
     else fails.foreach(f => println(s"[extensions-demo] FAIL: $f"))
     spark.stop()
     if (fails.nonEmpty) sys.exit(1)

@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** CI coverage for the SQL surface: builds a SECOND SparkSession (same
   * SparkContext, own sessionState) with GraftExtensions installed and
-  * runs the full ExtensionsDemo battery — scalar natives plus the four
-  * operator TVFs, each compared against the library API it splices in.
+  * runs the full ExtensionsDemo battery — scalar natives plus the seven
+  * operator TVFs (dedup, minhash pairs, knn join exact + IVF, quality
+  * gate, as-of join, segment dedup), each compared against the library
+  * API it splices in.
   */
 class ExtensionsSpec extends SparkSpec {
 

@@ -184,6 +184,31 @@ class IngestPipelineSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(dst, "c.csv")))
   }
 
+  test("ObjectSync: 8-worker pool matches single-worker manifest and verify") {
+    import graft.ingest.ObjectSync
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = Files.createTempDirectory("graft_psync_src")
+    (0 until 40).foreach { i =>
+      Files.writeString(src.resolve(f"f$i%02d.csv"), s"id,v\n$i,${i * i}\n")
+    }
+    val dstPar = Files.createTempDirectory("graft_psync_par").toString
+    val dstSeq = Files.createTempDirectory("graft_psync_seq").toString
+    val rPar = ObjectSync.sync(conf, src.toString, dstPar) // default 8 workers
+    val rSeq = ObjectSync.sync(conf, src.toString, dstSeq, workers = 1)
+    assert(rPar.verifiedOk && rSeq.verifiedOk)
+    assert(rPar.manifest == rSeq.manifest)
+    assert(rPar.copied.sorted == rSeq.copied.sorted && rPar.copied.size == 40)
+    // every target byte-identical to its source
+    (0 until 40).foreach { i =>
+      val name = f"f$i%02d.csv"
+      assert(Files.readAllBytes(java.nio.file.Paths.get(dstPar, name)).toSeq ==
+        Files.readAllBytes(src.resolve(name)).toSeq)
+    }
+    // re-sync in parallel: all skip, nothing re-copied
+    val rAgain = ObjectSync.sync(conf, src.toString, dstPar)
+    assert(rAgain.copied.isEmpty && rAgain.skipped.size == 40 && rAgain.verifiedOk)
+  }
+
   test("bulk per-file loader derives table names and registers views") {
     val loaded = CsvIngest.loadDirectory(spark, dir.toString)
     assert(loaded.keySet == Set("nh_penalties_2024_a", "nh_penalties_2024_b"))

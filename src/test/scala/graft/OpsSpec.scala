@@ -1394,6 +1394,44 @@ class OpsSpec extends SparkSpec {
     assert(probed(2L) && probed(3L)) // true dups must be flagged
   }
 
+  test("bloom dedup: persisted shard sketches resume exactly, compaction preserves") {
+    import graft.ops.BloomDedup
+    val batch1 = Seq("a", "b", "c").toDF("k")
+    val batch2 = Seq("d", "e").toDF("k")
+    val seen = batch1.unionByName(batch2)
+    val incoming = Seq(
+      (1L, "a"), (2L, "d"), (3L, "x"), (4L, "y"), (5L, "e")).toDF("id", "k")
+    val expected = incoming.join(seen, Seq("k"), "left_anti")
+      .select("id").as[Long].collect().sorted.toSeq
+
+    // run 1 and run 2 each persisted their batch's sketch as a shard
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bloom_state_").toString
+    BloomDedup.saveSketch(batch1, "k", 100L, path, shard = "b1")
+    BloomDedup.saveSketch(batch2, "k", 100L, path, shard = "b2")
+
+    // run 3: probe the persisted shards, verify against the seen table
+    val sketches = BloomDedup.sketchColumns(spark, path)
+    assert(sketches.length == 2)
+    val got = BloomDedup.newRowsWithSketches(incoming, seen, "k", sketches)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == expected && got == Seq(3L, 4L))
+
+    // the OR across shards flagged the batch2-only dup keys (d, e) — a
+    // key matched by ANY shard must reach the exact verify; the contract
+    // is that the shard set covers every seen batch (a stale shard set
+    // would route its batch's dups around the verify)
+    assert(!got.contains(2L) && !got.contains(5L))
+
+    // compaction folds shards to one row; probe result unchanged
+    BloomDedup.compactSketches(spark, path)
+    val compacted = BloomDedup.sketchColumns(spark, path)
+    assert(compacted.length == 1)
+    val gotC = BloomDedup.newRowsWithSketches(incoming, seen, "k", compacted)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(gotC == expected)
+  }
+
   test("bm25TopK rewards term density over raw length, bounded finisher, no window") {
     val docs = Seq(
       (1L, "apple banana"),

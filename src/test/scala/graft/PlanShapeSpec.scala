@@ -251,6 +251,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p.take(800))
   }
 
+  test("persisted bloom shards probe with zero jobs over the seen corpus at plan time") {
+    // Cross-run incremental dedup contract: once batch sketches are
+    // persisted, building today's probe plan must not re-aggregate the
+    // seen corpus into a filter (that rebuild is what persistence
+    // eliminates). sketchColumns' own driver action reads only the
+    // KB-sized sketch table and runs OUTSIDE the listener window.
+    val docs = graft.core.Graft.table(spark, sf, "documents")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bloom_persist_").toString
+    val seen = docs
+      .where(org.apache.spark.sql.functions.col("doc_id") < 250)
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text")).as("digest"))
+    graft.ops.BloomDedup.saveSketch(seen, "digest", 1L << 16, dir, "b0")
+    val sketches = graft.ops.BloomDedup.sketchColumns(spark, dir)
+    val incoming = docs
+      .where(org.apache.spark.sql.functions.col("doc_id") >= 250)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("text")).as("digest"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val d = graft.ops.BloomDedup.newRowsWithSketches(
+        incoming, seen, "digest", sketches)
+      d.queryExecution.executedPlan // force full planning
+      Thread.sleep(500) // async listener settle
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(jobs.get() == 0,
+      s"planning the persisted-sketch probe launched ${jobs.get()} job(s) — " +
+        "the resume path must not rebuild the filter from the corpus")
+    // and the persisted route is exact: equals the plain anti-join
+    val got = graft.ops.BloomDedup.newRowsWithSketches(
+        incoming, seen, "digest", sketches)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val exact = incoming.join(seen, Seq("digest"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == exact)
+  }
+
   test("funnel_user_steps reuses a single user_id exchange across all steps") {
     val p = finalPlan("funnel_user_steps")
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,

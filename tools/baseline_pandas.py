@@ -31,7 +31,7 @@ REPS = {  # keep in sync with graft.Bench.headline
     "dedup_exact": 256, "dedup_minhash": 8, "text_profile": 8,
     "sim_brute_topk": 8192, "dedup_passages": 4, "graph_pagerank": 2048,
     "text_bm25_topk": 512, "sim_pq_topk": 4096, "dedup_semantic": 512,
-    "sim_knn_join": 16,
+    "sim_knn_join": 16, "sim_knn_join_ivf": 64, "sketch_kmv_distinct": 8,
 }
 
 
@@ -321,6 +321,68 @@ def sim_knn_join():
     return compute
 
 
+def sim_knn_join_ivf():
+    """IVF-partitioned approximate kNN join: 16 prefix-sample centroids
+    (the resident index, prebuilt in the factory like graft's amortized
+    runs), corpus assigned to 1 nearest cell, each query probing its 2
+    nearest cells, cosine top-3 merged across probes — per-cell BLAS
+    matmuls instead of the full gram matrix."""
+    e = pd.read_parquet(f"{sf}/embeddings.parquet")
+    m = np.stack(e.embedding.to_numpy()).astype(np.float64)
+    cents = m[:16].copy()
+    def compute():
+        xc = m @ cents.T
+        d = ((m * m).sum(1)[:, None] + (cents * cents).sum(1)[None, :]
+             - 2 * xc)
+        ccell = d.argmin(1)
+        qcells = np.argsort(d, axis=1)[:, :2]
+        nrm = np.linalg.norm(m, axis=1)
+        best = [[] for _ in range(len(m))]
+        for c in range(16):
+            cidx = np.where(ccell == c)[0]
+            qidx = np.where((qcells == c).any(axis=1))[0]
+            if len(cidx) == 0 or len(qidx) == 0:
+                continue
+            sims = (m[qidx] @ m[cidx].T) / np.outer(nrm[qidx], nrm[cidx])
+            kk = min(3, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk] \
+                if sims.shape[1] > kk else \
+                np.tile(np.arange(sims.shape[1]), (len(qidx), 1))
+            sc = np.take_along_axis(sims, top, axis=1)
+            for row, qi in enumerate(qidx):
+                best[qi].extend(sc[row].tolist())
+        out = 0
+        for b in best:
+            b.sort(reverse=True)
+            out += len(b[:3])
+        return out
+    return compute
+
+
+def sketch_kmv():
+    """KMV distinct sketch per event type (64 smallest distinct md5-prefix
+    hashes of the user id) next to the exact distinct count — the same
+    hash+sketch+exact work the graft aggregate does per instance."""
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_type", "user_id"])
+    ev = ev[ev.user_id.notna()]
+    uid = ev.user_id.astype(np.int64)
+    def compute():
+        h = uid.map(lambda u: int(
+            hashlib.md5(str(u).encode()).hexdigest()[:15], 16))
+        df = ev.assign(h=h)
+        out = 0
+        for t, g in df.groupby("event_type"):
+            uniq = np.unique(g.h.to_numpy())  # sorted distinct hashes
+            kept = uniq[:64]
+            est = (len(kept) if len(kept) < 64
+                   else (63 * (1 << 60)) // int(kept[-1]))
+            exact = g.user_id.nunique()
+            out += len(kept) + (est > 0) + exact
+        return out
+    return compute
+
+
 WORKLOADS = [
     ("q1_agg", q1_agg), ("j1_multiway_join", j1_join),
     ("w1_window", w1_window), ("a8_pivot", a8_pivot),
@@ -328,7 +390,9 @@ WORKLOADS = [
     ("text_profile", text_profile), ("sim_brute_topk", sim_brute),
     ("dedup_passages", dedup_passages), ("graph_pagerank", graph_pagerank),
     ("text_bm25_topk", text_bm25), ("sim_pq_topk", sim_pq),
-    ("dedup_semantic", dedup_semantic), ("sim_knn_join", sim_knn_join)]
+    ("dedup_semantic", dedup_semantic), ("sim_knn_join", sim_knn_join),
+    ("sim_knn_join_ivf", sim_knn_join_ivf),
+    ("sketch_kmv_distinct", sketch_kmv)]
 
 print(f"{'workload':24s} {'single':>8s} {'amortized':>10s}  (N)")
 tot_s = tot_a = 0.0
