@@ -241,16 +241,19 @@ object Bench {
         // with a corpus id in any rep (the kernel's self-pair exclusion is
         // id-based): every rep computes the identical full neighbor list,
         // and the pandas twin mirrors that (self included as top-1).
-        // nBlocks=16 vs the corpus entry's 4: blocking only schedules —
-        // any value yields the same exact result — 16 blocks halve the
-        // query-replication wire cost vs one-per-core while the short
-        // per-block kernels still fill the 32 threads across reps.
+        // nBlocks=16 + partitionQueries vs the corpus entry's (4, false):
+        // blocking only schedules — any configuration yields the same
+        // exact result — and with the query side 16× the corpus
+        // (replication), blocking the QUERIES replicates the small
+        // corpus instead of shipping nBlocks·|Q| query rows, and each
+        // query's top-k finishes in one buffer instead of 16 partials.
         val emb = t("embeddings")
         val q = emb
           .withColumn("__rep", explode(sequence(lit(0L), lit(r - 1L))))
           .select((col("vec_id") + (col("__rep") + 1L) * 1000000L).as("vec_id"),
             col("embedding"))
-        Similarity.knnJoin(emb, q, k = 3, nBlocks = 16)
+        Similarity.knnJoin(emb, q, k = 3, nBlocks = 16,
+          partitionQueries = true)
           .withColumn("cosine", round(col("cosine"), 6))
           .orderBy("query_id", "rank")
 
@@ -258,13 +261,17 @@ object Bench {
         // Query-side replication, same pattern as sim_knn_join; the IVF
         // cell partitioning is the scale path (pair work Σ|cell|·|probe|),
         // so this measures the approximate join's marginal next to the
-        // exact block join's.
+        // exact block join's. qSalt=4 vs the corpus entry's 1: pure
+        // scheduling (the 16 cells alone under-fill 32 threads at this
+        // replication), exactness untouched — the knnJoin nBlocks
+        // precedent.
         val emb = t("embeddings")
         val q = emb
           .withColumn("__rep", explode(sequence(lit(0L), lit(r - 1L))))
           .select((col("vec_id") + (col("__rep") + 1L) * 1000000L).as("vec_id"),
             col("embedding"))
-        Similarity.knnJoinIvf(emb, q, k = 3, nCells = 16, nProbe = 2)
+        Similarity.knnJoinIvf(emb, q, k = 3, nCells = 16, nProbe = 2,
+          qSalt = 4)
           .withColumn("cosine", round(col("cosine"), 6))
           .orderBy("query_id", "rank")
 

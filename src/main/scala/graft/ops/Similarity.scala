@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors
 
@@ -270,22 +270,56 @@ object Similarity {
     * (query_id, corpus_id, cosine, rank).
     */
   def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int,
-      nBlocks: Int = 16): DataFrame = {
+      nBlocks: Int = 16, partitionQueries: Boolean = false): DataFrame = {
     require(nBlocks >= 1, "nBlocks must be >= 1")
     val sp = corpus.sparkSession
+    val blockIds = broadcast(sp.range(nBlocks).select(col("id").as("g")))
+    // Blocking replicates ONE side to every block and hash-partitions the
+    // other — exactness is independent of which (every pair still meets
+    // exactly once), so replicate the SMALLER side: the default blocks
+    // the corpus and replicates queries (right when |Q| << |C|, the
+    // retrieval shape); partitionQueries=true blocks the queries and
+    // replicates the corpus (right when |Q| >> |C| — scoring a large
+    // batch against a reference set — where replicating queries would
+    // put nBlocks·|Q| rows on the wire, and each query's top-k finishes
+    // in ONE buffer instead of nBlocks partials).
+    val (cB, qB) =
+      if (!partitionQueries) (
+        graft.core.Graft.spread(corpus)
+          .select(pmod(col("vec_id").cast("long"), lit(nBlocks.toLong)).as("g"),
+            col("vec_id").cast("long").as("id"), col("embedding")),
+        graft.core.Graft.spread(queries)
+          .select(col("vec_id").cast("long").as("id"), col("embedding"))
+          .crossJoin(blockIds)
+          .select(col("g"), col("id"), col("embedding")))
+      else (
+        graft.core.Graft.spread(corpus)
+          .select(col("vec_id").cast("long").as("id"), col("embedding"))
+          .crossJoin(blockIds)
+          .select(col("g"), col("id"), col("embedding")),
+        graft.core.Graft.spread(queries)
+          .select(pmod(col("vec_id").cast("long"), lit(nBlocks.toLong)).as("g"),
+            col("vec_id").cast("long").as("id"), col("embedding")))
+    groupKernelJoin(cB, qB, k)
+  }
+
+  /** Shared scoring tail of [[knnJoin]] and [[knnJoinIvf]]: cogroup
+    * corpus rows `(g, id, vec)` with query rows `(g, id, vec)` on the
+    * group id (a hash block or an IVF cell), load each group's corpus
+    * vectors into a primitive matrix ONCE, stream the group's queries
+    * past it (identical scoring loop, ordering and NaN discipline as
+    * [[bruteForceTopK]]; self-pairs excluded), emit one k-bounded buffer
+    * per (group, query), and fold buffers per query with the bounded
+    * [[TopK.mergeGroupTopK]]. No per-pair rows ever materialize — the
+    * candidate set exists only as the kernel's loop bounds, which is what
+    * keeps Σ|group|·|probe| pair work off the wire at 100 TB.
+    */
+  private def groupKernelJoin(cB: DataFrame, qB: DataFrame,
+      k: Int): DataFrame = {
+    val sp = cB.sparkSession
     import sp.implicits._
-    val cB = graft.core.Graft.spread(corpus)
-      .select(pmod(col("vec_id").cast("long"), lit(nBlocks.toLong))
-          .cast("int").as("b"),
-        col("vec_id").cast("long").as("id"), col("embedding"))
-    val blockIds = broadcast(
-      sp.range(nBlocks).select(col("id").cast("int").as("b")))
-    val qB = graft.core.Graft.spread(queries)
-      .select(col("vec_id").cast("long").as("id"), col("embedding"))
-      .crossJoin(blockIds)
-      .select(col("b"), col("id"), col("embedding"))
-    val packed = cB.groupByKey(_.getInt(0))
-      .cogroup(qB.groupByKey(_.getInt(0))) { (_, cRows, qRows) =>
+    val packed = cB.groupByKey(_.getLong(0))
+      .cogroup(qB.groupByKey(_.getLong(0))) { (_, cRows, qRows) =>
         val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
         val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
         val norms = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -437,19 +471,26 @@ object Similarity {
     cents
   }
 
-  /** Nearest-n cells per vector via the bounded aggregate (the old
-    * row_number window here shuffled corpus × nCells rows on the vector
-    * id). Score = -distance: the aggregate ranks desc, distance ranks
-    * asc; cent_id asc breaks ties either way. `vC` rides along as a
-    * (functionally dependent) group key — no re-join.
+  /** Nearest-n cells per vector, fully MAP-SIDE: the (bounded, still
+    * lazy) centroid frame folds into one sorted array row, broadcasts,
+    * and each vector sorts its nCells (distance, cent_id) structs inline
+    * — no explode, no aggregate, no nCells-fold row blowup (the earlier
+    * bounded-aggregate form hashed |df|·nCells exploded rows, and before
+    * that a row_number window shuffled them; at 128k probe rows the
+    * aggregate alone cost more than the twin's whole BLAS pass).
+    * Ordering discipline identical to the aggregate it replaces:
+    * distance asc (sqrt of the in-order l2 fold, matching DuckDB's
+    * list_distance loop), NaN/null distances last, ties cent_id asc —
+    * so a fully-degenerate vector still lands in the lowest cent_id.
     */
   private def nearestCells(df: DataFrame, idC: String, vC: String, n: Int,
       cents: DataFrame): DataFrame = {
-    val scored = df.crossJoin(broadcast(cents))
-      // sqrt(in-order fold) matches DuckDB's list_distance loop exactly
-      .withColumn("negdist", -sqrt(Vectors.l2sq(col(vC), col("centv"))))
-    TopK.perGroupTopK(scored, Seq(idC, vC), "cent_id", "negdist", n)
-      .select(col(idC), col(vC), col("cent_id").as("cell"))
+    val carr = cents.agg(sort_array(collect_list(struct(
+      col("cent_id").cast("long").as("cid"), col("centv")))).as("__cents"))
+    df.crossJoin(broadcast(carr))
+      .select(col(idC), col(vC),
+        explode(graft.plans.NearestCells(col(vC), col("__cents"), lit(n)))
+          .as("cell"))
   }
 
   /** Shared IVF probe: corpus assigned to 1 cell, queries to `nProbe`
@@ -467,25 +508,72 @@ object Similarity {
     * contract — nCells × dim, a bounded broadcast) assign the corpus to
     * its 1 nearest cell and each query to its `nProbe` nearest cells
     * (both map-side via the bounded [[nearestCells]] aggregate); ONE
-    * shuffle join co-partitions the two sides on the cell id; scoring +
-    * the k-bounded per-query finisher are the shared [[ivfProbe]] tail.
-    * Shuffle volume: |C| + nProbe·|Q| rows — never a pair table, never
-    * query replication to every block. Recall follows the IVF trade
-    * (a true neighbor outside every probed cell is missed); at 100 TB
-    * the cell id becomes a partition column so each probe's scan prunes
-    * to its cells' files, and skewed cells split by salting the join key
-    * with a within-cell hash — the top-k merge is associative.
+    * cogroup co-partitions the two sides on the cell id and scores with
+    * the shared primitive-matrix kernel ([[groupKernelJoin]] — the same
+    * tail [[knnJoin]] uses, so the Σ|cell|·|probe| candidate set exists
+    * only as kernel loop bounds and never materializes as joined rows;
+    * the earlier row-join form shipped both vectors on every candidate
+    * row, ~50× the bytes). Shuffle volume: |C| + nProbe·|Q| rows — never
+    * a pair table, never query replication to every block. Recall
+    * follows the IVF trade (a true neighbor outside every probed cell is
+    * missed); at 100 TB the cell id becomes a partition column so each
+    * probe's scan prunes to its cells' files, and skewed cells split by
+    * salting the group key with a within-cell hash — the top-k merge is
+    * associative.
     */
   def knnJoinIvf(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 2, qSalt: Int = 1): DataFrame = {
+    require(qSalt >= 1, "qSalt must be >= 1")
     val cents = corpus.orderBy("vec_id").limit(nCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
-    ivfProbe(corpus, queries, cents, k, nProbe, broadcastQueries = false)
+    val (cB0, qB0) = ivfSides(corpus, queries, cents, nProbe)
+    // qSalt > 1 splits each cell's QUERY stream across qSalt subgroups
+    // (query hash picks the salt; the cell's corpus rows replicate to all
+    // of them) — pure scheduling, exactness untouched: every query still
+    // meets its probed cells' full corpus exactly once. Use when nCells
+    // alone under-fills the executor slots or a hot cell skews — the
+    // replicated side is the per-cell corpus matrix, the same memory the
+    // kernel loads anyway, never the (usually larger) query stream.
+    val (cB, qB) =
+      if (qSalt == 1) (cB0, qB0)
+      else {
+        val sp = corpus.sparkSession
+        val salts = broadcast(sp.range(qSalt).select(col("id").as("__s")))
+        (cB0.crossJoin(salts)
+          .select((col("g") * qSalt + col("__s")).as("g"),
+            col("id"), col("embedding")),
+          qB0.select(
+            (col("g") * qSalt + pmod(col("id"), lit(qSalt.toLong))).as("g"),
+            col("id"), col("embedding")))
+      }
+    groupKernelJoin(cB, qB, k)
+  }
+
+  /** Cell-assignment halves of [[knnJoinIvf]]: corpus rows to their 1
+    * nearest cell, query rows to their `nProbe` nearest — both as
+    * `(g, id, embedding)` frames ready for [[groupKernelJoin]].
+    */
+  private[graft] def ivfSides(corpus: DataFrame, queries: DataFrame,
+      cents: DataFrame, nProbe: Int): (DataFrame, DataFrame) = {
+    val cB = nearestCells(
+      graft.core.Graft.spread(corpus)
+        .select(col("vec_id").cast("long").as("corpus_id"),
+          col("embedding").as("cv")),
+      "corpus_id", "cv", 1, cents)
+      .select(col("cell").cast("long").as("g"),
+        col("corpus_id").as("id"), col("cv").as("embedding"))
+    val qB = nearestCells(
+      graft.core.Graft.spread(queries)
+        .select(col("vec_id").cast("long").as("query_id"),
+          col("embedding").as("qv")),
+      "query_id", "qv", nProbe, cents)
+      .select(col("cell").cast("long").as("g"),
+        col("query_id").as("id"), col("qv").as("embedding"))
+    (cB, qB)
   }
 
   private def ivfProbe(corpus: DataFrame, queries: DataFrame,
-      cents: DataFrame, k: Int, nProbe: Int,
-      broadcastQueries: Boolean = true): DataFrame = {
+      cents: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val c = nearestCells(
       graft.core.Graft.spread(corpus)
         .select(col("vec_id").as("corpus_id"), col("embedding").as("cv")),
@@ -497,7 +585,7 @@ object Similarity {
       "query_id", "qv", nProbe, cents)
       .join(queries.select(col("vec_id").as("query_id"),
         Vectors.norm2(col("embedding")).as("qn")), Seq("query_id"))
-    val scored = c.join(if (broadcastQueries) broadcast(q) else q, Seq("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
       .where(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine",
         when(col("qn") > 0 && col("cn") > 0,

@@ -2079,6 +2079,18 @@ class OpsSpec extends SparkSpec {
     val approx = Similarity.knnJoinIvf(emb, emb, k = 3, nCells = 4, nProbe = 1)
       .groupBy("query_id").count().collect()
     assert(approx.forall(_.getLong(1) <= 3L))
+    // qSalt is pure scheduling: the salted plan returns the identical
+    // pairs (every query still meets its probed cells' corpus once)
+    val unsalted = key(Similarity.knnJoinIvf(emb, emb, k = 3, nCells = 4,
+      nProbe = 2))
+    val salted = key(Similarity.knnJoinIvf(emb, emb, k = 3, nCells = 4,
+      nProbe = 2, qSalt = 3))
+    assert(salted == unsalted)
+    // blocking side is pure scheduling too: query-partitioned blocks
+    // (corpus replicated) return the identical exact join
+    val qPart = key(Similarity.knnJoin(emb, emb, k = 3, nBlocks = 3,
+      partitionQueries = true))
+    assert(qPart == exact)
   }
 
   test("knnClassify votes the planted cluster label; ties go to the smaller label") {

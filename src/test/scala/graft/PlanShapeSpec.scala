@@ -162,11 +162,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("topkaggmerge"), p.take(600))
   }
 
-  test("sim_knn_join_ivf: zero jobs at build, candidates meet via a cell-partitioned shuffle join") {
+  test("sim_knn_join_ivf: zero jobs at build, candidates meet via a cell-partitioned cogroup kernel") {
     // The IVF join's structural contract: both sides stay DataFrames
     // (zero jobs at plan time — the prefix-centroid limit is lazy), and
-    // the probe join co-partitions BOTH sides on the cell id instead of
-    // broadcasting or replicating a data-sized side. Only the bounded
+    // the two sides co-partition on the cell id into the primitive
+    // scoring kernel (the knnJoin tail) — no broadcast of a data-sized
+    // side, no per-candidate row join, no Window. Only the bounded
     // centroid frame broadcasts.
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val l = new org.apache.spark.scheduler.SparkListener {
@@ -187,8 +188,9 @@ class PlanShapeSpec extends SparkSpec {
       s"planning knnJoinIvf launched ${jobs.get()} job(s) — a side was collected")
     val p = SparkEntry.queries("sim_knn_join_ivf")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert("Exchange hashpartitioning\\(cell".r.findAllIn(p).size >= 2,
-      s"expected both sides co-partitioned on cell: ${p.take(800)}")
+    assert(p.contains("CoGroup"), p.take(800))
+    assert(p.contains("topkaggmerge"), p.take(800))
+    assert(!p.contains("Window"), p.take(600))
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
