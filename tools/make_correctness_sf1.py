@@ -18,17 +18,26 @@ silently dropped (the no-silent-caps rule):
    quadratic gram matrix; verified by tools.KnnParityProbe (blocked exact
    parity probe) instead.
 
+Additionally, any oracle that exceeds GRAFT_ORACLE_TIMEOUT seconds
+(default 1200) is interrupted and recorded as skipped-with-reason — the
+sweep stays bounded, and nothing is silently dropped. The output json is
+written incrementally after every query and the run RESUMES from an
+existing output file (pass/skip entries are kept; failures retry), so a
+killed sweep never loses finished work.
+
 Usage:
   python3 tools/make_correctness_sf1.py <sf1Dir> <verifyOutDir> [outJson]
 Environment: GRAFT_DUCKDB_MEM (e.g. 48GB) bounds DuckDB; see compare.py.
 """
-import json, math, os, sys, time
+import json, math, os, sys, threading, time
 
 import duckdb
 import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from compare import TABLES, frame_key  # same strict normalization
+
+ORACLE_TIMEOUT = int(os.environ.get("GRAFT_ORACLE_TIMEOUT", "1200"))
 
 SKIPPED = {
     "dedup_cluster_stats":
@@ -65,12 +74,26 @@ def main():
             f"read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     result = {}
-    n_pass = n_fail = n_skip = 0
+    if os.path.exists(out_json):  # resume: keep pass/skip, retry failures
+        prior = json.load(open(out_json))
+        for name, entry in prior.items():
+            if "skipped" in entry or entry.get("hash_match"):
+                result[name] = entry
+    n_pass = sum(1 for e in result.values() if e.get("hash_match"))
+    n_skip = sum(1 for e in result.values() if "skipped" in e)
+    n_fail = 0
+
+    def flush():
+        with open(out_json, "w") as f:
+            json.dump(result, f, indent=2)
+
     for name, sql in sorted(oracle.items()):
+        if name in result:
+            continue
         if name in SKIPPED:
             result[name] = {"skipped": SKIPPED[name]}
-            n_skip += 1
-            print(f"SKIP {name}: {SKIPPED[name][:70]}...")
+            n_skip += 1; flush()
+            print(f"SKIP {name}: {SKIPPED[name][:70]}...", flush=True)
             continue
         entry = {"rows_match": False, "schema_match": False,
                  "hash_match": False, "spark_rows": None,
@@ -80,14 +103,27 @@ def main():
             got = pq.read_table(f"{out_dir}/{name}").to_pandas()
         except Exception as e:
             entry["err"] = f"no spark output: {e}"
-            result[name] = entry; n_fail += 1
-            print(f"FAIL {name}: {entry['err']}"); continue
+            result[name] = entry; n_fail += 1; flush()
+            print(f"FAIL {name}: {entry['err']}", flush=True); continue
+        timer = threading.Timer(ORACLE_TIMEOUT, con.interrupt)
+        timer.start()
         try:
             exp = con.execute(sql).df()
         except Exception as e:
+            timer.cancel()
+            if time.time() - t0 >= ORACLE_TIMEOUT - 1:
+                result[name] = {"skipped": (
+                    f"DuckDB oracle exceeded {ORACLE_TIMEOUT}s at sf1 "
+                    "(interrupted); oracle-verified at sf0.01 + sf0.1 + "
+                    "edge corpus")}
+                n_skip += 1; flush()
+                print(f"SKIP {name}: oracle timeout after "
+                      f"{time.time()-t0:.0f}s", flush=True)
+                continue
             entry["err"] = f"oracle error: {str(e)[:300]}"
-            result[name] = entry; n_fail += 1
-            print(f"FAIL {name}: {entry['err']}"); continue
+            result[name] = entry; n_fail += 1; flush()
+            print(f"FAIL {name}: {entry['err']}", flush=True); continue
+        timer.cancel()
         gc, gr = frame_key(got)
         ec, er = frame_key(exp)
         entry["spark_rows"] = len(gr)
@@ -96,15 +132,16 @@ def main():
         entry["rows_match"] = len(gr) == len(er)
         entry["hash_match"] = entry["schema_match"] and gr == er
         result[name] = entry
+        flush()
         if entry["hash_match"]:
             n_pass += 1
-            print(f"PASS {name} ({len(gr)} rows, {time.time()-t0:.1f}s)")
+            print(f"PASS {name} ({len(gr)} rows, {time.time()-t0:.1f}s)",
+                  flush=True)
         else:
             n_fail += 1
             print(f"FAIL {name}: schema={entry['schema_match']} "
-                  f"rows {len(gr)} vs {len(er)}")
-    with open(out_json, "w") as f:
-        json.dump(result, f, indent=2)
+                  f"rows {len(gr)} vs {len(er)}", flush=True)
+    flush()
     print(f"== sf1: {n_pass} pass, {n_fail} fail, {n_skip} skipped "
           f"(reasons recorded) -> {out_json} ==")
     return 1 if n_fail else 0
