@@ -335,6 +335,15 @@ object Bench {
     }
   }
 
+  /** 1-minute system load average (−1.0 where the JVM can't read it).
+    * Recorded in the artifact: this box has noisy-neighbor windows of ~2×,
+    * and a bench pair taken in one is garbage — the reader needs the
+    * evidence in the JSON, not in a session log.
+    */
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -356,6 +365,7 @@ object Bench {
       once(fused(name, spark, warmDir, r))
     }
 
+    val loadStart = loadAvg
     var failed = List.empty[String]
     // Single-run protocol (round-1 comparable): min of 3 fresh-plan runs.
     val single = headline.flatMap { case (name, _) =>
@@ -369,19 +379,50 @@ object Bench {
     // of hitting every rep of the same query back-to-back.
     val amortizedRuns = Seq.fill(3)(
       headline.map { case (name, r) => name -> once(fused(name, spark, sfDir, r)) })
-    val amortized = headline.flatMap { case (name, r) =>
+    val amortized0 = headline.flatMap { case (name, r) =>
       val runs = amortizedRuns.flatMap(_.collect { case (`name`, Some(t)) => t })
       if (runs.isEmpty) { if (!failed.contains(name)) failed ::= name; None }
       else Some(name -> runs.min / r)
     }
 
+    // Window sanity guard: a fused N-instance plan amortizes fixed costs,
+    // so amortized > its own single_run is PHYSICALLY inconsistent for one
+    // process — it means a machine-wide stall (noisy neighbor, page-cache
+    // eviction) contaminated every fused pass. Such workloads are re-run
+    // (fresh fused passes, min folded in) up to 3 rounds; if any still
+    // violate the invariant the artifact self-declares "window":"noisy"
+    // and lists the violators, so a contaminated run can never masquerade
+    // as a performance record.
+    val singleMap = single.toMap
+    val reps = headline.toMap
+    val amortMap = scala.collection.mutable.LinkedHashMap(amortized0: _*)
+    def violators: Seq[String] = amortMap.collect {
+      case (n, a) if singleMap.get(n).exists(a > _) => n
+    }.toSeq
+    var retries = 3
+    while (violators.nonEmpty && retries > 0) {
+      retries -= 1
+      System.err.println(s"[bench] window guard: rerunning ${violators.mkString(", ")} " +
+        s"(amortized > single_run; load avg ${loadAvg})")
+      violators.foreach { name =>
+        once(fused(name, spark, sfDir, reps(name)))
+          .foreach(t => amortMap(name) = math.min(amortMap(name), t / reps(name)))
+      }
+    }
+    val noisy = violators
+    val window = if (noisy.isEmpty) "calm" else "noisy"
+    val amortized = headline.flatMap { case (name, _) =>
+      amortMap.get(name).map(name -> _) }
+    val loadEnd = loadAvg
+
     def jmap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val noisyJson = noisy.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val repsJson = headline.map { case (k, r) => "\"" + k + "\":" + r }
       .mkString("{", ",", "}")
     val total = amortized.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(amortized)},"method":"amortized: N independent instances of each query fused into one plan, wall/N; pandas baseline measured with the same read-once/compute-N protocol (BASELINE.md Methodology)","reps":$repsJson,"single_run":${jmap(single)},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(amortized)},"method":"amortized: N independent instances of each query fused into one plan, wall/N; pandas baseline measured with the same read-once/compute-N protocol (BASELINE.md Methodology)","reps":$repsJson,"single_run":${jmap(single)},"failed":$failedJson,"window":"$window","noisy_queries":$noisyJson,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1206,7 +1206,8 @@ object SparkEntry
   }
 
   private[graft] def ivfTrainedOracle(nCells: Int = 16, nProbe: Int = 2,
-      iters: Int = 2, dim: Int = 64): String = {
+      iters: Int = 2, dim: Int = 64, k: Int = 10,
+      queryWhere: String = "WHERE vec_id < 5"): String = {
     val fin = s"c$iters"
     s"""WITH ${trainedCentroidChainSql(nCells, iters, dim)},
        |corpus AS (SELECT vec_id AS corpus_id, v AS cv FROM e),
@@ -1216,7 +1217,7 @@ object SparkEntry
        |   ROW_NUMBER() OVER (PARTITION BY c.corpus_id
        |     ORDER BY ${distSql("c.cv", "ct.cv")} ASC, ct.cell ASC) AS rn
        |  FROM corpus c CROSS JOIN $fin ct) WHERE rn = 1),
-       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e $queryWhere),
        |qprobe AS (
        | SELECT query_id, qv, cell FROM (
        |  SELECT q.query_id, q.qv, ct.cell,
@@ -1233,7 +1234,7 @@ object SparkEntry
        | SELECT query_id, corpus_id, cosine,
        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
        | FROM scored)
-       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** Replays `Dedup.semanticDedup` end to end: the trained-centroid

@@ -129,18 +129,37 @@ object BloomDedup {
       .write.mode("append").parquet(path)
   }
 
-  /** One scalar-subquery sketch column per persisted shard, ready for
-    * [[newRowsWithSketches]]. The shard listing is a driver action over
-    * the sketch TABLE only (rows == batches ingested; KBs) — zero jobs
-    * touch the seen corpus, which is the point of persisting.
+  /** One scalar-subquery sketch column per persisted PHYSICAL sketch, ready
+    * for [[newRowsWithSketches]]. The listing is a driver action over the
+    * sketch TABLE only (rows == batches ingested; KBs) — zero jobs touch
+    * the seen corpus, which is the point of persisting.
+    *
+    * Keyed by (shard, md5(sketch)) rather than shard alone: saveSketch is
+    * append-mode, so a re-run under the same shard name leaves TWO rows —
+    * selecting `first(sketch)` per shard would silently drop one, and a
+    * dropped sketch means Bloom false NEGATIVES (true dups bypassing the
+    * exact verify). Every distinct physical sketch gets its own probe
+    * column instead; byte-identical re-appends collapse (same digest ==
+    * same bit array == same answers), distinct ones are all OR'd in.
+    * Null-sketch rows (a shard saved over an empty batch) contribute a
+    * null filter, which [[probe]] folds to false — exact, since an empty
+    * batch saw nothing.
     */
   def sketchColumns(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[Column] = {
-    val shards = spark.read.parquet(path).select("shard")
-      .distinct().collect().map(_.getString(0)).sorted.toSeq
-    shards.map { sh =>
-      val plan = spark.read.parquet(path).where(col("shard") === sh)
-        .agg(first(col("sketch")).as("__bloom"))
+    val keys = spark.read.parquet(path)
+      .select(col("shard"), md5(col("sketch")).as("digest"))
+      .distinct().collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+      .sortBy(t => (t._1, t._2.getOrElse(""))).toSeq
+    keys.map { case (sh, dg) =>
+      val rowsFor = dg match {
+        case Some(d) => spark.read.parquet(path)
+          .where(col("shard") === sh && md5(col("sketch")) === d)
+        case None => spark.read.parquet(path)
+          .where(col("shard") === sh && col("sketch").isNull)
+      }
+      val plan = rowsFor.agg(first(col("sketch")).as("__bloom"))
         .queryExecution.analyzed
       GraftBridge.column(ScalarSubquery(plan))
     }
@@ -170,8 +189,20 @@ object BloomDedup {
         java.util.Arrays.asList(
           org.apache.spark.sql.Row(shard, out.toByteArray, present.head.getLong(1))),
         spark.read.parquet(path).schema)
-      // write the replacement beside the old shards, then swap via overwrite
-      one.localCheckpoint(true).write.mode("overwrite").parquet(path)
+      // Crash-safe swap: write the replacement to a temp sibling, move the
+      // old directory aside, rename the temp into place, then drop the old.
+      // A crash mid-sequence leaves either the original or the `.old` copy
+      // on disk — never zero sketch state (mode("overwrite") on `path`
+      // itself deletes-then-writes, which CAN lose everything).
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(path + ".__compact_tmp")
+      val old = new org.apache.hadoop.fs.Path(path + ".__compact_old")
+      fs.delete(tmp, true); fs.delete(old, true)
+      one.write.mode("overwrite").parquet(tmp.toString)
+      require(fs.rename(hp, old), s"compactSketches: could not move $path aside")
+      require(fs.rename(tmp, hp), s"compactSketches: could not move compacted shard into $path")
+      fs.delete(old, true)
     }
   }
 }

@@ -315,6 +315,71 @@ object Dedup {
         coalesce(col("n_docs"), lit(0L)).as("n_docs"))
   }
 
+  /** Recall-loss audit for the shared `maxShingleDf` rail
+    * ([[ngramJaccardPairs]] / [[containmentPairs]] /
+    * [[jaccardThresholdSweep]] all prune through the same cap): ONE row
+    * `(n_shingles, n_dropped_shingles, n_dropped_postings, n_docs,
+    * n_docs_emptied)` over the same (block, shingle) df histogram the
+    * capped pipeline prunes on. `n_dropped_postings` counts the
+    * (doc, shingle) rows the cap removes from the pair evidence;
+    * `n_docs_emptied` counts docs whose EVERY shingle is hot — such docs
+    * emit no pairs at all, the silent-recall-loss case downstream audits
+    * must see instead of mistaking it for a clean corpus (the
+    * [[simhashHammingPairsAudited]] discipline). Deterministic,
+    * SQL-replayable, and a separate lazily-planned frame — not an
+    * `observe()` metric, for the AQE-pruning reason documented there.
+    */
+  def shingleDfAudit(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int, blockCol: Option[Column] = None,
+      maxShingleDf: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val blk = blockCol.getOrElse(lit(""))
+    val sh = graft.core.Graft.spread(df).select(blk.as("blk"),
+      col(idCol).as("id"),
+      explode(Text.wordShingles(col(textCol), shingleK)).as("sh"))
+    val dfs = sh.groupBy("blk", "sh").agg(count(lit(1)).as("df"))
+    val shingleStats = dfs.agg(
+      count(lit(1)).as("n_shingles"),
+      coalesce(sum(when(col("df") > maxShingleDf, 1L).otherwise(0L)),
+        lit(0L)).as("n_dropped_shingles"),
+      coalesce(sum(when(col("df") > maxShingleDf, col("df")).otherwise(0L)),
+        lit(0L)).as("n_dropped_postings"))
+    val docStats = sh
+      .withColumn("__df", count(lit(1)).over(W.partitionBy("blk", "sh")))
+      .groupBy("blk", "id")
+      .agg(coalesce(sum(when(col("__df") <= maxShingleDf, 1L).otherwise(0L)),
+        lit(0L)).as("n_kept"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("n_kept") === 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_docs_emptied"))
+    shingleStats.crossJoin(docStats)
+  }
+
+  /** [[ngramJaccardPairs]] plus its [[shingleDfAudit]] side frame. */
+  def ngramJaccardPairsAudited(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int, minJaccard: Double, blockCol: Option[Column] = None,
+      maxShingleDf: Int = 10000): (DataFrame, DataFrame) =
+    (ngramJaccardPairs(df, textCol, idCol, shingleK, minJaccard, blockCol,
+      maxShingleDf),
+      shingleDfAudit(df, textCol, idCol, shingleK, blockCol, maxShingleDf))
+
+  /** [[containmentPairs]] plus its [[shingleDfAudit]] side frame. */
+  def containmentPairsAudited(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int, minContainment: Double, blockCol: Option[Column] = None,
+      maxShingleDf: Int = 10000): (DataFrame, DataFrame) =
+    (containmentPairs(df, textCol, idCol, shingleK, minContainment, blockCol,
+      maxShingleDf),
+      shingleDfAudit(df, textCol, idCol, shingleK, blockCol, maxShingleDf))
+
+  /** [[jaccardThresholdSweep]] plus its [[shingleDfAudit]] side frame. */
+  def jaccardThresholdSweepAudited(df: DataFrame, textCol: String,
+      idCol: String, shingleK: Int, thresholdsPct: Seq[Long],
+      blockCol: Option[Column] = None,
+      maxShingleDf: Int = 10000): (DataFrame, DataFrame) =
+    (jaccardThresholdSweep(df, textCol, idCol, shingleK, thresholdsPct,
+      blockCol, maxShingleDf),
+      shingleDfAudit(df, textCol, idCol, shingleK, blockCol, maxShingleDf))
+
   /** Shared tail of the exact-shingle pair family: ordered candidate
     * pairs with reduced-set sizes and exact intersection counts —
     * (id_a, id_b, n_a, n_b, n_inter). See [[ngramJaccardPairs]] for the
@@ -724,6 +789,111 @@ object Dedup {
       .select(col("id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"),
         col("n_windows"))
+  }
+
+  /** Recall-loss audit for [[duplicatedPassages]]' `maxGramDf` rail: ONE
+    * row `(n_grams, n_duplicated_grams, n_dropped_grams,
+    * n_dropped_windows)` over the same positional k-gram occurrence
+    * histogram the capped pipeline prunes on. `n_dropped_grams` counts
+    * gram strings whose window-occurrence count exceeds the cap (they
+    * stop marking spans); `n_dropped_windows` the window occurrences
+    * suppressed with them. Same no-silent-caps contract as
+    * [[shingleDfAudit]].
+    */
+  def passageGramAudit(df: DataFrame, textCol: String, idCol: String,
+      k: Int, maxGramDf: Int = 10000): DataFrame = {
+    require(k >= 2, "passage window must be >= 2 tokens")
+    val toks = Text.tokens(col(textCol))
+    val n = size(toks)
+    val shifted = (0 until k).map(j => slice(toks, lit(j + 1), n))
+    val grams = shifted.reduceRight((a, b) =>
+      zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    val windows = graft.core.Graft.spread(df)
+      .select(col(idCol).as("id"),
+        explode(slice(grams, lit(1), greatest(n - (k - 1), lit(0))))
+          .as("gram"))
+    windows.groupBy("gram").agg(count(lit(1)).as("occ"))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(when(col("occ") >= 2, 1L).otherwise(0L)), lit(0L))
+          .as("n_duplicated_grams"),
+        coalesce(sum(when(col("occ") > maxGramDf, 1L).otherwise(0L)),
+          lit(0L)).as("n_dropped_grams"),
+        coalesce(sum(when(col("occ") > maxGramDf, col("occ")).otherwise(0L)),
+          lit(0L)).as("n_dropped_windows"))
+  }
+
+  /** [[duplicatedPassages]] plus its [[passageGramAudit]] side frame. */
+  def duplicatedPassagesAudited(df: DataFrame, textCol: String,
+      idCol: String, k: Int,
+      maxGramDf: Int = 10000): (DataFrame, DataFrame) =
+    (duplicatedPassages(df, textCol, idCol, k, maxGramDf),
+      passageGramAudit(df, textCol, idCol, k, maxGramDf))
+
+  /** Recall-loss audit for [[sortedNeighborhood]]'s window bound: ONE row
+    * `(n_blocks, n_rows, n_pairs_possible, n_pairs_generated,
+    * n_pairs_skipped)` from per-block counts alone (exact integer
+    * arithmetic — a block of n rows can form n·(n-1)/2 pairs; the window
+    * generates min(i, window-1) predecessors per row, i.e. all of them
+    * when n <= window, else window·(window-1)/2 + (n-window)·(window-1)).
+    * `n_pairs_skipped` is the candidate recall the sort-order heuristic
+    * gives up — the number multi-pass SNM exists to win back. Counts are
+    * pure block-size functions, so the audit costs one hash aggregate.
+    */
+  def snmWindowAudit(df: DataFrame, blockCol: Column,
+      window: Int): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    val w = window.toLong
+    val blocks = df.groupBy(blockCol.as("block")).agg(count(lit(1)).as("n"))
+    val poss = expr("n * (n - 1) DIV 2")
+    val gen = when(col("n") <= lit(w), poss)
+      .otherwise(lit(w * (w - 1) / 2) + (col("n") - lit(w)) * lit(w - 1))
+    blocks.agg(
+      count(lit(1)).as("n_blocks"),
+      coalesce(sum(col("n")), lit(0L)).as("n_rows"),
+      coalesce(sum(poss), lit(0L)).as("n_pairs_possible"),
+      coalesce(sum(gen), lit(0L)).as("n_pairs_generated"),
+      coalesce(sum(poss - gen), lit(0L)).as("n_pairs_skipped"))
+  }
+
+  /** One-call audit report for the [[fuzzyDedup]] composite: ONE row of
+    * per-stage counts so a drop anywhere in the chain is visible instead
+    * of silent —
+    * `(n_input, n_exact_survivors, n_candidate_pairs, n_verified_pairs,
+    * n_clusters, n_kept_rows, n_dropped_exact, n_dropped_near)`.
+    * `n_candidate_pairs` counts the distinct LSH band-bucket pairs BEFORE
+    * the Jaccard verify (the banding recall surface: a true near-dup pair
+    * outside every band never reaches the verify, and a candidate count
+    * far below the verified count's expectation is the tell);
+    * `n_dropped_near` is what the near-dup closure removed beyond exact
+    * dedup. Stages recompute the chain (a report, not a serving path);
+    * production materializes the pair frame once and audits that.
+    */
+  def fuzzyDedupReport(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, bands: Int = 8, shingleK: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    val exactSurv = exactSurvivors(df, textCol, idCol)
+    val buckets = minhashBuckets(exactSurv, textCol, idCol, numHashes,
+      bands, shingleK)
+    val candPairs = buckets
+      .select(explode(col("member_ids")).as("id_a"), col("member_ids"))
+      .select(col("id_a"), explode(col("member_ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+    val verified = minhashPairs(exactSurv, textCol, idCol, numHashes,
+      bands, shingleK, threshold)
+    val comps = clusterNearDups(exactSurv.select(col(idCol)), verified, idCol)
+    df.agg(count(lit(1)).as("n_input"))
+      .crossJoin(exactSurv.agg(count(lit(1)).as("n_exact_survivors")))
+      .crossJoin(candPairs.agg(count(lit(1)).as("n_candidate_pairs")))
+      .crossJoin(verified.agg(count(lit(1)).as("n_verified_pairs")))
+      .crossJoin(comps.agg(
+        countDistinct(col("component")).as("n_clusters"),
+        coalesce(sum(when(col("id") === col("component"), 1L).otherwise(0L)),
+          lit(0L)).as("n_kept_rows")))
+      .withColumn("n_dropped_exact",
+        col("n_input") - col("n_exact_survivors"))
+      .withColumn("n_dropped_near",
+        col("n_exact_survivors") - col("n_kept_rows"))
   }
 
   /** SemDeDup-style semantic dedup (public algorithm: Abbas et al. 2023,

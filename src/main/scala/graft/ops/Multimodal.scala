@@ -230,4 +230,132 @@ object Multimodal {
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  // ---- audio (WAV/PCM via the JDK's javax.sound.sampled — no external
+  //      codec dependency, mirroring the imageio image path) ---------------
+
+  /** Deterministic synthesized 16-bit PCM WAV per document: sample rate,
+    * channel count, frame count and every sample value are pure integer
+    * functions of `doc_id`, so the DuckDB oracle can recompute the decoded
+    * features from first principles while the ENGINE path decodes the real
+    * RIFF bytes. Stereo every 4th id exercises channel interleaving.
+    */
+  def synthesizeWav(docs: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val rdd = docs.select(col("doc_id").cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val sr = (8000 + (id % 3) * 4000).toInt
+        val ch = if (id % 4 == 0) 2 else 1
+        val nf = (400 + id % 256).toInt
+        val data = new Array[Byte](nf * ch * 2)
+        var i = 0
+        while (i < nf) {
+          var c = 0
+          while (c < ch) {
+            val s = (((id * 31 + i.toLong * 17 + c * 7919) % 65536) - 32768).toInt
+            val off = (i * ch + c) * 2
+            data(off) = (s & 0xff).toByte // little-endian PCM
+            data(off + 1) = ((s >> 8) & 0xff).toByte
+            c += 1
+          }
+          i += 1
+        }
+        Row(id, wavBytes(sr, ch, data))
+      }
+    }
+    docs.sparkSession.createDataFrame(rdd, out)
+  }
+
+  /** Canonical 44-byte RIFF/WAVE header + PCM payload (16-bit LE). */
+  private def wavBytes(sampleRate: Int, channels: Int,
+      pcm: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(pcm.length)
+      .put(pcm)
+    bb.array()
+  }
+
+  /** Audio decode: real WAV/PCM header+sample decode via the JDK's
+    * `javax.sound.sampled.AudioSystem` inside mapPartitions (constant
+    * memory per task, no driver collection — the image-path discipline).
+    * Emits format metadata plus exact-integer sample statistics (sum of
+    * squared samples across all channels, peak magnitude) and the derived
+    * RMS; non-decodable or non-16-bit-PCM payloads get NULL features (the
+    * coerce-don't-error rule — callers filter or route them). Integer
+    * stats make the features oracle-replayable bit-for-bit; `duration_ms`
+    * is exact long division, RMS one IEEE divide + sqrt on both engines.
+    */
+  def decodeAudio(spark: SparkSession, media: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = true),
+      StructField("channels", LongType, nullable = true),
+      StructField("bits", LongType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("sum_sq", LongType, nullable = true),
+      StructField("peak", LongType, nullable = true),
+      StructField("rms", DoubleType, nullable = true)))
+    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        decodeWavOne(bytes) match {
+          case Some((sr, ch, nf, sumSq, peak)) =>
+            val n = nf * ch
+            val rms = if (n > 0) math.sqrt(sumSq.toDouble / n) else 0.0
+            Row(id, sr, ch, 16L, nf, nf * 1000L / sr, sumSq, peak, rms)
+          case None => Row(id, null, null, null, null, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, out)
+  }
+
+  /** (sampleRate, channels, frames, sumSq, peak) for 16-bit PCM WAV bytes;
+    * None for anything the JDK can't parse as such.
+    */
+  private def decodeWavOne(
+      bytes: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+    if (bytes.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) return None
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        var sumSq = 0L
+        var peak = 0L
+        var i = 0
+        while (i < n) {
+          val s =
+            if (fmt.isBigEndian) (data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xff)
+            else (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
+          sumSq += s.toLong * s
+          val a = math.abs(s.toLong)
+          if (a > peak) peak = a
+          i += 1
+        }
+        Some((fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+          ais.getFrameLength, sumSq, peak))
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 }

@@ -523,9 +523,52 @@ object Similarity {
     */
   def knnJoinIvf(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 2, qSalt: Int = 1): DataFrame = {
-    require(qSalt >= 1, "qSalt must be >= 1")
     val cents = corpus.orderBy("vec_id").limit(nCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+    knnJoinIvfCells(corpus, queries, cents, k, nProbe, qSalt)
+  }
+
+  /** [[knnJoinIvf]] with Lloyd-TRAINED centroids ([[trainedCentroids]]'
+    * determinism contract — `iters` exact rounds from the prefix-sample
+    * init). Training collects nCells × dim doubles to the driver (bounded
+    * index state, never the corpus); the join itself is the shared
+    * cell-cogroup kernel.
+    */
+  def knnJoinIvfTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 2, iters: Int = 2,
+      qSalt: Int = 1): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val cents = trainedCentroids(corpus, nCells, iters)
+      .map { case (cell, v) => (cell, Option(v).map(_.toSeq).orNull) }
+      .toDF("cent_id", "centv")
+    knnJoinIvfCells(corpus, queries, cents, k, nProbe, qSalt)
+  }
+
+  /** [[knnJoinIvf]] against an ALREADY-TRAINED centroid table
+    * `(cent_id, centv)` — the join-shaped serve half of the
+    * train-once/serve-many lifecycle ([[AnnIndex]]), completing what
+    * [[ivfTopKWithCentroids]] does for the retrieval shape: no Lloyd
+    * rounds, no corpus passes at plan time (the centroid frame stays
+    * lazy; PlanShapeSpec asserts zero jobs), and with centroids loaded
+    * from [[AnnIndex.trainAndSaveIvf]]'s output this hash-matches
+    * [[knnJoinIvfTrained]] exactly — parquet round-trips the IEEE
+    * doubles bit-for-bit and the assignment/scoring arithmetic is
+    * shared.
+    */
+  def knnJoinIvfWithCentroids(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int, nProbe: Int = 2,
+      qSalt: Int = 1): DataFrame =
+    knnJoinIvfCells(corpus, queries,
+      centroids.select(col("cent_id"), col("centv")), k, nProbe, qSalt)
+
+  /** Shared tail of the three [[knnJoinIvf]] entry points: assign both
+    * sides to cells, optionally salt the query stream, score through the
+    * cogroup kernel.
+    */
+  private def knnJoinIvfCells(corpus: DataFrame, queries: DataFrame,
+      cents: DataFrame, k: Int, nProbe: Int, qSalt: Int): DataFrame = {
+    require(qSalt >= 1, "qSalt must be >= 1")
     val (cB0, qB0) = ivfSides(corpus, queries, cents, nProbe)
     // qSalt > 1 splits each cell's QUERY stream across qSalt subgroups
     // (query hash picks the salt; the cell's corpus rows replicate to all

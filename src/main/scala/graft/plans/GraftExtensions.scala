@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * {{{
   *   SELECT * FROM graft_dedup_exact('documents', 'text', 'doc_id');
   *   SELECT * FROM graft_minhash_pairs('documents', 'text', 'doc_id', 0.7);
+  *   SELECT * FROM graft_fuzzy_dedup('documents', 'text', 'doc_id', 0.7);
   *   SELECT * FROM graft_knn_join('embeddings', 'embeddings', 10, 16);
   *   SELECT * FROM graft_knn_join_ivf('embeddings', 'embeddings', 10, 16, 2);
   *   SELECT * FROM graft_quality_gate('documents', 'text');
@@ -109,6 +110,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_minhash_pairs(table, text_col, id_col, threshold)")
       val fn = "graft_minhash_pairs"
       plan(graft.ops.Dedup.minhashPairs(sp.table(litStr(args, 0, fn)),
+        litStr(args, 1, fn), litStr(args, 2, fn),
+        threshold = litDouble(args, 3, fn)))
+    }
+
+    // The one-call exact -> LSH-banded -> verify -> components -> keep-one
+    // composite (Dedup.fuzzyDedup) — the operator a SQL-only user most
+    // wants as a single statement: returns the input table's surviving
+    // rows (one representative per near-dup cluster).
+    tvf(e, "graft_fuzzy_dedup",
+      "graft_fuzzy_dedup(table, text_col, id_col, threshold)") { (sp, args) =>
+      require(args.length == 4,
+        "graft_fuzzy_dedup(table, text_col, id_col, threshold)")
+      val fn = "graft_fuzzy_dedup"
+      plan(graft.ops.Dedup.fuzzyDedup(sp.table(litStr(args, 0, fn)),
         litStr(args, 1, fn), litStr(args, 2, fn),
         threshold = litDouble(args, 3, fn)))
     }

@@ -103,7 +103,9 @@ case class NearestCells(vec: Expression, cents: Expression, n: Expression)
       }
     }
     scala.util.Sorting.stableSort(idx)(ord)
-    val k = math.min(take, m)
+    // clamp below at 0: `n` is a public Column input, and a negative value
+    // must yield an empty assignment, not a NegativeArraySizeException
+    val k = math.max(0, math.min(take, m))
     val out = new Array[Long](k)
     var o = 0
     while (o < k) { out(o) = cid(idx(o)); o += 1 }

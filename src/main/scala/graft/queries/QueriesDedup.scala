@@ -49,6 +49,67 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Per-stage audit of the fuzzy composite (same planted input as
+    // dedup_fuzzy): input/survivor/candidate/verified/cluster/kept counts
+    // in one row, so banding recall loss or an over-eager closure is
+    // visible instead of silent. The oracle re-counts every CTE of the
+    // dedup_fuzzy replay.
+    "dedup_fuzzy_audit" -> ((s, d) => {
+      val base = t(s, d, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val exactCopies = base.where(col("doc_id") < 20)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val nearCopies = base.where(col("doc_id") >= 20 && col("doc_id") < 40)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" extrazz")).as("text"))
+      Dedup.fuzzyDedupReport(
+        base.unionByName(exactCopies).unionByName(nearCopies),
+        "text", "doc_id",
+        numHashes = 4, bands = 2, shingleK = 3, threshold = 0.5)
+    }),
+
+    // Recall-loss audit of the shared maxShingleDf rail (ngram Jaccard /
+    // containment / threshold sweep): 30 PLANTED identical nonsense docs
+    // push their 7 bigrams over the cap (df 30 > 20), so the audit must
+    // report >= 7 dropped shingles, >= 210 dropped postings and >= 30
+    // emptied docs — a planted cap-exceeding region, not a never-fires
+    // default.
+    "dedup_shingle_df_audit" -> ((s, d) => {
+      val base = t(s, d, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val planted = s.range(30).select(
+        (col("id") + 500000L).as("doc_id"),
+        lit("zqa zqb zqc zqd zqe zqf zqg zqh").as("text"))
+      Dedup.shingleDfAudit(base.unionByName(planted), "text", "doc_id",
+        shingleK = 2, maxShingleDf = 20)
+    }),
+
+    // Recall-loss audit of duplicatedPassages' maxGramDf rail: 25 PLANTED
+    // identical 7-token docs put their 3 positional 5-grams over the cap
+    // (occ 25 > 20) — the audit counts the grams and windows the cap
+    // suppresses from span marking.
+    "dedup_passage_gram_audit" -> ((s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = s.range(25).select(
+        (col("id") + 600000L).as("doc_id"),
+        lit("qqa qqb qqc qqd qqe qqf qqg").as("text"))
+      Dedup.passageGramAudit(base.unionByName(planted), "text", "doc_id",
+        k = 5, maxGramDf = 20)
+    }),
+
+    // Recall-loss audit of the SNM window bound: candidate pairs the
+    // sort-order heuristic gives up per block (exact integer arithmetic
+    // from block sizes). The natural source blocks dwarf window=3, so
+    // n_pairs_skipped is large by construction; a planted 2-row block
+    // exercises the n <= window branch.
+    "dedup_snm_window_audit" -> ((s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"), col("source"))
+      val planted = s.range(2).select(
+        (col("id") + 700000L).as("doc_id"), lit("zz_planted").as("source"))
+      Dedup.snmWindowAudit(base.unionByName(planted), col("source"),
+        window = 3)
+    }),
+
     // MinHash signatures (first 4 hash slots surfaced as columns).
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashSignatures(t(s, d, "documents"), "text", "doc_id",
@@ -522,6 +583,86 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
       |   ORDER BY pos), '') AS clean_text
       |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Full composite replay of the fuzzyDedup chain, shared by the
+    * keep-one oracle (dedup_fuzzy) and the per-stage audit
+    * (dedup_fuzzy_audit): exact-digest survivors (md5 both engines), the
+    * 4-hash signature chain, band candidates as direct sig-slice equality
+    * (band-bucket md5 equality ⇔ slice equality), per-pair exact Jaccard
+    * over DISTINCT shingles, recursive reach closure, keep = component
+    * representative. NaN-Jaccard candidate pairs (shingle-less docs) drop
+    * on both sides by absence from the shingle frame. MATERIALIZED on
+    * every multi-consumer CTE.
+    */
+  private def fuzzyChainCtes: String = {
+    val p = Dedup.MinhashP
+    val sigCols = (0 until 4).map { j =>
+      val (a, b) = Dedup.minhashCoeffs(j)
+      s"COALESCE(MIN((($a * (${hash60Sql("s.sh")} % $p)) + $b) % $p), ${Long.MaxValue}) AS h$j"
+    }.mkString(",\n  ")
+    s"""docs AS MATERIALIZED (
+       | SELECT doc_id, text FROM documents WHERE doc_id < 300
+       | UNION ALL
+       | SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20
+       | UNION ALL
+       | SELECT doc_id + 200000, text || ' extrazz' FROM documents
+       | WHERE doc_id >= 20 AND doc_id < 40),
+       |surv AS MATERIALIZED (
+       | SELECT doc_id FROM (
+       |  SELECT doc_id,
+       |   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM docs) WHERE rn = 1),
+       |sdocs AS MATERIALIZED (
+       | SELECT d.doc_id, d.text FROM docs d JOIN surv USING (doc_id)),
+       |words AS (
+       | SELECT doc_id, w, i FROM (
+       |  SELECT doc_id,
+       |   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+       |   generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS i
+       |  FROM sdocs WHERE trim(text) <> '')),
+       |shingles AS MATERIALIZED (
+       | SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+       | FROM words a
+       | JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+       | JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+       | UNION
+       | SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS sh
+       | FROM sdocs
+       | WHERE trim(text) <> ''
+       |  AND len(string_split_regex(trim(lower(text)), '\\s+')) < 3),
+       |sigs AS MATERIALIZED (
+       | SELECT d.doc_id,
+       |  $sigCols
+       | FROM sdocs d LEFT JOIN shingles s ON s.doc_id = d.doc_id
+       | GROUP BY d.doc_id),
+       |cand AS MATERIALIZED (
+       | SELECT x.doc_id AS id_a, y.doc_id AS id_b
+       | FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id AND (
+       |   (x.h0 = y.h0 AND x.h1 = y.h1) OR
+       |   (x.h2 = y.h2 AND x.h3 = y.h3))),
+       |pairsh AS (
+       | SELECT c.id_a, c.id_b, s.sh,
+       |  MAX(CASE WHEN s.doc_id = c.id_a THEN 1 ELSE 0 END) AS ina,
+       |  MAX(CASE WHEN s.doc_id = c.id_b THEN 1 ELSE 0 END) AS inb
+       | FROM cand c JOIN shingles s ON s.doc_id IN (c.id_a, c.id_b)
+       | GROUP BY 1, 2, 3),
+       |jac AS (
+       | SELECT id_a, id_b,
+       |  CAST(SUM(ina * inb) AS BIGINT) AS inter,
+       |  CAST(COUNT(*) AS BIGINT) AS un
+       | FROM pairsh GROUP BY 1, 2),
+       |edges0 AS MATERIALIZED (
+       | SELECT id_a AS a, id_b AS b FROM jac
+       | WHERE CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) >= 0.5),
+       |edges AS MATERIALIZED (
+       | SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+       |reach AS (
+       | SELECT doc_id AS id, doc_id AS r FROM sdocs
+       | UNION
+       | SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+       |comp AS MATERIALIZED (
+       | SELECT id, MIN(r) AS component FROM reach GROUP BY id)""".stripMargin
+  }
+
   protected def dedupOracles: Map[String, String] = Map(
 
     "dedup_exact" ->
@@ -555,76 +696,29 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
     // keep = component representative. NaN-Jaccard candidate pairs
     // (shingle-less docs) drop on both sides by absence from the
     // shingle frame. MATERIALIZED on every multi-consumer CTE.
-    "dedup_fuzzy" -> {
-      val p = Dedup.MinhashP
-      val sigCols = (0 until 4).map { j =>
-        val (a, b) = Dedup.minhashCoeffs(j)
-        s"COALESCE(MIN((($a * (${hash60Sql("s.sh")} % $p)) + $b) % $p), ${Long.MaxValue}) AS h$j"
-      }.mkString(",\n  ")
-      s"""WITH RECURSIVE docs AS MATERIALIZED (
-         | SELECT doc_id, text FROM documents WHERE doc_id < 300
-         | UNION ALL
-         | SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20
-         | UNION ALL
-         | SELECT doc_id + 200000, text || ' extrazz' FROM documents
-         | WHERE doc_id >= 20 AND doc_id < 40),
-         |surv AS (
-         | SELECT doc_id FROM (
-         |  SELECT doc_id,
-         |   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-         |  FROM docs) WHERE rn = 1),
-         |sdocs AS MATERIALIZED (
-         | SELECT d.doc_id, d.text FROM docs d JOIN surv USING (doc_id)),
-         |words AS (
-         | SELECT doc_id, w, i FROM (
-         |  SELECT doc_id,
-         |   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
-         |   generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS i
-         |  FROM sdocs WHERE trim(text) <> '')),
-         |shingles AS MATERIALIZED (
-         | SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
-         | FROM words a
-         | JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
-         | JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
-         | UNION
-         | SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS sh
-         | FROM sdocs
-         | WHERE trim(text) <> ''
-         |  AND len(string_split_regex(trim(lower(text)), '\\s+')) < 3),
-         |sigs AS MATERIALIZED (
-         | SELECT d.doc_id,
-         |  $sigCols
-         | FROM sdocs d LEFT JOIN shingles s ON s.doc_id = d.doc_id
-         | GROUP BY d.doc_id),
-         |cand AS MATERIALIZED (
-         | SELECT x.doc_id AS id_a, y.doc_id AS id_b
-         | FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id AND (
-         |   (x.h0 = y.h0 AND x.h1 = y.h1) OR
-         |   (x.h2 = y.h2 AND x.h3 = y.h3))),
-         |pairsh AS (
-         | SELECT c.id_a, c.id_b, s.sh,
-         |  MAX(CASE WHEN s.doc_id = c.id_a THEN 1 ELSE 0 END) AS ina,
-         |  MAX(CASE WHEN s.doc_id = c.id_b THEN 1 ELSE 0 END) AS inb
-         | FROM cand c JOIN shingles s ON s.doc_id IN (c.id_a, c.id_b)
-         | GROUP BY 1, 2, 3),
-         |jac AS (
-         | SELECT id_a, id_b,
-         |  CAST(SUM(ina * inb) AS BIGINT) AS inter,
-         |  CAST(COUNT(*) AS BIGINT) AS un
-         | FROM pairsh GROUP BY 1, 2),
-         |edges0 AS (
-         | SELECT id_a AS a, id_b AS b FROM jac
-         | WHERE CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) >= 0.5),
-         |edges AS MATERIALIZED (
-         | SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
-         |reach AS (
-         | SELECT doc_id AS id, doc_id AS r FROM sdocs
-         | UNION
-         | SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
-         |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    "dedup_fuzzy" ->
+      s"""WITH RECURSIVE $fuzzyChainCtes
          |SELECT id AS doc_id FROM comp WHERE id = component
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
+
+    // The fuzzy chain's per-stage counts (engine: Dedup.fuzzyDedupReport)
+    // — every CTE the keep-one oracle walks, counted instead of projected.
+    "dedup_fuzzy_audit" ->
+      s"""WITH RECURSIVE $fuzzyChainCtes,
+         |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_input FROM docs),
+         |n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_survivors FROM surv),
+         |n3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs FROM cand),
+         |n4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_verified_pairs FROM edges0),
+         |n5 AS (SELECT CAST(COUNT(DISTINCT component) AS BIGINT) AS n_clusters,
+         |  CAST(COALESCE(SUM(CASE WHEN id = component THEN 1 END), 0) AS BIGINT)
+         |    AS n_kept_rows
+         | FROM comp)
+         |SELECT n1.n_input, n2.n_exact_survivors, n3.n_candidate_pairs,
+         | n4.n_verified_pairs, n5.n_clusters, n5.n_kept_rows,
+         | n1.n_input - n2.n_exact_survivors AS n_dropped_exact,
+         | n2.n_exact_survivors - n5.n_kept_rows AS n_dropped_near
+         |FROM n1, n2, n3, n4, n5""".stripMargin,
+
     "dedup_minhash_calibration" -> minhashCalibrationOracle,
     "dedup_minhash_band_stats" -> {
       val p = Dedup.MinhashP
@@ -686,6 +780,100 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_containment" -> containmentOracle,
     "dedup_threshold_sweep" -> thresholdSweepOracle,
+
+    // Same shingle universe as ngramJaccardOracle over the planted-hot
+    // union input; df histogram counted instead of paired.
+    "dedup_shingle_df_audit" ->
+      """WITH docs AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id < 300
+        | UNION ALL
+        | SELECT 500000 + r.i AS doc_id,
+        |  'zqa zqb zqc zqd zqe zqf zqg zqh' AS text
+        | FROM range(30) r(i)),
+        |words AS (
+        | SELECT doc_id, w, i FROM (
+        |  SELECT doc_id,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+        |   generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS i
+        |  FROM docs WHERE trim(text) <> '')),
+        |shingles AS (
+        | SELECT DISTINCT a.doc_id AS id, a.w || ' ' || b.w AS sh
+        | FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        | UNION
+        | SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS sh
+        | FROM docs
+        | WHERE trim(text) <> ''
+        |  AND len(string_split_regex(trim(lower(text)), '\s+')) < 2),
+        |dfs AS (SELECT sh, COUNT(*) AS df FROM shingles GROUP BY sh),
+        |s1 AS (
+        | SELECT CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(COALESCE(SUM(CASE WHEN df > 20 THEN 1 END), 0) AS BIGINT)
+        |   AS n_dropped_shingles,
+        |  CAST(COALESCE(SUM(CASE WHEN df > 20 THEN df END), 0) AS BIGINT)
+        |   AS n_dropped_postings
+        | FROM dfs),
+        |ds AS (
+        | SELECT s.id, SUM(CASE WHEN d.df <= 20 THEN 1 ELSE 0 END) AS n_kept
+        | FROM shingles s JOIN dfs d USING (sh) GROUP BY s.id),
+        |s2 AS (
+        | SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(SUM(CASE WHEN n_kept = 0 THEN 1 END), 0) AS BIGINT)
+        |   AS n_docs_emptied
+        | FROM ds)
+        |SELECT s1.n_shingles, s1.n_dropped_shingles, s1.n_dropped_postings,
+        | s2.n_docs, s2.n_docs_emptied
+        |FROM s1 CROSS JOIN s2""".stripMargin,
+
+    // The dedup_passages gram CTE over the planted-hot union input;
+    // occurrence histogram counted instead of span-merged.
+    "dedup_passage_gram_audit" ->
+      """WITH docs AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT 600000 + r.i AS doc_id, 'qqa qqb qqc qqd qqe qqf qqg' AS text
+        | FROM range(25) r(i)),
+        |words AS (
+        | SELECT doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+        |  generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS i
+        | FROM docs WHERE text IS NOT NULL AND trim(text) <> ''),
+        |g AS (
+        | SELECT doc_id,
+        |  w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+        |    || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS gram
+        | FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+        |occ AS (
+        | SELECT gram, COUNT(*) AS occ FROM g WHERE gram IS NOT NULL
+        | GROUP BY gram)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_grams,
+        | CAST(COALESCE(SUM(CASE WHEN occ >= 2 THEN 1 END), 0) AS BIGINT)
+        |  AS n_duplicated_grams,
+        | CAST(COALESCE(SUM(CASE WHEN occ > 20 THEN 1 END), 0) AS BIGINT)
+        |  AS n_dropped_grams,
+        | CAST(COALESCE(SUM(CASE WHEN occ > 20 THEN occ END), 0) AS BIGINT)
+        |  AS n_dropped_windows
+        |FROM occ""".stripMargin,
+
+    // Pure block-size arithmetic: possible C(n,2) vs the window's
+    // generated min(i, w-1) sum, per block, summed.
+    "dedup_snm_window_audit" ->
+      """WITH docs AS (
+        | SELECT doc_id, source FROM documents
+        | UNION ALL
+        | SELECT 700000 + r.i AS doc_id, 'zz_planted' AS source
+        | FROM range(2) r(i)),
+        |b AS (SELECT source, COUNT(*) AS n FROM docs GROUP BY source),
+        |g AS (
+        | SELECT n, n * (n - 1) // 2 AS poss,
+        |  CASE WHEN n <= 3 THEN n * (n - 1) // 2
+        |       ELSE 3 + (n - 3) * 2 END AS gen
+        | FROM b)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        | CAST(SUM(n) AS BIGINT) AS n_rows,
+        | CAST(SUM(poss) AS BIGINT) AS n_pairs_possible,
+        | CAST(SUM(gen) AS BIGINT) AS n_pairs_generated,
+        | CAST(SUM(poss - gen) AS BIGINT) AS n_pairs_skipped
+        |FROM g""".stripMargin,
     "dedup_prefix_jaccard" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
         |toks AS (

@@ -640,10 +640,57 @@ private[graft] trait QueriesPipeline { this: SparkEntry.type =>
         col("meta.digest").as("digest"),
         col("meta.format").as("format"))
         .orderBy("media_id")
+    }),
+
+    // Multimodal audio: REAL WAV decode (javax.sound.sampled) over
+    // deterministic synthesized 16-bit PCM — the engine parses actual RIFF
+    // bytes in mapPartitions while the oracle recomputes every decoded
+    // feature from the synthesis formula (exact integer sample stats, one
+    // IEEE divide+sqrt for RMS). The audio mirror of mm_media_meta's
+    // image path.
+    "mm_audio_meta" -> ((s, d) => {
+      val wav = Multimodal.synthesizeWav(t(s, d, "documents"))
+      Multimodal.decodeAudio(s, wav)
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("bits"), col("n_frames"), col("duration_ms"), col("sum_sq"),
+          col("peak"), round(col("rms"), 6).as("rms"))
+        .orderBy("media_id")
     })
   )
 
   protected def pipelineOracles: Map[String, String] = Map(
+
+    // Recomputes what the engine DECODES from the RIFF bytes, straight
+    // from the synthesis formula: per (frame, channel) sample =
+    // ((id*31 + i*17 + c*7919) % 65536) - 32768, summed exactly
+    // (HUGEINT -> BIGINT), RMS as one double divide + sqrt on both sides.
+    "mm_audio_meta" ->
+      """WITH d AS (
+        | SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  8000 + (doc_id % 3) * 4000 AS sr,
+        |  CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS ch,
+        |  400 + (doc_id % 256) AS nf
+        | FROM documents),
+        |fr AS (SELECT media_id, sr, ch, nf, unnest(range(nf)) AS i FROM d),
+        |fc AS (SELECT media_id, sr, ch, nf, i, unnest(range(ch)) AS c FROM fr),
+        |s AS (
+        | SELECT media_id, sr, ch, nf,
+        |  CAST(SUM(
+        |   (((media_id * 31 + i * 17 + c * 7919) % 65536) - 32768)
+        |   * (((media_id * 31 + i * 17 + c * 7919) % 65536) - 32768)
+        |  ) AS BIGINT) AS sum_sq,
+        |  CAST(MAX(ABS(
+        |   ((media_id * 31 + i * 17 + c * 7919) % 65536) - 32768
+        |  )) AS BIGINT) AS peak
+        | FROM fc
+        | GROUP BY media_id, sr, ch, nf)
+        |SELECT media_id, CAST(sr AS BIGINT) AS sample_rate,
+        | CAST(ch AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
+        | CAST(nf AS BIGINT) AS n_frames,
+        | CAST((nf * 1000) // sr AS BIGINT) AS duration_ms,
+        | sum_sq, peak,
+        | ROUND(SQRT(CAST(sum_sq AS DOUBLE) / (nf * ch)), 6) AS rms
+        |FROM s ORDER BY media_id""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH decoded AS (

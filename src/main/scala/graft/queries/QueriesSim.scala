@@ -579,6 +579,38 @@ private[graft] trait QueriesSim { this: SparkEntry.type =>
       Similarity.knnJoinIvf(emb, emb, k = 3, nCells = 16, nProbe = 2)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("query_id", "rank")
+    }),
+
+    // knnJoinIvf with Lloyd-TRAINED centroids — the trained in-line form:
+    // same cell-cogroup kernel as sim_knn_join_ivf, centroids from the
+    // 2-round decimal-exact Lloyd chain, so even the TRAINING is
+    // oracle-replayed (the DuckDB twin unrolls both iterations).
+    "sim_knn_join_ivf_trained" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.knnJoinIvfTrained(emb, emb, k = 3, nCells = 16,
+        nProbe = 2, iters = 2)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // The JOIN-shaped half of the persisted-index lifecycle
+    // (sim_ivf_persisted_topk covers the retrieval shape): centroids
+    // trained+saved once (AnnIndex, same index the retrieval entry
+    // persists), reloaded lazily and consumed by the kNN join — zero
+    // training jobs at plan time (PlanShapeSpec asserts it).
+    // Hash-matches sim_knn_join_ivf_trained (same oracle): parquet
+    // round-trips the IEEE centroid doubles bit-for-bit and the
+    // assignment/scoring arithmetic is shared.
+    "sim_knn_join_ivf_persisted" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = scratch("ivf_index", d) { out =>
+        graft.ops.AnnIndex.trainAndSaveIvf(t(s, d, "embeddings"),
+          nCells = 16, iters = 2, s"$out/centroids")
+      }
+      val cents = graft.ops.AnnIndex.loadIvfCentroids(s, s"$idx/centroids")
+      Similarity.knnJoinIvfWithCentroids(emb, emb, cents, k = 3, nProbe = 2)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -1146,6 +1178,13 @@ private[graft] trait QueriesSim { this: SparkEntry.type =>
     // the trained oracles verbatim.
     "sim_ivf_persisted_topk" -> ivfTrainedOracle(),
     "sim_pq_persisted_topk" -> pqTopkOracle(iters = 2),
+    // Trained kNN join: the trained-probe oracle with the full table as
+    // the query side and k=3 (the sim_knn_join_ivf shape over the Lloyd
+    // chain's centroids). The persisted entry shares it verbatim.
+    "sim_knn_join_ivf_trained" ->
+      ivfTrainedOracle(k = 3, queryWhere = ""),
+    "sim_knn_join_ivf_persisted" ->
+      ivfTrainedOracle(k = 3, queryWhere = ""),
 
     // Three instantiations of the sim_ivf_topk probe chain (rn <= np)
     // against the brute chain, overlap counted per query; recall as

@@ -45,6 +45,14 @@ object ExtensionsDemo {
     if (mhSql != mhApi)
       fails += s"graft_minhash_pairs TVF != Dedup.minhashPairs API (${mhSql.size} vs ${mhApi.size} rows)"
 
+    val fzSql = rows(spark.sql(
+      "SELECT * FROM graft_fuzzy_dedup('documents', 'text', 'doc_id', 0.7D) ORDER BY doc_id"))
+    val fzApi = rows(graft.ops.Dedup
+      .fuzzyDedup(spark.table("documents"), "text", "doc_id", threshold = 0.7)
+      .orderBy("doc_id"))
+    if (fzSql.isEmpty || fzSql != fzApi)
+      fails += s"graft_fuzzy_dedup TVF != Dedup.fuzzyDedup API (${fzSql.size} vs ${fzApi.size} rows)"
+
     val knnSql = rows(spark.sql(
       "SELECT * FROM graft_knn_join('embeddings', 'embeddings', 3, 4) ORDER BY query_id, rank"))
     val knnApi = rows(graft.ops.Similarity
@@ -114,7 +122,7 @@ object ExtensionsDemo {
     spark.sparkContext.setLogLevel("ERROR")
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val fails = check(spark, sfDir)
-    if (fails.isEmpty) println("[extensions-demo] scalar + 7 TVFs ok=true")
+    if (fails.isEmpty) println("[extensions-demo] scalar + 8 TVFs ok=true")
     else fails.foreach(f => println(s"[extensions-demo] FAIL: $f"))
     spark.stop()
     if (fails.nonEmpty) sys.exit(1)

@@ -1432,6 +1432,91 @@ class OpsSpec extends SparkSpec {
     assert(gotC == expected)
   }
 
+  test("bloom dedup: duplicate shard names never drop a sketch (re-run append safety)") {
+    import graft.ops.BloomDedup
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bloom_dupshard_").toString
+    // saveSketch is append-mode: a re-run under the SAME shard name leaves
+    // two physical rows. Selecting one per shard would silently drop the
+    // other — a Bloom FALSE NEGATIVE, routing true dups around the exact
+    // verify. sketchColumns must therefore probe every physical sketch.
+    BloomDedup.saveSketch(Seq("a", "b").toDF("k"), "k", 100L, path, shard = "b1")
+    BloomDedup.saveSketch(Seq("c").toDF("k"), "k", 100L, path, shard = "b1")
+    val seen = Seq("a", "b", "c").toDF("k")
+    val incoming = Seq((1L, "a"), (2L, "c"), (3L, "x")).toDF("id", "k")
+    val sketches = BloomDedup.sketchColumns(spark, path)
+    assert(sketches.length == 2,
+      "one probe column per distinct physical sketch, not per shard name")
+    val got = BloomDedup.newRowsWithSketches(incoming, seen, "k", sketches)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(3L)) // the dup under the colliding name must be caught
+    // a byte-identical re-append collapses (same shard, same digest)
+    BloomDedup.saveSketch(Seq("c").toDF("k"), "k", 100L, path, shard = "b1")
+    assert(BloomDedup.sketchColumns(spark, path).length == 2)
+    // compaction folds ALL physical rows (including the name collision)
+    // into one shard; probe result unchanged
+    BloomDedup.compactSketches(spark, path)
+    val compacted = BloomDedup.sketchColumns(spark, path)
+    assert(compacted.length == 1)
+    val gotC = BloomDedup.newRowsWithSketches(incoming, seen, "k", compacted)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(gotC == Seq(3L))
+  }
+
+  test("capped-rail audits count exactly what the caps suppress") {
+    import graft.ops.Dedup
+    // 5 identical docs push each of their 3 bigrams to df 5 > cap 4; one
+    // distinct pair of near-identical docs stays under the cap.
+    val docs = (1L to 5L).map(i => (i, "hot hot2 hot3 hot4"))
+      .toSeq.toDF("doc_id", "text")
+      .unionByName(Seq(
+        (10L, "alpha beta gamma delta"),
+        (11L, "alpha beta gamma epsilon")).toDF("doc_id", "text"))
+    val (pairs, audit) = Dedup.ngramJaccardPairsAudited(docs, "text",
+      "doc_id", shingleK = 2, minJaccard = 0.3, maxShingleDf = 4)
+    val a = audit.collect().head
+    // 3 hot bigrams dropped (df 5 each -> 15 postings); the 5 hot docs
+    // have no surviving shingles
+    assert(a.getAs[Long]("n_dropped_shingles") == 3L)
+    assert(a.getAs[Long]("n_dropped_postings") == 15L)
+    assert(a.getAs[Long]("n_docs_emptied") == 5L)
+    assert(a.getAs[Long]("n_docs") == 7L)
+    // the hot clique emits NO pairs (the silent-loss case the audit
+    // exists to surface); the under-cap pair survives
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 11L)))
+
+    // SNM window arithmetic: block of 5 at window 3 generates
+    // 3 + (5-3)*2 = 7 of C(5,2)=10; block of 2 generates its single pair
+    val snm = Dedup.snmWindowAudit(
+      Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 5L),
+        ("b", 6L), ("b", 7L)).toDF("blk", "doc_id"),
+      $"blk", window = 3).collect().head
+    assert(snm.getAs[Long]("n_blocks") == 2L)
+    assert(snm.getAs[Long]("n_rows") == 7L)
+    assert(snm.getAs[Long]("n_pairs_possible") == 11L)
+    assert(snm.getAs[Long]("n_pairs_generated") == 8L)
+    assert(snm.getAs[Long]("n_pairs_skipped") == 3L)
+    // generated must equal what sortedNeighborhood actually emits
+    val emitted = Dedup.sortedNeighborhood(
+      Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 5L),
+        ("b", 6L), ("b", 7L)).toDF("blk", "doc_id"),
+      "doc_id", $"doc_id".cast("string"), $"blk", window = 3).count()
+    assert(emitted == 8L)
+
+    // passage-gram audit: 3 identical 6-token docs, k=5 -> 2 grams each
+    // at occ 3 > cap 2; a unique doc contributes occ-1 grams only
+    val pg = Dedup.passageGramAudit(
+      Seq((1L, "p q r s t u"), (2L, "p q r s t u"), (3L, "p q r s t u"),
+        (4L, "v w x y z zz")).toDF("doc_id", "text"),
+      "text", "doc_id", k = 5, maxGramDf = 2).collect().head
+    assert(pg.getAs[Long]("n_grams") == 4L) // 2 hot + 2 unique
+    assert(pg.getAs[Long]("n_duplicated_grams") == 2L)
+    assert(pg.getAs[Long]("n_dropped_grams") == 2L)
+    assert(pg.getAs[Long]("n_dropped_windows") == 6L)
+  }
+
   test("bm25TopK rewards term density over raw length, bounded finisher, no window") {
     val docs = Seq(
       (1L, "apple banana"),

@@ -566,4 +566,43 @@ class PlanShapeSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(served == inline)
   }
+
+  test("persisted IVF kNN JOIN runs zero training jobs at plan time") {
+    // The join-shaped serve path (knnJoinIvfWithCentroids): once the
+    // centroid index is persisted, building the join plan must launch NO
+    // job — no Lloyd rounds, no corpus pass, no collect on either side.
+    // knnJoinIvfTrained, by contrast, fires its training jobs right here.
+    val emb = graft.core.Graft.table(spark, sf, "embeddings")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_join_persist_").toString
+    graft.ops.AnnIndex.trainAndSaveIvf(emb, nCells = 16, iters = 2,
+      s"$dir/centroids")
+    val cents = graft.ops.AnnIndex.loadIvfCentroids(spark, s"$dir/centroids")
+    cents.queryExecution.executedPlan // absorb the one-off schema read
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val d = graft.ops.Similarity.knnJoinIvfWithCentroids(emb, emb,
+        cents, k = 3, nProbe = 2)
+      d.queryExecution.executedPlan // force full planning
+      Thread.sleep(500) // async listener settle
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(jobs.get() == 0,
+      s"planning the persisted-IVF kNN join launched ${jobs.get()} job(s) — " +
+        "the serve path must not retrain or collect")
+    // and the served join matches the inline-trained join bit-for-bit
+    val served = graft.ops.Similarity.knnJoinIvfWithCentroids(emb, emb,
+      cents, k = 3, nProbe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val inline = graft.ops.Similarity.knnJoinIvfTrained(emb, emb, k = 3,
+      nCells = 16, nProbe = 2, iters = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(served == inline)
+  }
 }

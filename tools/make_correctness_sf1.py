@@ -39,16 +39,18 @@ from compare import TABLES, frame_key  # same strict normalization
 
 ORACLE_TIMEOUT = int(os.environ.get("GRAFT_ORACLE_TIMEOUT", "1200"))
 
+_CLOSURE_SKIP = (
+    "quadratic DuckDB oracle at sf1 (recursive SNM closure reach, "
+    "~25 min); oracle-verified at sf0.01 + sf0.1 + edge corpus; "
+    "engine-side self-verified by tools.ClosureParityProbe at sf1 "
+    "(invariants: no cross-cluster pair, label = min member, spanning "
+    "bound, sampled exact connectivity via union-find, idempotent "
+    "re-run)" + os.environ.get("GRAFT_CLOSURE_PROBE", ""))
+
 SKIPPED = {
-    "dedup_cluster_stats":
-        "quadratic DuckDB oracle at sf1 (recursive SNM closure reach, "
-        "~25 min); oracle-verified at sf0.01 + sf0.1 + edge corpus",
-    "dedup_components":
-        "quadratic DuckDB oracle at sf1 (recursive SNM closure reach, "
-        "~25 min); oracle-verified at sf0.01 + sf0.1 + edge corpus",
-    "dedup_representatives":
-        "quadratic DuckDB oracle at sf1 (recursive SNM closure reach, "
-        "~25 min); oracle-verified at sf0.01 + sf0.1 + edge corpus",
+    "dedup_cluster_stats": _CLOSURE_SKIP,
+    "dedup_components": _CLOSURE_SKIP,
+    "dedup_representatives": _CLOSURE_SKIP,
     "sim_knn_join":
         "exact-kNN ground truth is the full gram matrix (quadratic) at "
         "sf1; verified by tools.KnnParityProbe (ok=true) instead",
@@ -105,13 +107,25 @@ def main():
             entry["err"] = f"no spark output: {e}"
             result[name] = entry; n_fail += 1; flush()
             print(f"FAIL {name}: {entry['err']}", flush=True); continue
-        timer = threading.Timer(ORACLE_TIMEOUT, con.interrupt)
+        interrupted = threading.Event()
+
+        def _interrupt():
+            interrupted.set()
+            con.interrupt()
+        timer = threading.Timer(ORACLE_TIMEOUT, _interrupt)
         timer.start()
         try:
             exp = con.execute(sql).df()
         except Exception as e:
             timer.cancel()
-            if time.time() - t0 >= ORACLE_TIMEOUT - 1:
+            # Only OUR interrupt reclassifies as a timeout skip. A genuine
+            # late oracle failure (OOM, SQL error surfacing after a long
+            # scan) must stay a FAIL regardless of elapsed time — keying on
+            # wall clock alone would understate failures in the artifact.
+            is_interrupt = interrupted.is_set() and (
+                isinstance(e, duckdb.InterruptException)
+                or "INTERRUPT" in str(e).upper())
+            if is_interrupt:
                 result[name] = {"skipped": (
                     f"DuckDB oracle exceeded {ORACLE_TIMEOUT}s at sf1 "
                     "(interrupted); oracle-verified at sf0.01 + sf0.1 + "
