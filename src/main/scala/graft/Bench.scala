@@ -59,6 +59,36 @@ object Bench {
     "sim_knn_join_ivf" -> 64,  // IVF-partitioned approximate kNN join
     "sketch_kmv_distinct" -> 8) // KMV distinct sketch over events
 
+  /** Best recorded CALM-WINDOW amortized seconds per workload at sf0.1
+    * on this box — the absolute reference the window guard needs: the
+    * relative amortized<=single check is vacuous when a noisy neighbor
+    * inflates both sides together (BENCH_r09 self-declared "calm" at
+    * 2-3.5x these floors). A workload whose amortized time exceeds
+    * floor x 1.5 marks the window noisy and is re-run; if it never
+    * recovers the artifact says "window":"noisy" — a contaminated run
+    * can't masquerade as a performance record. Floors are updated only
+    * from a recorded matched calm pair (BASELINE.md), never loosened to
+    * make a bad window pass; checked only at sf0.1 (the driver's bench
+    * scale — floors don't transfer across SFs).
+    */
+  val floors: Map[String, Double] = Map(
+    "q1_agg" -> 0.0975,
+    "j1_multiway_join" -> 0.2179,
+    "w1_window" -> 0.0012,
+    "a8_pivot" -> 0.0291,
+    "dedup_exact" -> 0.0057,
+    "dedup_minhash" -> 0.1328,
+    "text_profile" -> 0.1412,
+    "sim_brute_topk" -> 0.0002,
+    "dedup_passages" -> 0.5097,
+    "graph_pagerank" -> 0.0043,
+    "text_bm25_topk" -> 0.0378,
+    "sim_pq_topk" -> 0.0008,
+    "dedup_semantic" -> 0.0058,
+    "sim_knn_join" -> 0.1189,
+    "sim_knn_join_ivf" -> 0.0379,
+    "sketch_kmv_distinct" -> 0.1332)
+
   /** r copies of every row, tagged 0..r-1: one scan, spread across all
     * cores FIRST (the single-row-group test files scan as one partition —
     * exploding there would serialize every instance's map work onto one
@@ -173,11 +203,14 @@ object Bench {
           .select(col("__rep"), col("id"),
             posexplode(slice(grams, lit(1), greatest(n - (k - 1), lit(0)))))
           .select(col("__rep"), col("id"),
-            (col("pos") + 1).cast("long").as("p"), col("col").as("gram"))
-        val repeated = windows.groupBy("__rep", "gram")
+            (col("pos") + 1).cast("long").as("p"),
+            graft.functions.StableHash.hash60(col("col")).as("g"))
+        val repeated = windows.groupBy("__rep", "g")
           .agg(count(lit(1)).as("occ"))
-          .where(col("occ") >= 2).select("__rep", "gram")
-        val marked = windows.join(repeated, Seq("__rep", "gram"), "left_semi")
+          .where(col("occ") >= 2 && col("occ") <= 10000)
+          .select("__rep", "g")
+        val marked = windows
+          .join(repeated.hint("shuffle_hash"), Seq("__rep", "g"), "left_semi")
         val w = Window.partitionBy("id").orderBy("p") // ids are rep-disjoint
         marked
           .withColumn("__prev", lag(col("p"), 1).over(w))
@@ -396,14 +429,23 @@ object Bench {
     val singleMap = single.toMap
     val reps = headline.toMap
     val amortMap = scala.collection.mutable.LinkedHashMap(amortized0: _*)
-    def violators: Seq[String] = amortMap.collect {
+    // Floors only apply at the scale they were recorded at (sf0.1).
+    val floorsApply = sfDir.stripSuffix("/").endsWith("sf0.1")
+    def floorViolators: Seq[String] =
+      if (!floorsApply) Seq.empty
+      else amortMap.collect {
+        case (n, a) if floors.get(n).exists(f => a > f * 1.5) => n
+      }.toSeq
+    def violators: Seq[String] = (amortMap.collect {
       case (n, a) if singleMap.get(n).exists(a > _) => n
-    }.toSeq
+    }.toSeq ++ floorViolators).distinct
     var retries = 3
     while (violators.nonEmpty && retries > 0) {
       retries -= 1
       System.err.println(s"[bench] window guard: rerunning ${violators.mkString(", ")} " +
-        s"(amortized > single_run; load avg ${loadAvg})")
+        s"(amortized > single_run, or > 1.5x committed floor; load avg ${loadAvg})")
+      // ride out a short machine-wide stall before re-measuring
+      if (floorViolators.nonEmpty) Thread.sleep(10000L)
       violators.foreach { name =>
         once(fused(name, spark, sfDir, reps(name)))
           .foreach(t => amortMap(name) = math.min(amortMap(name), t / reps(name)))
@@ -422,7 +464,8 @@ object Bench {
     val repsJson = headline.map { case (k, r) => "\"" + k + "\":" + r }
       .mkString("{", ",", "}")
     val total = amortized.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(amortized)},"method":"amortized: N independent instances of each query fused into one plan, wall/N; pandas baseline measured with the same read-once/compute-N protocol (BASELINE.md Methodology)","reps":$repsJson,"single_run":${jmap(single)},"failed":$failedJson,"window":"$window","noisy_queries":$noisyJson,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"sf":"$sfDir"}""")
+    val floorCheck = if (floorsApply) "applied(x1.5)" else "n/a(non-sf0.1)"
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(amortized)},"method":"amortized: N independent instances of each query fused into one plan, wall/N; pandas baseline measured with the same read-once/compute-N protocol (BASELINE.md Methodology)","reps":$repsJson,"single_run":${jmap(single)},"failed":$failedJson,"window":"$window","noisy_queries":$noisyJson,"floor_check":"$floorCheck","floors":${jmap(headline.flatMap { case (n, _) => floors.get(n).map(n -> _) })},"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

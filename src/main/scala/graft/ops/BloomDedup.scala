@@ -145,8 +145,26 @@ object BloomDedup {
     * null filter, which [[probe]] folds to false — exact, since an empty
     * batch saw nothing.
     */
+  /** Self-heal after a crash inside [[compactSketches]]' two-rename swap:
+    * if `path` is gone but the `.__compact_old` copy survives (the crash
+    * landed between rename(path -> .old) and rename(tmp -> path)), move
+    * the old directory back into place — recovery is automatic at the
+    * next read/compact instead of a manual rename. Idempotent; a no-op
+    * whenever `path` exists.
+    */
+  private def recoverCompactSwap(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path + ".__compact_old")
+    if (!fs.exists(hp) && fs.exists(old))
+      require(fs.rename(old, hp),
+        s"compact-swap recovery: could not move $old back to $path")
+  }
+
   def sketchColumns(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[Column] = {
+    recoverCompactSwap(spark, path)
     val keys = spark.read.parquet(path)
       .select(col("shard"), md5(col("sketch")).as("digest"))
       .distinct().collect()
@@ -173,6 +191,10 @@ object BloomDedup {
   def compactSketches(spark: org.apache.spark.sql.SparkSession,
       path: String, shard: String = "compacted"): Unit = {
     import org.apache.spark.util.sketch.BloomFilter
+    // MUST run before the tmp/old cleanup below: after a mid-swap crash
+    // the .__compact_old directory IS the only sketch state, and deleting
+    // it here would turn a recoverable crash into data loss.
+    recoverCompactSwap(spark, path)
     val rows = spark.read.parquet(path)
       .select("sketch", "n_expected").collect()
     val present = rows.filter(!_.isNullAt(0))

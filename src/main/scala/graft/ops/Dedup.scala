@@ -57,26 +57,112 @@ object Dedup {
     hashed.select(col(idCol), array(sigs: _*).as("sig"))
   }
 
-  /** MinHash+LSH near-dup candidates: signatures are cut into `bands` bands
-    * of r rows; docs sharing any band-hash land in a bucket. Output: one row
-    * per (band, bucket) with its member ids — buckets with >1 member are the
-    * near-dup candidate sets. Shuffle key is (band, bucket-hash): uniform by
-    * construction, skew-free at scale.
+  /** The banded (id, band, bucket) frame behind every minhash-LSH
+    * consumer: signatures cut into `bands` bands of r rows, bucket =
+    * md5 of the band's slice. Map-side only.
     */
-  def minhashBuckets(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 16, bands: Int = 4, shingleK: Int = 3): DataFrame = {
+  private def minhashBanded(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, bands: Int, shingleK: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val banded = minhashSignatures(df, textCol, idCol, numHashes, shingleK)
+    minhashSignatures(df, textCol, idCol, numHashes, shingleK)
       .select(col(idCol), posexplode(
         array((0 until bands).map(b =>
           md5(concat_ws(",", slice(col("sig"), b * r + 1, r)))): _*))
         .as(Seq("band", "bucket")))
-    banded.groupBy("band", "bucket")
-      .agg(sort_array(collect_list(col(idCol))).as("member_ids"),
-        count(lit(1)).as("n_members"))
-      .where(col("n_members") > 1)
   }
+
+  /** Per-(band, bucket) member COUNTS, uncapped — the observability frame
+    * behind band-tuning reports (`dedup_minhash_band_stats`) and the
+    * hot-bucket audit. No member lists: one hash aggregate with map-side
+    * partial combine, only (band, bucket, count) on the wire, so it sees
+    * the TRUE hottest bucket at any scale — which the capped candidate
+    * frame, by design, no longer carries.
+    */
+  def minhashBucketCounts(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, bands: Int = 4, shingleK: Int = 3): DataFrame =
+    minhashBanded(df, textCol, idCol, numHashes, bands, shingleK)
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n_members"))
+
+  /** MinHash+LSH near-dup candidates: docs sharing any band-hash land in
+    * a bucket. Output: one row per (band, bucket) with its member ids —
+    * buckets with >1 member are the near-dup candidate sets. Shuffle key
+    * is (band, bucket-hash): uniform by construction, skew-free at scale.
+    *
+    * Hot-bucket guard (`maxBucket`, the [[simhashHammingPairsAudited]]
+    * discipline): near-identical boilerplate that survives exact dedup
+    * (templated pages, every-empty-doc signatures) can put arbitrarily
+    * many docs in one bucket, and a bucket of n docs costs n^2 downstream
+    * pairs — buckets above the cap are dropped from candidate generation.
+    * The member collect itself is the cap-bounded [[BoundedIdListAgg]]
+    * (per-group state stops growing at cap+1 ids), so the hot bucket
+    * never materializes an unbounded list inside the aggregate — the
+    * failure mode a post-agg filter cannot prevent. Recall loss is
+    * audited, never silent: [[minhashBucketAudit]] counts the suppressed
+    * buckets / rows / pairs from the uncapped count frame.
+    */
+  def minhashBuckets(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, bands: Int = 4, shingleK: Int = 3,
+      maxBucket: Int = 1024): DataFrame = {
+    require(maxBucket >= 2, "maxBucket < 2 would drop every candidate bucket")
+    val banded = minhashBanded(df, textCol, idCol, numHashes, bands, shingleK)
+    val integralId = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (integralId)
+      banded.groupBy("band", "bucket")
+        .agg(udaf(new BoundedIdListAgg(maxBucket))
+          .apply(col(idCol).cast("long")).as("__bc"))
+        .select(col("band"), col("bucket"),
+          col("__bc._1").as("member_ids"), col("__bc._2").as("n_members"))
+        .where(col("n_members") > 1 && col("n_members") <= maxBucket)
+    else
+      // non-integral ids (digests, urls): plain collect + post-filter —
+      // correct but without the bounded-buffer guarantee; large-scale
+      // callers should key on a long surrogate id.
+      banded.groupBy("band", "bucket")
+        .agg(sort_array(collect_list(col(idCol))).as("member_ids"),
+          count(lit(1)).as("n_members"))
+        .where(col("n_members") > 1 && col("n_members") <= maxBucket)
+  }
+
+  /** Recall-loss audit for [[minhashBuckets]]' hot-bucket rail: ONE row
+    * `(n_buckets, n_dropped_buckets, n_dropped_rows, n_dropped_pairs)`
+    * over the uncapped per-bucket count histogram — buckets the cap
+    * suppresses from candidate generation, the signature entries inside
+    * them, and the within-bucket pairs n(n-1)/2 they would have fanned
+    * into. A non-zero drop count separates "clean corpus" from "reduced
+    * recall" when the capped pair join comes back sparse. Same
+    * no-silent-caps contract (and same deliberately-separate lazily
+    * planned frame, not an `observe()` metric) as
+    * [[simhashHammingPairsAudited]].
+    */
+  def minhashBucketAudit(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, bands: Int = 4, shingleK: Int = 3,
+      maxBucket: Int = 1024): DataFrame =
+    minhashBucketCounts(df, textCol, idCol, numHashes, bands, shingleK)
+      .select(col("n_members").as("n"))
+      .agg(count(lit(1)).as("n_buckets"),
+        coalesce(sum(when(col("n") > maxBucket, 1L).otherwise(0L)), lit(0L))
+          .as("n_dropped_buckets"),
+        coalesce(sum(when(col("n") > maxBucket, col("n")).otherwise(0L)),
+          lit(0L)).as("n_dropped_rows"),
+        coalesce(sum(when(col("n") > maxBucket,
+          expr("n * (n - 1) DIV 2")).otherwise(0L)), lit(0L))
+          .as("n_dropped_pairs"))
+
+  /** [[minhashBuckets]] plus its [[minhashBucketAudit]] side frame. */
+  def minhashBucketsAudited(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, bands: Int = 4, shingleK: Int = 3,
+      maxBucket: Int = 1024): (DataFrame, DataFrame) =
+    (minhashBuckets(df, textCol, idCol, numHashes, bands, shingleK, maxBucket),
+      minhashBucketAudit(df, textCol, idCol, numHashes, bands, shingleK,
+        maxBucket))
 
   /** Verified near-dup pairs: LSH candidates re-checked with true shingle
     * Jaccard >= `threshold`. The verify join is bucket-local (candidates
@@ -85,8 +171,9 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, bands: Int = 4, shingleK: Int = 3,
-      threshold: Double = 0.7): DataFrame = {
-    val buckets = minhashBuckets(df, textCol, idCol, numHashes, bands, shingleK)
+      threshold: Double = 0.7, maxBucket: Int = 1024): DataFrame = {
+    val buckets = minhashBuckets(df, textCol, idCol, numHashes, bands,
+      shingleK, maxBucket)
     val pairs = buckets
       .select(explode(col("member_ids")).as("id_a"), col("member_ids"))
       .select(col("id_a"), explode(col("member_ids")).as("id_b"))
@@ -111,10 +198,10 @@ object Dedup {
     */
   def fuzzyDedup(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, bands: Int = 8, shingleK: Int = 3,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxBucket: Int = 1024): DataFrame = {
     val exactSurv = exactSurvivors(df, textCol, idCol)
     val pairs = minhashPairs(exactSurv, textCol, idCol,
-      numHashes, bands, shingleK, threshold)
+      numHashes, bands, shingleK, threshold, maxBucket)
     val comps = clusterNearDups(
       exactSurv.select(col(idCol)), pairs, idCol)
     val keep = comps.where(col("id") === col("component"))
@@ -718,21 +805,39 @@ object Dedup {
     *
     * Pipeline: (1) positional k-gram windows per doc (map-side; the O(k)
     * zip_with shingling of [[graft.functions.Text.wordShingles]], kept
-    * positional and non-distinct); (2) one hash aggregate on the gram
-    * finds windows with >= 2 occurrences; (3) a semi join marks each doc's
-    * duplicated positions; (4) gaps-and-islands per doc merges
-    * overlapping/adjacent windows (start gap <= k) into maximal spans.
+    * positional and non-distinct), each window reduced MAP-SIDE to an
+    * 8-byte `hash60(gram)` key — the k-token gram string never leaves the
+    * map stage; (2) one hash aggregate on the 8-byte key (map-side partial
+    * combine collapses every hot gram to one (key, count) row per map
+    * partition before the wire) finds grams occurring in [2, maxGramDf];
+    * (3) a shuffle-HASH left-semi join (hinted; the duplicated-gram key
+    * set builds the hash table, the window stream probes it — no sort of
+    * the window stream, ever) marks each doc's duplicated positions;
+    * (4) gaps-and-islands per doc merges overlapping/adjacent windows
+    * (start gap <= k) into maximal spans.
     *
-    * Shape at scale: shuffles key on the gram (uniform by construction —
-    * natural-language k-grams are heavy-tailed, but the >= 2 filter runs
-    * map-side partial aggregation first, so hot grams combine before the
-    * wire; production keys on hash60(gram) to cut shuffle bytes ~10x, the
-    * corpus query keys on the string so the oracle replays it exactly).
-    * The island merge is one window pass partitioned by doc — per-doc
-    * state only. Nothing is ever all-pairs. `maxGramDf` caps gram doc
-    * frequency exactly like [[ngramJaccardPairs]]' `maxShingleDf`:
-    * grams occurring more than the cap are boilerplate, not duplicate
-    * evidence, and mark no spans.
+    * Shape at scale: the previous form computed occ >= 2 with
+    * `count(*) OVER (PARTITION BY gram)` — a WindowExec that shuffled AND
+    * SORTED the entire exploded window stream on full k-token string keys;
+    * measured 9.4 s at sf1 vs 303-327 s at sf10 (~33x wall for 10x data:
+    * the per-partition external sort spills superlinearly once the stream
+    * outgrows memory). This form shuffles the stream once, keyed and
+    * PROBED on 8-byte hashes with no sort anywhere before the per-doc
+    * island window, and the count side crosses the wire pre-aggregated.
+    * The token/shingle map work is planned twice (once per consumer of
+    * the window frame) — 2x linear CPU, the deliberate price for removing
+    * a superlinear sort; an exchange reuse cannot express the asymmetric
+    * column pruning (the count side never materializes (id, p)).
+    * hash60 collisions merge two grams' counts (a pair of singleton grams
+    * colliding would falsely mark both) with probability ~ n_grams^2 /
+    * 2^61 — ~1e-4 at 1e7 distinct grams; acceptable for a dedup MARKER,
+    * and the oracle twin (string-keyed) verifies collision-freeness at
+    * every tested scale. The island merge is one window pass partitioned
+    * by doc — per-doc state only. Nothing is ever all-pairs. `maxGramDf`
+    * caps gram doc frequency exactly like [[ngramJaccardPairs]]'
+    * `maxShingleDf`: grams occurring more than the cap are boilerplate,
+    * not duplicate evidence, and mark no spans (recall loss audited by
+    * [[passageGramAudit]]).
     *
     * Output: (id, span_start, span_end, span_tokens, n_windows) with
     * 1-based inclusive token positions, one row per maximal span.
@@ -748,32 +853,29 @@ object Dedup {
     val shifted = (0 until k).map(j => slice(toks, lit(j + 1), n))
     val grams = shifted.reduceRight((a, b) =>
       zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    // gram string -> 8-byte key map-side: only (id, p, g) ever shuffles.
     val windows = graft.core.Graft.spread(df)
       .select(col(idCol).as("id"),
         posexplode(slice(grams, lit(1), greatest(n - (k - 1), lit(0)))))
       .select(col("id"), (col("pos") + 1).cast("long").as("p"),
-        col("col").as("gram"))
-    // occ >= 2 via ONE count-over-gram window instead of the previous
-    // groupBy + left-semi back-join: that form planned the whole
-    // windows subplan (scan + tokenize + shingle + explode — the
-    // expensive string work) TWICE with no exchange reuse, and shuffled
-    // it twice. One window pass computes it once and shuffles it once;
-    // the hot-gram rows land on one reducer either way (the semi join
-    // hashed them to one partition too), so skew exposure is unchanged.
+        StableHash.hash60(col("col")).as("g"))
     // df cap (same reduced-universe semantics as shinglePairCounts):
     // grams above maxGramDf are boilerplate (headers, licenses, viral
     // passages), not duplicate EVIDENCE — they stop marking spans, which
     // bounds every per-doc island merge downstream by cap * windows-per-
-    // gram. The count window itself still routes a hot gram's rows to
-    // one sorter before the filter drops them (WindowExec spills, the
-    // task is slow but bounded); the production form keys on
-    // hash60(gram) + pre-aggregated counts when one gram's occurrences
-    // exceed a single task's spill budget.
-    import org.apache.spark.sql.expressions.{Window => W}
-    val marked = windows
-      .withColumn("__occ", count(lit(1)).over(W.partitionBy("gram")))
+    // gram. The aggregate's map-side partial combine collapses a hot
+    // gram to one row per map partition, so no reducer ever sees one
+    // gram's raw occurrence stream.
+    val dupGrams = windows.groupBy("g").agg(count(lit(1)).as("__occ"))
       .where(col("__occ") >= 2 && col("__occ") <= maxGramDf)
-      .drop("__occ")
+      .select("g")
+    // SHUFFLE_HASH: build on the (duplicated-grams-only) key set, probe
+    // with the window stream — without the hint Spark's SMJ would sort
+    // the full stream, the exact superlinear plan this form replaces.
+    val marked = windows
+      .join(dupGrams.hint("shuffle_hash"), Seq("g"), "left_semi")
+      .select("id", "p")
+    import org.apache.spark.sql.expressions.{Window => W}
     val w = W.partitionBy("id").orderBy("p")
     marked
       .withColumn("__prev", lag(col("p"), 1).over(w))
@@ -870,17 +972,17 @@ object Dedup {
     */
   def fuzzyDedupReport(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, bands: Int = 8, shingleK: Int = 3,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxBucket: Int = 1024): DataFrame = {
     val exactSurv = exactSurvivors(df, textCol, idCol)
     val buckets = minhashBuckets(exactSurv, textCol, idCol, numHashes,
-      bands, shingleK)
+      bands, shingleK, maxBucket)
     val candPairs = buckets
       .select(explode(col("member_ids")).as("id_a"), col("member_ids"))
       .select(col("id_a"), explode(col("member_ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
       .distinct()
     val verified = minhashPairs(exactSurv, textCol, idCol, numHashes,
-      bands, shingleK, threshold)
+      bands, shingleK, threshold, maxBucket)
     val comps = clusterNearDups(exactSurv.select(col(idCol)), verified, idCol)
     df.agg(count(lit(1)).as("n_input"))
       .crossJoin(exactSurv.agg(count(lit(1)).as("n_exact_survivors")))

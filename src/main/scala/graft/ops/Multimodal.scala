@@ -271,21 +271,64 @@ object Multimodal {
 
   /** Canonical 44-byte RIFF/WAVE header + PCM payload (16-bit LE). */
   private def wavBytes(sampleRate: Int, channels: Int,
-      pcm: Array[Byte]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(44 + pcm.length)
+      pcm: Array[Byte]): Array[Byte] =
+    wavBytesFmt(1, sampleRate, channels, 16, pcm)
+
+  /** 44-byte RIFF/WAVE header for any fixed-width format code (1 = PCM,
+    * 6 = G.711 a-law, 7 = G.711 mu-law) + sample payload.
+    */
+  private def wavBytesFmt(code: Int, sampleRate: Int, channels: Int,
+      bitsPerSample: Int, data: Array[Byte]): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
       .put("WAVE".getBytes("US-ASCII"))
       .put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1) // PCM
+      .putShort(code.toShort)
       .putShort(channels.toShort)
       .putInt(sampleRate)
-      .putInt(sampleRate * channels * 2) // byte rate
-      .putShort((channels * 2).toShort) // block align
-      .putShort(16) // bits per sample
-      .put("data".getBytes("US-ASCII")).putInt(pcm.length)
-      .put(pcm)
+      .putInt(sampleRate * blockAlign) // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(bitsPerSample.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(data.length)
+      .put(data)
     bb.array()
+  }
+
+  /** Deterministic G.711 telephony corpus: 8 kHz mu-law (format 7) or
+    * a-law (format 6) RIFF bytes, one clip per doc — sample byte
+    * (i, c) = (id*131 + i*29 + c*97) mod 256, stereo every 3rd id,
+    * 300 + id mod 200 frames. The compressed-codec twin of
+    * [[synthesizeWav]]: the oracle replays the JDK's G.711 expansion
+    * (verified table-exact against `javax.sound.sampled` for all 256
+    * code points, both laws — OpsSpec pins it) from this formula.
+    */
+  def synthesizeLawWav(docs: DataFrame, alaw: Boolean): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val code = if (alaw) 6 else 7
+    val rdd = docs.select(col("doc_id").cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val ch = if (id % 3 == 0) 2 else 1
+        val nf = (300 + id % 200).toInt
+        val data = new Array[Byte](nf * ch)
+        var i = 0
+        while (i < nf) {
+          var c = 0
+          while (c < ch) {
+            data(i * ch + c) =
+              (((id * 131 + i.toLong * 29 + c * 97) % 256).toInt & 0xff).toByte
+            c += 1
+          }
+          i += 1
+        }
+        Row(id, wavBytesFmt(code, 8000, ch, 8, data))
+      }
+    }
+    docs.sparkSession.createDataFrame(rdd, out)
   }
 
   /** Audio decode: real WAV/PCM header+sample decode via the JDK's
@@ -325,37 +368,61 @@ object Multimodal {
     spark.createDataFrame(rdd, out)
   }
 
-  /** (sampleRate, channels, frames, sumSq, peak) for 16-bit PCM WAV bytes;
-    * None for anything the JDK can't parse as such.
+  /** (sampleRate, channels, frames, sumSq, peak) for 16-bit PCM WAV bytes
+    * — or G.711 mu-law/a-law payloads, expanded to 16-bit PCM through the
+    * JDK's own codec (no new dependency; the expansion is the standard
+    * G.711 table, pinned code-point-exact by OpsSpec so oracles replay it
+    * as a formula). None for anything else the JDK can't parse.
+    *
+    * Degenerate-but-parseable headers fold to None, not an executor
+    * throw (the coerce-don't-error contract): sample rate <= 0 (or NaN)
+    * would divide-by-zero the duration, and channels <= 0 the RMS.
+    * Frame count is derived from the DECODED payload length, never from
+    * `getFrameLength` — the header's claim can be NOT_SPECIFIED (-1) or
+    * a lie; the bytes can't.
     */
   private def decodeWavOne(
       bytes: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
     if (bytes.isEmpty) return None
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      val ais0 = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
-        val fmt = ais.getFormat
-        if (fmt.getEncoding !=
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-            fmt.getSampleSizeInBits != 16) return None
-        val data = ais.readAllBytes()
-        val n = data.length / 2
-        var sumSq = 0L
-        var peak = 0L
-        var i = 0
-        while (i < n) {
-          val s =
-            if (fmt.isBigEndian) (data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xff)
-            else (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
-          sumSq += s.toLong * s
-          val a = math.abs(s.toLong)
-          if (a > peak) peak = a
-          i += 1
-        }
-        Some((fmt.getSampleRate.toLong, fmt.getChannels.toLong,
-          ais.getFrameLength, sumSq, peak))
-      } finally ais.close()
+        val f0 = ais0.getFormat
+        val law = f0.getEncoding == AudioFormat.Encoding.ULAW ||
+          f0.getEncoding == AudioFormat.Encoding.ALAW
+        if (law && !(f0.getSampleRate > 0 && f0.getChannels > 0)) return None
+        val ais =
+          if (law) AudioSystem.getAudioInputStream(
+            new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+              f0.getSampleRate, 16, f0.getChannels, f0.getChannels * 2,
+              f0.getSampleRate, false), ais0)
+          else ais0
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16) return None
+          val sr = fmt.getSampleRate
+          val ch = fmt.getChannels
+          if (!(sr > 0) || ch <= 0) return None
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          var sumSq = 0L
+          var peak = 0L
+          var i = 0
+          while (i < n) {
+            val s =
+              if (fmt.isBigEndian) (data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xff)
+              else (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
+            sumSq += s.toLong * s
+            val a = math.abs(s.toLong)
+            if (a > peak) peak = a
+            i += 1
+          }
+          Some((sr.toLong, ch.toLong, (n / ch).toLong, sumSq, peak))
+        } finally ais.close()
+      } finally ais0.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 }

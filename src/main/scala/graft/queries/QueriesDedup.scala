@@ -127,7 +127,10 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
     "dedup_minhash_band_stats" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val nd = docs.agg(count(lit(1)).as("n_docs"))
-      Dedup.minhashBuckets(docs, "text", "doc_id")
+      // counts-only frame, UNCAPPED: the tuning report must see the true
+      // hottest bucket, which the capped candidate frame by design drops.
+      Dedup.minhashBucketCounts(docs, "text", "doc_id")
+        .where(col("n_members") > 1)
         .groupBy("band")
         .agg(count(lit(1)).as("n_multi_buckets"),
           max("n_members").as("max_bucket"),
@@ -192,6 +195,23 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
       Dedup.simhashBucketAudit(
         Graft.spread(base.unionByName(planted)), "text", "doc_id",
         bits = 60, blocks = 4, maxBucket = 8)
+    }),
+
+    // Hot-bucket recall-loss audit for the MinHash-LSH path (the simhash
+    // audit's twin on the flagship dedup rail): 25 PLANTED identical
+    // 9-token docs share one signature, putting one bucket PER BAND over
+    // the deliberately tight cap (25 > 20) — the audit counts the
+    // buckets, signature entries, and within-bucket pairs the cap
+    // suppresses from candidate generation. doc_id < 300 bounds the
+    // oracle's signature replay like the fuzzy chain.
+    "dedup_minhash_bucket_audit" -> ((s, d) => {
+      val base = t(s, d, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val planted = s.range(25).select(
+        (col("id") + 800000L).as("doc_id"),
+        lit("wqa wqb wqc wqd wqe wqf wqg wqh wqi").as("text"))
+      Dedup.minhashBucketAudit(base.unionByName(planted), "text", "doc_id",
+        numHashes = 4, bands = 2, shingleK = 3, maxBucket = 20)
     }),
 
     // Exact n-gram Jaccard pairs (relational formulation). The fixed-id
@@ -587,7 +607,11 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
     * keep-one oracle (dedup_fuzzy) and the per-stage audit
     * (dedup_fuzzy_audit): exact-digest survivors (md5 both engines), the
     * 4-hash signature chain, band candidates as direct sig-slice equality
-    * (band-bucket md5 equality ⇔ slice equality), per-pair exact Jaccard
+    * (band-bucket md5 equality ⇔ slice equality) with the engine's
+    * maxBucket=1024 hot-bucket rail replayed per band (bk0/bk1 counts —
+    * it cannot fire on this ≤340-doc slice; the planted
+    * dedup_minhash_bucket_audit entry proves the drop semantics at a
+    * tight cap), per-pair exact Jaccard
     * over DISTINCT shingles, recursive reach closure, keep = component
     * representative. NaN-Jaccard candidate pairs (shingle-less docs) drop
     * on both sides by absence from the shingle frame. MATERIALIZED on
@@ -634,11 +658,23 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
        |  $sigCols
        | FROM sdocs d LEFT JOIN shingles s ON s.doc_id = d.doc_id
        | GROUP BY d.doc_id),
+       |bk0 AS MATERIALIZED (
+       | SELECT h0, h1, CAST(COUNT(*) AS BIGINT) AS n FROM sigs GROUP BY 1, 2),
+       |bk1 AS MATERIALIZED (
+       | SELECT h2, h3, CAST(COUNT(*) AS BIGINT) AS n FROM sigs GROUP BY 1, 2),
        |cand AS MATERIALIZED (
-       | SELECT x.doc_id AS id_a, y.doc_id AS id_b
-       | FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id AND (
-       |   (x.h0 = y.h0 AND x.h1 = y.h1) OR
-       |   (x.h2 = y.h2 AND x.h3 = y.h3))),
+       | SELECT DISTINCT id_a, id_b FROM (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM sigs x
+       |  JOIN sigs y ON x.doc_id < y.doc_id AND x.h0 = y.h0 AND x.h1 = y.h1
+       |  JOIN bk0 ON bk0.h0 = x.h0 AND bk0.h1 = x.h1
+       |  WHERE bk0.n <= 1024
+       |  UNION ALL
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM sigs x
+       |  JOIN sigs y ON x.doc_id < y.doc_id AND x.h2 = y.h2 AND x.h3 = y.h3
+       |  JOIN bk1 ON bk1.h2 = x.h2 AND bk1.h3 = x.h3
+       |  WHERE bk1.n <= 1024)),
        |pairsh AS (
        | SELECT c.id_a, c.id_b, s.sh,
        |  MAX(CASE WHEN s.doc_id = c.id_a THEN 1 ELSE 0 END) AS ina,
@@ -776,6 +812,56 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
       bits = 60, blocks = 4, maxHamming = 3, maxBucket = 1024),
     "dedup_simhash_bucket_audit" -> simhashBucketAuditOracle(
       bits = 60, blocks = 4, maxBucket = 8),
+
+    // Band-bucket count histogram over the planted-hot union input,
+    // buckets as direct sig-slice groups (md5-bucket equality <=> slice
+    // equality, the fuzzy-chain discipline); drop counts above the cap.
+    "dedup_minhash_bucket_audit" -> {
+      val p = Dedup.MinhashP
+      val sigCols = (0 until 4).map { j =>
+        val (a, b) = Dedup.minhashCoeffs(j)
+        s"COALESCE(MIN((($a * (${hash60Sql("s.sh")} % $p)) + $b) % $p), ${Long.MaxValue}) AS h$j"
+      }.mkString(",\n  ")
+      s"""WITH docs AS MATERIALIZED (
+         | SELECT doc_id, text FROM documents WHERE doc_id < 300
+         | UNION ALL
+         | SELECT 800000 + r.i AS doc_id,
+         |  'wqa wqb wqc wqd wqe wqf wqg wqh wqi' AS text
+         | FROM range(25) r(i)),
+         |words AS (
+         | SELECT doc_id, w, i FROM (
+         |  SELECT doc_id,
+         |   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+         |   generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS i
+         |  FROM docs WHERE trim(text) <> '')),
+         |shingles AS MATERIALIZED (
+         | SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+         | FROM words a
+         | JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         | JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+         | UNION
+         | SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS sh
+         | FROM docs
+         | WHERE trim(text) <> ''
+         |  AND len(string_split_regex(trim(lower(text)), '\\s+')) < 3),
+         |sigs AS MATERIALIZED (
+         | SELECT d.doc_id,
+         |  $sigCols
+         | FROM docs d LEFT JOIN shingles s ON s.doc_id = d.doc_id
+         | GROUP BY d.doc_id),
+         |allb AS (
+         | SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sigs GROUP BY h0, h1
+         | UNION ALL
+         | SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sigs GROUP BY h2, h3)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         | CAST(COALESCE(SUM(CASE WHEN n > 20 THEN 1 END), 0) AS BIGINT)
+         |   AS n_dropped_buckets,
+         | CAST(COALESCE(SUM(CASE WHEN n > 20 THEN n END), 0) AS BIGINT)
+         |   AS n_dropped_rows,
+         | CAST(COALESCE(SUM(CASE WHEN n > 20 THEN n * (n - 1) // 2 END), 0)
+         |   AS BIGINT) AS n_dropped_pairs
+         |FROM allb""".stripMargin
+    },
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_containment" -> containmentOracle,

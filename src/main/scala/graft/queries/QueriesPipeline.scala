@@ -655,6 +655,23 @@ private[graft] trait QueriesPipeline { this: SparkEntry.type =>
           col("bits"), col("n_frames"), col("duration_ms"), col("sum_sq"),
           col("peak"), round(col("rms"), 6).as("rms"))
         .orderBy("media_id")
+    }),
+
+    // G.711 telephony decode: REAL mu-law AND a-law RIFF clips expanded
+    // to 16-bit PCM through the JDK codec (javax.sound.sampled, zero new
+    // deps); the oracle recomputes every decoded sample from the G.711
+    // expansion formulas, pinned table-exact against the JDK by OpsSpec.
+    // a-law clips sit at media_id + 1_000_000 so one frame carries both.
+    "mm_audio_law" -> ((s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"))
+      val ulaw = Multimodal.synthesizeLawWav(base, alaw = false)
+      val alaw = Multimodal.synthesizeLawWav(
+        base.select((col("doc_id") + 1000000L).as("doc_id")), alaw = true)
+      Multimodal.decodeAudio(s, ulaw.unionByName(alaw))
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("bits"), col("n_frames"), col("duration_ms"), col("sum_sq"),
+          col("peak"), round(col("rms"), 6).as("rms"))
+        .orderBy("media_id")
     })
   )
 
@@ -691,6 +708,54 @@ private[graft] trait QueriesPipeline { this: SparkEntry.type =>
         | sum_sq, peak,
         | ROUND(SQRT(CAST(sum_sq AS DOUBLE) / (nf * ch)), 6) AS rms
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // Replays the JDK's G.711 expansion from the synthesis formula.
+    // mu-law (code byte b): u = 255-b (8-bit NOT); magnitude
+    // ((mant*8+132) << exp) - 132, negative when the sign bit of u is
+    // set. a-law: x = b XOR 85; magnitude mant*16+8 at exp 0 else
+    // (mant*16+264) << (exp-1), POSITIVE when x's sign bit is set.
+    // Both verified code-point-exact against javax.sound.sampled for
+    // all 256 bytes (OpsSpec "G.711 expansion formulas match the JDK").
+    "mm_audio_law" ->
+      """WITH ids AS (
+        | SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents
+        | UNION ALL
+        | SELECT CAST(doc_id AS BIGINT) + 1000000 FROM documents),
+        |d AS (
+        | SELECT media_id, media_id >= 1000000 AS alaw,
+        |  CASE WHEN media_id % 3 = 0 THEN 2 ELSE 1 END AS ch,
+        |  300 + (media_id % 200) AS nf
+        | FROM ids),
+        |fr AS (SELECT media_id, alaw, ch, nf, unnest(range(nf)) AS i FROM d),
+        |fc AS (SELECT media_id, alaw, ch, nf, i, unnest(range(ch)) AS c FROM fr),
+        |cw AS (
+        | SELECT media_id, alaw, ch, nf,
+        |  CASE WHEN alaw THEN xor((media_id * 131 + i * 29 + c * 97) % 256, 85)
+        |       ELSE 255 - ((media_id * 131 + i * 29 + c * 97) % 256) END AS u
+        | FROM fc),
+        |sm AS (
+        | SELECT media_id, ch, nf,
+        |  CASE WHEN alaw THEN
+        |   (CASE WHEN u // 128 = 1 THEN 1 ELSE -1 END) *
+        |   (CASE WHEN (u // 16) % 8 = 0 THEN (u % 16) * 16 + 8
+        |         ELSE ((u % 16) * 16 + 264) * (1 << ((u // 16) % 8 - 1)) END)
+        |  ELSE
+        |   (CASE WHEN u // 128 = 1 THEN -1 ELSE 1 END) *
+        |   (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132)
+        |  END AS s
+        | FROM cw),
+        |agg AS (
+        | SELECT media_id, ch, nf,
+        |  CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+        |  CAST(MAX(ABS(s)) AS BIGINT) AS peak
+        | FROM sm GROUP BY media_id, ch, nf)
+        |SELECT media_id, CAST(8000 AS BIGINT) AS sample_rate,
+        | CAST(ch AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
+        | CAST(nf AS BIGINT) AS n_frames,
+        | CAST((nf * 1000) // 8000 AS BIGINT) AS duration_ms,
+        | sum_sq, peak,
+        | ROUND(SQRT(CAST(sum_sq AS DOUBLE) / (nf * ch)), 6) AS rms
+        |FROM agg ORDER BY media_id""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH decoded AS (

@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   *     connectivity; a cheap whole-corpus screen against over-merge).
   *  4. '''Sampled exact connectivity''' — for the 5 largest clusters
   *     plus a deterministic 1-in-13 sample, the cluster's own edges are
-  *     collected (cluster-sized, driver-bounded) and union-find must
-  *     re-derive one connected group whose min is the label: same label
-  *     ⇒ connected, exactly, on the sample (over-merge check with
-  *     teeth).
+  *     collected and union-find must re-derive one connected group whose
+  *     min is the label: same label ⇒ connected, exactly, on the sample
+  *     (over-merge check with teeth). Collects are BUDGETED
+  *     (GRAFT_PROBE_SAMPLE_BUDGET members+edges, default 2e6): a
+  *     pathological giant component is skipped-and-reported rather than
+  *     OOMing the probe's driver — it stays screened by 1-3, which are
+  *     fully distributed.
   *  5. '''Idempotent re-run''' — a second clusterNearDups over the same
   *     pairs reproduces the labeling bit-for-bit (the convergence
   *     detection is deterministic, not round-count-lucky).
@@ -82,11 +85,24 @@ object ClosureParityProbe {
     val underTreed = sizes.join(edgesPer, Seq("component"), "left")
       .where(coalesce(col("n_edges"), lit(0L)) < col("n") - 1).count()
 
-    // 4. sampled exact connectivity (largest 5 + deterministic 1-in-13)
+    // 4. sampled exact connectivity (largest 5 + deterministic 1-in-13).
+    // Driver budget: a pathological giant component would otherwise OOM
+    // the probe's own collect — clusters above the member/edge budget are
+    // SKIPPED HERE (reported, still screened by invariants 1-3, which are
+    // fully distributed) instead of collected.
+    val sampleBudget = sys.env.getOrElse("GRAFT_PROBE_SAMPLE_BUDGET",
+      "2000000").toLong
     val top = sizes.orderBy(col("n").desc, col("component"))
       .limit(5).select("component")
-    val sampled = sizes.where(pmod(col("component"), lit(13L)) === 0)
+    val wanted = sizes.where(pmod(col("component"), lit(13L)) === 0)
       .select("component").unionByName(top).distinct()
+    val withLoad = wanted
+      .join(sizes, Seq("component"))
+      .join(edgesPer, Seq("component"), "left")
+      .withColumn("load", col("n") + coalesce(col("n_edges"), lit(0L)))
+    val oversized = withLoad.where(col("load") > sampleBudget).count()
+    val sampled = withLoad.where(col("load") <= sampleBudget)
+      .select("component")
     val sampleEdges = canon
       .join(lab.select(col("id").as("a"), col("component")), Seq("a"))
       .join(sampled, Seq("component"))
@@ -126,7 +142,8 @@ object ClosureParityProbe {
     println(f"[closure-parity] dir=$dir n_components=$nComp " +
       f"cluster=$tCluster%.1f s crossPairs=$crossPairs badMins=$badMins " +
       f"underTreed=$underTreed sampledBadComponents=$sampledBad " +
-      f"(sampled=${sampleMembers.size}) idempotentDiff=$diff ok=$ok")
+      f"(sampled=${sampleMembers.size}, oversizedSkipped=$oversized) " +
+      f"idempotentDiff=$diff ok=$ok")
     spark.stop()
     if (!ok) sys.exit(1)
   }

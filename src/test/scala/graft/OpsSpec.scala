@@ -47,6 +47,132 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhash hot-bucket cap: planted hot bucket dropped, audit pins the loss") {
+    // 25 identical docs share one signature -> one 25-member bucket in
+    // EVERY band; cap 20 drops all four, and the planted ids must vanish
+    // from candidate generation entirely while the base near-dups pair on.
+    val planted = (0L until 25L)
+      .map(i => (100L + i, "wqa wqb wqc wqd wqe wqf wqg wqh"))
+      .toDF("doc_id", "text")
+    val input = docs.unionByName(planted)
+    val capped = Dedup.minhashBuckets(input, "text", "doc_id",
+      numHashes = 16, bands = 4, shingleK = 3, maxBucket = 20).collect()
+    assert(capped.forall(_.getAs[Long]("n_members") <= 20))
+    assert(!capped.exists(
+      _.getAs[scala.collection.Seq[Long]]("member_ids").exists(_ >= 100L)))
+    assert(capped.exists(
+      _.getAs[scala.collection.Seq[Long]]("member_ids").toSeq == Seq(1L, 2L)))
+    val audit = Dedup.minhashBucketAudit(input, "text", "doc_id",
+      numHashes = 16, bands = 4, shingleK = 3, maxBucket = 20).collect().head
+    assert(audit.getAs[Long]("n_dropped_buckets") == 4L)
+    assert(audit.getAs[Long]("n_dropped_rows") == 100L) // 25 per band
+    assert(audit.getAs[Long]("n_dropped_pairs") == 4L * 300L) // 25*24/2 each
+    val pairs = Dedup.minhashPairs(input, "text", "doc_id",
+      numHashes = 16, bands = 8, shingleK = 3, threshold = 0.5,
+      maxBucket = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 >= 100L || p._2 >= 100L))
+  }
+
+  test("minhash buckets: capped form == plain collect form below the cap") {
+    val r = 16 / 4
+    val expected = Dedup.minhashSignatures(docs, "text", "doc_id", 16, 3)
+      .select(col("doc_id"), posexplode(
+        array((0 until 4).map(b =>
+          md5(concat_ws(",", slice(col("sig"), b * r + 1, r)))): _*))
+        .as(Seq("band", "bucket")))
+      .groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("doc_id"))).as("member_ids"),
+        count(lit(1)).as("n_members"))
+      .where(col("n_members") > 1)
+      .collect()
+      .map(x => (x.getAs[Int]("band"), x.getAs[String]("bucket"),
+        x.getAs[scala.collection.Seq[Long]]("member_ids").toSeq,
+        x.getAs[Long]("n_members"))).toSet
+    val got = Dedup.minhashBuckets(docs, "text", "doc_id",
+      numHashes = 16, bands = 4, shingleK = 3)
+      .collect()
+      .map(x => (x.getAs[Int]("band"), x.getAs[String]("bucket"),
+        x.getAs[scala.collection.Seq[Long]]("member_ids").toSeq,
+        x.getAs[Long]("n_members"))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("BoundedIdListAgg: exact counts always; full sorted list iff n <= cap") {
+    val rows = (1L to 50L).map(i => (if (i <= 45) "hot" else "cold", 51L - i))
+      .toDF("k", "id").repartition(7) // force partial-buffer merges
+    val out = rows.groupBy("k")
+      .agg(udaf(new graft.ops.BoundedIdListAgg(10)).apply(col("id")).as("bc"))
+      .select(col("k"), col("bc._1").as("ids"), col("bc._2").as("n"))
+      .collect().map(r => r.getAs[String]("k") ->
+        (r.getAs[scala.collection.Seq[Long]]("ids").toSeq, r.getAs[Long]("n")))
+      .toMap
+    assert(out("hot") == (Seq.empty[Long], 45L)) // overflow: count only
+    assert(out("cold") == (Seq(1L, 2L, 3L, 4L, 5L), 5L)) // all ids, sorted
+  }
+
+  test("G.711 expansion formulas match the JDK for all 256 code points") {
+    // stride 29 is coprime to 256, so a 307-frame clip walks every code
+    // point: decodeAudio's JDK-expanded stats must equal the closed-form
+    // G.711 decode the DuckDB oracle (mm_audio_law) replays.
+    def ulawD(b: Int): Int = {
+      val u = 255 - b; val exp = (u >> 4) & 7; val mant = u & 0xf
+      val mag = ((mant * 8 + 132) << exp) - 132
+      if ((u & 0x80) != 0) -mag else mag
+    }
+    def alawD(b: Int): Int = {
+      val x = b ^ 0x55; val exp = (x >> 4) & 7; val mant = x & 0xf
+      val mag = if (exp == 0) mant * 16 + 8 else (mant * 16 + 264) << (exp - 1)
+      if ((x & 0x80) != 0) mag else -mag
+    }
+    val one = Seq(Tuple1(7L)).toDF("doc_id") // id 7: mono, nf = 307 >= 256
+    for ((alaw, dec) <- Seq(false -> (ulawD _), true -> (alawD _))) {
+      val row = Multimodal.decodeAudio(spark,
+        Multimodal.synthesizeLawWav(one, alaw)).collect().head
+      val samples = (0 until 307).map(i => dec(((7L * 131 + i * 29) % 256).toInt))
+      assert(row.getAs[Long]("sample_rate") == 8000L)
+      assert(row.getAs[Long]("channels") == 1L)
+      assert(row.getAs[Long]("bits") == 16L)
+      assert(row.getAs[Long]("n_frames") == 307L)
+      assert(row.getAs[Long]("sum_sq") == samples.map(s => s.toLong * s).sum,
+        s"alaw=$alaw sum_sq diverged from the closed form")
+      assert(row.getAs[Long]("peak") == samples.map(s => math.abs(s.toLong)).max)
+    }
+  }
+
+  test("decodeAudio folds degenerate headers to NULL features, not a throw") {
+    // sample rate 0 and channel count 0 are parseable-looking RIFF
+    // headers that would divide-by-zero downstream — coerce, don't error.
+    def riff(sr: Int, ch: Int): Array[Byte] = {
+      val data = Array[Byte](1, 0, 2, 0)
+      val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(ch.toShort).putInt(sr).putInt(sr * ch * 2)
+        .putShort((ch * 2).toShort).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+      bb.array()
+    }
+    val bad = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, riff(0, 1)),
+        org.apache.spark.sql.Row(2L, riff(8000, 0)),
+        org.apache.spark.sql.Row(3L, riff(8000, 1)))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.BinaryType, nullable = false))))
+    val out = Multimodal.decodeAudio(spark, bad).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out(1L) && out(2L), "degenerate headers must yield NULL features")
+    assert(!out(3L), "the well-formed control row must decode")
+  }
+
   test("simhash: identical equal; near-dup closer in hamming than unrelated") {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val sh = docs.select($"doc_id", Dedup.simhash($"text", 32).as("s"))
@@ -1461,6 +1587,31 @@ class OpsSpec extends SparkSpec {
     val gotC = BloomDedup.newRowsWithSketches(incoming, seen, "k", compacted)
       .select("id").as[Long].collect().sorted.toSeq
     assert(gotC == Seq(3L))
+  }
+
+  test("bloom dedup: mid-swap crash state self-heals on the next read") {
+    import graft.ops.BloomDedup
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bloom_crash_").toString
+    BloomDedup.saveSketch(Seq("a", "b").toDF("k"), "k", 100L, path, "b1")
+    // simulate a crash between rename(path -> .old) and rename(tmp ->
+    // path): the store directory is gone, only the .old copy survives
+    val dir = new java.io.File(path)
+    val old = new java.io.File(path + ".__compact_old")
+    assert(dir.renameTo(old))
+    assert(!dir.exists())
+    // next read recovers automatically instead of failing on the parquet
+    assert(BloomDedup.sketchColumns(spark, path).length == 1)
+    assert(dir.exists() && !old.exists())
+    // and a compact over the recovered state still works end to end
+    BloomDedup.compactSketches(spark, path)
+    assert(BloomDedup.sketchColumns(spark, path).length == 1)
+    // same crash state healed by compactSketches itself (NOT destroyed by
+    // its tmp/old pre-clean — the recovery must run first)
+    assert(dir.renameTo(old))
+    BloomDedup.compactSketches(spark, path)
+    assert(dir.exists() && !old.exists())
+    assert(BloomDedup.sketchColumns(spark, path).length == 1)
   }
 
   test("capped-rail audits count exactly what the caps suppress") {

@@ -417,6 +417,35 @@ class PlanShapeSpec extends SparkSpec {
       pb.take(800))
   }
 
+  test("dedup_passages: gram occ-filter is a hash semi-join, never a gram-keyed sort") {
+    // the span-dedup 100 TB contract (the sf10-probe lesson: the old
+    // count-window form sorted the whole exploded stream on k-token
+    // string keys — 33x wall at 10x data): grams leave the map stage as
+    // 8-byte hash60 keys only, the occ-in-[2,cap] key set builds a HASH
+    // table (shuffled-hash hinted; AQE may strengthen it to broadcast),
+    // and the window stream PROBES it unsorted. The only sorts allowed
+    // are the per-doc island window and the final ORDER BY — a
+    // SortMergeJoin here is the superlinear plan this guard exists to
+    // keep out.
+    val p = finalPlan("dedup_passages")
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.toLowerCase.contains("windowspecdefinition(gram"), p.take(800))
+  }
+
+  test("minhash buckets collect through the cap-bounded aggregate") {
+    // the hot-bucket rail is structural, not a post-filter: the member
+    // collect is BoundedIdListAgg (per-group state stops at cap+1), so a
+    // degenerate bucket cannot OOM the aggregation hash map. Asserted by
+    // the udaf's class-name stem, the TopKAgg discipline.
+    val df = graft.ops.Dedup.minhashBuckets(
+      graft.core.Graft.table(spark, sf, "documents"), "text", "doc_id")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("boundedidlistagg"), p.take(600))
+    assert(!p.toLowerCase.contains("collect_list"), p.take(600))
+  }
+
   test("dq_psi_drift broadcasts bounds/totals; corpus aggregates map-side") {
     // the drift monitor's 100 TB contract: the corpus crosses the wire
     // only through the (key, bucket) hash aggregate with a map-side

@@ -39,13 +39,14 @@ from compare import TABLES, frame_key  # same strict normalization
 
 ORACLE_TIMEOUT = int(os.environ.get("GRAFT_ORACLE_TIMEOUT", "1200"))
 
+_CLOSURE_PROBE = os.environ.get("GRAFT_CLOSURE_PROBE", "").strip()
 _CLOSURE_SKIP = (
     "quadratic DuckDB oracle at sf1 (recursive SNM closure reach, "
     "~25 min); oracle-verified at sf0.01 + sf0.1 + edge corpus; "
     "engine-side self-verified by tools.ClosureParityProbe at sf1 "
     "(invariants: no cross-cluster pair, label = min member, spanning "
     "bound, sampled exact connectivity via union-find, idempotent "
-    "re-run)" + os.environ.get("GRAFT_CLOSURE_PROBE", ""))
+    "re-run)" + ("; probe: " + _CLOSURE_PROBE if _CLOSURE_PROBE else ""))
 
 SKIPPED = {
     "dedup_cluster_stats": _CLOSURE_SKIP,
