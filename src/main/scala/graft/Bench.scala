@@ -76,7 +76,7 @@ object Bench {
     "j1_multiway_join" -> 0.2179,
     "w1_window" -> 0.0012,
     "a8_pivot" -> 0.0291,
-    "dedup_exact" -> 0.0057,
+    "dedup_exact" -> 0.0048,
     "dedup_minhash" -> 0.1328,
     "text_profile" -> 0.1412,
     "sim_brute_topk" -> 0.0002,
