@@ -157,9 +157,14 @@ object BloomDedup {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(path + ".__compact_old")
-    if (!fs.exists(hp) && fs.exists(old))
-      require(fs.rename(old, hp),
+    if (!fs.exists(hp) && fs.exists(old)) {
+      // two concurrent readers can both see `path` missing; the rename
+      // loser must treat "someone else already recovered it" as success —
+      // only fail when the store is still absent after the race settles
+      val renamed = fs.rename(old, hp)
+      require(renamed || fs.exists(hp),
         s"compact-swap recovery: could not move $old back to $path")
+    }
   }
 
   def sketchColumns(spark: org.apache.spark.sql.SparkSession,

@@ -18,41 +18,61 @@ import org.apache.spark.sql.expressions.Aggregator
   * group never dropped an id); groups with n > cap finish with an EMPTY
   * id list (callers drop them via the count — the truncated sample is
   * never surfaced, so no nondeterministic subset leaks into results).
-  * `reduce` is O(1) amortized append (no per-row insertion sort: at
-  * cap ~1000s that would be O(rows x cap) on the hot bucket itself).
+  *
+  * Buffer is `(storage, used, count)`: storage grows GEOMETRICALLY
+  * (double, clamped at cap + 1) and is appended to in place, so a
+  * near-cap group costs O(cap) total copy work across its rows — not the
+  * O(cap^2) of reallocating a fresh exact-fit array per row. Small
+  * groups (the common case) still hold only a handful of slots: nothing
+  * pre-allocates cap-sized storage per group. `used` (not
+  * `storage.length`) is the fill level; slack slots are garbage and are
+  * never read.
   */
 class BoundedIdListAgg(cap: Int)
-    extends Aggregator[Long, (Array[Long], Long), (Seq[Long], Long)] {
+    extends Aggregator[Long, (Array[Long], Long, Long), (Seq[Long], Long)] {
   require(cap >= 1, "cap must be >= 1")
 
-  override def zero: (Array[Long], Long) = (Array.empty[Long], 0L)
+  private val maxKeep = cap + 1 // overflow sentinel slot
 
-  override def reduce(buf: (Array[Long], Long), in: Long): (Array[Long], Long) = {
-    val (ids, n) = buf
-    if (ids.length > cap) (ids, n + 1) // already overflowed: count only
+  override def zero: (Array[Long], Long, Long) = (Array.empty[Long], 0L, 0L)
+
+  override def reduce(buf: (Array[Long], Long, Long),
+      in: Long): (Array[Long], Long, Long) = {
+    val (ids, used64, n) = buf
+    val used = used64.toInt
+    if (used >= maxKeep) (ids, used64, n + 1) // overflowed: count only
     else {
-      val out = new Array[Long](ids.length + 1)
-      System.arraycopy(ids, 0, out, 0, ids.length)
-      out(ids.length) = in
-      (out, n + 1)
+      val arr =
+        if (used < ids.length) ids
+        else { // geometric growth, clamped at the sentinel capacity
+          val grown =
+            new Array[Long](math.min(math.max(ids.length * 2, 4), maxKeep))
+          System.arraycopy(ids, 0, grown, 0, used)
+          grown
+        }
+      arr(used) = in
+      (arr, used64 + 1, n + 1)
     }
   }
 
-  override def merge(a: (Array[Long], Long), b: (Array[Long], Long)): (Array[Long], Long) = {
-    val n = a._2 + b._2
-    val keep = math.min(a._1.length + b._1.length, cap + 1)
+  override def merge(a: (Array[Long], Long, Long),
+      b: (Array[Long], Long, Long)): (Array[Long], Long, Long) = {
+    val n = a._3 + b._3
+    val keep = math.min(a._2 + b._2, maxKeep.toLong).toInt
     val out = new Array[Long](keep)
-    val fromA = math.min(a._1.length, keep)
+    val fromA = math.min(a._2.toInt, keep)
     System.arraycopy(a._1, 0, out, 0, fromA)
     System.arraycopy(b._1, 0, out, fromA, keep - fromA)
-    (out, n)
+    (out, keep.toLong, n)
   }
 
-  override def finish(r: (Array[Long], Long)): (Seq[Long], Long) =
-    (if (r._2 <= cap) r._1.sorted.toSeq else Seq.empty[Long], r._2)
+  override def finish(r: (Array[Long], Long, Long)): (Seq[Long], Long) =
+    (if (r._3 <= cap) java.util.Arrays.copyOf(r._1, r._2.toInt).sorted.toSeq
+     else Seq.empty[Long],
+      r._3)
 
-  override def bufferEncoder: Encoder[(Array[Long], Long)] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Long], Long)]()
+  override def bufferEncoder: Encoder[(Array[Long], Long, Long)] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Long], Long, Long)]()
 
   override def outputEncoder: Encoder[(Seq[Long], Long)] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[Long], Long)]()

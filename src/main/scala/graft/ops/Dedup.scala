@@ -119,16 +119,42 @@ object Dedup {
         .agg(udaf(new BoundedIdListAgg(maxBucket))
           .apply(col(idCol).cast("long")).as("__bc"))
         .select(col("band"), col("bucket"),
-          col("__bc._1").as("member_ids"), col("__bc._2").as("n_members"))
+          // the aggregate widens to long internally; surface the caller's
+          // declared id type so member_ids element type never drifts
+          col("__bc._1")
+            .cast(org.apache.spark.sql.types.ArrayType(
+              df.schema(idCol).dataType))
+            .as("member_ids"),
+          col("__bc._2").as("n_members"))
         .where(col("n_members") > 1 && col("n_members") <= maxBucket)
-    else
-      // non-integral ids (digests, urls): plain collect + post-filter —
-      // correct but without the bounded-buffer guarantee; large-scale
-      // callers should key on a long surrogate id.
+    else {
+      // Non-integral ids (digests, urls) ride the SAME bounded rail via a
+      // long surrogate: the aggregate collects hash60(id) (map-side, no
+      // dictionary pass), surviving (1 < n <= cap) buckets explode their
+      // surrogates — a cap-bounded stream — and join the real ids back
+      // from a distinct (surrogate, id) dictionary; the re-collect is
+      // bounded by the cap by construction. No unbounded per-group state
+      // anywhere on this route. Residual risk: a hash60 collision between
+      // two ids (~n^2/2^61) can surface a spurious member; downstream
+      // [[minhashPairs]] verification (true shingle Jaccard) filters it.
+      val sid = StableHash.hash60(col(idCol).cast("string"))
+      val dict = df
+        .select(StableHash.hash60(col(idCol).cast("string")).as("__sid"),
+          col(idCol).as("__rid"))
+        .distinct()
       banded.groupBy("band", "bucket")
-        .agg(sort_array(collect_list(col(idCol))).as("member_ids"),
-          count(lit(1)).as("n_members"))
+        .agg(udaf(new BoundedIdListAgg(maxBucket)).apply(sid).as("__bc"))
+        .select(col("band"), col("bucket"),
+          col("__bc._1").as("__sids"), col("__bc._2").as("n_members"))
         .where(col("n_members") > 1 && col("n_members") <= maxBucket)
+        .select(col("band"), col("bucket"), col("n_members"),
+          explode(col("__sids")).as("__sid"))
+        .join(dict, Seq("__sid"))
+        .groupBy("band", "bucket", "n_members")
+        .agg(array_distinct(sort_array(collect_list(col("__rid"))))
+          .as("member_ids"))
+        .select("band", "bucket", "member_ids", "n_members")
+    }
   }
 
   /** Recall-loss audit for [[minhashBuckets]]' hot-bucket rail: ONE row
@@ -921,7 +947,16 @@ object Dedup {
         coalesce(sum(when(col("occ") > maxGramDf, 1L).otherwise(0L)),
           lit(0L)).as("n_dropped_grams"),
         coalesce(sum(when(col("occ") > maxGramDf, col("occ")).otherwise(0L)),
-          lit(0L)).as("n_dropped_windows"))
+          lit(0L)).as("n_dropped_windows"),
+        // hash60-key collision check for [[duplicatedPassages]]' 8-byte
+        // gram keys: distinct gram STRINGS minus distinct hash60 keys.
+        // Non-zero means the capped pipeline merged two grams' counts —
+        // the residual risk production scales (where no string-keyed
+        // oracle runs) otherwise have no signal for. Costs one extra
+        // distinct aggregate over the already-distinct gram frame.
+        (count(lit(1)) -
+          countDistinct(StableHash.hash60(col("gram"))))
+          .as("n_hash_collisions"))
   }
 
   /** [[duplicatedPassages]] plus its [[passageGramAudit]] side frame. */

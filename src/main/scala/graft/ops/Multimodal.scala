@@ -425,4 +425,271 @@ object Multimodal {
       } finally ais0.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  // ---------------------------------------------------------------- video
+
+  /** Deterministic video-container corpus: minimal well-formed MP4
+    * (`ftyp` + `moov[mvhd + n x trak[tkhd]]`, big-endian ISO-BMFF boxes)
+    * for two of three ids, a Matroska/WebM EBML header for the third,
+    * and a truncated junk payload every 97th id. Every container
+    * parameter (brand, movie timescale/duration, track count, track
+    * dims, EBML DocType) is a closed-form function of the id, so the
+    * `mm_video_meta` oracle replays the FORMULA while the engine must
+    * parse the real boxes back out of the bytes —
+    * [[synthesizeLawWav]]'s synthesis-replay discipline for the video
+    * column type.
+    */
+  def synthesizeVideo(docs: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val rdd = docs.select(col("doc_id").cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, videoBytes(id))
+      }
+    }
+    docs.sparkSession.createDataFrame(rdd, out)
+  }
+
+  /** The per-id container bytes behind [[synthesizeVideo]]. */
+  private[graft] def videoBytes(id: Long): Array[Byte] =
+    if (id % 97 == 0) {
+      // truncated junk: the ftyp box header claims 1024 bytes, EOF at 10
+      val bb = java.nio.ByteBuffer.allocate(10)
+      bb.putInt(1024).put("ftyp".getBytes("US-ASCII")).putShort(0)
+      bb.array()
+    } else if (id % 3 == 0)
+      ebmlBytes(if (id % 2 == 0) "matroska" else "webm")
+    else
+      mp4Bytes(
+        brand = if (id % 2 == 0) "isom" else "mp42",
+        timescale = (600 + (id % 5) * 100).toInt,
+        duration = ((id % 1000) + 1) * 60,
+        nTracks = (1 + id % 3).toInt,
+        width = (160 + (id % 8) * 80).toInt,
+        height = (120 + (id % 6) * 60).toInt)
+
+  private def putIdentityMatrix(bb: java.nio.ByteBuffer): Unit = {
+    bb.putInt(0x00010000).putInt(0).putInt(0)
+    bb.putInt(0).putInt(0x00010000).putInt(0)
+    bb.putInt(0).putInt(0).putInt(0x40000000)
+  }
+
+  /** ftyp(20) + moov(8 + mvhd 108 + n x trak(8 + tkhd 92)) — version-0
+    * boxes, identity matrices, track dims as 16.16 fixed point.
+    */
+  private def mp4Bytes(brand: String, timescale: Int, duration: Long,
+      nTracks: Int, width: Int, height: Int): Array[Byte] = {
+    val a = "US-ASCII"
+    val trakSize = 8 + 92
+    val moovSize = 8 + 108 + nTracks * trakSize
+    val bb = java.nio.ByteBuffer.allocate(20 + moovSize) // BE by default
+    bb.putInt(20).put("ftyp".getBytes(a)).put(brand.getBytes(a))
+      .putInt(0x200).put(brand.getBytes(a))
+    bb.putInt(moovSize).put("moov".getBytes(a))
+    bb.putInt(108).put("mvhd".getBytes(a))
+      .putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // creation, modification
+      .putInt(timescale).putInt(duration.toInt)
+      .putInt(0x00010000) // rate 1.0
+      .putShort(0x0100.toShort).putShort(0) // volume, reserved
+      .putLong(0L) // reserved
+    putIdentityMatrix(bb)
+    (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
+    bb.putInt(nTracks + 1) // next_track_ID
+    var t = 0
+    while (t < nTracks) {
+      bb.putInt(trakSize).put("trak".getBytes(a))
+      bb.putInt(92).put("tkhd".getBytes(a))
+        .putInt(7) // version 0 + flags (enabled | in_movie | in_preview)
+        .putInt(0).putInt(0) // creation, modification
+        .putInt(t + 1).putInt(0) // track_ID, reserved
+        .putInt(duration.toInt)
+        .putLong(0L) // reserved
+        .putShort(0).putShort(0).putShort(0).putShort(0) // layer/alt/vol/res
+      putIdentityMatrix(bb)
+      bb.putInt(width << 16).putInt(height << 16)
+      t += 1
+    }
+    bb.array()
+  }
+
+  /** A complete EBML header (the Matroska/WebM magic + DocType battery)
+    * with 1-byte size varints — the headers-only face of an MKV file.
+    */
+  private def ebmlBytes(docType: String): Array[Byte] = {
+    val dt = docType.getBytes("US-ASCII")
+    val bodyLen = 4 + 4 + 4 + 4 + (3 + dt.length) + 4 + 4
+    val bb = java.nio.ByteBuffer.allocate(5 + bodyLen)
+    bb.put(Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte)) // EBML magic
+    bb.put((0x80 | bodyLen).toByte)
+    def u1(id: Int, v: Int): Unit = {
+      bb.putShort(id.toShort); bb.put(0x81.toByte); bb.put(v.toByte)
+    }
+    u1(0x4286, 1) // EBMLVersion
+    u1(0x42F7, 1) // EBMLReadVersion
+    u1(0x42F2, 4) // EBMLMaxIDLength
+    u1(0x42F3, 8) // EBMLMaxSizeLength
+    bb.putShort(0x4282.toShort).put((0x80 | dt.length).toByte).put(dt)
+    u1(0x4287, 4) // DocTypeVersion
+    u1(0x4285, 2) // DocTypeReadVersion
+    bb.array()
+  }
+
+  /** Headers-only video container probe: walks ISO-BMFF boxes (`ftyp`
+    * brand; `moov/mvhd` movie timescale + duration, v0 AND v1 layouts;
+    * `trak` count; first `tkhd`'s 16.16 track dims) or an EBML header
+    * (Matroska/WebM DocType) — NOTHING decodes: the probe reads a few
+    * hundred header bytes per item, so at 100 TB it is listing-bound,
+    * not data-bound, and runs in the same constant-memory mapPartitions
+    * discipline as [[decodeImage]]. Payloads that parse as neither
+    * (truncated boxes, box sizes past EOF, junk) fold to a NULL metadata
+    * row — the coerce-don't-error rule. All-long metadata columns keep
+    * the frame oracle-replayable.
+    */
+  def probeVideoMeta(spark: SparkSession, media: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("container", StringType, nullable = true),
+      StructField("format", StringType, nullable = true),
+      StructField("timescale", LongType, nullable = true),
+      StructField("duration", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("n_tracks", LongType, nullable = true),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true)))
+    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        probeVideoOne(bytes) match {
+          case Some((cont, fmt, Some((ts, dur, nt, w, h)))) =>
+            val ms = if (ts > 0) dur * 1000L / ts else null
+            Row(id, cont, fmt, ts, dur, ms, nt,
+              if (w >= 0) w else null, if (h >= 0) h else null)
+          case Some((cont, fmt, None)) =>
+            Row(id, cont, fmt, null, null, null, null, null, null)
+          case None =>
+            Row(id, null, null, null, null, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, out)
+  }
+
+  /** (container, format, Some((timescale, duration, nTracks, width,
+    * height)) for MP4) — None when the bytes parse as neither container.
+    */
+  private[graft] def probeVideoOne(
+      b: Array[Byte]): Option[(String, String, Option[(Long, Long, Long, Long, Long)])] = {
+    try {
+      if (b.length >= 5 && (b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+          (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3)
+        parseEbml(b).map(dt => ("mkv", dt, None))
+      else parseMp4(b)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  private def parseMp4(b: Array[Byte])
+      : Option[(String, String, Option[(Long, Long, Long, Long, Long)])] = {
+    if (b.length < 8 || fourcc(b, 4) != "ftyp") return None
+    var brand: String = null
+    var ts = -1L; var dur = -1L; var nTracks = 0L
+    var w = -1L; var h = -1L
+    var off = 0
+    while (off + 8 <= b.length) {
+      val size = be32(b, off)
+      val typ = fourcc(b, off + 4)
+      if (size < 8 || off + size > b.length) return None // box past EOF
+      typ match {
+        case "ftyp" =>
+          if (size < 16) return None
+          brand = fourcc(b, off + 8)
+        case "moov" =>
+          var c = off + 8
+          val end = off + size.toInt
+          while (c + 8 <= end) {
+            val cs = be32(b, c)
+            val ct = fourcc(b, c + 4)
+            if (cs < 8 || c + cs > end) return None
+            ct match {
+              case "mvhd" =>
+                val v = b(c + 8) & 0xff
+                if (v == 1 && cs >= 8 + 4 + 8 + 8 + 4 + 8) {
+                  ts = be32(b, c + 28); dur = be64(b, c + 32)
+                } else if (v == 0 && cs >= 8 + 4 + 4 + 4 + 4 + 4) {
+                  ts = be32(b, c + 20); dur = be32(b, c + 24)
+                } else return None
+              case "trak" =>
+                nTracks += 1
+                // first child box is tkhd in any sane layout; scan anyway
+                var g = c + 8
+                val gEnd = c + cs.toInt
+                while (g + 8 <= gEnd) {
+                  val gs = be32(b, g)
+                  if (gs < 8 || g + gs > gEnd) return None
+                  if (fourcc(b, g + 4) == "tkhd" && w < 0) {
+                    val v = b(g + 8) & 0xff
+                    val base = if (v == 1) g + 8 + 4 + 8 + 8 + 4 + 4 + 8
+                      else g + 8 + 4 + 4 + 4 + 4 + 4 + 4
+                    // + reserved(8) + layer/alt/vol/res(8) + matrix(36)
+                    val dimsAt = base + 8 + 8 + 36
+                    if (dimsAt + 8 > g + gs) return None
+                    w = be32(b, dimsAt) >> 16
+                    h = be32(b, dimsAt + 4) >> 16
+                  }
+                  g += gs.toInt
+                }
+              case _ => ()
+            }
+            c += cs.toInt
+          }
+        case _ => ()
+      }
+      off += size.toInt
+    }
+    if (brand == null || ts < 0) None
+    else Some(("mp4", brand, Some((ts, dur, nTracks, w, h))))
+  }
+
+  /** DocType from an EBML header: walks the header's child elements with
+    * general varint ids/sizes (leading-zero-count length encoding).
+    */
+  private def parseEbml(b: Array[Byte]): Option[String] = {
+    // varint at `o`: (value, widthBytes); `keepMarker` for element IDs
+    def varint(o: Int, keepMarker: Boolean): (Long, Int) = {
+      val first = b(o) & 0xff
+      if (first == 0) throw new IllegalArgumentException("bad varint")
+      val n = Integer.numberOfLeadingZeros(first) - 24 + 1 // 1..8
+      var v: Long = if (keepMarker) first else first & ((1 << (8 - n)) - 1)
+      var i = 1
+      while (i < n) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+      (v, n)
+    }
+    val (_, idW) = varint(0, keepMarker = true) // 0x1A45DFA3
+    val (bodyLen, szW) = varint(idW, keepMarker = false)
+    var o = idW + szW
+    val end = math.min(o + bodyLen, b.length.toLong).toInt
+    while (o < end) {
+      val (id, iw) = varint(o, keepMarker = true)
+      val (len, lw) = varint(o + iw, keepMarker = false)
+      val payload = o + iw + lw
+      if (payload + len > end) return None
+      if (id == 0x4282L)
+        return Some(new String(b, payload, len.toInt, "US-ASCII"))
+      o = payload + len.toInt
+    }
+    None
+  }
 }

@@ -483,15 +483,28 @@ object Similarity {
     * list_distance loop), NaN/null distances last, ties cent_id asc —
     * so a fully-degenerate vector still lands in the lowest cent_id.
     */
-  private def nearestCells(df: DataFrame, idC: String, vC: String, n: Int,
-      cents: DataFrame): DataFrame = {
-    val carr = cents.agg(sort_array(collect_list(struct(
+  /** The nCells x dim centroid table folded to its ONE broadcastable
+    * array row. Callers that assign BOTH sides of a join (corpus + query)
+    * must build this once and pass the SAME frame to both
+    * [[nearestCellsWith]] calls: identical exprIds let ReuseExchange
+    * collapse the two broadcast builds into one collect job — fresh
+    * frames per side re-run the centroid subplan per side (the
+    * alias-renumbering ReuseExchange trap).
+    */
+  private def centroidArray(cents: DataFrame): DataFrame =
+    cents.agg(sort_array(collect_list(struct(
       col("cent_id").cast("long").as("cid"), col("centv")))).as("__cents"))
+
+  private def nearestCells(df: DataFrame, idC: String, vC: String, n: Int,
+      cents: DataFrame): DataFrame =
+    nearestCellsWith(df, idC, vC, n, centroidArray(cents))
+
+  private def nearestCellsWith(df: DataFrame, idC: String, vC: String,
+      n: Int, carr: DataFrame): DataFrame =
     df.crossJoin(broadcast(carr))
       .select(col(idC), col(vC),
         explode(graft.plans.NearestCells(col(vC), col("__cents"), lit(n)))
           .as("cell"))
-  }
 
   /** Shared IVF probe: corpus assigned to 1 cell, queries to `nProbe`
     * cells; candidates are cell-local; bounded top-k finisher.
@@ -598,18 +611,19 @@ object Similarity {
     */
   private[graft] def ivfSides(corpus: DataFrame, queries: DataFrame,
       cents: DataFrame, nProbe: Int): (DataFrame, DataFrame) = {
-    val cB = nearestCells(
+    val carr = centroidArray(cents) // shared: ONE broadcast build for both sides
+    val cB = nearestCellsWith(
       graft.core.Graft.spread(corpus)
         .select(col("vec_id").cast("long").as("corpus_id"),
           col("embedding").as("cv")),
-      "corpus_id", "cv", 1, cents)
+      "corpus_id", "cv", 1, carr)
       .select(col("cell").cast("long").as("g"),
         col("corpus_id").as("id"), col("cv").as("embedding"))
-    val qB = nearestCells(
+    val qB = nearestCellsWith(
       graft.core.Graft.spread(queries)
         .select(col("vec_id").cast("long").as("query_id"),
           col("embedding").as("qv")),
-      "query_id", "qv", nProbe, cents)
+      "query_id", "qv", nProbe, carr)
       .select(col("cell").cast("long").as("g"),
         col("query_id").as("id"), col("qv").as("embedding"))
     (cB, qB)
@@ -617,15 +631,16 @@ object Similarity {
 
   private def ivfProbe(corpus: DataFrame, queries: DataFrame,
       cents: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    val c = nearestCells(
+    val carr = centroidArray(cents) // shared: ONE broadcast build for both sides
+    val c = nearestCellsWith(
       graft.core.Graft.spread(corpus)
         .select(col("vec_id").as("corpus_id"), col("embedding").as("cv")),
-      "corpus_id", "cv", 1, cents)
+      "corpus_id", "cv", 1, carr)
       .join(corpus.select(col("vec_id").as("corpus_id"),
         Vectors.norm2(col("embedding")).as("cn")), Seq("corpus_id"))
-    val q = nearestCells(
+    val q = nearestCellsWith(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
-      "query_id", "qv", nProbe, cents)
+      "query_id", "qv", nProbe, carr)
       .join(queries.select(col("vec_id").as("query_id"),
         Vectors.norm2(col("embedding")).as("qn")), Seq("query_id"))
     val scored = c.join(broadcast(q), Seq("cell"))
@@ -899,17 +914,18 @@ object Similarity {
     val cents = corpus.orderBy("vec_id").limit(nCells)
       .select(col("vec_id").cast("long").as("cent_id"),
         col("embedding").as("centv"))
-    val cc = nearestCells(
+    val carr = centroidArray(cents) // shared: ONE broadcast build for both sides
+    val cc = nearestCellsWith(
       graft.core.Graft.spread(corpus).where(col("embedding").isNotNull)
         .select(col("vec_id").cast("long").as("corpus_id"),
           col("embedding").as("cv")),
-      "corpus_id", "cv", 1, cents)
+      "corpus_id", "cv", 1, carr)
       .select(col("corpus_id"), col("cell").cast("long").as("cell"))
-    val qc = nearestCells(
+    val qc = nearestCellsWith(
       queries.where(col("embedding").isNotNull)
         .select(col("vec_id").cast("long").as("query_id"),
           col("embedding").as("qv")),
-      "query_id", "qv", nProbe, cents)
+      "query_id", "qv", nProbe, carr)
       .select(col("query_id"), col("cell").cast("long").as("cell"))
     pqWithCodebook(corpus, queries,
       prefixPqCodebook(corpus, m, dsub, codebookSize),

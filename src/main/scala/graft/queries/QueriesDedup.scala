@@ -937,7 +937,10 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
         | CAST(COALESCE(SUM(CASE WHEN occ > 20 THEN 1 END), 0) AS BIGINT)
         |  AS n_dropped_grams,
         | CAST(COALESCE(SUM(CASE WHEN occ > 20 THEN occ END), 0) AS BIGINT)
-        |  AS n_dropped_windows
+        |  AS n_dropped_windows,
+        | CAST(COUNT(*) - COUNT(DISTINCT
+        |   ('0x' || substr(md5(gram), 1, 15))::BIGINT) AS BIGINT)
+        |  AS n_hash_collisions
         |FROM occ""".stripMargin,
 
     // Pure block-size arithmetic: possible C(n,2) vs the window's

@@ -672,7 +672,18 @@ private[graft] trait QueriesPipeline { this: SparkEntry.type =>
           col("bits"), col("n_frames"), col("duration_ms"), col("sum_sq"),
           col("peak"), round(col("rms"), 6).as("rms"))
         .orderBy("media_id")
-    })
+    }),
+
+    // Headers-only video container probe over synthesized MP4 / EBML /
+    // junk payloads: the engine parses real big-endian ISO-BMFF boxes
+    // (ftyp brand, mvhd timescale+duration, trak count, tkhd 16.16 dims)
+    // and EBML DocTypes back out of the bytes; the oracle replays the
+    // synthesis FORMULAS (mm_audio_law's discipline). Junk rows coerce
+    // to NULL metadata, never error.
+    "mm_video_meta" -> ((s, d) =>
+      Multimodal.probeVideoMeta(s,
+        Multimodal.synthesizeVideo(t(s, d, "documents").select(col("doc_id"))))
+        .orderBy("media_id"))
   )
 
   protected def pipelineOracles: Map[String, String] = Map(
@@ -756,6 +767,33 @@ private[graft] trait QueriesPipeline { this: SparkEntry.type =>
         | sum_sq, peak,
         | ROUND(SQRT(CAST(sum_sq AS DOUBLE) / (nf * ch)), 6) AS rms
         |FROM agg ORDER BY media_id""".stripMargin,
+
+    // Replays synthesizeVideo's closed-form parameters (junk every 97th
+    // id, EBML every remaining 3rd, MP4 otherwise); the engine must
+    // parse the same values back out of the real container bytes.
+    "mm_video_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        | CASE WHEN doc_id % 97 = 0 THEN NULL
+        |      WHEN doc_id % 3 = 0 THEN 'mkv' ELSE 'mp4' END AS container,
+        | CASE WHEN doc_id % 97 = 0 THEN NULL
+        |      WHEN doc_id % 3 = 0 THEN
+        |        CASE WHEN doc_id % 2 = 0 THEN 'matroska' ELSE 'webm' END
+        |      ELSE CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END
+        | END AS format,
+        | CASE WHEN doc_id % 97 <> 0 AND doc_id % 3 <> 0
+        |      THEN CAST(600 + (doc_id % 5) * 100 AS BIGINT) END AS timescale,
+        | CASE WHEN doc_id % 97 <> 0 AND doc_id % 3 <> 0
+        |      THEN CAST(((doc_id % 1000) + 1) * 60 AS BIGINT) END AS duration,
+        | CASE WHEN doc_id % 97 <> 0 AND doc_id % 3 <> 0
+        |      THEN CAST((((doc_id % 1000) + 1) * 60 * 1000)
+        |           // (600 + (doc_id % 5) * 100) AS BIGINT) END AS duration_ms,
+        | CASE WHEN doc_id % 97 <> 0 AND doc_id % 3 <> 0
+        |      THEN CAST(1 + doc_id % 3 AS BIGINT) END AS n_tracks,
+        | CASE WHEN doc_id % 97 <> 0 AND doc_id % 3 <> 0
+        |      THEN CAST(160 + (doc_id % 8) * 80 AS BIGINT) END AS width,
+        | CASE WHEN doc_id % 97 <> 0 AND doc_id % 3 <> 0
+        |      THEN CAST(120 + (doc_id % 6) * 60 AS BIGINT) END AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH decoded AS (

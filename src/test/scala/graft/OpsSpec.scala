@@ -100,6 +100,58 @@ class OpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("minhash buckets: string-id surrogate rail == long-id route under the cap") {
+    // Non-integral ids ride the bounded aggregate via a hash60 surrogate
+    // with the real ids joined back for surviving buckets — bit-parity
+    // with the integral route on the same corpus (signatures depend only
+    // on text, so buckets and membership must agree exactly), INCLUDING a
+    // planted hot bucket both routes must drop at the same cap.
+    val planted = (0L until 25L)
+      .map(i => (100L + i, "wqa wqb wqc wqd wqe wqf wqg wqh"))
+      .toDF("doc_id", "text")
+    val input = docs.unionByName(planted)
+    def key(members: Seq[Long]) = members.toSet
+    val longForm = Dedup.minhashBuckets(input, "text", "doc_id",
+      numHashes = 16, bands = 4, shingleK = 3, maxBucket = 20)
+      .collect()
+      .map(x => (x.getAs[Int]("band"), x.getAs[String]("bucket")) ->
+        (key(x.getAs[scala.collection.Seq[Long]]("member_ids").toSeq),
+          x.getAs[Long]("n_members"))).toMap
+    val strInput = input.select(
+      concat(lit("doc-"), col("doc_id")).as("doc_id"), col("text"))
+    val strDf = Dedup.minhashBuckets(strInput, "text", "doc_id",
+      numHashes = 16, bands = 4, shingleK = 3, maxBucket = 20)
+    // the rail is structural on this route too: the member collect runs
+    // through the bounded aggregate; the only collect_list is the
+    // join-back re-collect over surviving (<= cap) buckets
+    val plan = strDf.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("boundedidlistagg"), plan.take(600))
+    val strForm = strDf.collect()
+      .map(x => (x.getAs[Int]("band"), x.getAs[String]("bucket")) ->
+        (key(x.getAs[scala.collection.Seq[String]]("member_ids")
+          .map(_.stripPrefix("doc-").toLong).toSeq),
+          x.getAs[Long]("n_members"))).toMap
+    assert(strForm == longForm)
+    assert(strForm.nonEmpty)
+    assert(strForm.values.forall(_._2 <= 20)) // hot bucket dropped here too
+    assert(!strForm.values.exists(_._1.exists(_ >= 100L)))
+  }
+
+  test("minhash buckets: integral id narrower than long keeps its type") {
+    // member_ids surfaces the CALLER's id type (the aggregate widens to
+    // long internally) — no array<bigint> schema drift for int ids
+    val intDocs = docs.select(col("doc_id").cast("int").as("doc_id"),
+      col("text"))
+    val out = Dedup.minhashBuckets(intDocs, "text", "doc_id",
+      numHashes = 16, bands = 4, shingleK = 3)
+    assert(out.schema("member_ids").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType))
+    val got = out.collect()
+      .map(x => x.getAs[scala.collection.Seq[Int]]("member_ids").toSeq)
+    assert(got.contains(Seq(1, 2)))
+  }
+
   test("BoundedIdListAgg: exact counts always; full sorted list iff n <= cap") {
     val rows = (1L to 50L).map(i => (if (i <= 45) "hot" else "cold", 51L - i))
       .toDF("k", "id").repartition(7) // force partial-buffer merges
@@ -111,6 +163,60 @@ class OpsSpec extends SparkSpec {
       .toMap
     assert(out("hot") == (Seq.empty[Long], 45L)) // overflow: count only
     assert(out("cold") == (Seq(1L, 2L, 3L, 4L, 5L), 5L)) // all ids, sorted
+  }
+
+  test("video probe: MP4 boxes + EBML DocType round-trip the synthesis formulas") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 6L, 9L, 97L, 194L, 1001L).toDF("doc_id")
+    val got = Multimodal.probeVideoMeta(spark, Multimodal.synthesizeVideo(ids))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // junk (id % 97 == 0): box claims 1024 bytes, EOF at 10 -> NULL row
+    for (j <- Seq(0L, 97L, 194L))
+      assert(got(j).isNullAt(1) && got(j).isNullAt(3), s"id $j")
+    // EBML (id % 3 == 0, not junk): DocType by id parity; headers-only,
+    // so no Segment and no timescale
+    assert(got(6L).getString(1) == "mkv" && got(6L).getString(2) == "matroska")
+    assert(got(3L).getString(2) == "webm" && got(9L).getString(2) == "webm")
+    assert(got(6L).isNullAt(3))
+    // MP4: every parameter parsed back from the real boxes
+    val m1 = got(1L)
+    assert(m1.getString(1) == "mp4" && m1.getString(2) == "mp42")
+    assert(m1.getLong(3) == 700L) // 600 + (1%5)*100
+    assert(m1.getLong(4) == 120L) // ((1%1000)+1)*60
+    assert(m1.getLong(5) == 120L * 1000L / 700L)
+    assert(m1.getLong(6) == 2L) // 1 + 1%3
+    assert(m1.getLong(7) == 240L && m1.getLong(8) == 180L)
+    assert(got(2L).getString(2) == "isom")
+    assert(got(1001L).getLong(4) == 120L) // duration wraps % 1000
+  }
+
+  test("video probe parses version-1 (64-bit time) mvhd/tkhd layouts") {
+    val a = "US-ASCII"
+    def idm(bb: java.nio.ByteBuffer): Unit = {
+      bb.putInt(0x00010000).putInt(0).putInt(0)
+      bb.putInt(0).putInt(0x00010000).putInt(0)
+      bb.putInt(0).putInt(0).putInt(0x40000000)
+    }
+    val mvhdSize = 120; val tkhdSize = 104
+    val trakSize = 8 + tkhdSize
+    val moovSize = 8 + mvhdSize + trakSize
+    val bb = java.nio.ByteBuffer.allocate(20 + moovSize)
+    bb.putInt(20).put("ftyp".getBytes(a)).put("isom".getBytes(a))
+      .putInt(0x200).put("isom".getBytes(a))
+    bb.putInt(moovSize).put("moov".getBytes(a))
+    bb.putInt(mvhdSize).put("mvhd".getBytes(a)).putInt(0x01000000)
+      .putLong(0L).putLong(0L).putInt(1000).putLong(5000L)
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0).putLong(0L)
+    idm(bb)
+    (0 until 6).foreach(_ => bb.putInt(0))
+    bb.putInt(2)
+    bb.putInt(trakSize).put("trak".getBytes(a))
+    bb.putInt(tkhdSize).put("tkhd".getBytes(a)).putInt(0x01000007)
+      .putLong(0L).putLong(0L).putInt(1).putInt(0).putLong(5000L)
+      .putLong(0L).putShort(0).putShort(0).putShort(0).putShort(0)
+    idm(bb)
+    bb.putInt(320 << 16).putInt(200 << 16)
+    assert(Multimodal.probeVideoOne(bb.array())
+      == Some(("mp4", "isom", Some((1000L, 5000L, 1L, 320L, 200L)))))
   }
 
   test("G.711 expansion formulas match the JDK for all 256 code points") {
@@ -1666,6 +1772,9 @@ class OpsSpec extends SparkSpec {
     assert(pg.getAs[Long]("n_duplicated_grams") == 2L)
     assert(pg.getAs[Long]("n_dropped_grams") == 2L)
     assert(pg.getAs[Long]("n_dropped_windows") == 6L)
+    // 4 distinct gram strings hash to 4 distinct hash60 keys here; the
+    // column exists so production scales see a collision-merge signal
+    assert(pg.getAs[Long]("n_hash_collisions") == 0L)
   }
 
   test("bm25TopK rewards term density over raw length, bounded finisher, no window") {
@@ -1682,6 +1791,34 @@ class OpsSpec extends SparkSpec {
     val plan = top.queryExecution.executedPlan.toString
     assert(plan.contains("TopKAgg"), plan.take(600))
     assert(!plan.contains("Window"), plan.take(600))
+  }
+
+  test("bm25 index serve == one-shot, through a parquet round trip") {
+    // the train-once/serve-many lifecycle: bm25TopKWithIndex over a
+    // built (pinned) index, and again over a save/load parquet round
+    // trip, must both land on bm25TopK's rows EXACTLY (shared scoring
+    // tail + LONG-exact index frames — no float drift possible)
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple apple apple filler filler filler filler filler"),
+      (3L, "cherry plum banana"),
+      (4L, "plum plum apple banana")
+    ).toDF("doc_id", "text")
+    val queries = Seq(1L -> Seq("apple", "plum"), 2L -> Seq("banana"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSeq
+    val oneShot = rows(
+      graft.ops.TextAnalysis.bm25TopK(docs, queries, k = 3))
+    val ix = graft.ops.TextAnalysis.bm25Index(docs)
+    assert(rows(graft.ops.TextAnalysis.bm25TopKWithIndex(ix, queries, k = 3))
+      == oneShot)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_ix_").toString
+    graft.ops.TextAnalysis.saveBm25Index(ix, dir)
+    val loaded = graft.ops.TextAnalysis.loadBm25Index(spark, dir)
+    assert(rows(graft.ops.TextAnalysis.bm25TopKWithIndex(loaded, queries, k = 3))
+      == oneShot)
   }
 
   test("clusterNearDups collapses a permuted 400-chain in bounded rounds") {

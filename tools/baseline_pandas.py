@@ -31,7 +31,7 @@ REPS = {  # keep in sync with graft.Bench.headline
     "dedup_exact": 256, "dedup_minhash": 8, "text_profile": 8,
     "sim_brute_topk": 8192, "dedup_passages": 4, "graph_pagerank": 2048,
     "text_bm25_topk": 512, "sim_pq_topk": 4096, "dedup_semantic": 512,
-    "sim_knn_join": 16, "sim_knn_join_ivf": 64, "sketch_kmv_distinct": 8,
+    "sim_knn_join": 16, "sim_knn_join_ivf": 256, "sketch_kmv_distinct": 8,
 }
 
 
