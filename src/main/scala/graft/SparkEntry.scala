@@ -369,7 +369,7 @@ object SparkEntry
     */
   private[graft] def qualityGateOracle(minTokens: Long, maxTokens: Long,
       maxPunct: Double, minStop: Double, maxDupLine: Double,
-      maxTopBigram: Double): String = {
+      maxTopBigram: Double, ordered: Boolean = true): String = {
     val inList = Text.stopwords.values.flatten.toSeq
       .map(w => s"'$w'").mkString("(", ", ", ")")
     s"""WITH words AS (
@@ -421,7 +421,7 @@ object SparkEntry
        |  AND punct_ratio <= $maxPunct AND stopword_ratio >= $minStop
        |  AND dup_line_frac <= $maxDupLine
        |  AND top_bigram_frac <= $maxTopBigram) AS keep
-       |FROM sig ORDER BY doc_id""".stripMargin
+       |FROM sig${if (ordered) " ORDER BY doc_id" else ""}""".stripMargin
   }
 
   private[graft] val repetitionOracle: String =

@@ -16,14 +16,25 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * digest, post-copy verify, and a digest manifest. Per-file work runs on
   * a bounded thread pool (8 workers by default, the reference's
   * max_workers at upload_to_s3.py:126,161); the report keeps listing
-  * order regardless of completion order. The engine-relevant bulk path
-  * at 100 TB is `df.write.parquet("s3a://...")` with committer configs.
+  * order regardless of completion order. Multipart-threshold semantics
+  * (upload_to_s3.py:160-164: boto3 TransferConfig, 8 MB default) are
+  * re-expressed as part-level checksums — files at/over the threshold
+  * get the S3 composite etag (md5-of-part-md5s`-nParts`), under it the
+  * plain content md5 — so manifests compare against real object-store
+  * etags without re-reading the object; `--max-size-mb`
+  * (upload_to_s3.py:134) maps to `maxSizeMb` with excluded files
+  * reported, never silently dropped. The engine-relevant bulk path at
+  * 100 TB is `df.write.parquet("s3a://...")` with committer configs
+  * (the s3a client performs true concurrent multipart under block
+  * upload).
   */
 object ObjectSync {
 
   final case class SyncReport(
       copied: Seq[String], skipped: Seq[String], verifiedOk: Boolean,
-      manifest: Map[String, String])
+      manifest: Map[String, String],
+      etags: Map[String, String] = Map.empty,
+      excluded: Seq[String] = Seq.empty)
 
   private def digestOf(fs: FileSystem, p: Path, algorithm: String): String = {
     val md = MessageDigest.getInstance(algorithm)
@@ -34,6 +45,63 @@ object ObjectSync {
       while (n > 0) { md.update(buf, 0, n); n = in.read(buf) }
     } finally in.close()
     md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Part-level digest plan for a file, S3 etag convention (public:
+    * AWS documents the multipart etag as md5-of-concatenated-part-md5s
+    * suffixed `-<nParts>`; single-part etag is the plain content md5).
+    * The reference delegates this split to boto3's `TransferConfig`
+    * (upload_to_s3.py:160-164, `multipart_threshold` = 8 MB default);
+    * here the same threshold decides between one whole-object digest
+    * and per-part digests, so a sync against a real object store can
+    * compare its etags without re-reading the object. Parts are read
+    * in `partSize` chunks while the copy streams — one pass computes
+    * the content digest, the part md5s, and writes the target.
+    */
+  private def copyChunked(sfs: FileSystem, f: Path, dfs: FileSystem,
+      target: Path, algorithm: String, partSize: Long,
+      multipart: Boolean, write: Boolean): (String, String) = {
+    val md = MessageDigest.getInstance(algorithm)
+    val partMd5s = Seq.newBuilder[Array[Byte]]
+    var part = MessageDigest.getInstance("MD5")
+    var inPart = 0L
+    val in = sfs.open(f)
+    val out = if (write) dfs.create(target, true) else null
+    try {
+      val buf = new Array[Byte](8 << 20) // 8 MB chunks (upload_to_s3.py:27)
+      var n = in.read(buf)
+      while (n > 0) {
+        var off = 0
+        while (off < n) {
+          // split the read at part boundaries so part md5s are exact
+          val take = math.min(n - off, (partSize - inPart).toInt)
+          md.update(buf, off, take)
+          part.update(buf, off, take)
+          if (out != null) out.write(buf, off, take)
+          inPart += take
+          off += take
+          if (multipart && inPart == partSize) {
+            partMd5s += part.digest()
+            part = MessageDigest.getInstance("MD5")
+            inPart = 0L
+          }
+        }
+        n = in.read(buf)
+      }
+    } finally {
+      in.close()
+      if (out != null) out.close()
+    }
+    if (inPart > 0 || !multipart) partMd5s += part.digest()
+    val parts = partMd5s.result()
+    val etag =
+      if (!multipart) parts.head.map("%02x".format(_)).mkString
+      else {
+        val outer = MessageDigest.getInstance("MD5")
+        parts.foreach(outer.update)
+        outer.digest().map("%02x".format(_)).mkString + "-" + parts.size
+      }
+    (md.digest().map("%02x".format(_)).mkString, etag)
   }
 
   private def listFiles(fs: FileSystem, root: Path,
@@ -58,35 +126,54 @@ object ObjectSync {
       include: String => Boolean = _ => true,
       dryRun: Boolean = false,
       algorithm: String = "SHA-256",
-      workers: Int = 8): SyncReport = {
+      workers: Int = 8,
+      multipartThresholdMb: Int = 8,
+      maxSizeMb: Option[Int] = None): SyncReport = {
     require(workers >= 1, s"workers must be >= 1, got $workers")
+    require(multipartThresholdMb >= 1,
+      s"multipartThresholdMb must be >= 1, got $multipartThresholdMb")
     val src = new Path(srcDir); val dst = new Path(dstDir)
     val sfs = src.getFileSystem(conf); val dfs = dst.getFileSystem(conf)
     dfs.mkdirs(dst)
-    val files = listFiles(sfs, src, include)
+    // --max-size-mb (upload_to_s3.py:134): oversized files are EXCLUDED
+    // and reported, never silently dropped (the no-silent-caps contract).
+    val thresholdB = multipartThresholdMb.toLong << 20
+    val maxB = maxSizeMb.map(_.toLong << 20)
+    val all = listFiles(sfs, src, include)
+    val (files, oversized) = maxB match {
+      case Some(m) => all.partition(f => sfs.getFileStatus(f).getLen <= m)
+      case None => (all, Seq.empty[Path])
+    }
     // Qualify before relativizing: a scheme-less source URI makes
     // relativize a no-op, which would resolve the "target" to the source
     // itself and silently skip every file.
     val srcUri = sfs.makeQualified(src).toUri
 
-    final case class FileResult(rel: String, digest: String,
+    final case class FileResult(rel: String, digest: String, etag: String,
         wasSkipped: Boolean, ok: Boolean)
     def oneFile(f: Path): FileResult = {
       val rel = srcUri.relativize(sfs.makeQualified(f).toUri).getPath
       require(!rel.startsWith("/"), s"failed to relativize $f against $src")
       val target = new Path(dst, rel)
-      val srcSum = digestOf(sfs, f, algorithm)
+      // multipart threshold (upload_to_s3.py:160-164, TransferConfig
+      // default 8 MB): at/over it the etag is the composite
+      // md5-of-part-md5s-<nParts>, under it the plain content md5.
+      // Part size = the threshold, boto3's matching chunksize default.
+      val mp = sfs.getFileStatus(f).getLen >= thresholdB
+      val (srcSum, etag) = copyChunked(sfs, f, dfs, target, algorithm,
+        thresholdB, mp, write = false)
       val canSkip = dfs.exists(target) &&
         dfs.getFileStatus(target).getLen == sfs.getFileStatus(f).getLen &&
         digestOf(dfs, target, algorithm) == srcSum // skip-existing (upload_to_s3.py:184-191)
-      if (canSkip) FileResult(rel, srcSum, wasSkipped = true, ok = true)
+      if (canSkip) FileResult(rel, srcSum, etag, wasSkipped = true, ok = true)
       else if (!dryRun) {
-        org.apache.hadoop.fs.FileUtil.copy(sfs, f, dfs, target,
-          false, true, conf)
+        val (copiedSum, _) = copyChunked(sfs, f, dfs, target, algorithm,
+          thresholdB, mp, write = true)
         // post-copy verify (upload_to_s3.py:197-200)
-        FileResult(rel, srcSum, wasSkipped = false,
-          ok = digestOf(dfs, target, algorithm) == srcSum)
-      } else FileResult(rel, srcSum, wasSkipped = false, ok = true)
+        FileResult(rel, srcSum, etag, wasSkipped = false,
+          ok = copiedSum == srcSum &&
+            digestOf(dfs, target, algorithm) == srcSum)
+      } else FileResult(rel, srcSum, etag, wasSkipped = false, ok = true)
     }
 
     // Bounded pool; invokeAll returns futures in submission (= listing)
@@ -106,6 +193,9 @@ object ObjectSync {
       results.filterNot(_.wasSkipped).map(_.rel),
       results.filter(_.wasSkipped).map(_.rel),
       results.forall(_.ok),
-      results.map(r => r.rel -> r.digest).toMap)
+      results.map(r => r.rel -> r.digest).toMap,
+      results.map(r => r.rel -> r.etag).toMap,
+      oversized.map(f =>
+        srcUri.relativize(sfs.makeQualified(f).toUri).getPath))
   }
 }

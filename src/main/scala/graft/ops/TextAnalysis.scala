@@ -299,6 +299,53 @@ object TextAnalysis {
         (okLen && okPunct && okStop && okDup && okBigram).as("keep"))
   }
 
+  /** Zero-shuffle twin of [[qualityGate]]: the same five rules and `keep`
+    * conjunction computed entirely map-side — profile signals from
+    * [[graft.functions.Text.qualityStructFromTokens]] and repetition
+    * signals from the per-doc native [[graft.functions.Text
+    * .repetitionFromParts]] (spec-asserted equal to the relational form
+    * [[qualityGate]] uses) — so it composes into a Structured Streaming
+    * append chain (stateless projection; no per-doc groupBy the
+    * micro-batch engine would reject mid-pipeline) and, at 100 TB, runs
+    * as a pure map over the scan. Output keeps every input column and
+    * appends n_tokens + the flag columns, so a streaming pipeline can
+    * gate and still route the survivors by their own attributes. Flag
+    * parity with [[qualityGate]] is spec-asserted (QualityGateParity in
+    * OpsSpec); ratio thresholds compare the same 6-dp-rounded values.
+    */
+  def qualityGateMapSide(docs: DataFrame, textCol: String = "text",
+      minTokens: Long = 50, maxTokens: Long = 100000,
+      maxPunctRatio: Double = 0.2, minStopwordRatio: Double = 0.02,
+      maxDupLineFrac: Double = 0.3,
+      maxTopBigramFrac: Double = 0.18): DataFrame = {
+    // Tokenization materialized once behind a select boundary (the
+    // profile/CSE discipline: interpreted HOFs don't CSE across
+    // sub-expressions, and CollapseProject keeps a multiply-referenced
+    // non-trivial alias in its own Project).
+    val parts = docs.select(col("*"),
+      Text.linesOf(col(textCol)).as("__ls"),
+      Text.tokens(col(textCol)).as("__toks"))
+    val q = Text.qualityStructFromTokens(col(textCol), col("__toks"))
+    val rep = Text.repetitionFromParts(col("__ls"), col("__toks"))
+    val sig = parts.select(col("*"),
+      q.getField("n_tokens").as("n_tokens"),
+      round(q.getField("punct_ratio"), 6).as("__punct"),
+      round(q.getField("stopword_ratio"), 6).as("__stop"),
+      rep.getField("dup_line_frac").as("__dup"),
+      rep.getField("top_bigram_frac").as("__bigram"))
+    val okLen = col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens
+    val okPunct = col("__punct") <= maxPunctRatio
+    val okStop = col("__stop") >= minStopwordRatio
+    val okDup = col("__dup") <= maxDupLineFrac
+    val okBigram = col("__bigram") <= maxTopBigramFrac
+    val keepCols = docs.columns.map(col).toSeq
+    sig.select(keepCols ++ Seq(col("n_tokens"),
+      okLen.as("ok_length"), okPunct.as("ok_punct"),
+      okStop.as("ok_stopwords"), okDup.as("ok_dup_lines"),
+      okBigram.as("ok_bigram"),
+      (okLen && okPunct && okStop && okDup && okBigram).as("keep")): _*)
+  }
+
   /** CCNet-style perplexity partition (public method: Wenzek et al. 2020,
     * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
     * Data", arXiv:1911.00359 §4.3): score each document under the

@@ -431,6 +431,66 @@ private[graft] trait QueriesStream { this: SparkEntry.type =>
             "spark.sql.streaming.stateStore.providerClass")
         }
       }
+    }),
+
+    // Streaming corpus-curation composite: the map-side Gopher gate
+    // (TextAnalysis.qualityGateMapSide — a stateless projection, so it
+    // composes into the append chain where the relational gate's
+    // mid-stream groupBys could not) feeding the per-source admission
+    // cap (CapPerKey on transformWithState, O(1) counter state per
+    // key) — "gate the crawl, cap any one domain's share" in one pass.
+    // WHICH docs are admitted is arrival-order dependent, but the
+    // per-source admitted COUNT is min(cap, eligible) regardless of
+    // order, so the strict oracle checks eligible/admitted/dropped
+    // counts per source (cap 5 < most sources' eligible count at every
+    // SF — the cap genuinely drops rows). The batch side of the
+    // eligible count runs the RELATIONAL gate, so this entry also
+    // cross-checks the two gate forms end-to-end: a flag mismatch
+    // would surface as n_dropped <> n_eligible - n_admitted.
+    "stream_quality_cap" -> ((s, d) => {
+      Graft.tune(s)
+      val prev = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val docs = graft.streaming.StreamingIngest
+          .parquetStream(s, d, schema, globFilter = Some("documents.parquet"))
+        val gated = TextAnalysis.qualityGateMapSide(docs,
+          minTokens = 30, maxTokens = 80, maxPunctRatio = 0.2,
+          minStopwordRatio = 0.05, maxDupLineFrac = 0.3,
+          maxTopBigramFrac = 0.05)
+          .where(col("keep"))
+          .select(col("source"), col("doc_id").cast("long").as("doc_id"))
+          .as[(String, Long)]
+        val capped = graft.streaming.CapPerKey
+          .capPerKey[String, (String, Long)](gated, _._1, maxPerKey = 5L)
+        val admitted = graft.streaming.StreamingIngest
+          .runAvailableNow(s, capped.toDF("source", "doc_id"),
+            "stream_quality_cap_mem", outputMode = "append")
+          .groupBy("source").agg(count(lit(1)).as("n_admitted"))
+        val eligible = TextAnalysis.qualityGate(t(s, d, "documents"),
+          minTokens = 30, maxTokens = 80, maxPunctRatio = 0.2,
+          minStopwordRatio = 0.05, maxDupLineFrac = 0.3,
+          maxTopBigramFrac = 0.05)
+          .where(col("keep"))
+          .join(t(s, d, "documents").select("doc_id", "source"),
+            Seq("doc_id"))
+          .groupBy("source").agg(count(lit(1)).as("n_eligible"))
+        eligible.join(admitted, Seq("source"))
+          .select(col("source"), col("n_eligible"), col("n_admitted"),
+            (col("n_eligible") - col("n_admitted")).as("n_dropped"))
+          .orderBy("source")
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset(
+            "spark.sql.streaming.stateStore.providerClass")
+        }
+      }
     })
   )
 
@@ -439,6 +499,23 @@ private[graft] trait QueriesStream { this: SparkEntry.type =>
     // The streamed hot-key set is arrival-order independent, so the
     // streaming pipeline computes exactly the batch rule.
     "stream_dedup_segments" -> segmentDedupOracleSql,
+
+    // Gate flags replayed by the shared qualityGate CTE chain; the cap
+    // is order-independent at the COUNT level: admitted = LEAST(cap,
+    // eligible) per source whatever the arrival order.
+    "stream_quality_cap" ->
+      s"""WITH gate AS (
+         |${qualityGateOracle(minTokens = 30, maxTokens = 80,
+             maxPunct = 0.2, minStop = 0.05, maxDupLine = 0.3,
+             maxTopBigram = 0.05, ordered = false)}
+         |), elig AS (
+         | SELECT d.source, COUNT(*) AS n_eligible
+         | FROM gate g JOIN documents d USING (doc_id)
+         | WHERE g.keep GROUP BY d.source)
+         |SELECT source, n_eligible,
+         | LEAST(5, n_eligible) AS n_admitted,
+         | n_eligible - LEAST(5, n_eligible) AS n_dropped
+         |FROM elig ORDER BY source""".stripMargin,
 
     "stream_bloom_new_docs" ->
       """SELECT DISTINCT md5(i.text) AS digest FROM documents i

@@ -209,6 +209,63 @@ class IngestPipelineSpec extends SparkSpec {
     assert(rAgain.copied.isEmpty && rAgain.skipped.size == 40 && rAgain.verifiedOk)
   }
 
+  test("ObjectSync: multipart threshold — composite etag over parts, plain md5 under (upload_to_s3.py:160-164)") {
+    import graft.ingest.ObjectSync
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = Files.createTempDirectory("graft_mp_src")
+    val dst = Files.createTempDirectory("graft_mp_dst").toString
+    val partSize = 1 << 20
+    // 2.5 MB -> 3 parts at a 1 MB threshold; deterministic content
+    val big = Array.tabulate((2.5 * partSize).toInt)(i => (i % 251).toByte)
+    Files.write(src.resolve("big.bin"), big)
+    Files.writeString(src.resolve("small.csv"), "a,b\n1,2\n")
+    val r = ObjectSync.sync(conf, src.toString, dst,
+      multipartThresholdMb = 1)
+    assert(r.verifiedOk && r.copied.toSet == Set("big.bin", "small.csv"))
+    def md5(b: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    // under the threshold: the plain content md5, no part suffix
+    assert(r.etags("small.csv") ==
+      hex(md5(Files.readAllBytes(src.resolve("small.csv")))))
+    assert(!r.etags("small.csv").contains("-"))
+    // at/over: S3 composite convention, md5-of-part-md5s + "-<nParts>",
+    // recomputed independently from the raw bytes
+    val partDigests = big.grouped(partSize).map(md5).toSeq
+    val composite = hex(md5(partDigests.flatten.toArray)) + "-3"
+    assert(r.etags("big.bin") == composite)
+    // the chunked copy wrote the target byte-identically
+    assert(Files.readAllBytes(java.nio.file.Paths.get(dst, "big.bin"))
+      .sameElements(big))
+    // skip-existing still works through the chunked path
+    val r2 = ObjectSync.sync(conf, src.toString, dst,
+      multipartThresholdMb = 1)
+    assert(r2.copied.isEmpty && r2.skipped.toSet == Set("big.bin", "small.csv"))
+    assert(r2.etags == r.etags) // etags are stable across runs
+    // exact multiple of the part size: no empty trailing part
+    Files.write(src.resolve("exact.bin"), new Array[Byte](2 * partSize))
+    val r3 = ObjectSync.sync(conf, src.toString, dst,
+      multipartThresholdMb = 1)
+    assert(r3.etags("exact.bin").endsWith("-2"))
+  }
+
+  test("ObjectSync: maxSizeMb excludes oversized files, reported not dropped (upload_to_s3.py:134)") {
+    import graft.ingest.ObjectSync
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = Files.createTempDirectory("graft_max_src")
+    val dst = Files.createTempDirectory("graft_max_dst").toString
+    Files.write(src.resolve("big.bin"), new Array[Byte](2 << 20))
+    Files.writeString(src.resolve("small.csv"), "a\n1\n")
+    val r = ObjectSync.sync(conf, src.toString, dst, maxSizeMb = Some(1))
+    assert(r.copied == Seq("small.csv"))
+    assert(r.excluded == Seq("big.bin")) // audited, not silently dropped
+    assert(!Files.exists(java.nio.file.Paths.get(dst, "big.bin")))
+    assert(r.manifest.keySet == Set("small.csv") && r.verifiedOk)
+    // no filter -> both go
+    val r2 = ObjectSync.sync(conf, src.toString, dst)
+    assert(r2.excluded.isEmpty && r2.copied.contains("big.bin"))
+  }
+
   test("bulk per-file loader derives table names and registers views") {
     val loaded = CsvIngest.loadDirectory(spark, dir.toString)
     assert(loaded.keySet == Set("nh_penalties_2024_a", "nh_penalties_2024_b"))

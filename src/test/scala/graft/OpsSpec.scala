@@ -2100,6 +2100,47 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("qualityGateMapSide: flag parity with the relational gate; input columns preserved") {
+    import graft.ops.TextAnalysis
+    // the relational gate's planted rule-by-rule docs plus the empty/null
+    // edges and a passthrough column the map-side form must preserve
+    val good = (0 until 60)
+      .map(i => if (i % 5 == 4) "the" else s"word$i").mkString(" ")
+    val loopy = Array.fill(40)("spam ham").mkString(" ")
+    val dupLines = Seq("the cat sat and", "the cat sat and",
+      "the cat sat and", "a different tail line").mkString("\n")
+    val docs = Seq(
+      (1L, good, "s1"), (2L, "hello world", "s2"), (3L, loopy, "s3"),
+      (4L, dupLines, "s4"), (5L, "", "s5"), (6L, null, "s6")
+    ).toDF("doc_id", "text", "source")
+    val gateCols = Seq("doc_id", "n_tokens", "ok_length", "ok_punct",
+      "ok_stopwords", "ok_dup_lines", "ok_bigram", "keep")
+    val rel = TextAnalysis.qualityGate(docs)
+      .orderBy("doc_id").collect().toSeq
+    val map = TextAnalysis.qualityGateMapSide(docs)
+      .select(gateCols.map(col): _*).orderBy("doc_id").collect().toSeq
+    assert(rel == map)
+    // input columns survive ahead of the appended flags
+    val full = TextAnalysis.qualityGateMapSide(docs)
+    assert(full.columns.take(3).toSeq == Seq("doc_id", "text", "source"))
+    // and on the real corpus (every doc, not just planted shapes)
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val relC = TextAnalysis.qualityGate(corpus, minTokens = 30,
+      maxTokens = 80, maxPunctRatio = 0.2, minStopwordRatio = 0.05,
+      maxDupLineFrac = 0.3, maxTopBigramFrac = 0.05)
+      .orderBy("doc_id").collect().toSeq
+    val mapC = TextAnalysis.qualityGateMapSide(corpus, minTokens = 30,
+      maxTokens = 80, maxPunctRatio = 0.2, minStopwordRatio = 0.05,
+      maxDupLineFrac = 0.3, maxTopBigramFrac = 0.05)
+      .select(gateCols.map(col): _*).orderBy("doc_id").collect().toSeq
+    assert(relC == mapC)
+    // zero-shuffle contract: the map-side plan has no exchange
+    val plan = TextAnalysis.qualityGateMapSide(corpus)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("pplBuckets: tercile partition is exhaustive and ordered by score") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val res = graft.ops.TextAnalysis.pplBuckets(docs)
