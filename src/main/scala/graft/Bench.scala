@@ -72,22 +72,22 @@ object Bench {
     * scale — floors don't transfer across SFs).
     */
   val floors: Map[String, Double] = Map(
-    "q1_agg" -> 0.0975,
-    "j1_multiway_join" -> 0.2179,
-    "w1_window" -> 0.0012,
+    "q1_agg" -> 0.0817,
+    "j1_multiway_join" -> 0.1811,
+    "w1_window" -> 0.0009,
     "a8_pivot" -> 0.0291,
     "dedup_exact" -> 0.0048,
     "dedup_minhash" -> 0.1328,
     "text_profile" -> 0.1412,
     "sim_brute_topk" -> 0.0002,
-    "dedup_passages" -> 0.5097,
-    "graph_pagerank" -> 0.0043,
-    "text_bm25_topk" -> 0.0378,
+    "dedup_passages" -> 0.5075,
+    "graph_pagerank" -> 0.0036,
+    "text_bm25_topk" -> 0.0284,
     "sim_pq_topk" -> 0.0008,
-    "dedup_semantic" -> 0.0058,
-    "sim_knn_join" -> 0.1189,
-    "sim_knn_join_ivf" -> 0.0379,
-    "sketch_kmv_distinct" -> 0.1332)
+    "dedup_semantic" -> 0.0051,
+    "sim_knn_join" -> 0.1088,
+    "sim_knn_join_ivf" -> 0.0134,
+    "sketch_kmv_distinct" -> 0.1139)
 
   /** Floors are wall-clock constants recorded on the build box; any other
     * host would breach floor x 1.5 on every workload, burn the retries
