@@ -57,7 +57,8 @@ object Bench {
     "dedup_semantic" -> 512,   // SemDeDup (centroid training amortized)
     "sim_knn_join" -> 16,      // corpus-vs-corpus exact kNN graph build
     "sim_knn_join_ivf" -> 256, // IVF-partitioned approximate kNN join
-    "sketch_kmv_distinct" -> 8) // KMV distinct sketch over events
+    "sketch_kmv_distinct" -> 8, // KMV distinct sketch over events
+    "ts_sessionize" -> 16)    // gaps-and-islands sessionization window pass
 
   /** Best recorded CALM-WINDOW amortized seconds per workload at sf0.1
     * on this box — the absolute reference the window guard needs: the
@@ -378,6 +379,24 @@ object Bench {
               .as("est_users"),
             col("n_exact"))
           .orderBy("__rep", "event_type")
+
+      case "ts_sessionize" =>
+        // N user-disjoint copies of the event stream sessionized in ONE
+        // window pass: user ids remapped rep-disjoint so no session can
+        // span reps — per instance this is exactly the corpus entry
+        // (Sessionize.batchSessionStats, inclusive 8h gap, session_window-
+        // convention end).
+        val gapUs = 8L * 3600 * 1000000L
+        val ev = replicate(
+            t("events").where(col("user_id").isNotNull && col("ts").isNotNull)
+              .select("user_id", "ts", "event_id"), r)
+          .select((col("user_id") * r + col("__rep")).as("user_id"),
+            expr("ts DIV 1000").as("ts_us"), col("event_id"))
+        graft.ops.Sessionize
+          .batchSessionStats(ev, "user_id", "ts_us", "event_id", gapUs)
+          .select(col("user_id"), col("start_ns").as("session_start_us"),
+            (col("end_ns") + gapUs).as("session_end_us"), col("n_events"))
+          .orderBy("user_id", "session_start_us")
 
       case "dedup_semantic" =>
         // Centroids train once (resident-index amortization, like the PQ

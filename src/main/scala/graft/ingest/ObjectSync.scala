@@ -74,7 +74,9 @@ object ObjectSync {
         var off = 0
         while (off < n) {
           // split the read at part boundaries so part md5s are exact
-          val take = math.min(n - off, (partSize - inPart).toInt)
+          // (room-in-part is compared in Long space first: a >=2 GiB
+          // partSize would wrap a bare .toInt negative and corrupt take)
+          val take = math.min((n - off).toLong, partSize - inPart).toInt
           md.update(buf, off, take)
           part.update(buf, off, take)
           if (out != null) out.write(buf, off, take)

@@ -112,6 +112,58 @@ object Sketches {
     best
   }
 
+  /** KMV set algebra (public method: Beyer et al. 2007, "On synopses for
+    * distinct-value estimation under multiset operations"): pairwise
+    * union / intersection / Jaccard estimates computed FROM THE SKETCHES
+    * ALONE. Input is a frame of `(keyCol, minsCol)` rows as produced by
+    * `groupBy(key).agg(kmvMins(k))`; output is one row per unordered key
+    * pair (`key_a < key_b`) with
+    *
+    *  - `n_kept_union` / `kth_min` — the MERGED sketch (k smallest of the
+    *    two kept sets; KMV mergeability makes this the sketch the union
+    *    of the underlying sets would have produced),
+    *  - `est_union` — exact below k, else `(k-1)·2^60 DIV kth_min`,
+    *  - `n_common` — |A_kept ∩ B_kept ∩ union_k| (the Beyer K∩ statistic),
+    *  - `est_intersection` — `K∩ · est_union DIV |union_k|` (when the
+    *    union sketch is unsaturated both factors are exact, so the
+    *    integer division reduces to the exact intersection count),
+    *  - `jaccard_ppm` — `K∩ · 10^6 DIV |union_k|` (exact-integer ratio;
+    *    ppm keeps the strict oracle float-free).
+    *
+    * Everything stays in DECIMAL(38,0)/integer arithmetic, so the whole
+    * frame replays bit-exactly in SQL. At 100 TB this is the cross-shard
+    * overlap probe run BEFORE paying for a dedup pass: per-shard sketches
+    * are k longs each, the pair frame is |keys|² rows of constants, and
+    * the underlying sets are never joined. The pair join is a broadcast
+    * nested loop over the tiny sketch frame by construction.
+    */
+  def kmvSetOps(sketches: org.apache.spark.sql.DataFrame, keyCol: String,
+      minsCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k >= 2, s"k must be >= 2, got $k")
+    val a = sketches.select(col(keyCol).as("key_a"), col(minsCol).as("__ma"))
+    val b = sketches.select(col(keyCol).as("key_b"), col(minsCol).as("__mb"))
+    a.join(b, col("key_a") < col("key_b"))
+      .withColumn("__uk",
+        slice(array_sort(array_union(col("__ma"), col("__mb"))), 1, k))
+      .withColumn("n_kept_union", size(col("__uk")).cast("long"))
+      .withColumn("kth_min", element_at(col("__uk"), -1))
+      .withColumn("n_common", size(expr(
+        "filter(__uk, x -> array_contains(__ma, x)" +
+          " AND array_contains(__mb, x))")).cast("long"))
+      .withColumn("est_union",
+        when(col("n_kept_union") < k, col("n_kept_union"))
+          .otherwise(expr(s"CAST(${k - 1} AS DECIMAL(38,0)) * " +
+            "1152921504606846976 DIV NULLIF(kth_min, 0)"))
+          .cast("long"))
+      .withColumn("est_intersection", expr(
+        "CAST(n_common AS DECIMAL(38,0)) * est_union" +
+          " DIV NULLIF(n_kept_union, 0)").cast("long"))
+      .withColumn("jaccard_ppm",
+        expr("n_common * 1000000 DIV NULLIF(n_kept_union, 0)"))
+      .drop("__ma", "__mb", "__uk")
+  }
+
   /** HLL estimate from registers, in EXACT arithmetic up to the final
     * (correctly-rounded, hence deterministic) double ops:
     * Σ 2^-M_j is accumulated as the integer Σ 2^(61-M_j) (BigInt — ranks

@@ -72,9 +72,11 @@ private[graft] trait QueriesGraphEvents { this: SparkEntry.type =>
     }),
 
     // Built-in session_window aggregation (batch mode) — cross-checked by
-    // the oracle's relational lag/cumsum formulation. Note session_window
-    // merges on strict `<gap` (an exactly-gap-later event starts a NEW
-    // session), unlike w2_sessionize's `<=`.
+    // the oracle's relational lag/cumsum formulation. session_window's
+    // merge boundary is INCLUSIVE (an exactly-gap-later event still
+    // extends the session — same `<=` rule as w2_sessionize), measured in
+    // both batch and streaming mode and pinned by the StreamingSpec
+    // boundary test.
     "w3_session_window" -> ((s, d) => {
       val ev = t(s, d, "events").where(col("user_id") <= 200)
         .withColumn("ts_ts", Graft.nanosToTimestamp("ts"))
@@ -210,6 +212,32 @@ private[graft] trait QueriesGraphEvents { this: SparkEntry.type =>
         .select(col("user_id"), col("day").cast("string").as("day"),
           coalesce(col("n"), lit(0L)).as("n"), col("v_ffill"))
         .orderBy("user_id", "day")
+    }),
+
+    // Sessionization at full population (Sessionize.batchSessionStats —
+    // the library op w2_sessionize drives at the 200-user slice): 8-hour
+    // inactivity gap, chosen to sit inside the corpus gap distribution
+    // (avg ~2 events/session, max 15 at sf0.01). The boundary is
+    // INCLUSIVE-merge (diff == gap stays one session), Spark's native
+    // session_window rule — pinned by the StreamingSpec boundary test —
+    // and the output shape is session_window's (end = last event + gap),
+    // so this entry is the exact relational twin of
+    // stream_session_windows: same rule, same population, one oracle
+    // shape cross-checking the native operator against the lag/cumsum
+    // form. Bounds as epoch micros (no ts-to-string formatting in the
+    // strict compare).
+    "ts_sessionize" -> ((s, d) => {
+      val gapUs = 8L * 3600 * 1000000L
+      val ev = t(s, d, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .withColumn("ts_us", expr("ts DIV 1000"))
+      graft.ops.Sessionize
+        .batchSessionStats(ev, "user_id", "ts_us", "event_id", gapUs)
+        .select(col("user_id"),
+          col("start_ns").as("session_start_us"),
+          (col("end_ns") + gapUs).as("session_end_us"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_us")
     }),
 
     // Calendar-correct rolling 7-day totals: ROWS frames only mean
@@ -989,11 +1017,14 @@ private[graft] trait QueriesGraphEvents { this: SparkEntry.type =>
         |FROM sessions GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
 
+    // NOTE: the split is STRICT `> gap` (inclusive merge) — session_window
+    // extends a session for an event landing exactly ON its end; a `>=`
+    // here only survives compare while the data has no exactly-gap pair.
     "w3_session_window" ->
       """WITH flagged AS (
         | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
         |       THEN 1 ELSE 0 END AS new_session
         | FROM events WHERE user_id <= 200
         | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
@@ -1306,6 +1337,31 @@ private[graft] trait QueriesGraphEvents { this: SparkEntry.type =>
         |   (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
         | END AS v_interp
         |FROM f ORDER BY user_id, day""".stripMargin,
+
+    // Gaps-and-islands replay: break where the micros gap EXCEEDS 8h
+    // (inclusive merge at == gap, Spark session_window's boundary; NULL
+    // lag -> NULL <= g -> ELSE 1, mirroring the engine's when/otherwise),
+    // running-sum island ids, session end = last event + gap.
+    "ts_sessionize" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS us FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |x AS (
+        | SELECT user_id, us,
+        |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |        <= 28800000000 THEN 0 ELSE 1 END AS brk
+        | FROM e),
+        |g AS (
+        | SELECT user_id, us,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM x)
+        |SELECT user_id,
+        | CAST(MIN(us) AS BIGINT) AS session_start_us,
+        | CAST(MAX(us) + 28800000000 AS BIGINT) AS session_end_us,
+        | CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "ts_gapfill" ->
       """WITH daily AS (

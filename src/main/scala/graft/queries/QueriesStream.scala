@@ -71,6 +71,38 @@ private[graft] trait QueriesStream { this: SparkEntry.type =>
         .orderBy("window_start", "rank")
     }),
 
+    // Structured Streaming SESSION windows: the native session_window
+    // operator merges per-user events within an 8h gap as the stream
+    // runs — bounded per-key session state instead of the batch window
+    // sort. Run in complete mode under AvailableNow (append would hold
+    // back sessions the final watermark hasn't passed — with a finite
+    // file that's every trailing session). The strict oracle is the
+    // SAME gaps-and-islands SQL as ts_sessionize; the shared rule is
+    // session_window's INCLUSIVE boundary (events exactly gap apart DO
+    // merge — pinned by the StreamingSpec boundary test). Bounds are
+    // emitted as epoch micros (no ts-to-string
+    // formatting in the compare); session end = last event + gap on
+    // both engines.
+    "stream_session_windows" -> ((s, d) => {
+      Graft.tune(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val ev = graft.streaming.StreamingIngest
+        .parquetStream(s, d, schema, globFilter = Some("events.parquet"))
+        .transform(Graft.tsToNanos)
+        .withColumn("ts_ts", Graft.nanosToTimestamp("ts"))
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+      val agg = ev
+        .groupBy(session_window(col("ts_ts"), "8 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.streaming.StreamingIngest
+        .runAvailableNow(s, agg, "stream_session_mem")
+        .select(col("user_id"),
+          expr("unix_micros(session_window.start)").as("session_start_us"),
+          expr("unix_micros(session_window.end)").as("session_end_us"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
     // Streaming dedup under load: every event arrives TWICE (self-union of
     // the file stream), dropDuplicatesWithinWatermark collapses them with
     // bounded state, and the survivors are profiled. Order-independent —
@@ -641,6 +673,30 @@ private[graft] trait QueriesStream { this: SparkEntry.type =>
         | event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // Same gaps-and-islands replay as ts_sessionize — one oracle shape
+    // for the batch window form and the native session_window operator
+    // (inclusive merge at == gap, session_window's boundary).
+    "stream_session_windows" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS us FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |x AS (
+        | SELECT user_id, us,
+        |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |        <= 28800000000 THEN 0 ELSE 1 END AS brk
+        | FROM e),
+        |g AS (
+        | SELECT user_id, us,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM x)
+        |SELECT user_id,
+        | CAST(MIN(us) AS BIGINT) AS session_start_us,
+        | CAST(MAX(us) + 28800000000 AS BIGINT) AS session_end_us,
+        | CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "stream_window_topk" ->
       """WITH c AS (

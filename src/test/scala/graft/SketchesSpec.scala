@@ -108,4 +108,73 @@ class SketchesSpec extends SparkSpec {
     // nulls are skipped, not kept
     assert(mins(Seq[java.lang.Long](4L, null, 2L).toDF("h")) == Seq(2L, 4L))
   }
+
+  private def setOpsOf(aVals: Seq[Long], bVals: Seq[Long], k: Int) = {
+    import org.apache.spark.sql.functions._
+    val df = (aVals.map(("a", _)) ++ bVals.map(("b", _))).toDF("key", "h")
+    val sk = df.groupBy("key").agg(Sketches.kmvMins(k)(col("h")).as("mins"))
+    Sketches.kmvSetOps(sk, "key", "mins", k).collect().head
+  }
+
+  test("kmvSetOps unsaturated regime is EXACT (union, intersection, jaccard)") {
+    // |A u B| = 15 < k=64: union sketch holds everything, estimators
+    // collapse to exact set arithmetic
+    val a = (1L to 10L)
+    val b = (6L to 15L)
+    val r = setOpsOf(a, b, 64)
+    assert(r.getAs[Long]("n_kept_union") == 15L)
+    assert(r.getAs[Long]("est_union") == 15L)
+    assert(r.getAs[Long]("n_common") == 5L)
+    assert(r.getAs[Long]("est_intersection") == 5L)
+    assert(r.getAs[Long]("jaccard_ppm") == 5L * 1000000 / 15)
+  }
+
+  test("kmvSetOps saturated regime: union sketch = sketch of the union (mergeability)") {
+    import org.apache.spark.sql.functions._
+    // real hash60 values (uniform over [0, 2^60) — the estimator's
+    // uniformity assumption; smaller-range shortcuts bias est_union by
+    // the range ratio)
+    def h60(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(w.getBytes("UTF-8"))
+      val top = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      top >>> 4
+    }
+    def hs(tag: String, n: Int): Seq[Long] =
+      (1 to n).map(i => h60(s"$tag$i"))
+    val a = hs("a", 500)
+    val b = hs("b", 500) ++ a.take(100) // planted overlap
+    val k = 64
+    val r = setOpsOf(a, b, k)
+    // the merged kept set must equal kmvMins over the concatenated data
+    val direct = (a ++ b).toDF("h")
+      .agg(Sketches.kmvMins(k)(col("h")).as("m")).collect()
+      .head.getSeq[Long](0)
+    assert(r.getAs[Long]("n_kept_union") == k)
+    assert(r.getAs[Long]("kth_min") == direct.last)
+    // Beyer estimators: within 50% of truth at k=64 (loose determinism-
+    // plus-sanity bound; the strict value is pinned by the corpus oracle)
+    val exactU = (a ++ b).distinct.size
+    val exactI = a.toSet.intersect(b.toSet).size
+    val eu = r.getAs[Long]("est_union")
+    val ei = r.getAs[Long]("est_intersection")
+    assert(math.abs(eu - exactU) <= exactU / 2, s"est_union=$eu exact=$exactU")
+    assert(math.abs(ei - exactI) <= exactI, s"est_intersection=$ei exact=$exactI")
+    // jaccard_ppm is the integer ratio of the two sketch statistics
+    assert(r.getAs[Long]("jaccard_ppm") ==
+      r.getAs[Long]("n_common") * 1000000 / k)
+  }
+
+  test("kmvSetOps emits one row per unordered pair, smaller key first") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("x", 1L), ("y", 2L), ("z", 3L)).toDF("key", "h")
+    val sk = df.groupBy("key").agg(Sketches.kmvMins(4)(col("h")).as("mins"))
+    val rows = Sketches.kmvSetOps(sk, "key", "mins", 4)
+      .select("key_a", "key_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("x", "y"), ("x", "z"), ("y", "z")))
+  }
 }

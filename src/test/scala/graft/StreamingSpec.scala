@@ -57,6 +57,55 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(SessionOut(1L, 0L, 10L * 1000000000L, 2L)))
   }
 
+  test("native session_window pins the merge boundary: exactly-gap apart MERGES " +
+    "(inclusive), gap+1us splits; equals the batch gaps-and-islands rule") {
+    val gapUs = 3600L * 1000000L // 1 hour
+    val d = Files.createTempDirectory("graft_sesswin").toString
+    // user 1: t0, t0+gap exactly (MERGES — session_window's boundary is
+    // inclusive: an event AT the current session end still extends it),
+    // then +gap+1us from the second event (splits); user 2: single event
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def ts(us: Long) = new java.sql.Timestamp(t0.getTime + us / 1000)
+    val evs = Seq(
+      (1L, ts(0L)), (1L, ts(gapUs)), (1L, ts(2 * gapUs + 1000000L)),
+      (2L, ts(500L * 1000000L)))
+    evs.toDF("user_id", "ts_ts").write.mode("overwrite").parquet(d)
+    val schema = spark.read.parquet(d).schema
+    val stream = StreamingIngest.parquetStream(spark, d, schema)
+    val agg = stream
+      .groupBy(session_window(col("ts_ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val got = StreamingIngest.runAvailableNow(spark, agg, "sesswin_test")
+      .select(col("user_id"), expr("unix_micros(session_window.start)"),
+        expr("unix_micros(session_window.end)"), col("n_events"))
+      .orderBy("user_id", "session_window.start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val base = t0.getTime * 1000L
+    assert(got.toSeq == Seq(
+      // session 1: first two events merge (boundary inclusive), end =
+      // second event + gap; the third event is 1us past that end
+      (1L, base, base + 2 * gapUs, 2L),
+      (1L, base + 2 * gapUs + 1000000L, base + 3 * gapUs + 1000000L, 1L),
+      (2L, base + 500L * 1000000L, base + 500L * 1000000L + gapUs, 1L)),
+      s"got=${got.toSeq}")
+    // batch gaps-and-islands twin (the ts_sessionize rule: brk at diff > gap)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us")
+    val batch = spark.read.parquet(d)
+      .select(col("user_id"), expr("unix_micros(ts_ts)").as("us"))
+      .withColumn("brk",
+        when(col("us") - lag("us", 1).over(w) <= gapUs, 0L).otherwise(1L))
+      .withColumn("sid", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("us").as("s"), (max("us") + gapUs).as("e"),
+        count(lit(1)).as("n"))
+      .select("user_id", "s", "e", "n")
+      .orderBy("user_id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(batch.toSeq == got.toSeq)
+  }
+
   test("watermark evicts dedup state across micro-batches (bounded memory)") {
     val src = Files.createTempDirectory("graft_late_src").toString
     val ck = Files.createTempDirectory("graft_late_ck").toString

@@ -32,6 +32,7 @@ REPS = {  # keep in sync with graft.Bench.headline
     "sim_brute_topk": 8192, "dedup_passages": 4, "graph_pagerank": 2048,
     "text_bm25_topk": 512, "sim_pq_topk": 4096, "dedup_semantic": 512,
     "sim_knn_join": 16, "sim_knn_join_ivf": 256, "sketch_kmv_distinct": 8,
+    "ts_sessionize": 16,
 }
 
 
@@ -383,6 +384,30 @@ def sketch_kmv():
     return compute
 
 
+def ts_sessionize():
+    """Per-user sessionization (8h inclusive gap): sort, per-user diff,
+    cumsum islands, per-session min/max/count — the same gaps-and-islands
+    work the graft window pass does per instance."""
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    ev = ev[ev.user_id.notna() & ev.ts.notna()]
+    gap = 8 * 3600 * 1000000
+    # robust to both ns- and us-encoded parquet timestamps: force us
+    us_np = ev.ts.astype("datetime64[us]").astype("int64").to_numpy()
+    u_np = ev.user_id.astype(np.int64).to_numpy()
+    e_np = ev.event_id.astype(np.int64).to_numpy()
+    def compute():
+        df = pd.DataFrame({"u": u_np, "us": us_np, "eid": e_np})
+        df = df.sort_values(["u", "us", "eid"])
+        d = df.groupby("u")["us"].diff()
+        df["sid"] = (d.isna() | (d > gap)).astype(np.int64).cumsum()
+        g = df.groupby("sid").agg(
+            start=("us", "min"), last=("us", "max"), n=("us", "size"))
+        g["end"] = g["last"] + gap
+        return len(g)
+    return compute
+
+
 WORKLOADS = [
     ("q1_agg", q1_agg), ("j1_multiway_join", j1_join),
     ("w1_window", w1_window), ("a8_pivot", a8_pivot),
@@ -392,7 +417,8 @@ WORKLOADS = [
     ("text_bm25_topk", text_bm25), ("sim_pq_topk", sim_pq),
     ("dedup_semantic", dedup_semantic), ("sim_knn_join", sim_knn_join),
     ("sim_knn_join_ivf", sim_knn_join_ivf),
-    ("sketch_kmv_distinct", sketch_kmv)]
+    ("sketch_kmv_distinct", sketch_kmv),
+    ("ts_sessionize", ts_sessionize)]
 
 print(f"{'workload':24s} {'single':>8s} {'amortized':>10s}  (N)")
 tot_s = tot_a = 0.0
