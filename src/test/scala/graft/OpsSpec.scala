@@ -2594,4 +2594,36 @@ class OpsSpec extends SparkSpec {
       .select("event_id").as[Long].collect().toSet
     assert(got2 == Set(10L))
   }
+
+  test("sessionStatsKernel == batchSessionStats: real corpus + boundary ties") {
+    import graft.ops.Sessionize
+    def stats(df: org.apache.spark.sql.DataFrame, gap: Long) = {
+      def norm(out: org.apache.spark.sql.DataFrame) = out
+        .select("user_id", "session_seq", "n_events", "start_ns", "end_ns")
+        .orderBy("user_id", "session_seq")
+        .collect().map(_.toSeq).toSeq
+      (norm(Sessionize.sessionStatsKernel(df, "user_id", "ts_ns", "eid", gap)),
+        norm(Sessionize.batchSessionStats(df, "user_id", "ts_ns", "eid", gap)))
+    }
+    // real events at sf0.001 (nanos contract via Graft.table), 8h gap
+    val ev = graft.core.Graft.table(spark, "/root/testdata/sf0.001", "events")
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts").as("ts_ns"), col("event_id").as("eid"))
+    val (k1, w1) = stats(ev, 8L * 3600 * 1000000000L)
+    assert(k1.nonEmpty && k1 == w1)
+    // planted boundary battery: exact-gap tie (merges — inclusive rule),
+    // gap+1 (splits), duplicate timestamps, single-event user, and a
+    // user whose events split across input partitions
+    val gap = 100L
+    val hand = Seq(
+      (1L, 0L, 1L), (1L, 100L, 2L),        // exact gap -> one session
+      (1L, 201L, 3L),                      // gap+1 -> new session
+      (2L, 50L, 4L), (2L, 50L, 5L),        // duplicate ts -> one session
+      (3L, 7L, 6L))                        // singleton
+    val handDf = hand.toDF("user_id", "ts_ns", "eid").repartition(5)
+    val (k2, w2) = stats(handDf, gap)
+    assert(k2 == w2)
+    assert(k2.map(r => (r(0), r(1), r(2))) == Seq(
+      (1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 2L), (3L, 1L, 1L)))
+  }
 }
