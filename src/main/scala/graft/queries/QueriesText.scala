@@ -633,6 +633,35 @@ private[graft] trait QueriesText { this: SparkEntry.type =>
         maxTopBigramFrac = 0.05)
         .orderBy("doc_id")),
 
+    // End-to-end curation attrition funnel — the report a training-data
+    // team reads before a run: surviving-doc counts through the standard
+    // chain raw -> nonempty -> Gopher quality gate -> exact-dedup unique,
+    // each stage a subset of the previous. Four tiny aggregates unioned
+    // (one scan each; the gate chain is the same parameterization as
+    // text_quality_gate / stream_quality_cap, so the oracle reuses the
+    // shared CTE helper).
+    "text_curation_funnel" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val nonempty = docs
+        .where(col("text").isNotNull && trim(col("text")) =!= "")
+      val kept = TextAnalysis.qualityGate(docs,
+          minTokens = 30, maxTokens = 80, maxPunctRatio = 0.2,
+          minStopwordRatio = 0.05, maxDupLineFrac = 0.3,
+          maxTopBigramFrac = 0.05)
+        .where(col("keep")).select("doc_id")
+      val quality = nonempty.join(kept, Seq("doc_id"))
+      val unique = quality.select(md5(col("text")).as("dg")).distinct()
+      def stage(ord: Long, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+            col("n_docs"))
+      stage(1L, "raw", docs)
+        .unionByName(stage(2L, "nonempty", nonempty))
+        .unionByName(stage(3L, "quality_gate", quality))
+        .unionByName(stage(4L, "unique_text", unique))
+        .orderBy("stage_ord")
+    }),
+
     // Test-set decontamination: training docs (doc_id >= 20) flagged by
     // 3-shingle overlap with a benchmark slice (doc_id < 20). Benchmark
     // shingle set broadcasts; the mark is a map-side probe.
@@ -962,6 +991,29 @@ private[graft] trait QueriesText { this: SparkEntry.type =>
 
     "text_profile" -> textProfileOracle,
     "text_repetition" -> repetitionOracle,
+    // Stage counts replayed over the shared gate CTE; 'unique_text'
+    // counts distinct md5 digests among the gate survivors.
+    "text_curation_funnel" ->
+      s"""WITH gate AS (
+         |${qualityGateOracle(minTokens = 30, maxTokens = 80,
+             maxPunct = 0.2, minStop = 0.05, maxDupLine = 0.3,
+             maxTopBigram = 0.05, ordered = false)}
+         |), ne AS (
+         | SELECT doc_id, text FROM documents
+         | WHERE text IS NOT NULL AND trim(text) <> ''),
+         |q AS (
+         | SELECT ne.doc_id, ne.text
+         | FROM ne JOIN gate g USING (doc_id) WHERE g.keep)
+         |SELECT CAST(1 AS BIGINT) AS stage_ord, 'raw' AS stage,
+         |  CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+         |UNION ALL SELECT 2, 'nonempty',
+         |  CAST((SELECT COUNT(*) FROM ne) AS BIGINT)
+         |UNION ALL SELECT 3, 'quality_gate',
+         |  CAST((SELECT COUNT(*) FROM q) AS BIGINT)
+         |UNION ALL SELECT 4, 'unique_text',
+         |  CAST((SELECT COUNT(DISTINCT md5(text)) FROM q) AS BIGINT)
+         |ORDER BY stage_ord""".stripMargin,
+
     "text_quality_gate" -> qualityGateOracle(minTokens = 30, maxTokens = 80,
       maxPunct = 0.2, minStop = 0.05, maxDupLine = 0.3, maxTopBigram = 0.05),
 

@@ -106,6 +106,29 @@ class StreamingSpec extends SparkSpec {
     assert(batch.toSeq == got.toSeq)
   }
 
+  test("session_window in APPEND mode holds back sessions past the final " +
+    "watermark — the reason stream_session_windows runs COMPLETE") {
+    val d = Files.createTempDirectory("graft_sesswm").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def ts(h: Long) = new java.sql.Timestamp(t0.getTime + h * 3600000L)
+    // user 1: one session closing early (ends t0+1h) and one trailing
+    // session (starts t0+10h) the final watermark (max - 2h = t0+8h)
+    // never passes
+    Seq((1L, ts(0)), (1L, ts(10)))
+      .toDF("user_id", "ts_ts").write.mode("overwrite").parquet(d)
+    val schema = spark.read.parquet(d).schema
+    def run(mode: String, name: String): Long = {
+      val sessions = StreamingIngest.parquetStream(spark, d, schema)
+        .withWatermark("ts_ts", "2 hours")
+        .groupBy(session_window(col("ts_ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      StreamingIngest.runAvailableNow(spark, sessions, name,
+        outputMode = mode).count()
+    }
+    assert(run("append", "sesswm_append") == 1L) // trailing session held
+    assert(run("complete", "sesswm_complete") == 2L) // all sessions emit
+  }
+
   test("watermark evicts dedup state across micro-batches (bounded memory)") {
     val src = Files.createTempDirectory("graft_late_src").toString
     val ck = Files.createTempDirectory("graft_late_ck").toString
