@@ -634,4 +634,31 @@ class PlanShapeSpec extends SparkSpec {
       .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
     assert(served == inline)
   }
+
+  test("sketch_kmv_setops: partial sketch aggregate map-side, pair join is a " +
+    "broadcast nested loop over the sketch frame — never a data-sized join") {
+    val p = plan("sketch_kmv_setops")
+    // map-side partial KMV: only k-bounded sketch buffers cross the one
+    // source-keyed exchange, never shingle rows
+    assert(p.contains("partial_kmvagg"), p.take(1200))
+    // the sources^2 pair frame builds from the tiny aggregated sketches
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
+
+  test("ts_sessionize kernel: one user exchange, in-partition sort, fold — " +
+    "no Window operator, filters pushed to the scan") {
+    val p = plan("ts_sessionize")
+    assert(p.contains("MapPartitions"), p.take(1200))
+    assert(!p.contains("Window"), p.take(1200)) // the 3-walk plan it replaced
+    // exactly one hash exchange feeds the kernel (the only other exchange
+    // is the final rangepartitioning for the output ORDER BY)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1600))
+    assert(p.contains("PushedFilters: [IsNotNull(ts), IsNotNull(user_id)]"),
+      p.take(1600))
+    // the sort that feeds the fold is in-partition (global=false), not a
+    // second shuffle
+    assert(p.contains("ASC NULLS FIRST], false, 0"), p.take(1600))
+  }
 }
