@@ -2625,5 +2625,20 @@ class OpsSpec extends SparkSpec {
     assert(k2 == w2)
     assert(k2.map(r => (r(0), r(1), r(2))) == Seq(
       (1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 2L), (3L, 1L, 1L)))
+    // randomized streams (fixed seed): dense ts range + small gaps force
+    // duplicate timestamps and exact-gap collisions; arbitrary input
+    // partitioning exercises the exchange + partition-boundary paths
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 4) {
+      val nUsers = 1 + rnd.nextInt(20)
+      val g = 1L + rnd.nextInt(40)
+      val rows = (1 to 1500).map { i =>
+        (rnd.nextInt(nUsers).toLong, rnd.nextInt(400).toLong, i.toLong)
+      }
+      val df = rows.toDF("user_id", "ts_ns", "eid")
+        .repartition(1 + rnd.nextInt(9))
+      val (kr, wr) = stats(df, g)
+      assert(kr == wr, s"trial $trial gap=$g users=$nUsers")
+    }
   }
 }

@@ -168,6 +168,37 @@ class SketchesSpec extends SparkSpec {
       r.getAs[Long]("n_common") * 1000000 / k)
   }
 
+  test("kmvSetOps randomized (seeded): unsaturated pairs are exact, merged " +
+    "sketch always equals the sketch of the concatenated data") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42L)
+    for (trial <- 1 to 3) {
+      val na = 20 + rnd.nextInt(120)
+      val nb = 20 + rnd.nextInt(120)
+      val overlap = rnd.nextInt(20)
+      val a = Seq.fill(na)(rnd.nextLong() >>> 4).distinct
+      val b = (Seq.fill(nb)(rnd.nextLong() >>> 4) ++ a.take(overlap)).distinct
+      // k above the union size -> every statistic is exact set arithmetic
+      val kBig = a.size + b.size + 1
+      val r1 = setOpsOf(a, b, kBig)
+      val u = (a ++ b).distinct.size.toLong
+      val i = a.toSet.intersect(b.toSet).size.toLong
+      assert(r1.getAs[Long]("est_union") == u, s"trial $trial")
+      assert(r1.getAs[Long]("est_intersection") == i, s"trial $trial")
+      assert(r1.getAs[Long]("jaccard_ppm") == i * 1000000 / u, s"trial $trial")
+      // k below the union size -> the merged kept set must equal the
+      // sketch of the concatenated data (KMV mergeability), any k
+      val kSmall = 2 + rnd.nextInt(math.max(2, u.toInt - 2))
+      val r2 = setOpsOf(a, b, kSmall)
+      val direct = (a ++ b).toDF("h")
+        .agg(Sketches.kmvMins(kSmall)(col("h")).as("m")).collect()
+        .head.getSeq[Long](0)
+      assert(r2.getAs[Long]("n_kept_union") == direct.size.toLong,
+        s"trial $trial k=$kSmall")
+      assert(r2.getAs[Long]("kth_min") == direct.last, s"trial $trial")
+    }
+  }
+
   test("kmvSetOps emits one row per unordered pair, smaller key first") {
     import org.apache.spark.sql.functions._
     val df = Seq(("x", 1L), ("y", 2L), ("z", 3L)).toDF("key", "h")
