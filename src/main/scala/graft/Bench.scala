@@ -89,7 +89,7 @@ object Bench {
     "sim_knn_join" -> 0.1088,
     "sim_knn_join_ivf" -> 0.0134,
     "sketch_kmv_distinct" -> 0.1139,
-    "ts_sessionize" -> 0.1097)
+    "ts_sessionize" -> 0.0885)
 
   /** Floors are wall-clock constants recorded on the build box; any other
     * host would breach floor x 1.5 on every workload, burn the retries
