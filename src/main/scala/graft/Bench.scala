@@ -58,7 +58,11 @@ object Bench {
     "sim_knn_join" -> 16,      // corpus-vs-corpus exact kNN graph build
     "sim_knn_join_ivf" -> 256, // IVF-partitioned approximate kNN join
     "sketch_kmv_distinct" -> 8, // KMV distinct sketch over events
-    "ts_sessionize" -> 16)    // gaps-and-islands sessionization window pass
+    "ts_sessionize" -> 64)    // single-pass sessionization kernel (reps
+                              // 16→64 r12: at 16 the fixed fused-plan
+                              // dispatch was ~1/3 of the marginal — the
+                              // same under-amortization knn_ivf's r11 fix
+                              // closed; pandas twin moved in lockstep)
 
   /** Best recorded CALM-WINDOW amortized seconds per workload at sf0.1
     * on this box — the absolute reference the window guard needs: the
@@ -395,8 +399,8 @@ object Bench {
             expr("ts DIV 1000").as("ts_us"), col("event_id"))
         graft.ops.Sessionize
           .sessionStatsKernel(ev, "user_id", "ts_us", "event_id", gapUs)
-          .select(col("user_id"), col("start_ns").as("session_start_us"),
-            (col("end_ns") + gapUs).as("session_end_us"), col("n_events"))
+          .select(col("user_id"), col("start_ts").as("session_start_us"),
+            (col("end_ts") + gapUs).as("session_end_us"), col("n_events"))
           .orderBy("user_id", "session_start_us")
 
       case "dedup_semantic" =>

@@ -617,6 +617,63 @@ object SparkEntry
        |  2147483647 - (wmin & 2147483647) AS fp_pos
        | FROM wm WHERE pos <= n - 3 OR pos = 1)""".stripMargin
 
+  /** KMV set-algebra replay (Beyer et al. 2007) over per-source 3-shingle
+    * sketches (k=256): kept sets re-derived with a ranked distinct scan
+    * (the sketch is a pure function of the data), union-k by re-ranking
+    * the merged kept sets, then the union/intersection/Jaccard/difference
+    * estimators in HUGEINT — mirroring the engine's DECIMAL(38,0) DIV.
+    * Shared by `sketch_kmv_setops` (batch) and `stream_kmv_setops` (the
+    * transformWithState twin): the streamed final snapshot per key equals
+    * the batch sketch by split independence, so one replay serves both.
+    */
+  private[graft] def kmvSetopsOracle: String = {
+    val h = hash60Sql("s.sh")
+    s"""WITH $shingleCtes,
+       |ss AS (
+       | SELECT DISTINCT d.source, $h AS h
+       | FROM shingles s JOIN documents d USING (doc_id)),
+       |r AS (
+       | SELECT source, h,
+       |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       | FROM ss),
+       |kept AS (SELECT source, h FROM r WHERE rn <= 256),
+       |srcs AS (SELECT DISTINCT source FROM kept),
+       |pr AS (
+       | SELECT a.source AS sa, b.source AS sb
+       | FROM srcs a JOIN srcs b ON a.source < b.source),
+       |u AS (
+       | SELECT p.sa, p.sb, k.h,
+       |  MAX(CASE WHEN k.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+       |  MAX(CASE WHEN k.source = p.sb THEN 1 ELSE 0 END) AS in_b
+       | FROM pr p JOIN kept k ON k.source IN (p.sa, p.sb)
+       | GROUP BY 1, 2, 3),
+       |rk AS (
+       | SELECT sa, sb, h, in_a, in_b,
+       |  row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+       | FROM u),
+       |uk AS (
+       | SELECT sa, sb,
+       |  CAST(COUNT(*) AS BIGINT) AS n_kept_union,
+       |  CAST(MAX(h) AS BIGINT) AS kth_min,
+       |  CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_common
+       | FROM rk WHERE rn <= 256 GROUP BY 1, 2),
+       |est AS (
+       | SELECT sa, sb, n_kept_union, kth_min, n_common,
+       |  CASE WHEN n_kept_union < 256 THEN n_kept_union
+       |       ELSE CAST(CAST(255 AS HUGEINT) * 1152921504606846976
+       |              // NULLIF(kth_min, 0) AS BIGINT) END AS est_union
+       | FROM uk)
+       |SELECT sa AS source_a, sb AS source_b, n_kept_union, kth_min,
+       | n_common, est_union,
+       | CAST(CAST(n_common AS HUGEINT) * est_union
+       |   // NULLIF(n_kept_union, 0) AS BIGINT) AS est_intersection,
+       | n_common * 1000000 // NULLIF(n_kept_union, 0) AS jaccard_ppm,
+       | est_union - CAST(CAST(n_common AS HUGEINT) * est_union
+       |   // NULLIF(n_kept_union, 0) AS BIGINT) AS est_difference
+       |FROM est ORDER BY source_a, source_b""".stripMargin
+  }
+
   private[graft] def minhashOracle: String = {
     val p = Dedup.MinhashP
     val mins = (0 until 4).map { j =>
@@ -633,9 +690,14 @@ object SparkEntry
   }
 
   /** Replays [[graft.ops.Dedup.minhashSignatures]] at 16 hashes over the
-    * SNM candidate pairs, next to the exact 3-gram Jaccard from the same
-    * shingle universe — agreement and set counts in exact integers, the
-    * two divisions last.
+    * SAMPLED SNM candidate pairs (1-in-32 by stable pair-hash membership,
+    * mirroring the engine entry), next to the exact 3-gram Jaccard from
+    * the same shingle universe — agreement and set counts in exact
+    * integers, the two divisions last. Signature and shingle work is
+    * restricted to the docs the sampled pairs touch (cdocs), which is
+    * what makes the sf1 replay linear-in-sample instead of
+    * linear-in-corpus (the r11 sf1 skip: the unrestricted words 3-way
+    * self-join over 50k docs ran past 1200 s).
     */
   private[graft] def minhashCalibrationOracle: String = {
     val p = Dedup.MinhashP
@@ -646,23 +708,48 @@ object SparkEntry
     }.mkString(",\n ")
     val agreeSum = (0 until 16).map(j =>
       s"CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH $shingleCtes,
-       |sig AS (
-       | SELECT d.doc_id,
-       |  $sigCols
-       | FROM documents d LEFT JOIN shingles s ON s.doc_id = d.doc_id
-       | GROUP BY d.doc_id),
-       |keyed AS (
+    val pairHash = hash60Sql(
+      "CAST(p1 AS VARCHAR) || ':' || CAST(id AS VARCHAR)")
+    val pairHash2 = hash60Sql(
+      "CAST(p2 AS VARCHAR) || ':' || CAST(id AS VARCHAR)")
+    s"""WITH keyed AS (
        | SELECT source AS block, COALESCE(substr(text, 1, 16), '') AS skey,
        |  doc_id AS id
        | FROM documents),
        |lagged AS (
        | SELECT block, id, LAG(id, 1) OVER w AS p1, LAG(id, 2) OVER w AS p2
        | FROM keyed WINDOW w AS (PARTITION BY block ORDER BY skey, id)),
-       |prs AS (
-       | SELECT p1 AS id_a, id AS id_b FROM lagged WHERE p1 IS NOT NULL
+       |prs AS MATERIALIZED (
+       | SELECT p1 AS id_a, id AS id_b FROM lagged
+       | WHERE p1 IS NOT NULL AND $pairHash % 32 = 0
        | UNION ALL
-       | SELECT p2, id FROM lagged WHERE p2 IS NOT NULL),
+       | SELECT p2, id FROM lagged
+       | WHERE p2 IS NOT NULL AND $pairHash2 % 32 = 0),
+       |cal_ids AS MATERIALIZED (
+       | SELECT id_a AS doc_id FROM prs UNION SELECT id_b FROM prs),
+       |cdocs AS MATERIALIZED (
+       | SELECT d.doc_id, d.text FROM documents d JOIN cal_ids USING (doc_id)),
+       |words AS (
+       | SELECT doc_id, w, i FROM (
+       |  SELECT doc_id,
+       |   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+       |   generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS i
+       |  FROM cdocs WHERE trim(text) <> '')),
+       |shingles AS (
+       | SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+       | FROM words a
+       | JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+       | JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+       | UNION
+       | SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS sh
+       | FROM cdocs
+       | WHERE trim(text) <> ''
+       |  AND len(string_split_regex(trim(lower(text)), '\\s+')) < 3),
+       |sig AS (
+       | SELECT d.doc_id,
+       |  $sigCols
+       | FROM cdocs d LEFT JOIN shingles s ON s.doc_id = d.doc_id
+       | GROUP BY d.doc_id),
        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
        |          FROM shingles GROUP BY doc_id),
        |inter AS (

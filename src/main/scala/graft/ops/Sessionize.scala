@@ -51,7 +51,9 @@ object Sessionize {
     * s/instance vs the window form — the fold is the mapPartitions
     * exception the guidelines allow, justified by the 3-walk window plan
     * it replaces. Callers must filter null keys/timestamps first (the
-    * typed decode would throw).
+    * typed decode would throw). Output bounds `start_ts`/`end_ts` are
+    * unit-neutral: they carry whatever epoch unit `tsNanosCol` used
+    * (nanos, micros, ...) — no rescaling happens here.
     */
   def sessionStatsKernel(events: DataFrame, userCol: String,
       tsNanosCol: String, idCol: String, gapNanos: Long): DataFrame = {
@@ -97,7 +99,7 @@ object Sessionize {
           val out = pending; pending = null; out
         }
       }
-    }.toDF(userCol, "session_seq", "n_events", "start_ns", "end_ns")
+    }.toDF(userCol, "session_seq", "n_events", "start_ts", "end_ts")
   }
 
   /** Per-session rollup of [[batch]] output. */
@@ -107,8 +109,8 @@ object Sessionize {
       .groupBy(col(userCol), col("session_seq"))
       .agg(
         count(lit(1)).as("n_events"),
-        min(tsNanosCol).as("start_ns"),
-        max(tsNanosCol).as("end_ns"))
+        min(tsNanosCol).as("start_ts"),
+        max(tsNanosCol).as("end_ts"))
 
   final case class SessionEvent(userId: Long, tsNanos: Long)
   final case class SessionState(start: Long, last: Long, n: Long)

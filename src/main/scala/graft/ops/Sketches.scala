@@ -128,7 +128,17 @@ object Sketches {
     *    union sketch is unsaturated both factors are exact, so the
     *    integer division reduces to the exact intersection count),
     *  - `jaccard_ppm` — `K∩ · 10^6 DIV |union_k|` (exact-integer ratio;
-    *    ppm keeps the strict oracle float-free).
+    *    ppm keeps the strict oracle float-free),
+    *  - `est_difference` — `est_union − est_intersection`, the symmetric-
+    *    difference estimate (how much content the two shards DON'T share),
+    *    in the same integer rail.
+    *
+    * Keys whose sketch is EMPTY (all-null input groups) are filtered out
+    * at entry: an empty kept set has no kth_min and a 0-size union
+    * denominator, so every estimator would be NULL — rows that say
+    * nothing and would fail a strict oracle. (The per-key sketch build
+    * already skips null hashes, so an empty sketch means the key had no
+    * usable values at all.)
     *
     * Everything stays in DECIMAL(38,0)/integer arithmetic, so the whole
     * frame replays bit-exactly in SQL. At 100 TB this is the cross-shard
@@ -141,8 +151,9 @@ object Sketches {
       minsCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     require(k >= 2, s"k must be >= 2, got $k")
-    val a = sketches.select(col(keyCol).as("key_a"), col(minsCol).as("__ma"))
-    val b = sketches.select(col(keyCol).as("key_b"), col(minsCol).as("__mb"))
+    val nonEmpty = sketches.where(size(col(minsCol)) > 0)
+    val a = nonEmpty.select(col(keyCol).as("key_a"), col(minsCol).as("__ma"))
+    val b = nonEmpty.select(col(keyCol).as("key_b"), col(minsCol).as("__mb"))
     a.join(b, col("key_a") < col("key_b"))
       .withColumn("__uk",
         slice(array_sort(array_union(col("__ma"), col("__mb"))), 1, k))
@@ -161,6 +172,7 @@ object Sketches {
           " DIV NULLIF(n_kept_union, 0)").cast("long"))
       .withColumn("jaccard_ppm",
         expr("n_common * 1000000 DIV NULLIF(n_kept_union, 0)"))
+      .withColumn("est_difference", col("est_union") - col("est_intersection"))
       .drop("__ma", "__mb", "__uk")
   }
 

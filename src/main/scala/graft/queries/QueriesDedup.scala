@@ -353,17 +353,26 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
         window = 3)
         .orderBy("id_a", "id_b")),
 
-    // MinHash calibration report: per SNM candidate pair, the 16-slot
-    // signature-agreement estimate NEXT TO the exact 3-gram Jaccard it
-    // estimates — the est-vs-truth audit run before trusting LSH banding
-    // thresholds. Agreement and set counts are exact integers; the two
-    // mirrored divisions happen last (union 0 -> NULL exact, both
-    // engines).
+    // MinHash calibration report: per SAMPLED SNM candidate pair, the
+    // 16-slot signature-agreement estimate NEXT TO the exact 3-gram
+    // Jaccard it estimates — the est-vs-truth audit run before trusting
+    // LSH banding thresholds. Agreement and set counts are exact
+    // integers; the two mirrored divisions happen last (union 0 -> NULL
+    // exact, both engines). Pairs are deterministically SAMPLED 1-in-32
+    // by stable pair-hash membership (the Sampling.scala discipline —
+    // layout/engine independent, replayed in the oracle): a calibration
+    // audit needs a representative sample, not the full candidate set,
+    // and the unsampled form made the audit's cost the product of the
+    // thing it audits (the sf1 oracle ran past 1200 s; sampled, both
+    // sides restrict signature + shingle work to the docs the sampled
+    // pairs touch).
     "dedup_minhash_calibration" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val pairs = Dedup.sortedNeighborhood(docs, "doc_id",
         coalesce(substring(col("text"), 1, 16), lit("")), col("source"),
         window = 3).select("id_a", "id_b")
+        .where(pmod(StableHash.hash60(
+          concat_ws(":", col("id_a"), col("id_b"))), lit(32L)) === 0L)
       val sigs = Dedup.minhashSignatures(docs, "text", "doc_id",
         numHashes = 16, shingleK = 3)
       val agree = pairs
@@ -617,6 +626,69 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
     * on both sides by absence from the shingle frame. MATERIALIZED on
     * every multi-consumer CTE.
     */
+  /** SNM-closure replay shared by dedup_components / dedup_representatives
+    * / dedup_cluster_stats: the engine's alternating large-star/small-star
+    * contraction (Kiveris et al. 2014, `Dedup.clusterNearDups`) unrolled as
+    * chained MATERIALIZED CTEs — one large+small round per block, LINEAR
+    * O(rounds·|E|) total. This replaced the recursive reachability CTE
+    * (r11 sf1 skip): true reach materializes Σ|component|² rows, ~25 min
+    * at sf1, while this replay stays seconds at any SF. Round count is
+    * FIXED (no convergence probe in static SQL) at 14 — the engine
+    * measures 7–10 rounds to the star fixed point for permuted chains of
+    * 250–5000 nodes (the exact shape SNM blocks produce; sf1 blocks are
+    * ~2.5k docs), convergence is O(log n), and extra rounds past the
+    * fixed point are IDEMPOTENT (a star set maps to itself: large-star
+    * re-emits each (child, min) edge, small-star's u<=v branch excludes
+    * u=m and its v-branch re-emits (child, min) — so 14 carries headroom
+    * at every sweep scale. If data ever outgrew it, the strict compare
+    * fails loudly rather than passing a half-converged closure.
+    */
+  private def snmClosureCtes: String = {
+    val rounds = 14
+    def round(i: Int): String =
+      s"""n${i}a AS MATERIALIZED (
+         | SELECT a AS v, b AS u FROM e$i
+         | UNION ALL SELECT b AS v, a AS u FROM e$i),
+         |m${i}a AS MATERIALIZED (
+         | SELECT v, MIN(u) AS mu FROM n${i}a GROUP BY v),
+         |lg$i AS MATERIALIZED (
+         | SELECT DISTINCT n.u AS a, LEAST(n.v, m.mu) AS b
+         | FROM n${i}a n JOIN m${i}a m USING (v)
+         | WHERE n.u > n.v AND n.u <> LEAST(n.v, m.mu)),
+         |n${i}b AS MATERIALIZED (
+         | SELECT a AS v, b AS u FROM lg$i
+         | UNION ALL SELECT b AS v, a AS u FROM lg$i),
+         |m${i}b AS MATERIALIZED (
+         | SELECT v, MIN(u) AS mu FROM n${i}b GROUP BY v),
+         |e${i + 1} AS MATERIALIZED (
+         | SELECT DISTINCT a, b FROM (
+         |  SELECT n.u AS a, LEAST(n.v, m.mu) AS b
+         |  FROM n${i}b n JOIN m${i}b m USING (v)
+         |  WHERE n.u <= n.v AND n.u <> LEAST(n.v, m.mu)
+         |  UNION ALL
+         |  SELECT n.v AS a, LEAST(n.v, m.mu) AS b
+         |  FROM n${i}b n JOIN m${i}b m USING (v)
+         |  WHERE n.v <> LEAST(n.v, m.mu)))""".stripMargin
+    s"""keyed AS (
+       | SELECT source AS block, COALESCE(substr(text, 1, 16), '') AS skey,
+       |  doc_id AS id
+       | FROM documents),
+       |lagged AS (
+       | SELECT block, id, LAG(id, 1) OVER w AS p1, LAG(id, 2) OVER w AS p2
+       | FROM keyed WINDOW w AS (PARTITION BY block ORDER BY skey, id)),
+       |edges0 AS (
+       | SELECT p1 AS a, id AS b FROM lagged WHERE p1 IS NOT NULL
+       | UNION ALL SELECT p2, id FROM lagged WHERE p2 IS NOT NULL),
+       |e0 AS MATERIALIZED (
+       | SELECT DISTINCT GREATEST(a, b) AS a, LEAST(a, b) AS b
+       | FROM edges0 WHERE a <> b),
+       |${(0 until rounds).map(round).mkString(",\n")},
+       |stars AS (SELECT a AS id, MIN(b) AS component FROM e$rounds GROUP BY a),
+       |comp AS (
+       | SELECT d.doc_id AS id, COALESCE(s.component, d.doc_id) AS component
+       | FROM documents d LEFT JOIN stars s ON s.id = d.doc_id)""".stripMargin
+  }
+
   private def fuzzyChainCtes: String = {
     val p = Dedup.MinhashP
     val sigCols = (0 until 4).map { j =>
@@ -1111,74 +1183,30 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
     },
 
     "dedup_components" ->
-      """WITH RECURSIVE keyed AS (
-        | SELECT source AS block, COALESCE(substr(text, 1, 16), '') AS skey,
-        |  doc_id AS id
-        | FROM documents),
-        |lagged AS (
-        | SELECT block, id, LAG(id, 1) OVER w AS p1, LAG(id, 2) OVER w AS p2
-        | FROM keyed WINDOW w AS (PARTITION BY block ORDER BY skey, id)),
-        |edges0 AS (
-        | SELECT p1 AS a, id AS b FROM lagged WHERE p1 IS NOT NULL
-        | UNION ALL SELECT p2, id FROM lagged WHERE p2 IS NOT NULL),
-        |edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
-        |reach AS (
-        | SELECT doc_id AS id, doc_id AS r FROM documents
-        | UNION
-        | SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r)
-        |SELECT id, MIN(r) AS component FROM reach GROUP BY id
-        |ORDER BY id""".stripMargin,
+      s"""WITH $snmClosureCtes
+         |SELECT id, component FROM comp
+         |ORDER BY id""".stripMargin,
 
     "dedup_representatives" ->
-      """WITH RECURSIVE keyed AS (
-        | SELECT source AS block, COALESCE(substr(text, 1, 16), '') AS skey,
-        |  doc_id AS id
-        | FROM documents),
-        |lagged AS (
-        | SELECT block, id, LAG(id, 1) OVER w AS p1, LAG(id, 2) OVER w AS p2
-        | FROM keyed WINDOW w AS (PARTITION BY block ORDER BY skey, id)),
-        |edges0 AS (
-        | SELECT p1 AS a, id AS b FROM lagged WHERE p1 IS NOT NULL
-        | UNION ALL SELECT p2, id FROM lagged WHERE p2 IS NOT NULL),
-        |edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
-        |reach AS (
-        | SELECT doc_id AS id, doc_id AS r FROM documents
-        | UNION
-        | SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
-        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
-        |sizes AS (
-        | SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
-        | FROM comp GROUP BY 1)
-        |SELECT c.id, c.component, c.id = c.component AS is_kept,
-        | s.cluster_size
-        |FROM comp c JOIN sizes s USING (component)
-        |ORDER BY c.id""".stripMargin,
+      s"""WITH $snmClosureCtes,
+         |sizes AS (
+         | SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         | FROM comp GROUP BY 1)
+         |SELECT c.id, c.component, c.id = c.component AS is_kept,
+         | s.cluster_size
+         |FROM comp c JOIN sizes s USING (component)
+         |ORDER BY c.id""".stripMargin,
 
     "dedup_cluster_stats" ->
-      """WITH RECURSIVE keyed AS (
-        | SELECT source AS block, COALESCE(substr(text, 1, 16), '') AS skey,
-        |  doc_id AS id
-        | FROM documents),
-        |lagged AS (
-        | SELECT block, id, LAG(id, 1) OVER w AS p1, LAG(id, 2) OVER w AS p2
-        | FROM keyed WINDOW w AS (PARTITION BY block ORDER BY skey, id)),
-        |edges0 AS (
-        | SELECT p1 AS a, id AS b FROM lagged WHERE p1 IS NOT NULL
-        | UNION ALL SELECT p2, id FROM lagged WHERE p2 IS NOT NULL),
-        |edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
-        |reach AS (
-        | SELECT doc_id AS id, doc_id AS r FROM documents
-        | UNION
-        | SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
-        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
-        |sizes AS (
-        | SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
-        | FROM comp GROUP BY 1)
-        |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
-        | cluster_size * CAST(COUNT(*) AS BIGINT) AS n_docs,
-        | (cluster_size - 1) * CAST(COUNT(*) AS BIGINT) AS n_dropped
-        |FROM sizes GROUP BY cluster_size
-        |ORDER BY cluster_size""".stripMargin,
+      s"""WITH $snmClosureCtes,
+         |sizes AS (
+         | SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         | FROM comp GROUP BY 1)
+         |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         | cluster_size * CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | (cluster_size - 1) * CAST(COUNT(*) AS BIGINT) AS n_dropped
+         |FROM sizes GROUP BY cluster_size
+         |ORDER BY cluster_size""".stripMargin,
 
     "dedup_passages" ->
       """WITH words AS (

@@ -66,8 +66,8 @@ private[graft] trait QueriesGraphEvents { this: SparkEntry.type =>
       val ev = t(s, d, "events").where(col("user_id") <= 200)
         .withColumn("ts_us", expr("ts DIV 1000"))
       graft.ops.Sessionize.batchSessionStats(ev, "user_id", "ts_us", "event_id", gapUs)
-        .withColumnRenamed("start_ns", "start_us")
-        .withColumnRenamed("end_ns", "end_us")
+        .withColumnRenamed("start_ts", "start_us")
+        .withColumnRenamed("end_ts", "end_us")
         .orderBy("user_id", "session_seq")
     }),
 
@@ -237,8 +237,8 @@ private[graft] trait QueriesGraphEvents { this: SparkEntry.type =>
       graft.ops.Sessionize
         .sessionStatsKernel(ev, "user_id", "ts_us", "event_id", gapUs)
         .select(col("user_id"),
-          col("start_ns").as("session_start_us"),
-          (col("end_ns") + gapUs).as("session_end_us"),
+          col("start_ts").as("session_start_us"),
+          (col("end_ts") + gapUs).as("session_end_us"),
           col("n_events"))
         .orderBy("user_id", "session_start_us")
     }),

@@ -1240,55 +1240,12 @@ private[graft] trait QueriesPipeline { this: SparkEntry.type =>
          |ORDER BY event_type""".stripMargin
     },
 
-    // KMV set algebra replay: per-source kept sets re-derived with a
-    // ranked distinct scan (the sketch is a pure function of the data),
-    // union-k by re-ranking the merged kept sets, then the Beyer
-    // estimators in HUGEINT — mirroring the engine's DECIMAL(38,0) DIV.
-    "sketch_kmv_setops" -> {
-      val h = hash60Sql("s.sh")
-      s"""WITH $shingleCtes,
-         |ss AS (
-         | SELECT DISTINCT d.source, $h AS h
-         | FROM shingles s JOIN documents d USING (doc_id)),
-         |r AS (
-         | SELECT source, h,
-         |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
-         | FROM ss),
-         |kept AS (SELECT source, h FROM r WHERE rn <= 256),
-         |srcs AS (SELECT DISTINCT source FROM kept),
-         |pr AS (
-         | SELECT a.source AS sa, b.source AS sb
-         | FROM srcs a JOIN srcs b ON a.source < b.source),
-         |u AS (
-         | SELECT p.sa, p.sb, k.h,
-         |  MAX(CASE WHEN k.source = p.sa THEN 1 ELSE 0 END) AS in_a,
-         |  MAX(CASE WHEN k.source = p.sb THEN 1 ELSE 0 END) AS in_b
-         | FROM pr p JOIN kept k ON k.source IN (p.sa, p.sb)
-         | GROUP BY 1, 2, 3),
-         |rk AS (
-         | SELECT sa, sb, h, in_a, in_b,
-         |  row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
-         | FROM u),
-         |uk AS (
-         | SELECT sa, sb,
-         |  CAST(COUNT(*) AS BIGINT) AS n_kept_union,
-         |  CAST(MAX(h) AS BIGINT) AS kth_min,
-         |  CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_common
-         | FROM rk WHERE rn <= 256 GROUP BY 1, 2),
-         |est AS (
-         | SELECT sa, sb, n_kept_union, kth_min, n_common,
-         |  CASE WHEN n_kept_union < 256 THEN n_kept_union
-         |       ELSE CAST(CAST(255 AS HUGEINT) * 1152921504606846976
-         |              // NULLIF(kth_min, 0) AS BIGINT) END AS est_union
-         | FROM uk)
-         |SELECT sa AS source_a, sb AS source_b, n_kept_union, kth_min,
-         | n_common, est_union,
-         | CAST(CAST(n_common AS HUGEINT) * est_union
-         |   // NULLIF(n_kept_union, 0) AS BIGINT) AS est_intersection,
-         | n_common * 1000000 // NULLIF(n_kept_union, 0) AS jaccard_ppm
-         |FROM est ORDER BY source_a, source_b""".stripMargin
-    },
+    // KMV set algebra replay (shared with the streaming twin
+    // stream_kmv_setops — SparkEntry.kmvSetopsOracle): per-source kept
+    // sets re-derived with a ranked distinct scan, union-k by re-ranking
+    // the merged kept sets, then the Beyer estimators in HUGEINT —
+    // mirroring the engine's DECIMAL(38,0) DIV.
+    "sketch_kmv_setops" -> kmvSetopsOracle,
 
     "dq_seq_gaps" ->
       """WITH li AS (

@@ -103,6 +103,51 @@ private[graft] trait QueriesStream { this: SparkEntry.type =>
         .orderBy("user_id", "session_start_us")
     }),
 
+    // Session windows in APPEND + WATERMARK mode — the PRODUCTION mode a
+    // 100 TB unbounded stream runs (stream_session_windows keeps the
+    // COMPLETE form as the finite-file fallback: append emits a session
+    // only once the watermark passes its end, and a finite file's final
+    // watermark never passes the trailing sessions — the holdback is
+    // pinned both ways by StreamingSpec). To run the production mode on
+    // a finite fixture, the harness appends one EPILOGUE event (sentinel
+    // user -1) past max(ts) + gap + watermark delay: the final no-data
+    // micro-batch advances the watermark past every real session's end,
+    // append emits them ALL, and the only held-back session is the
+    // sentinel's own (excluded from the frame). The strict oracle is the
+    // SAME gaps-and-islands SQL as stream_session_windows — append must
+    // produce exactly the rows the batch twin computes.
+    "stream_session_windows_append" -> ((s, d) => {
+      Graft.tune(s)
+      val gapUs = 8L * 3600 * 1000000L
+      val delayUs = 2L * 3600 * 1000000L
+      val ev0 = Graft.tsToNanos(s.read.parquet(s"$d/events.parquet"))
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), Graft.nanosToTimestamp("ts").as("ts_ts"))
+      // driver-side scalar: the single max timestamp (bounded collect)
+      val maxUs = ev0.agg(max(expr("unix_micros(ts_ts)"))).head.getLong(0)
+      val epilogueUs = maxUs + gapUs + delayUs + 3600L * 1000000L
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_sess_append").toString
+      ev0.unionByName(
+          s.range(1).select(lit(-1L).as("user_id"),
+            expr(s"timestamp_micros(${epilogueUs}L)").as("ts_ts")))
+        .write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val agg = graft.streaming.StreamingIngest.parquetStream(s, stage, schema)
+        .withWatermark("ts_ts", "2 hours")
+        .groupBy(session_window(col("ts_ts"), "8 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.streaming.StreamingIngest
+        .runAvailableNow(s, agg, "stream_session_append_mem",
+          outputMode = "append")
+        .where(col("user_id") >= 0)
+        .select(col("user_id"),
+          expr("unix_micros(session_window.start)").as("session_start_us"),
+          expr("unix_micros(session_window.end)").as("session_end_us"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
     // Streaming dedup under load: every event arrives TWICE (self-union of
     // the file stream), dropDuplicatesWithinWatermark collapses them with
     // bounded state, and the survivors are profiled. Order-independent —
@@ -359,6 +404,58 @@ private[graft] trait QueriesStream { this: SparkEntry.type =>
         graft.streaming.StreamingIngest
           .runAvailableNow(s, sk, "stream_kmv_mem", outputMode = "append")
           .orderBy("k")
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset(
+            "spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }),
+
+    // Streaming pairwise content overlap: per-source 3-shingle KMV
+    // sketches tracked with transformWithState (KmvSketchProcessor —
+    // state ≤ 256 longs + a counter per source), final snapshot per key
+    // taken by max n_seen (strictly monotone; with one file as one batch
+    // it's the only row, and by split independence the kept set equals
+    // the batch sketch under ANY batching), then the Beyer set-algebra
+    // estimators from the sketches alone (Sketches.kmvSetOps). The
+    // cross-shard overlap probe as a STANDING query: per-shard state
+    // never exceeds k longs, and the pair frame joins sketches, never
+    // data. Oracle = the batch replay (SparkEntry.kmvSetopsOracle),
+    // shared with sketch_kmv_setops.
+    "stream_kmv_setops" -> ((s, d) => {
+      Graft.tune(s)
+      val prev = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val sh = graft.streaming.StreamingIngest
+          .parquetStream(s, d, schema, globFilter = Some("documents.parquet"))
+          .where(col("text").isNotNull && trim(col("text")) =!= "")
+          .select(col("source"),
+            explode(Text.wordShingles(col("text"), 3)).as("sh"))
+          .select(col("source"), StableHash.hash60(col("sh")).as("h"))
+          .as[(String, Long)]
+        val snaps = graft.streaming.KmvStream.kmvSketchStream(sh, k = 256)
+          .toDF("source", "n_seen", "mins")
+        val run = graft.streaming.StreamingIngest
+          .runAvailableNow(s, snaps, "stream_kmv_setops_mem",
+            outputMode = "append")
+        // latest snapshot per key = max n_seen (strictly monotone); one
+        // struct-max aggregate, no self-join on the memory-sink frame
+        val latest = run
+          .groupBy("source")
+          .agg(max(struct(col("n_seen"), col("mins"))).as("__m"))
+          .select(col("source"), col("__m.mins").as("mins"))
+        Sketches.kmvSetOps(latest, "source", "mins", 256)
+          .withColumnRenamed("key_a", "source_a")
+          .withColumnRenamed("key_b", "source_b")
+          .orderBy("source_a", "source_b")
       } finally {
         prev match {
           case Some(p) => s.conf.set(
@@ -673,6 +770,36 @@ private[graft] trait QueriesStream { this: SparkEntry.type =>
         | event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // Streaming KMV set algebra: identical replay to the batch twin —
+    // split independence makes the streamed final snapshots equal the
+    // batch sketches, so one oracle serves both.
+    "stream_kmv_setops" -> kmvSetopsOracle,
+
+    // Append-mode session windows: the SAME replay as
+    // stream_session_windows — the epilogue discipline makes append
+    // emit exactly the batch result (sentinel user excluded engine-side,
+    // and its session is the held-back one anyway).
+    "stream_session_windows_append" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS us FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |x AS (
+        | SELECT user_id, us,
+        |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |        <= 28800000000 THEN 0 ELSE 1 END AS brk
+        | FROM e),
+        |g AS (
+        | SELECT user_id, us,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM x)
+        |SELECT user_id,
+        | CAST(MIN(us) AS BIGINT) AS session_start_us,
+        | CAST(MAX(us) + 28800000000 AS BIGINT) AS session_end_us,
+        | CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     // Same gaps-and-islands replay as ts_sessionize — one oracle shape
     // for the batch window form and the native session_window operator

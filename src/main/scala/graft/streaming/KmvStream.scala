@@ -45,6 +45,40 @@ class KmvProcessor(k: Int)
   }
 }
 
+/** Sketch-emitting variant of [[KmvProcessor]]: each touching micro-batch
+  * emits the key's full kept set (`mins`, sorted ascending, ≤ k longs)
+  * next to the monotone `n_seen` counter — the form downstream SET
+  * ALGEBRA needs ([[graft.ops.Sketches.kmvSetOps]] consumes the kept
+  * sets, not just the estimate). Same determinism argument as
+  * [[KmvProcessor]]: the kept set is a pure function of the value SET,
+  * so the final snapshot per key equals the batch
+  * [[graft.ops.Sketches.kmvMins]] sketch regardless of arrival order or
+  * batch splits ("latest wins" = the max-n_seen row).
+  */
+class KmvSketchProcessor(k: Int)
+    extends StatefulProcessor[String, (String, Long),
+      (String, Long, Seq[Long])] {
+
+  @transient private var st: ValueState[(Array[Long], Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    st = getHandle.getValueState[(Array[Long], Long)](
+      "kmvsk", Encoders.product[(Array[Long], Long)], TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+      timers: TimerValues): Iterator[(String, Long, Seq[Long])] = {
+    var (buf, seen) =
+      if (st.exists()) st.get() else (Array.empty[Long], 0L)
+    rows.foreach { r =>
+      buf = Sketches.kmvInsert(buf, r._2, k)
+      seen += 1L
+    }
+    st.update((buf, seen))
+    Iterator.single((key, seen, buf.toSeq))
+  }
+}
+
 object KmvStream {
 
   /** Track a streaming Dataset of (key, hash) rows; emits one
@@ -57,6 +91,20 @@ object KmvStream {
     import ds.sparkSession.implicits._
     ds.groupByKey(_._1)
       .transformWithState(new KmvProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Like [[kmvStream]] but emits the full kept set per snapshot
+    * ((key, n_seen, mins)) — feed the per-key FINAL snapshots (max
+    * n_seen) into [[graft.ops.Sketches.kmvSetOps]] for streaming
+    * pairwise overlap. Requires the RocksDB state store provider.
+    */
+  def kmvSketchStream(ds: Dataset[(String, Long)],
+      k: Int): Dataset[(String, Long, Seq[Long])] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new KmvSketchProcessor(k),
         TimeMode.None(), OutputMode.Append())
   }
 }

@@ -12,14 +12,20 @@ import org.apache.spark.sql.functions._
   * window-function-tier demonstration.
   */
 object SessAbProbe {
+  /** args: [dataDir] [cpus] [reps] — defaults match the bench environment
+    * on the build box (the recorded 0.0690/0.0895 numbers in SCALE.md are
+    * box-specific; re-run with your own dir/parallelism elsewhere).
+    */
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+    val d = args.lift(0).getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = args.lift(1).getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val r = args.lift(2).map(_.toInt).getOrElse(16)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.core.Graft.tune(spark)
-    val d = "/root/testdata/sf0.1"
-    val r = 16
     val gapUs = 8L * 3600 * 1000000L
     def ev = graft.core.Graft.spread(
         graft.core.Graft.table(spark, d, "events")
@@ -30,13 +36,13 @@ object SessAbProbe {
         expr("ts DIV 1000").as("ts_us"), col("event_id"))
     def window() = graft.ops.Sessionize
       .batchSessionStats(ev, "user_id", "ts_us", "event_id", gapUs)
-      .select(col("user_id"), col("start_ns").as("session_start_us"),
-        (col("end_ns") + gapUs).as("session_end_us"), col("n_events"))
+      .select(col("user_id"), col("start_ts").as("session_start_us"),
+        (col("end_ts") + gapUs).as("session_end_us"), col("n_events"))
       .orderBy("user_id", "session_start_us")
     def kernel() = graft.ops.Sessionize
       .sessionStatsKernel(ev, "user_id", "ts_us", "event_id", gapUs)
-      .select(col("user_id"), col("start_ns").as("session_start_us"),
-        (col("end_ns") + gapUs).as("session_end_us"), col("n_events"))
+      .select(col("user_id"), col("start_ts").as("session_start_us"),
+        (col("end_ts") + gapUs).as("session_end_us"), col("n_events"))
       .orderBy("user_id", "session_start_us")
     def time(mk: => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -45,8 +51,8 @@ object SessAbProbe {
     }
     def kernelNoSort() = graft.ops.Sessionize
       .sessionStatsKernel(ev, "user_id", "ts_us", "event_id", gapUs)
-      .select(col("user_id"), col("start_ns").as("session_start_us"),
-        (col("end_ns") + gapUs).as("session_end_us"), col("n_events"))
+      .select(col("user_id"), col("start_ts").as("session_start_us"),
+        (col("end_ts") + gapUs).as("session_end_us"), col("n_events"))
     def evOnly() = ev
     // warm
     time(window()); time(kernel()); time(kernelNoSort()); time(evOnly())

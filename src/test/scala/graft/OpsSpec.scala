@@ -2599,7 +2599,7 @@ class OpsSpec extends SparkSpec {
     import graft.ops.Sessionize
     def stats(df: org.apache.spark.sql.DataFrame, gap: Long) = {
       def norm(out: org.apache.spark.sql.DataFrame) = out
-        .select("user_id", "session_seq", "n_events", "start_ns", "end_ns")
+        .select("user_id", "session_seq", "n_events", "start_ts", "end_ts")
         .orderBy("user_id", "session_seq")
         .collect().map(_.toSeq).toSeq
       (norm(Sessionize.sessionStatsKernel(df, "user_id", "ts_ns", "eid", gap)),

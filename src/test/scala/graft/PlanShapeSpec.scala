@@ -653,12 +653,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("MapPartitions"), p.take(1200))
     assert(!p.contains("Window"), p.take(1200)) // the 3-walk plan it replaced
     // exactly one hash exchange feeds the kernel (the only other exchange
-    // is the final rangepartitioning for the output ORDER BY)
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1600))
-    assert(p.contains("PushedFilters: [IsNotNull(ts), IsNotNull(user_id)]"),
+    // is the final rangepartitioning for the output ORDER BY). Loose
+    // regexes on operator presence, not exact plan formatting — the
+    // rendering of partitioning specs shifts across Spark versions.
+    assert("""Exchange\s+hashpartitioning""".r.findAllIn(p).size == 1,
       p.take(1600))
+    assert("""PushedFilters: \[IsNotNull\((ts|user_id)\), IsNotNull\((ts|user_id)\)\]"""
+      .r.findFirstIn(p).isDefined, p.take(1600))
     // the sort that feeds the fold is in-partition (global=false), not a
-    // second shuffle
-    assert(p.contains("ASC NULLS FIRST], false, 0"), p.take(1600))
+    // second shuffle: a non-global Sort exists, and no second hash/range
+    // exchange appears beyond the two accounted for above
+    assert("""Sort \[[^\]]*\], false""".r.findFirstIn(p).isDefined, p.take(1600))
+    assert("""Exchange\s+(hash|range)partitioning""".r.findAllIn(p).size <= 2,
+      p.take(1600))
   }
 }

@@ -127,6 +127,23 @@ class SketchesSpec extends SparkSpec {
     assert(r.getAs[Long]("n_common") == 5L)
     assert(r.getAs[Long]("est_intersection") == 5L)
     assert(r.getAs[Long]("jaccard_ppm") == 5L * 1000000 / 15)
+    // symmetric difference = union - intersection, exact here
+    assert(r.getAs[Long]("est_difference") == 10L)
+  }
+
+  test("kmvSetOps filters empty-sketch keys at entry (all-null input groups)") {
+    import org.apache.spark.sql.functions._
+    // key z sees only null hashes -> empty kept set -> no estimator can
+    // be computed; the key must not produce NULL-filled pair rows
+    val df = Seq(("x", java.lang.Long.valueOf(1L)),
+      ("y", java.lang.Long.valueOf(2L)), ("z", null.asInstanceOf[java.lang.Long]))
+      .toDF("key", "h")
+    val sk = df.groupBy("key").agg(Sketches.kmvMins(4)(col("h")).as("mins"))
+    assert(sk.count() == 3) // the sketch frame still carries z (empty)
+    val pairs = Sketches.kmvSetOps(sk, "key", "mins", 4)
+      .select("key_a", "key_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("x", "y")))
   }
 
   test("kmvSetOps saturated regime: union sketch = sketch of the union (mergeability)") {

@@ -374,6 +374,72 @@ class StreamingSpec extends SparkSpec {
     assert(run(Seq(f1, f2)) == expected)
   }
 
+  test("streaming KMV sketch stream: final kept set equals batch kmvMins " +
+    "under ANY split order (feeds kmvSetOps)") {
+    import graft.streaming.KmvStream
+    import graft.ops.Sketches
+    val rows = (1L to 12L).map(h => ("a", h * 10)) ++
+      Seq(("b", 5L), ("b", 7L), ("b", 5L))
+    def run(files: Seq[Seq[(String, Long)]]): Map[String, Seq[Long]] = {
+      val dir = Files.createTempDirectory("graft_skmvs").toString
+      files.zipWithIndex.foreach { case (part, i) =>
+        part.toDF("k", "h").coalesce(1)
+          .write.mode("append").parquet(s"$dir/f=$i")
+      }
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val schema = spark.read.parquet(dir).schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .select("k", "h").as[(String, Long)]
+        val out = StreamingIngest.runAvailableNow(spark,
+            KmvStream.kmvSketchStream(stream, k = 8)
+              .toDF("k", "n_seen", "mins"),
+            s"skmvs_${files.size}_${files.map(_.size).sum}",
+            outputMode = "append")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+        out.groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2)._3 }
+      } finally {
+        prev match {
+          case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }
+    // batch twin: kmvMins over the same data
+    val batch = rows.toDF("k", "h").groupBy("k")
+      .agg(Sketches.kmvMins(8)(col("h")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(run(Seq(rows)) == batch)
+    val (f1, f2) = rows.reverse.splitAt(7)
+    assert(run(Seq(f1, f2)) == batch) // reversed split, same final sketch
+  }
+
+  test("append-mode session windows with the epilogue discipline emit " +
+    "EVERY real session; only the sentinel's is held back") {
+    val d = Files.createTempDirectory("graft_sessep").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def ts(h: Long) = new java.sql.Timestamp(t0.getTime + h * 3600000L)
+    // user 1: an early session AND a trailing session (starts t0+10h) a
+    // bare finite run would hold back (watermark max-2h = t0+8h);
+    // epilogue (user -1) at t0+10h+1h(gap)+2h(delay)+1h(margin)=t0+14h
+    // pushes the final watermark past the trailing session's end (t0+11h)
+    Seq((1L, ts(0)), (1L, ts(10)), (-1L, ts(14)))
+      .toDF("user_id", "ts_ts").write.mode("overwrite").parquet(d)
+    val schema = spark.read.parquet(d).schema
+    val sessions = StreamingIngest.parquetStream(spark, d, schema)
+      .withWatermark("ts_ts", "2 hours")
+      .groupBy(session_window(col("ts_ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val got = StreamingIngest.runAvailableNow(spark, sessions,
+        "sesswm_epilogue", outputMode = "append")
+      .select("user_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 1L), s"got=$got") // both real sessions, no sentinel
+  }
+
   test("streaming CMS: final estimates equal batch sketch under reversed splits") {
     import graft.streaming.CmsStream
     import graft.ops.{Dedup, Sketches}

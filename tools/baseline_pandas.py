@@ -32,7 +32,7 @@ REPS = {  # keep in sync with graft.Bench.headline
     "sim_brute_topk": 8192, "dedup_passages": 4, "graph_pagerank": 2048,
     "text_bm25_topk": 512, "sim_pq_topk": 4096, "dedup_semantic": 512,
     "sim_knn_join": 16, "sim_knn_join_ivf": 256, "sketch_kmv_distinct": 8,
-    "ts_sessionize": 16,
+    "ts_sessionize": 64,
 }
 
 
