@@ -9,14 +9,16 @@ oracle_rows / err — to the output path. Queries whose DuckDB oracle is
 infeasible at sf1 are listed with a `skipped` reason instead of being
 silently dropped (the no-silent-caps rule):
 
- - the SNM-closure trio (dedup_cluster_stats / dedup_components /
-   dedup_representatives): the recursive reach materializes
-   sum(|component| * |reachable|) rows over ~50k docs (~25 min EACH in
-   DuckDB at sf1; the engine side is ~10 s) — verified at sf0.01/sf0.1 +
-   edge corpus where the closure is tractable.
  - sim_knn_join / sim_knn_graph_components: exact-kNN ground truth is the
    quadratic gram matrix; verified by tools.KnnParityProbe (blocked exact
    parity probe) instead.
+
+(The SNM-closure trio — dedup_cluster_stats / dedup_components /
+dedup_representatives — was skipped through r11 because the recursive
+reach oracle was quadratic; r12 replaced it with a linear chained
+alternating-star replay, so the trio now runs like any other query.
+Same for dedup_minhash_calibration, whose 1-in-32 pair sampling bounds
+the replay.)
 
 Additionally, any oracle that exceeds GRAFT_ORACLE_TIMEOUT seconds
 (default 1200) is interrupted and recorded as skipped-with-reason — the
@@ -39,19 +41,7 @@ from compare import TABLES, frame_key  # same strict normalization
 
 ORACLE_TIMEOUT = int(os.environ.get("GRAFT_ORACLE_TIMEOUT", "1200"))
 
-_CLOSURE_PROBE = os.environ.get("GRAFT_CLOSURE_PROBE", "").strip()
-_CLOSURE_SKIP = (
-    "quadratic DuckDB oracle at sf1 (recursive SNM closure reach, "
-    "~25 min); oracle-verified at sf0.01 + sf0.1 + edge corpus; "
-    "engine-side self-verified by tools.ClosureParityProbe at sf1 "
-    "(invariants: no cross-cluster pair, label = min member, spanning "
-    "bound, sampled exact connectivity via union-find, idempotent "
-    "re-run)" + ("; probe: " + _CLOSURE_PROBE if _CLOSURE_PROBE else ""))
-
 SKIPPED = {
-    "dedup_cluster_stats": _CLOSURE_SKIP,
-    "dedup_components": _CLOSURE_SKIP,
-    "dedup_representatives": _CLOSURE_SKIP,
     "sim_knn_join":
         "exact-kNN ground truth is the full gram matrix (quadratic) at "
         "sf1; verified by tools.KnnParityProbe (ok=true) instead",
