@@ -451,6 +451,11 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
 
   def main(args: Array[String]): Unit = {
+    // A late uncaught exception on a Spark internal thread (r12: a
+    // shutdown-race RejectedExecutionException) must never take the exit
+    // code with it — log it and let the main thread's explicit exit win.
+    Thread.setDefaultUncaughtExceptionHandler((t, e) =>
+      System.err.println(s"[bench] uncaught on ${t.getName}: ${e.getClass.getName}: ${e.getMessage}"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -461,12 +466,21 @@ object Bench {
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Inherited by every job this thread submits: a cancelAllJobs() at
+    // shutdown actually interrupts zombie task threads (a failed query in
+    // once() leaves its still-running tasks behind — Spark job failure
+    // does not synchronously kill them, and uninterrupted zombies deliver
+    // a late statusUpdate into the torn-down TaskResultGetter pool: the
+    // r12 exit-56 crash).
+    spark.sparkContext.setLocalProperty("spark.job.interruptOnCancel", "true")
     Graft.tune(spark)
 
     // Warm every plan shape once at the smallest scale: JIT + whole-stage
     // codegen compilation are one-time costs a resident engine amortizes.
     // Resident index state (bm25 postings, IVF centroids) builds here
     // too, untimed — the pandas twins' factory step.
+    val phaseT0 = System.nanoTime()
+    def phaseSecs(since: Long): Double = (System.nanoTime() - since) / 1e9
     val warmDir = "/root/testdata/sf0.001"
     bm25Ix(spark, warmDir); ivfCents(spark, warmDir)
     bm25Ix(spark, sfDir); ivfCents(spark, sfDir)
@@ -474,21 +488,26 @@ object Bench {
       once(SparkEntry.queries(name)(spark, warmDir))
       once(fused(name, spark, warmDir, r))
     }
+    val warmWall = phaseSecs(phaseT0)
 
     val loadStart = loadAvg
     var failed = List.empty[String]
     // Single-run protocol (round-1 comparable): min of 3 fresh-plan runs.
+    val singleT0 = System.nanoTime()
     val single = headline.flatMap { case (name, _) =>
       val runs = Seq.fill(3)(once(SparkEntry.queries(name)(spark, sfDir))).flatten
       if (runs.isEmpty) { failed ::= name; None } else Some(name -> runs.min)
     }
+    val singleWall = phaseSecs(singleT0)
     // Amortized protocol: min of 3 fused fresh-plan runs, divided by N.
     // The passes are INTERLEAVED (pass 1 over every query, then pass 2, ...)
     // so a transient machine-wide stall — GC, page cache eviction, a noisy
     // neighbor — lands inside one pass and is discarded by the min, instead
     // of hitting every rep of the same query back-to-back.
+    val amortT0 = System.nanoTime()
     val amortizedRuns = Seq.fill(3)(
       headline.map { case (name, r) => name -> once(fused(name, spark, sfDir, r)) })
+    val amortWall = phaseSecs(amortT0)
     val amortized0 = headline.flatMap { case (name, r) =>
       val runs = amortizedRuns.flatMap(_.collect { case (`name`, Some(t)) => t })
       if (runs.isEmpty) { if (!failed.contains(name)) failed ::= name; None }
@@ -518,8 +537,17 @@ object Bench {
     def violators: Seq[String] = (amortMap.collect {
       case (n, a) if singleMap.get(n).exists(a > _) => n
     }.toSeq ++ floorViolators).distinct
+    // Retry budget: guard retries on a stormy box can double the wall
+    // (r12: 2437 s vs r11's 1149 s — seven noisy windows, each burning
+    // retry rounds over the heavies), and a 40-minute bench widens the
+    // shutdown-crash window. Retries stop at the budget and the artifact
+    // says "retries_exhausted":true honestly instead of grinding on.
+    val retryBudgetSec =
+      sys.env.get("GRAFT_BENCH_RETRY_BUDGET").map(_.toDouble).getOrElse(300.0)
+    val retryT0 = System.nanoTime()
+    def retryBudgetLeft: Boolean = phaseSecs(retryT0) < retryBudgetSec
     var retries = 3
-    while (violators.nonEmpty && retries > 0) {
+    while (violators.nonEmpty && retries > 0 && retryBudgetLeft) {
       retries -= 1
       System.err.println(s"[bench] window guard: rerunning ${violators.mkString(", ")} " +
         s"(amortized > single_run, or > 1.5x committed floor; load avg ${loadAvg})")
@@ -530,6 +558,8 @@ object Bench {
           .foreach(t => amortMap(name) = math.min(amortMap(name), t / reps(name)))
       }
     }
+    val retriesExhausted = violators.nonEmpty && !retryBudgetLeft
+    val retryWall = phaseSecs(retryT0)
     val noisy = violators
     val window = if (noisy.isEmpty) "calm" else "noisy"
     val amortized = headline.flatMap { case (name, _) =>
@@ -545,7 +575,29 @@ object Bench {
     val total = amortized.map(_._2).sum
     val floorCheck = if (floorsApply) floorMode
       else if (effFloors.isEmpty) floorMode else "n/a(non-sf0.1)"
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(amortized)},"method":"amortized: N independent instances of each query fused into one plan, wall/N; pandas baseline measured with the same read-once/compute-N protocol (BASELINE.md Methodology)","reps":$repsJson,"single_run":${jmap(single)},"failed":$failedJson,"window":"$window","noisy_queries":$noisyJson,"floor_check":"$floorCheck","floors":${jmap(headline.flatMap { case (n, _) => effFloors.get(n).map(n -> _) })},"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"sf":"$sfDir"}""")
-    spark.stop()
+    val phasesJson = f"""{"warm":$warmWall%.1f,"single":$singleWall%.1f,"amortized":$amortWall%.1f,"retries":$retryWall%.1f}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(amortized)},"method":"amortized: N independent instances of each query fused into one plan, wall/N; pandas baseline measured with the same read-once/compute-N protocol (BASELINE.md Methodology)","reps":$repsJson,"single_run":${jmap(single)},"failed":$failedJson,"window":"$window","noisy_queries":$noisyJson,"retries_exhausted":$retriesExhausted,"phase_wall_sec":$phasesJson,"floor_check":"$floorCheck","floors":${jmap(headline.flatMap { case (n, _) => effFloors.get(n).map(n -> _) })},"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"sf":"$sfDir"}""")
+    // Land the metric line on the wire BEFORE any teardown can kill the
+    // JVM: r12's driver bench printed nothing the driver could parse
+    // because the process died exit 56 in a spark.stop() race
+    // (RejectedExecutionException in TaskSchedulerImpl.statusUpdate — the
+    // TaskResultGetter pool was already Terminated while the local
+    // scheduler endpoint delivered a late task status; a failed query in
+    // once() leaves zombie task threads that Spark job failure does not
+    // synchronously kill).
+    System.out.flush()
+    val sc = spark.sparkContext
+    scala.util.Try(sc.cancelAllJobs())
+    val drainDeadline = System.nanoTime() + 30L * 1000000000L
+    while (sc.statusTracker.getActiveStageIds.nonEmpty &&
+           System.nanoTime() < drainDeadline) Thread.sleep(200L)
+    // settle: let the last in-flight statusUpdate land before the stop
+    // tears down the TaskResultGetter pool
+    Thread.sleep(1000L)
+    scala.util.Try(spark.stop())
+    // Explicit success exit: even if a non-daemon Spark thread survives
+    // stop() or a late uncaught exception fires on another thread, the
+    // runner must report 0 — the metric line above is the deliverable.
+    sys.exit(0)
   }
 }

@@ -54,6 +54,22 @@ object SparkEntry
       out
     })
 
+  /** Recursively delete a scratch staging dir once its contents are fully
+    * materialized elsewhere (e.g. drained into a memory sink) — bench
+    * sweeps re-enter these entries hundreds of times, and an undeleted
+    * per-run staging copy of a fixture leaks its full size to /tmp each
+    * time. Only safe when NOTHING lazy still reads the path.
+    */
+  private[graft] def deleteStaging(dir: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    scala.util.Try {
+      val walk = Files.walk(Paths.get(dir))
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+    }: Unit
+  }
+
   /** Deterministic messy URL per document — mixed-case scheme/host, ccTLD
     * rows, default and explicit ports, tracking params, fragments,
     * trailing slashes. Input battery for the url_* entries; the oracle
@@ -555,29 +571,34 @@ object SparkEntry
        |ORDER BY e.word""".stripMargin
   }
 
-  /** Relational word + 3-shingle CTEs over `documents`, TOTAL over edge
-    * cases to mirror Text.wordShingles exactly: >= 3 words -> distinct
-    * 3-grams; 1-2 words -> one whole-text shingle (whitespace-normalized);
-    * empty docs contribute no shingles (the minhash oracles LEFT JOIN from
-    * documents and coalesce to Long.MaxValue, matching the engine).
+  /** Relational word + 3-shingle CTEs over `rel` (a relation with doc_id
+    * + text columns), TOTAL over edge cases to mirror Text.wordShingles
+    * exactly: >= 3 words -> distinct 3-grams; 1-2 words -> one whole-text
+    * shingle (whitespace-normalized); empty docs contribute no shingles
+    * (the minhash oracles LEFT JOIN from documents and coalesce to
+    * Long.MaxValue, matching the engine). Parameterized so the
+    * calibration oracle's cdocs-restricted variant shares ONE definition
+    * of the shingle normalization — a change here reaches every replay.
     */
-  private[graft] val shingleCtes: String =
-    """words AS (
-      | SELECT doc_id, w, i FROM (
-      |  SELECT doc_id,
-      |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
-      |   generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS i
-      |  FROM documents WHERE trim(text) <> '')),
-      |shingles AS (
-      | SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
-      | FROM words a
-      | JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
-      | JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
-      | UNION
-      | SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS sh
-      | FROM documents
-      | WHERE trim(text) <> ''
-      |  AND len(string_split_regex(trim(lower(text)), '\s+')) < 3)""".stripMargin
+  private[graft] def shingleCtesFor(rel: String): String =
+    s"""words AS (
+       | SELECT doc_id, w, i FROM (
+       |  SELECT doc_id,
+       |   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+       |   generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS i
+       |  FROM $rel WHERE trim(text) <> '')),
+       |shingles AS (
+       | SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+       | FROM words a
+       | JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+       | JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+       | UNION
+       | SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS sh
+       | FROM $rel
+       | WHERE trim(text) <> ''
+       |  AND len(string_split_regex(trim(lower(text)), '\\s+')) < 3)""".stripMargin
+
+  private[graft] val shingleCtes: String = shingleCtesFor("documents")
 
   /** Winnowing CTE chain (k=2 grams, window=4) mirroring
     * [[graft.ops.Winnow.fingerprints]]: ordered bigrams with 1-based
@@ -729,22 +750,7 @@ object SparkEntry
        | SELECT id_a AS doc_id FROM prs UNION SELECT id_b FROM prs),
        |cdocs AS MATERIALIZED (
        | SELECT d.doc_id, d.text FROM documents d JOIN cal_ids USING (doc_id)),
-       |words AS (
-       | SELECT doc_id, w, i FROM (
-       |  SELECT doc_id,
-       |   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
-       |   generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS i
-       |  FROM cdocs WHERE trim(text) <> '')),
-       |shingles AS (
-       | SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
-       | FROM words a
-       | JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
-       | JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
-       | UNION
-       | SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS sh
-       | FROM cdocs
-       | WHERE trim(text) <> ''
-       |  AND len(string_split_regex(trim(lower(text)), '\\s+')) < 3),
+       |${shingleCtesFor("cdocs")},
        |sig AS (
        | SELECT d.doc_id,
        |  $sigCols

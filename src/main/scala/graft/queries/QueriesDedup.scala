@@ -410,8 +410,11 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
     // Connected components over candidate pairs (the fuzzy-dedup cluster
     // collapse): sorted-neighborhood pairs chain consecutive docs inside a
     // block, so whole blocks form single chain components — the diameter
-    // stress case pointer jumping exists for. The oracle computes TRUE
-    // reachability closure with a recursive CTE.
+    // stress case pointer jumping exists for. The oracle replays the
+    // engine's alternating large-star/small-star contraction as a fixed
+    // number of chained MATERIALIZED CTE rounds (snmClosureCtes — linear
+    // O(rounds·|E|), idempotent past the fixed point), which replaced the
+    // quadratic recursive reachability CTE that timed out at sf1.
     "dedup_components" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val pairs = Dedup.sortedNeighborhood(docs, "doc_id",
@@ -633,18 +636,22 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
     * O(rounds·|E|) total. This replaced the recursive reachability CTE
     * (r11 sf1 skip): true reach materializes Σ|component|² rows, ~25 min
     * at sf1, while this replay stays seconds at any SF. Round count is
-    * FIXED (no convergence probe in static SQL) at 14 — the engine
-    * measures 7–10 rounds to the star fixed point for permuted chains of
-    * 250–5000 nodes (the exact shape SNM blocks produce; sf1 blocks are
-    * ~2.5k docs), convergence is O(log n), and extra rounds past the
-    * fixed point are IDEMPOTENT (a star set maps to itself: large-star
+    * FIXED (no convergence probe in static SQL; oracleSql is a static
+    * map with no data access) at 20 — the engine measures 7–10 rounds to
+    * the star fixed point for permuted chains of 250–5000 nodes (the
+    * exact shape SNM blocks produce; sf1 blocks are ~2.5k docs),
+    * convergence is ~log2(max block size) alternating rounds, so 20
+    * covers SNM blocks to ~500k docs (2^19) with slack — far past any
+    * sweep scale (sf10 blocks are ~25k). Extra rounds past the fixed
+    * point are IDEMPOTENT (a star set maps to itself: large-star
     * re-emits each (child, min) edge, small-star's u<=v branch excludes
-    * u=m and its v-branch re-emits (child, min) — so 14 carries headroom
-    * at every sweep scale. If data ever outgrew it, the strict compare
-    * fails loudly rather than passing a half-converged closure.
+    * u=m and its v-branch re-emits (child, min)) and near-free (|E| has
+    * already contracted). If data ever outgrew even this, the strict
+    * compare fails loudly rather than passing a half-converged closure.
     */
   private def snmClosureCtes: String = {
-    val rounds = 14
+    // ~log2(max SNM block size) + slack; see scaladoc for the assumption
+    val rounds = 20
     def round(i: Int): String =
       s"""n${i}a AS MATERIALIZED (
          | SELECT a AS v, b AS u FROM e$i

@@ -123,29 +123,37 @@ private[graft] trait QueriesStream { this: SparkEntry.type =>
       val ev0 = Graft.tsToNanos(s.read.parquet(s"$d/events.parquet"))
         .where(col("user_id").isNotNull && col("ts").isNotNull)
         .select(col("user_id"), Graft.nanosToTimestamp("ts").as("ts_ts"))
-      // driver-side scalar: the single max timestamp (bounded collect)
-      val maxUs = ev0.agg(max(expr("unix_micros(ts_ts)"))).head.getLong(0)
+      // driver-side scalar: the single max timestamp (bounded collect);
+      // an empty fixture has no max — any epilogue ts works, the result
+      // is empty either way (the null-unboxing NPE was the real hazard).
+      val maxUs = Option(ev0.agg(max(expr("unix_micros(ts_ts)"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       val epilogueUs = maxUs + gapUs + delayUs + 3600L * 1000000L
       val stage = java.nio.file.Files
         .createTempDirectory("graft_sess_append").toString
-      ev0.unionByName(
-          s.range(1).select(lit(-1L).as("user_id"),
-            expr(s"timestamp_micros(${epilogueUs}L)").as("ts_ts")))
-        .write.mode("overwrite").parquet(stage)
-      val schema = s.read.parquet(stage).schema
-      val agg = graft.streaming.StreamingIngest.parquetStream(s, stage, schema)
-        .withWatermark("ts_ts", "2 hours")
-        .groupBy(session_window(col("ts_ts"), "8 hours"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"))
-      graft.streaming.StreamingIngest
-        .runAvailableNow(s, agg, "stream_session_append_mem",
-          outputMode = "append")
-        .where(col("user_id") >= 0)
-        .select(col("user_id"),
-          expr("unix_micros(session_window.start)").as("session_start_us"),
-          expr("unix_micros(session_window.end)").as("session_end_us"),
-          col("n_events"))
-        .orderBy("user_id", "session_start_us")
+      try {
+        ev0.unionByName(
+            s.range(1).select(lit(-1L).as("user_id"),
+              expr(s"timestamp_micros(${epilogueUs}L)").as("ts_ts")))
+          .write.mode("overwrite").parquet(stage)
+        val schema = s.read.parquet(stage).schema
+        val agg = graft.streaming.StreamingIngest.parquetStream(s, stage, schema)
+          .withWatermark("ts_ts", "2 hours")
+          .groupBy(session_window(col("ts_ts"), "8 hours"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+        graft.streaming.StreamingIngest
+          .runAvailableNow(s, agg, "stream_session_append_mem",
+            outputMode = "append")
+          .where(col("user_id") >= 0)
+          .select(col("user_id"),
+            expr("unix_micros(session_window.start)").as("session_start_us"),
+            expr("unix_micros(session_window.end)").as("session_end_us"),
+            col("n_events"))
+          .orderBy("user_id", "session_start_us")
+      } finally
+        // safe to delete: runAvailableNow fully drained the file stream
+        // into the memory sink, nothing lazy still reads the stage
+        deleteStaging(stage)
     }),
 
     // Streaming dedup under load: every event arrives TWICE (self-union of
@@ -530,11 +538,11 @@ private[graft] trait QueriesStream { this: SparkEntry.type =>
         "spark.sql.streaming.stateStore.providerClass")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stream_seg_").toString
       try {
         import s.implicits._
         val docs = t(s, d, "documents")
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_stream_seg_").toString
         docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
           .repartition(4).write.mode("overwrite").parquet(root)
         val schema = s.read.parquet(root).schema
@@ -559,6 +567,9 @@ private[graft] trait QueriesStream { this: SparkEntry.type =>
           case None => s.conf.unset(
             "spark.sql.streaming.stateStore.providerClass")
         }
+        // the file stream fully drained into the memory sink; the
+        // returned frame reads docs + the memory table, never root
+        deleteStaging(root)
       }
     }),
 

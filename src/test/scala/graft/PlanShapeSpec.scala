@@ -658,8 +658,12 @@ class PlanShapeSpec extends SparkSpec {
     // rendering of partitioning specs shifts across Spark versions.
     assert("""Exchange\s+hashpartitioning""".r.findAllIn(p).size == 1,
       p.take(1600))
-    assert("""PushedFilters: \[IsNotNull\((ts|user_id)\), IsNotNull\((ts|user_id)\)\]"""
-      .r.findFirstIn(p).isDefined, p.take(1600))
+    // assert each pushed filter independently inside the PushedFilters
+    // list — a single alternation regex would accept the same column
+    // twice and stop proving BOTH filters reached the scan
+    val pushed = """PushedFilters: \[[^\]]*\]""".r.findFirstIn(p)
+    assert(pushed.exists(_.contains("IsNotNull(ts)")), p.take(1600))
+    assert(pushed.exists(_.contains("IsNotNull(user_id)")), p.take(1600))
     // the sort that feeds the fold is in-partition (global=false), not a
     // second shuffle: a non-global Sort exists, and no second hash/range
     // exchange appears beyond the two accounted for above
