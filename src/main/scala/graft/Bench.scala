@@ -81,7 +81,7 @@ object Bench {
     "j1_multiway_join" -> 0.1811,
     "w1_window" -> 0.0009,
     "a8_pivot" -> 0.0291,
-    "dedup_exact" -> 0.0046,
+    "dedup_exact" -> 0.0036,
     "dedup_minhash" -> 0.1328,
     "text_profile" -> 0.1412,
     "sim_brute_topk" -> 0.0002,
@@ -93,7 +93,7 @@ object Bench {
     "sim_knn_join" -> 0.1088,
     "sim_knn_join_ivf" -> 0.0134,
     "sketch_kmv_distinct" -> 0.1139,
-    "ts_sessionize" -> 0.0328)
+    "ts_sessionize" -> 0.0321)
 
   /** Floors are wall-clock constants recorded on the build box; any other
     * host would breach floor x 1.5 on every workload, burn the retries
