@@ -18,13 +18,17 @@ ratios, quality score, positional fingerprint) — the round-1 baseline
 computed a single stopword count, which understated the reference-stack
 cost of the actual workload ~30x (noted in round-1 BASELINE.md).
 
-Usage: python3 tools/baseline_pandas.py [sfDir]
+Usage: python3 tools/baseline_pandas.py [sfDir] [workload ...]
+Trailing workload names (exact keys of REPS) restrict the run to that
+subset — used to resume a long-scale (sf1) run that died partway without
+re-paying the completed workloads. REPS itself never changes.
 """
 import hashlib, re, sys, time
 import pandas as pd
 import numpy as np
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+only = set(sys.argv[2:])  # empty = all workloads
 
 REPS = {  # keep in sync with graft.Bench.headline
     "q1_agg": 16, "j1_multiway_join": 8, "w1_window": 2048, "a8_pivot": 32,
@@ -420,9 +424,16 @@ WORKLOADS = [
     ("sketch_kmv_distinct", sketch_kmv),
     ("ts_sessionize", ts_sessionize)]
 
+if only:
+    unknown = only - {n for n, _ in WORKLOADS}
+    if unknown:
+        sys.exit(f"unknown workload(s): {sorted(unknown)}")
+
 print(f"{'workload':24s} {'single':>8s} {'amortized':>10s}  (N)")
 tot_s = tot_a = 0.0
 for name, factory in WORKLOADS:
+    if only and name not in only:
+        continue
     t0 = time.time()
     compute = factory()          # read (timed in single)
     n0 = compute()               # one compute pass
