@@ -23,7 +23,17 @@ Trailing workload names (exact keys of REPS) restrict the run to that
 subset — used to resume a long-scale (sf1) run that died partway without
 re-paying the completed workloads. REPS itself never changes.
 """
-import hashlib, re, sys, time
+import hashlib, os, re, sys, time
+
+# Diagnosed round 13: numpy madvises MADV_HUGEPAGE on large buffers, and
+# this box's host intermittently stalls ~0.5 s PER 2 MB huge-page fault
+# (a fresh 1.6 GB first-touch measured 78-280 s vs 0.7-1.1 s with the
+# madvise disabled; plain malloc/mmap/JVM paths were unaffected). That is
+# a measurement artifact, not reference-stack compute — it inflated the
+# twin in bad windows, flattering graft. Disable it unconditionally so
+# twin numbers measure pandas/numpy, not host hugepage luck. Must be set
+# before the first numpy import.
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 import pandas as pd
 import numpy as np
 
