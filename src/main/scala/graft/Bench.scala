@@ -157,7 +157,7 @@ object Bench {
     * over a replicated input whose keys are rep-disjoint — N semantically
     * independent runs of the query, fused. Final ORDER BYs are kept.
     */
-  private def fused(name: String, s: SparkSession, d: String, r: Int): DataFrame = {
+  private[graft] def fused(name: String, s: SparkSession, d: String, r: Int): DataFrame = {
     def t(n: String) = Graft.table(s, d, n)
     // rep-disjoint document set: ids remapped, digests separated by prefix
     def repDocs = replicate(t("documents").select("doc_id", "text"), r)

@@ -12,8 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Lowercased whitespace tokens; empty/null text -> empty array. */
-  def tokens(c: Column): Column =
+  /** Lowercased whitespace tokens; empty/null text -> empty array.
+    * Native one-pass byte scan ([[graft.plans.Tokens]]) — the regex
+    * `split` form it replaced paid a `Pattern.compile` per document
+    * (String.split's fast path can't cover `\s+`) and measured ~half of
+    * text_profile's fused cost at the r13 decomposition probe; the
+    * declarative form stays below as the parity reference.
+    */
+  def tokens(c: Column): Column = graft.plans.Tokens(c)
+
+  /** The replaced declarative tokenizer, kept verbatim as the parity
+    * reference (FunctionsSpec fuzz-compares it against the native
+    * expression — do not use on hot paths).
+    */
+  def tokensDeclarative(c: Column): Column =
     when(c.isNull || trim(c) === "", array().cast("array<string>"))
       .otherwise(split(trim(lower(c)), "\\s+"))
 

@@ -7,6 +7,34 @@ import graft.functions.{Cleaning, Norm, StableHash, Text}
 class FunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("native tokens == declarative regex-split form (planted + fuzz)") {
+    // Planted: the declarative form's quirks must survive verbatim —
+    // null/blank -> EMPTY array; non-space whitespace survives trim, so
+    // leading "\t" yields a leading "" token and trailing "\n" a trailing
+    // one (Pattern.split limit = -1); \x0B (vertical tab) IS Java \s;
+    // multibyte text lowers through UTF8String.toLowerCase.
+    val planted = Seq(
+      null, "", " ", "  ", "\t", "a", " a ", "A  B\tC", "\tfoo bar",
+      "foo bar\n", "xy", "Hello\r\nWORLD", "ÜNÏCODE Straße",
+      "İstanbul DİYARBAKIR", "汉字 测试　ideographic-space", "a\fb",
+      " \t mixed \t ", "singleword", "multi  internal   runs")
+    val fuzz = {
+      val rnd = new scala.util.Random(13)
+      val alphabet = "aB \t\n\f\r.éüß汉"
+      Seq.fill(500)(
+        (0 until rnd.nextInt(30)).map(_ =>
+          alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = (planted ++ fuzz).toDF("t")
+      .select(Text.tokens($"t").as("nat"), Text.tokensDeclarative($"t").as("dec"))
+    val rows = df.collect()
+    rows.zip(planted ++ fuzz).foreach { case (r, in) =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1), s"null result for <$in>")
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"native ${r.getSeq[String](0)} != declarative ${r.getSeq[String](1)} for <$in>")
+    }
+  }
+
   test("normIdentifier matches the reference normalization (build.py:7-8)") {
     assert(Norm.normIdentifier("CMS Certification Number (CCN)") ==
       "cms_certification_number_ccn")
